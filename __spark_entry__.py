@@ -1,38 +1,516 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator from SURVEY.md SS2 re-expressed
+Spark-first via the engine library
+(``automated_ohlcv_data_pipeline_for_algorithmic_trading_spark``), applied
+to the driver's synthetic tables (TESTDATA.md; FIXTURES.md SS5 maps them to
+the reference's OHLCV tables: events ~ the candle fact table with
+user_id ~ symbol and value ~ price, orders/customer/... ~ the declared
+dimension joins, documents/embeddings ~ the training-data operators).
+
+Determinism contract with the DuckDB oracle: per-row IEEE-754 double math
+is bit-identical across engines; only reduction ORDER differs. So every
+unordered reduction (groupBy sum/avg/stddev) runs through exact
+DecimalType sums cast back to double (functions/exact.py), making results
+bit-stable under any partitioning — the same property that keeps checksums
+stable on a 1000-executor cluster.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import tune
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+    load_table,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.functions.exact import (
+    davg,
+    dstddev,
+    dsum,
+    sql_davg,
+    sql_dstddev,
+    sql_dsum,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators import (
+    dedup_by_key,
+    dispersion_stats,
+    latest_snapshot,
+    resample_series,
+    symbol_stats,
+    daily_rollup,
+    tail_limit,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.topk import (
+    daily_summary_with_movers,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windows import (
+    daily_window_summary,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(tune(spark), sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational queries (scan / filter / agg / join / top-k)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary over lineitem.
+
+    Exercises scan -> pushed filter -> 8-agg groupBy (A1/A2 class,
+    reference sql/athena_parquet_tables.sql:77-88)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q03_top_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: customer x orders x lineitem, top-10 orders by
+    revenue (J1 broadcast-dim join + O3 top-k)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q03_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: 6-table star join, revenue per nation. Small dims
+    broadcast; the lineitem-orders join is the only real shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+_Q05_SQL = f"""
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# OHLCV query surface on the events stream table
+# (user_id ~ symbol, value ~ price; FIXTURES.md SS5)
+# ---------------------------------------------------------------------------
+
+def e_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — per-key totals: SUM, AVG, COUNT, MAX(ts)
+    (sql/athena_parquet_tables.sql:77-88)."""
+    ev = _t(spark, sf_dir, "events")
+    return symbol_stats(ev, ["user_id"], "value", "ts").orderBy("user_id")
+
+
+_E_SYMBOL_STATS_SQL = f"""
+SELECT user_id,
+       {sql_dsum('value')} AS total_value,
+       {sql_davg('value')} AS avg_value,
+       count(*) AS record_count,
+       max(ts) AS latest_timestamp
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def e_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the core daily OHLCV rollup: open = value at earliest ts,
+    close = value at latest ts, high/low, avg, count per (key, day)
+    (analytics/lambda_analytics.py:146-166)."""
+    ev = _t(spark, sf_dir, "events")
+    return daily_rollup(
+        ev, ["user_id"], "ts", "value", tiebreak="event_id"
+    ).orderBy("user_id", "trade_date")
+
+
+_E_DAILY_ROLLUP_SQL = f"""
+SELECT user_id, CAST(ts AS DATE) AS trade_date,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       {sql_davg('value')} AS avg_price,
+       count(*) AS num_records
+FROM events
+GROUP BY user_id, CAST(ts AS DATE)
+ORDER BY user_id, trade_date
+"""
+
+
+def e_resample_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — epoch-aligned tumbling-window resample of the value series to
+    15-minute buckets per event_type (api/api_handler.py:788-834
+    semantics; Spark F.window is epoch-aligned like the reference's
+    ``(ts // bucket) * bucket``)."""
+    ev = _t(spark, sf_dir, "events")
+    out = resample_series(ev, 15, ["event_type"], "ts", "value", tiebreak="event_id")
+    return out.select(
+        "event_type", "bucket_start", "open", "high", "low", "close",
+        "total_value", "num_records",
+    ).orderBy("event_type", "bucket_start")
+
+
+_E_RESAMPLE_SQL = f"""
+SELECT event_type,
+       time_bucket(INTERVAL '15 minutes', ts, TIMESTAMP '2000-01-01 00:00:00') AS bucket_start,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       {sql_dsum('value')} AS total_value,
+       count(*) AS num_records
+FROM events
+GROUP BY event_type, bucket_start
+ORDER BY event_type, bucket_start
+"""
+
+
+def e_dedup_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — last-wins dedup (api/api_handler.py:418-424): one event per
+    (user_id, day, event_type), keeping the latest by (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events").withColumn("trade_date", F.to_date("ts"))
+    out = dedup_by_key(
+        ev, ["user_id", "trade_date", "event_type"], ["ts", "event_id"], keep="last"
+    )
+    return out.select("event_id", "user_id", "ts", "event_type", "value").orderBy("event_id")
+
+
+def e_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — first-wins dedup (api/api_handler_csv.py:169-184)."""
+    ev = _t(spark, sf_dir, "events").withColumn("trade_date", F.to_date("ts"))
+    out = dedup_by_key(
+        ev, ["user_id", "trade_date", "event_type"], ["ts", "event_id"], keep="first"
+    )
+    return out.select("event_id", "user_id", "ts", "event_type", "value").orderBy("event_id")
+
+
+def _dedup_sql(direction: str) -> str:
+    return f"""
+SELECT event_id, user_id, ts, event_type, value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, CAST(ts AS DATE), event_type
+    ORDER BY ts {direction}, event_id {direction}) = 1
+ORDER BY event_id
+"""
+
+
+def e_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — latest full row per key via single-shuffle max_by(struct)
+    (api/api_handler.py:479-514)."""
+    ev = _t(spark, sf_dir, "events")
+    return latest_snapshot(ev, ["user_id"], "ts", tiebreak="event_id").orderBy("user_id")
+
+
+_E_LATEST_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
+def e_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/F8 — daily summary + derived price_change_percent, top-10
+    gainers (analytics/lambda_analytics.py:360-430)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = daily_rollup(ev, ["user_id"], "ts", "value", tiebreak="event_id")
+    summary = daily_summary_with_movers(daily)
+    return (
+        summary.select(
+            "user_id", "trade_date", "open", "close",
+            F.round("price_change_percent", 6).alias("price_change_percent"),
+        )
+        .orderBy(F.col("price_change_percent").desc(), "user_id", "trade_date")
+        .limit(10)
+    )
+
+
+_E_TOP_MOVERS_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_min(value, ts) AS open, arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, trade_date, open, close,
+       round(CASE WHEN open <> 0 THEN (close - open) / open * 100 ELSE 0.0 END, 6)
+           AS price_change_percent
+FROM daily
+ORDER BY price_change_percent DESC, user_id, trade_date
+LIMIT 10
+"""
+
+
+def e_sma20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — 20-row trailing moving average per key. Decimal-routed window
+    sum / count keeps it bit-deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-19, 0)
+    )
+    sma_col = (
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+        / F.count("value").over(w)
+    )
+    return (
+        ev.withColumn("sma_20", sma_col)
+        .select("event_id", "user_id", "ts", "value", "sma_20")
+        .orderBy("event_id")
+    )
+
+
+_E_SMA_SQL = """
+SELECT event_id, user_id, ts, value,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+           / count(value) OVER w AS sma_20
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def e_window_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W4 — the Athena window-function daily summary
+    (sql/athena_parquet_tables.sql:117-144): first_value/last_value over
+    ordered day partitions, partition-frame SUM, DISTINCT collapse."""
+    ev = _t(spark, sf_dir, "events")
+    out = daily_window_summary(
+        ev, ["user_id"], "ts", open_col="value", close_col="value", volume_col="value"
+    )
+    return out.select(
+        "user_id", "trade_date", "day_open", "day_close", "day_volume",
+        F.round("daily_return_percent", 6).alias("daily_return_percent"),
+    ).orderBy("user_id", "trade_date")
+
+
+_E_WINDOW_DAILY_SQL = """
+WITH windowed AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS trade_date,
+         first_value(value) OVER w AS day_open,
+         last_value(value) OVER
+             (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS day_close,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) OVER
+             (PARTITION BY user_id, CAST(ts AS DATE)) AS DOUBLE) AS day_volume
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts)
+)
+SELECT user_id, trade_date, day_open, day_close, day_volume,
+       round(CASE WHEN day_open <> 0
+                  THEN (day_close - day_open) / day_open * 100 ELSE 0.0 END, 6)
+           AS daily_return_percent
+FROM windowed
+ORDER BY user_id, trade_date
+"""
+
+
+def e_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — AVG/STDDEV/MAX/MIN dispersion per event_type
+    (sql/athena_parquet_tables.sql:104-114); sample stddev like Presto."""
+    ev = _t(spark, sf_dir, "events")
+    return dispersion_stats(ev, ["event_type"], "value").orderBy("event_type")
+
+
+_E_DISPERSION_SQL = f"""
+SELECT event_type,
+       {sql_davg('value')} AS avg_value,
+       {sql_dstddev('value')} AS stddev_value,
+       max(value) AS max_value,
+       min(value) AS min_value,
+       count(*) AS record_count
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def e_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — COUNT(CASE WHEN ...) monitoring rollup
+    (sql/rds_schema.sql:112-125)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("total_count"),
+            F.count_if(F.col("value") > 30.0).alias("high_value_count"),
+            F.count_if(F.col("user_id") % 2 == 0).alias("even_user_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_E_COND_SQL = """
+SELECT event_type,
+       count(*) AS total_count,
+       count(CASE WHEN value > 30.0 THEN 1 END) AS high_value_count,
+       count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS even_user_count
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def e_period_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — period-token lookback ('7d' -> cutoff) relative to the data's
+    max timestamp (api/api_handler.py:746-769; anchored to max(ts) so the
+    query is deterministic rather than wall-clock-dependent)."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("_cutoff"))
+    return (
+        ev.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("_cutoff"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("recent_events"), dsum("value", "recent_value"))
+        .orderBy("user_id")
+    )
+
+
+_E_PERIOD_SQL = f"""
+SELECT user_id, count(*) AS recent_events, {sql_dsum('value')} AS recent_value
+FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def e_tail_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 — most recent 50 rows globally, ascending output
+    (api/api_handler.py:437-443 tail-limit semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return tail_limit(ev, "ts", 50, tiebreak="event_id").select(
+        "event_id", "ts", "user_id", "value"
+    )
+
+
+_E_TAIL_SQL = """
+SELECT event_id, ts, user_id, value FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_top_order_revenue": q03_top_order_revenue,
+        "q05_nation_revenue": q05_nation_revenue,
+        "e_symbol_stats": e_symbol_stats,
+        "e_daily_rollup": e_daily_rollup,
+        "e_resample_15m": e_resample_15m,
+        "e_dedup_last": e_dedup_last,
+        "e_dedup_first": e_dedup_first,
+        "e_latest_snapshot": e_latest_snapshot,
+        "e_top_movers": e_top_movers,
+        "e_sma20": e_sma20,
+        "e_window_daily_summary": e_window_daily_summary,
+        "e_dispersion": e_dispersion,
+        "e_conditional_counts": e_conditional_counts,
+        "e_period_lookback": e_period_lookback,
+        "e_tail_limit": e_tail_limit,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _Q01_SQL,
+        "q03_top_order_revenue": _Q03_SQL,
+        "q05_nation_revenue": _Q05_SQL,
+        "e_symbol_stats": _E_SYMBOL_STATS_SQL,
+        "e_daily_rollup": _E_DAILY_ROLLUP_SQL,
+        "e_resample_15m": _E_RESAMPLE_SQL,
+        "e_dedup_last": _dedup_sql("DESC"),
+        "e_dedup_first": _dedup_sql("ASC"),
+        "e_latest_snapshot": _E_LATEST_SQL,
+        "e_top_movers": _E_TOP_MOVERS_SQL,
+        "e_sma20": _E_SMA_SQL,
+        "e_window_daily_summary": _E_WINDOW_DAILY_SQL,
+        "e_dispersion": _E_DISPERSION_SQL,
+        "e_conditional_counts": _E_COND_SQL,
+        "e_period_lookback": _E_PERIOD_SQL,
+        "e_tail_limit": _E_TAIL_SQL,
+    }

@@ -1,0 +1,78 @@
+"""Joins (SURVEY.md SS2.7). The reference declares but never executes its
+joins (security_master / marketcap_snapshot dimensions, sql/rds_schema.sql)
+— here they are first-class.
+
+Strategy at scale: dimensions (thousands-to-millions of rows) broadcast;
+fact-fact joins shuffle on the join key and rely on AQE for skew. As-of
+joins (not in the reference, standard for market data) are implemented by
+composition: union + per-key window fill — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def enrich(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """J1/J2 — enrich a fact table with a dimension. ``broadcast=True``
+    (default) hints a broadcast-hash join: no shuffle of the fact side."""
+    d = F.broadcast(dim) if broadcast else dim
+    return fact.join(d, on=on, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, attach the latest right row with
+    ``right_ts <= left_ts`` (backward; forward = earliest >=) per key.
+
+    Implemented as union + last-non-null window fill rather than a range
+    join: one shuffle on (keys), one ordered scan — O(n log n) per key,
+    no quadratic candidate pairs, no Python. This is the J2 semantics for
+    sparse ``marketcap_snapshot`` dates (SURVEY.md SS2.7).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    keys = list(keys)
+    val_cols = [c for c in right.columns if c not in (*keys, right_ts)]
+
+    lhs = left.withColumn("_ts", F.col(left_ts)).withColumn("_src", F.lit(1))
+    rhs = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        *[F.col(c).alias(c + suffix) for c in val_cols],
+    ).withColumn("_src", F.lit(0))
+    merged = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    if direction == "backward":
+        # right rows sort before left rows at the same ts -> inclusive match
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ts").asc(), F.col("_src").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ts").desc(), F.col("_src").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    out = merged
+    for c in val_cols:
+        out = out.withColumn(c + suffix, F.last(F.col(c + suffix), ignorenulls=True).over(w))
+    return out.filter(F.col("_src") == 1).drop("_src", "_ts")

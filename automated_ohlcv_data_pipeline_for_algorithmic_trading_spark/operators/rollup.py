@@ -1,0 +1,138 @@
+"""Grouped aggregations (SURVEY.md SS2.4, A1-A3, A7, A9-A13).
+
+Design rules:
+- Ordered first/last are expressed with ``min_by``/``max_by`` on the
+  timestamp (plus an optional tie-breaker), NEVER ``F.first/last`` without
+  ordering — those are shuffle-nondeterministic (SURVEY.md SS7.1). The
+  reference's pandas ``iloc[0]/iloc[-1]`` after a sort has exactly the
+  min_by/max_by semantics (analytics/lambda_analytics.py:146-166).
+- Numeric reductions go through exact decimal sums (functions.exact) so
+  results are bit-stable under any partitioning / cluster size.
+- Everything is a single groupBy -> one shuffle; partial (map-side)
+  aggregation happens automatically for all of these aggregates, which is
+  what makes them scale: the shuffle carries one row per (group, mapper),
+  not per input row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg, dstddev, dsum
+
+
+def _order_key(ts_col: str, tiebreak: str | None) -> Column:
+    if tiebreak:
+        return F.struct(F.col(ts_col), F.col(tiebreak))
+    return F.col(ts_col)
+
+
+def series_rollup(
+    df: DataFrame,
+    keys: Sequence[Column | str],
+    ts_col: str,
+    price_col: str,
+    volume_col: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """A1 core — per group: open = price at earliest ts, close = price at
+    latest ts, high/low = max/min, avg_price, num_records (+ total volume
+    when a volume column exists).
+
+    Reference semantics: analytics/lambda_analytics.py:146-166 (pandas),
+    analytics/lambda_analytics_lightweight.py:113-148 (pure python),
+    sql/athena_parquet_tables.sql:90-102 (SQL GROUP BY).
+    """
+    p, key = F.col(price_col), _order_key(ts_col, tiebreak)
+    aggs = [
+        F.min_by(p, key).alias("open"),
+        F.max("" + price_col).alias("high"),
+        F.min("" + price_col).alias("low"),
+        F.max_by(p, key).alias("close"),
+        davg(p, "avg_price"),
+        F.count(F.lit(1)).alias("num_records"),
+    ]
+    if volume_col:
+        aggs.insert(4, dsum(volume_col, "volume"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def daily_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    price_col: str,
+    volume_col: str | None = None,
+    tiebreak: str | None = None,
+    date_alias: str = "trade_date",
+) -> DataFrame:
+    """A1 — daily OHLCV rollup: group by (keys..., date(ts))."""
+    gb = [*[F.col(k) for k in keys], F.to_date(F.col(ts_col)).alias(date_alias)]
+    return series_rollup(df, gb, ts_col, price_col, volume_col, tiebreak)
+
+
+def symbol_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """A2 — per-key totals: SUM(value), AVG(value), COUNT(*), MAX(ts)
+    (sql/athena_parquet_tables.sql:77-88)."""
+    return df.groupBy(*keys).agg(
+        dsum(value_col, "total_value"),
+        davg(value_col, "avg_value"),
+        F.count(F.lit(1)).alias("record_count"),
+        F.max(ts_col).alias("latest_timestamp"),
+    )
+
+
+def dispersion_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """A3 — AVG / sample STDDEV / MAX / MIN of a derived metric per key
+    (sql/athena_parquet_tables.sql:104-114)."""
+    return df.groupBy(*keys).agg(
+        davg(value_col, "avg_value"),
+        dstddev(value_col, "stddev_value"),
+        F.max(value_col).alias("max_value"),
+        F.min(value_col).alias("min_value"),
+        F.count(F.lit(1)).alias("record_count"),
+    )
+
+
+def latest_snapshot(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """A9 — latest full row per key (multi-symbol snapshot,
+    api/api_handler.py:479-514).
+
+    Implemented as one aggregate of ``max_by(struct(*), order)`` rather
+    than a rank window: a single shuffle with map-side combine, no full
+    per-key sort — the scalable plan for "latest row per key" over
+    billions of rows.
+    """
+    key = _order_key(ts_col, tiebreak)
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    out = df.groupBy(*keys).agg(F.max_by(payload, key).alias("_row"))
+    return out.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
+
+
+def conditional_counts(
+    df: DataFrame,
+    keys: Sequence[str],
+    conditions: dict[str, Column],
+) -> DataFrame:
+    """A10 — COUNT(CASE WHEN ...) rollup (sql/rds_schema.sql:121-122)."""
+    aggs = [F.count(F.lit(1)).alias("total_count")] + [
+        F.count_if(cond).alias(name) for name, cond in conditions.items()
+    ]
+    return df.groupBy(*keys).agg(*aggs)

@@ -1,0 +1,120 @@
+"""Window functions (SURVEY.md SS2.5, W1-W5): day summaries via analytic
+windows, and the declared rolling indicators sma_20 / rsi_14
+(examples/README.md:100-104 — declared in the reference's API surface but
+never implemented there; here they are native window expressions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_window_summary(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    open_col: str,
+    close_col: str,
+    volume_col: str | None = None,
+    date_alias: str = "trade_date",
+) -> DataFrame:
+    """W1-W4 — the Athena daily-summary pattern
+    (sql/athena_parquet_tables.sql:117-144): first_value(open) /
+    last_value(close) over (key, date) ordered by ts with a full frame,
+    SUM(volume) over the unordered partition, then DISTINCT to one row per
+    day, plus ``daily_return_percent``.
+
+    Kept as a faithful window-based twin of the reference SQL; the groupBy
+    rollup (rollup.daily_rollup) computes the same thing with one shuffle
+    and map-side combine — prefer it at scale.
+    """
+    d = F.to_date(F.col(ts_col)).alias(date_alias)
+    base = df.withColumn(date_alias, d)
+    part = [*keys, date_alias]
+    w_ord = Window.partitionBy(*part).orderBy(F.col(ts_col))
+    w_full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_part = Window.partitionBy(*part)
+    out = (
+        base.withColumn("day_open", F.first(open_col).over(w_ord))
+        .withColumn("day_close", F.last(close_col).over(w_full))
+    )
+    if volume_col:
+        out = out.withColumn(
+            "day_volume", F.sum(F.col(volume_col).cast("decimal(38,6)")).over(w_part).cast("double")
+        )
+    cols = [*part, "day_open", "day_close"] + (["day_volume"] if volume_col else [])
+    out = out.select(*cols).distinct()
+    return out.withColumn(
+        "daily_return_percent",
+        F.when(
+            F.col("day_open") != 0,
+            (F.col("day_close") - F.col("day_open")) / F.col("day_open") * 100.0,
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def sma(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    n: int = 20,
+    out_col: str | None = None,
+    min_periods: int = 1,
+) -> DataFrame:
+    """W5 — simple moving average over the trailing ``n`` rows per key.
+
+    Window sums accumulate in ORDER BY order, so the result is
+    deterministic without decimal routing. Rows earlier than
+    ``min_periods`` still emit (pandas ``rolling(min_periods=1)``
+    semantics); pass ``min_periods=n`` for strict SMA.
+    """
+    out_col = out_col or f"sma_{n}"
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col)).rowsBetween(-(n - 1), 0)
+    avg = F.avg(value_col).over(w)
+    if min_periods > 1:
+        cnt = F.count(value_col).over(w)
+        avg = F.when(cnt >= min_periods, avg)
+    return df.withColumn(out_col, avg)
+
+
+def rsi(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    n: int = 14,
+    out_col: str | None = None,
+) -> DataFrame:
+    """W5 — Relative Strength Index over ``n`` periods (simple-average
+    variant): delta = value - lag(value); gain/loss = clipped deltas;
+    rolling n-row averages; RSI = 100 - 100/(1+avg_gain/avg_loss).
+
+    Emits NULL for the first ``n`` rows per key (insufficient history);
+    100.0 when avg_loss is 0 (all gains), 0.0 when avg_gain is 0.
+    """
+    out_col = out_col or f"rsi_{n}"
+    w_lag = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    w_roll = w_lag.rowsBetween(-(n - 1), 0)
+    v = F.col(value_col)
+    delta = v - F.lag(v, 1).over(w_lag)
+    gain = F.when(delta > 0, delta).otherwise(F.lit(0.0))
+    loss = F.when(delta < 0, -delta).otherwise(F.lit(0.0))
+    tmp = (
+        df.withColumn("_delta", delta)
+        .withColumn("_gain", gain)
+        .withColumn("_loss", loss)
+    )
+    # count of non-null deltas in the frame gates warm-up
+    n_deltas = F.count("_delta").over(w_roll)
+    avg_gain = F.avg(F.when(F.col("_delta").isNotNull(), F.col("_gain"))).over(w_roll)
+    avg_loss = F.avg(F.when(F.col("_delta").isNotNull(), F.col("_loss"))).over(w_roll)
+    rsi_expr = (
+        F.when(n_deltas < n, F.lit(None).cast("double"))
+        .when(avg_loss == 0, F.lit(100.0))
+        .otherwise(100.0 - 100.0 / (1.0 + avg_gain / avg_loss))
+    )
+    return tmp.withColumn(out_col, rsi_expr).drop("_delta", "_gain", "_loss")

@@ -1,0 +1,109 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given scale factor, then compares row count, column names,
+and an order-insensitive value hash (rows sorted, columns sorted by name).
+
+Usage: python scripts/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # repr keeps full double precision; bit-identical doubles -> equal strings
+        return repr(v)
+    return str(v)
+
+
+def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import get_spark
+
+    spark = get_spark("verify-local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        spark_t = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle) [{spark_t:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        sn, sh = frame_fingerprint(s_cols, s_rows)
+        dn, dh = frame_fingerprint(d_cols, d_rows)
+        cols_ok = sorted(s_cols) == sorted(d_cols)
+        ok = sn == dn and sh == dh and cols_ok
+        status = "OK  " if ok else "FAIL"
+        print(f"{status}  {name}: spark {sn} rows / duck {dn} rows, "
+              f"hash {'=' if sh == dh else f'{sh}!={dh}'}, "
+              f"cols {'=' if cols_ok else f'{s_cols} != {d_cols}'} [{spark_t:.1f}s]")
+        if not ok:
+            failures.append(name)
+            if sn == dn and cols_ok:
+                # show first differing row pair for debugging
+                order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                sl = sorted("\x1f".join(_norm_cell(r[i]) for i in order) for r in s_rows)
+                dl = sorted("\x1f".join(_norm_cell(r[i]) for i in order) for r in d_rows)
+                for a, b in zip(sl, dl):
+                    if a != b:
+                        print(f"      spark: {a[:300]}")
+                        print(f"      duck : {b[:300]}")
+                        break
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
