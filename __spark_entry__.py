@@ -50,6 +50,23 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.topk 
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windows import (
     daily_window_summary,
 )
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+    fingerprint,
+    language_guess,
+    quality_score,
+    token_stats,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+    exact_dedup_groups,
+    exact_jaccard_pairs,
+    minhash_near_dup_pairs,
+    simhash32,
+    simhash_near_dup_pairs,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+    brute_force_knn,
+    lsh_knn,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -466,6 +483,261 @@ ORDER BY ts DESC, event_id DESC LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline operators: documents (text analysis, dedup family)
+# and embeddings (similarity search). Beyond-reference surface per
+# BASELINE.json north star.
+# ---------------------------------------------------------------------------
+
+#: Shared SQL fragment: lowercase whitespace token set of a document.
+_SQL_TOKSET = r"list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))"
+
+
+def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents (native array exprs, no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    return token_stats(docs).orderBy("doc_id")
+
+
+_D_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       n_chars_computed,
+       len(ts) AS n_tokens,
+       len(list_distinct(ts)) AS n_unique_tokens,
+       CASE WHEN len(ts) > 0
+            THEN CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE) / len(ts)
+            ELSE 0.0 END AS mean_token_len
+FROM (SELECT doc_id, length(text) AS n_chars_computed,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
+def d_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword/distinct ratios + composite score."""
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).orderBy("doc_id")
+
+
+_D_QUALITY_SQL = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+           FROM documents),
+r AS (
+  SELECT doc_id, len(ts) AS n,
+         CASE WHEN len(ts) > 0 THEN
+           CAST(len(list_filter(ts, t -> list_contains(
+               ['the','a','of','and','to','in','is'], t))) AS DOUBLE) / len(ts)
+         ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(ts) > 0 THEN
+           CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+         ELSE 0.0 END AS distinct_ratio
+  FROM t)
+SELECT doc_id, n AS n_tokens,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(distinct_ratio, 6) AS distinct_ratio,
+       round(least(CAST(n AS DOUBLE) / 100.0, 1.0) * (1.0 - stop_ratio) * distinct_ratio, 6)
+           AS quality_score
+FROM r ORDER BY doc_id
+"""
+
+
+def d_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-profile function-word hits + argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    return language_guess(docs).orderBy("doc_id")
+
+
+def _lang_sql() -> str:
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        LANG_PROFILES,
+    )
+
+    hits = ",\n         ".join(
+        "len(list_filter(ts, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"], t))) AS hits_{lang}"
+        for lang, words in LANG_PROFILES.items()
+    )
+    langs = list(LANG_PROFILES)
+    mx = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    cases = " ".join(f"WHEN hits_{lang} = {mx} THEN '{lang}'" for lang in langs)
+    # hits are counted over the token MULTISET (with repetition), matching
+    # text._hits over the raw token array.
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+           FROM documents),
+h AS (SELECT doc_id,
+         {hits}
+      FROM t)
+SELECT *, CASE WHEN {mx} = 0 THEN 'und' {cases} ELSE 'und' END AS lang_guess
+FROM h ORDER BY doc_id
+"""
+
+
+def d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact md5 + order-insensitive content md5."""
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs).orderBy("doc_id")
+
+
+_D_FINGERPRINT_SQL = rf"""
+SELECT doc_id,
+       md5(text) AS exact_fingerprint,
+       md5(array_to_string(list_sort({_SQL_TOKSET}), chr(31))) AS content_fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on md5(text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs).orderBy("text_hash")
+
+
+_D_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS copies, min(doc_id) AS keeper_id
+FROM documents GROUP BY 1 ORDER BY text_hash
+"""
+
+
+def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force token-set Jaccard near-dup pairs (threshold 0.95).
+    O(n^2) exact baseline — the LSH variant below is the scale path."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(docs, threshold=0.95).orderBy("doc_a", "doc_b")
+
+
+_D_JACCARD_SQL = rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKSET} AS ts FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.95
+ORDER BY doc_a, doc_b
+"""
+
+
+def d_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4x4) candidate generation, exact-verified at 0.95.
+    md5-keyed permutations are deterministic across engines, so the oracle
+    reproduces the identical candidate set."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.95).orderBy("doc_a", "doc_b")
+
+
+def _minhash_sql() -> str:
+    k, bands, rows = 16, 4, 4
+    sigs = ",\n         ".join(
+        f"list_min(list_transform(ts, t -> md5(t || '#{i}'))) AS sig{i}"
+        for i in range(k)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', '{b}', {cols}))".format(
+            b=b, cols=", ".join(f"sig{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKSET} AS ts FROM documents),
+sig AS (SELECT doc_id, ts,
+         {sigs}
+        FROM t),
+bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+         / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) AS j
+  FROM cand JOIN t ta ON ta.doc_id = doc_a JOIN t tb ON tb.doc_id = doc_b)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard
+FROM verified WHERE j >= 0.95 ORDER BY doc_a, doc_b
+"""
+
+
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per document (md5-derived bit votes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash32(docs).orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(32)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(32)
+    )
+    return rf"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKSET}) AS t FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM toks),
+s AS (SELECT doc_id,
+       {sums}
+      FROM h GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM s ORDER BY doc_id
+"""
+
+
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance <= 3 over the sketches."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def _simhash_pairs_sql() -> str:
+    inner = _simhash_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH sk AS ({inner})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 10
+    (broadcast queries x partitioned corpus — the exact-kNN scale plan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_knn(
+        emb.filter(F.col("vec_id") < 10), emb, k=5
+    ).orderBy("query_id", "rank")
+
+
+_EMB_ANN_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via deterministic random-hyperplane LSH buckets —
+    the 2^planes-cheaper scale path (recall vs brute force is asserted in
+    tests/test_similarity.py; no SQL oracle — bucketing is not reasonably
+    SQL-expressible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_knn(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=4, n_tables=8
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -492,6 +764,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_conditional_counts": e_conditional_counts,
         "e_period_lookback": e_period_lookback,
         "e_tail_limit": e_tail_limit,
+        "d_token_stats": d_token_stats,
+        "d_quality_score": d_quality_score,
+        "d_language_guess": d_language_guess,
+        "d_fingerprint": d_fingerprint,
+        "d_exact_dedup": d_exact_dedup,
+        "d_jaccard_pairs": d_jaccard_pairs,
+        "d_minhash_neardup": d_minhash_neardup,
+        "d_simhash": d_simhash,
+        "d_simhash_pairs": d_simhash_pairs,
+        "emb_ann_topk": emb_ann_topk,
+        "emb_lsh_ann": emb_lsh_ann,
     }
 
 
@@ -513,4 +796,47 @@ def oracle_sql() -> dict[str, str]:
         "e_conditional_counts": _E_COND_SQL,
         "e_period_lookback": _E_PERIOD_SQL,
         "e_tail_limit": _E_TAIL_SQL,
+        "d_token_stats": _D_TOKEN_STATS_SQL,
+        "d_quality_score": _D_QUALITY_SQL,
+        "d_language_guess": _lang_sql(),
+        "d_fingerprint": _D_FINGERPRINT_SQL,
+        "d_exact_dedup": _D_EXACT_DEDUP_SQL,
+        "d_jaccard_pairs": _D_JACCARD_SQL,
+        "d_minhash_neardup": _minhash_sql(),
+        "d_simhash": _simhash_sql(),
+        "d_simhash_pairs": _simhash_pairs_sql(),
+        "emb_ann_topk": _EMB_ANN_SQL,
+        # emb_lsh_ann: intentionally no oracle (approximate, non-SQL path;
+        # recall asserted against brute force in tests) -> rows-only check.
     }
+
+
+#: Queries bench.py times at sf0.1 — excludes the O(n^2) all-pairs demo
+#: baselines (d_jaccard_pairs, d_simhash_pairs) whose quadratic cost is the
+#: very thing the LSH variants exist to avoid.
+HEADLINE_QUERIES = [
+    "q01_pricing_summary",
+    "q03_top_order_revenue",
+    "q05_nation_revenue",
+    "e_symbol_stats",
+    "e_daily_rollup",
+    "e_resample_15m",
+    "e_dedup_last",
+    "e_dedup_first",
+    "e_latest_snapshot",
+    "e_top_movers",
+    "e_sma20",
+    "e_window_daily_summary",
+    "e_dispersion",
+    "e_conditional_counts",
+    "e_period_lookback",
+    "e_tail_limit",
+    "d_token_stats",
+    "d_quality_score",
+    "d_language_guess",
+    "d_fingerprint",
+    "d_exact_dedup",
+    "d_simhash",
+    "emb_ann_topk",
+    "emb_lsh_ann",
+]

@@ -1,0 +1,190 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard (beyond-reference surface, SURVEY.md SS7 phase 5).
+
+Scale design: exact dedup is one hash-groupBy; MinHash-LSH turns the
+O(n^2) pair problem into (a) per-doc signatures (embarrassingly parallel),
+(b) an equi-join on band keys (one shuffle), (c) exact verification only on
+candidate pairs. SimHash gives 32-bit sketches joinable on bit-prefix
+buckets. All hashes are md5-derived — deterministic across engines and
+cluster runs, no seed state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# MinHash configuration: 16 hashes in 4 bands of 4 rows. With band match
+# probability 1-(1-s^4)^4 this catches s>=0.9 pairs with >0.98 probability.
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+
+def _perm_hash(t: Column, i: int) -> Column:
+    """i-th 'permutation': md5 keyed by the hash index. String-min over
+    hex digests is a valid min-hash (uniform over the key space)."""
+    return F.md5(F.concat(t, F.lit(f"#{i}")))
+
+
+def with_token_set(df: DataFrame, text_col: str = "text", out: str = "token_set") -> DataFrame:
+    return df.withColumn(out, F.array_distinct(tokens(text_col)))
+
+
+def minhash_signature(
+    df: DataFrame, token_set_col: str = "token_set", k: int = MINHASH_K
+) -> DataFrame:
+    """Append sig0..sig{k-1}: min over the token set of the i-th keyed hash."""
+    out = df
+    for i in range(k):
+        out = out.withColumn(
+            f"sig{i}",
+            F.array_min(F.transform(F.col(token_set_col), lambda t, i=i: _perm_hash(t, i))),
+        )
+    return out
+
+
+def lsh_bands(
+    df: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Explode each doc into one row per band; band key = md5(band index ++
+    the band's signature rows). Docs sharing any band key are candidates."""
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|", F.lit(str(b)), *[F.col(f"sig{b * rows + r}") for r in range(rows)]
+            )
+        )
+        for b in range(bands)
+    ]
+    return df.withColumn("band", F.explode(F.array(*band_keys)))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two token-set arrays: one integer division ->
+    deterministic double."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group identical texts by md5, keep min id as keeper."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-verified.
+
+    Pipeline: token sets -> k minhash signatures -> band keys -> self-join
+    on band -> DISTINCT candidate pairs -> exact Jaccard filter. Only the
+    band join shuffles; candidate verification re-joins the (small relative
+    to n^2) candidate set against token sets.
+    """
+    toks = with_token_set(df.select(id_col, text_col), text_col)
+    sigs = minhash_signature(toks, k=k)
+    banded = lsh_bands(sigs, bands=bands, rows=rows).select(id_col, "band")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, F.col("a.band") == F.col("b.band"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("doc_a"), F.col("token_set").alias("set_a"))
+    tb = toks.select(F.col(id_col).alias("doc_b"), F.col("token_set").alias("set_b"))
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", jaccard(F.col("set_a"), F.col("set_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Brute-force all-pairs n-gram/token Jaccard (the small-data oracle
+    twin of minhash_near_dup_pairs; O(n^2) — sample or LSH at scale)."""
+    toks = with_token_set(df.select(id_col, text_col), text_col)
+    a = toks.select(F.col(id_col).alias("doc_a"), F.col("token_set").alias("set_a"))
+    b = toks.select(F.col(id_col).alias("doc_b"), F.col("token_set").alias("set_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jaccard(F.col("set_a"), F.col("set_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over the distinct token set.
+
+    Per token: h = first 32 bits of md5 (deterministic across engines).
+    Per doc, bit j of the sketch is 1 iff sum over tokens of
+    (+1 if bit j of h else -1) is positive. Implemented as explode ->
+    32 conditional sums -> bit recombination; one shuffle on doc id.
+    """
+    toks = with_token_set(df.select(id_col, text_col), text_col)
+    exploded = toks.select(
+        id_col, F.explode("token_set").alias("t")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    agg = exploded.groupBy(id_col).agg(*bit_sums)
+    sketch = None
+    for j in range(32):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sketch = bit if sketch is None else sketch + bit
+    return agg.select(id_col, sketch.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance over 32-bit sketches.
+
+    All-pairs here (ints only, cheap); at scale, join on 8-bit prefix
+    buckets of the sketch (pigeonhole over 4 chunks for max_hamming<=3)."""
+    sk = simhash32(df, text_col, id_col)
+    a = sk.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sk_a"))
+    b = sk.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sk_b"))
+    ham = F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,118 @@
+"""Text analysis for training-data pipelines (beyond-reference surface,
+SURVEY.md SS7 phase 5): tokenization, token/char statistics, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All computed with native Spark column expressions (split / transform /
+filter / aggregate over arrays) — no Python UDFs, so the whole thing stays
+in whole-stage codegen and scales linearly with executors over a 100 TB
+document corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal function-word profiles for the language-ID heuristic. A real
+#: deployment would ship larger n-gram profiles; the operator shape
+#: (per-language hit counts -> deterministic argmax) is the same.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "los", "y", "es", "un"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "zh": ("的", "了", "是", "在"),
+}
+
+#: Stopwords for quality scoring (English function words).
+STOPWORDS: tuple[str, ...] = LANG_PROFILES["en"]
+
+
+def tokens(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization -> array<string> (empty array for blank)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_cols=("doc_id",)) -> DataFrame:
+    """Token counting: total/unique tokens, mean token length, char count.
+
+    Mean = exact integer sum / count -> deterministic double."""
+    toks = tokens(text_col)
+    uniq = F.array_distinct(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n = F.size(toks)
+    return df.select(
+        *id_cols,
+        F.length(text_col).cast("long").alias("n_chars_computed"),
+        n.cast("long").alias("n_tokens"),
+        F.size(uniq).cast("long").alias("n_unique_tokens"),
+        F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(0.0)).alias(
+            "mean_token_len"
+        ),
+    )
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    wordlist = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_cols=("doc_id",)) -> DataFrame:
+    """Quality scoring: length/stopword/distinct ratios and a composite
+    score in [0,1]. Every ratio is one exact integer division -> stable."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    stop_ratio = F.when(n > 0, _hits(toks, STOPWORDS).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    length_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    score = length_score * (1.0 - stop_ratio) * distinct_ratio
+    return df.select(
+        *id_cols,
+        n.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_guess(df: DataFrame, text_col: str = "text", id_cols=("doc_id",)) -> DataFrame:
+    """Language-ID heuristic: function-word hit counts per language
+    profile, deterministic argmax with fixed priority order (first language
+    whose hit count equals the max wins)."""
+    toks = tokens(text_col)
+    hit_cols = {lang: _hits(toks, words) for lang, words in LANG_PROFILES.items()}
+    out = df.select(
+        *id_cols,
+        *[c.cast("long").alias(f"hits_{lang}") for lang, c in hit_cols.items()],
+    )
+    langs = list(LANG_PROFILES)
+    mx = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    guess = F.lit("und")
+    for lang in reversed(langs):  # earlier languages take precedence on ties
+        guess = F.when(F.col(f"hits_{lang}") == mx, F.lit(lang)).otherwise(guess)
+    return out.withColumn("lang_guess", F.when(mx > 0, guess).otherwise(F.lit("und")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_cols=("doc_id",)) -> DataFrame:
+    """Document fingerprinting: md5 of the raw text (exact identity) and
+    md5 of the sorted unique token set (content identity, robust to token
+    order / repetition — the normalize-then-hash trick)."""
+    toks = tokens(text_col)
+    content_key = F.md5(F.concat_ws("\x1f", F.array_sort(F.array_distinct(toks))))
+    return df.select(
+        *id_cols,
+        F.md5(F.col(text_col)).alias("exact_fingerprint"),
+        content_key.alias("content_fingerprint"),
+    )

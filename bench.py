@@ -33,6 +33,8 @@ def main() -> None:
 
     spark = get_spark("ohlcv-bench")
     qs = entry_mod.queries()
+    headline = getattr(entry_mod, "HEADLINE_QUERIES", list(qs))
+    qs = {name: qs[name] for name in headline}
 
     # Warm-up: JVM codegen + file listing, tiny sf.
     warm = next(iter(qs.values()))

@@ -1,0 +1,127 @@
+"""Unit tests for the core operators against hand-computed frames
+(the test pyramid the reference lacks, SURVEY.md SS5)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators import (
+    asof_join,
+    daily_rollup,
+    dedup_by_key,
+    enrich,
+    latest_snapshot,
+    resample_series,
+    sma,
+    rsi,
+    tail_limit,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def candles(spark):
+    rows = [
+        # (symbol, ts, price, seq)
+        ("A", ts("2024-01-01 09:15:00"), 100.0, 1),
+        ("A", ts("2024-01-01 09:20:00"), 103.0, 2),
+        ("A", ts("2024-01-01 09:25:00"), 99.0, 3),
+        ("A", ts("2024-01-02 09:15:00"), 110.0, 4),
+        ("B", ts("2024-01-01 09:15:00"), 50.0, 5),
+        ("B", ts("2024-01-01 09:40:00"), 55.0, 6),
+    ]
+    return spark.createDataFrame(rows, "symbol string, t timestamp, price double, seq long")
+
+
+def test_daily_rollup_ordered_first_last(candles):
+    out = {
+        (r["symbol"], str(r["trade_date"])): r
+        for r in daily_rollup(candles, ["symbol"], "t", "price", tiebreak="seq").collect()
+    }
+    a1 = out[("A", "2024-01-01")]
+    assert a1["open"] == 100.0 and a1["close"] == 99.0
+    assert a1["high"] == 103.0 and a1["low"] == 99.0
+    assert a1["num_records"] == 3
+    assert abs(a1["avg_price"] - (100 + 103 + 99) / 3) < 1e-12
+    assert out[("B", "2024-01-01")]["open"] == 50.0
+
+
+def test_dedup_directions(spark):
+    rows = [("A", 1, 10.0, 1), ("A", 1, 11.0, 2), ("A", 2, 12.0, 3)]
+    df = spark.createDataFrame(rows, "symbol string, t long, price double, seq long")
+    last = dedup_by_key(df, ["symbol", "t"], "seq", keep="last").collect()
+    first = dedup_by_key(df, ["symbol", "t"], "seq", keep="first").collect()
+    assert {r["price"] for r in last} == {11.0, 12.0}
+    assert {r["price"] for r in first} == {10.0, 12.0}
+
+
+def test_resample_epoch_aligned(spark):
+    # 09:15 and 09:20 land in the same 10-min epoch bucket [09:10, 09:20)?
+    # No: epoch-aligned 10-min buckets are :00/:10/:20 -> 09:15 in [09:10,09:20),
+    # 09:20 in [09:20,09:30). Mirrors the reference's (ts // 600) * 600.
+    rows = [
+        ("A", ts("2024-01-01 09:15:00"), 1.0, 1),
+        ("A", ts("2024-01-01 09:19:00"), 2.0, 2),
+        ("A", ts("2024-01-01 09:20:00"), 3.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, t timestamp, v double, seq long")
+    out = resample_series(df, 10, ["symbol"], "t", "v", tiebreak="seq").collect()
+    buckets = {str(r["bucket_start"]): r for r in out}
+    b1 = buckets["2024-01-01 09:10:00"]
+    assert b1["open"] == 1.0 and b1["close"] == 2.0 and b1["num_records"] == 2
+    assert buckets["2024-01-01 09:20:00"]["open"] == 3.0
+
+
+def test_latest_snapshot(candles):
+    out = {r["symbol"]: r for r in latest_snapshot(candles, ["symbol"], "t", "seq").collect()}
+    assert out["A"]["price"] == 110.0
+    assert out["B"]["price"] == 55.0
+
+
+def test_tail_limit(candles):
+    out = tail_limit(candles.filter(F.col("symbol") == "A"), "t", 2, "seq").collect()
+    assert [r["price"] for r in out] == [99.0, 110.0]  # ascending, last two
+
+
+def test_sma_window(spark):
+    rows = [("A", i, float(i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "symbol string, t long, v double")
+    out = sma(df, ["symbol"], "t", "v", n=3).orderBy("t").collect()
+    assert [r["sma_3"] for r in out] == [1.0, 1.5, 2.0, 3.0, 4.0]
+
+
+def test_rsi_all_gains_is_100(spark):
+    rows = [("A", i, float(i)) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "symbol string, t long, v double")
+    out = rsi(df, ["symbol"], "t", "v", n=14).orderBy("t").collect()
+    assert out[0]["rsi_14"] is None  # warm-up
+    assert out[-1]["rsi_14"] == 100.0  # strictly increasing series
+
+
+def test_enrich_broadcast_join(spark):
+    fact = spark.createDataFrame([("A", 1.0), ("B", 2.0), ("C", 3.0)], "symbol string, v double")
+    dim = spark.createDataFrame([("A", "Auto"), ("B", "Bank")], "symbol string, sector string")
+    out = {r["symbol"]: r["sector"] for r in enrich(fact, dim, "symbol").collect()}
+    assert out == {"A": "Auto", "B": "Bank", "C": None}
+    plan = enrich(fact, dim, "symbol")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [("A", 10), ("A", 25), ("A", 5)], "symbol string, t long"
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 100.0), ("A", 20, 105.0)], "symbol string, t long, px double"
+    )
+    out = {
+        r["t"]: r["px_asof"]
+        for r in asof_join(trades, quotes, ["symbol"], "t", "t").collect()
+    }
+    assert out == {5: None, 10: 100.0, 25: 105.0}

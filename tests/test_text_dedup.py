@@ -1,0 +1,118 @@
+"""Tests for text analysis, dedup family, and similarity search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+    exact_dedup_groups,
+    exact_jaccard_pairs,
+    minhash_near_dup_pairs,
+    simhash32,
+    simhash_near_dup_pairs,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+    brute_force_knn,
+    lsh_knn,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+    fingerprint,
+    language_guess,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "der hund und die katze und der vogel"),  # German function words
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_stats(docs):
+    out = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert out[0]["n_tokens"] == 9
+    assert out[0]["n_unique_tokens"] == 8  # 'the' twice
+    assert out[5]["n_tokens"] == 0 and out[5]["mean_token_len"] == 0.0
+
+
+def test_quality_and_language(docs):
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert 0 < q[0]["quality_score"] < 1
+    assert q[5]["quality_score"] == 0.0
+    lang = {r["doc_id"]: r["lang_guess"] for r in language_guess(docs).collect()}
+    assert lang[0] == "en"
+    assert lang[4] == "de"
+    assert lang[5] == "und"
+
+
+def test_fingerprint_identity_vs_content(docs):
+    fp = {r["doc_id"]: r for r in fingerprint(docs).collect()}
+    assert fp[0]["exact_fingerprint"] == fp[3]["exact_fingerprint"]
+    assert fp[0]["content_fingerprint"] == fp[3]["content_fingerprint"]
+    assert fp[0]["exact_fingerprint"] != fp[1]["exact_fingerprint"]
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup_groups(docs).collect()
+    dup = [g for g in groups if g["copies"] == 2]
+    assert len(dup) == 1 and dup[0]["keeper_id"] == 0
+
+
+def test_jaccard_and_minhash_agree(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    assert (0, 3) in exact and exact[(0, 3)] == 1.0
+    assert (0, 1) in exact  # 8/10 = 0.8
+    # the LSH path must recover the same high-similarity pairs here
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(docs, threshold=0.7).collect()
+    }
+    assert (0, 3) in lsh and lsh[(0, 3)] == 1.0
+    assert set(lsh) <= set(exact)  # LSH never invents pairs (exact-verified)
+
+
+def test_simhash_similar_docs_close(docs):
+    sk = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
+    ham_near = bin(sk[0] ^ sk[1]).count("1")
+    ham_far = bin(sk[0] ^ sk[2]).count("1")
+    assert ham_near < ham_far
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_dup_pairs(docs, max_hamming=0).collect()}
+    assert pairs[(0, 3)] == 0
+
+
+def test_knn_brute_force_and_lsh_recall(spark, sf_dir):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_knn(queries, emb, k=5).collect()
+    assert len(exact) == 25
+    by_q: dict[int, list[int]] = {}
+    for r in exact:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        assert -1.0 <= r["cosine"] <= 1.0
+    # multi-table LSH: recall over the exact top-5 should be solid
+    approx = lsh_knn(queries, emb, k=5, n_planes=4, n_tables=8).collect()
+    approx_by_q: dict[int, set[int]] = {}
+    for r in approx:
+        approx_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        len(set(by_q[q]) & approx_by_q.get(q, set())) for q in by_q
+    )
+    recall = hits / 25
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
