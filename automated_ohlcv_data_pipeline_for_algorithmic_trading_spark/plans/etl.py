@@ -1,0 +1,158 @@
+"""Bronze -> silver ETL: the reference's core dataflow as ONE lazy
+DataFrame transform.
+
+Semantics: etl/glue_job.py:119-193 (explode map -> struct projection ->
+explode candles -> positional extraction -> derived columns -> DQ filter)
+with the lightweight variant's stricter ``close > 0`` gate
+(etl/lightweight_etl.py:83-86 — it gates the actually-deployed data;
+SURVEY.md SS7.4). Output is the 16-column silver schema
+(etl/lightweight_etl.py:129-133) written as Parquet partitioned by
+(symbol_clean, year, month, day).
+
+Scale design: the whole normalize is narrow (no shuffle) — explodes and
+projections pipeline inside one codegen stage per input split; the only
+wide operation is the optional last-wins dedup. Partitioned writes use
+dynamic partition overwrite for idempotent re-runs (ST5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.candles import clean_symbol, epoch_to_timestamp, iso_utc
+from ..operators.dedup import dedup_by_key
+from ..schemas import SILVER_PARTITIONING
+
+
+def explode_envelopes(raw: DataFrame) -> DataFrame:
+    """P1+P2+P3+P4: envelope -> one row per candle with positional fields.
+
+    Mirrors etl/glue_job.py:125-158: explode the symbol map, project the
+    struct, explode the candles array, extract positions 0-5.
+    """
+    sym = raw.select(
+        F.explode("data").alias("symbol_key", "symbol_data"),
+        *[c for c in ("_file", "_file_seq") if c in raw.columns],
+    )
+    candles = sym.select(
+        F.col("symbol_data.symbol").alias("symbol"),
+        F.col("symbol_data.resolution").alias("resolution"),
+        F.col("symbol_data.timestamp").alias("fetch_timestamp"),
+        F.explode("symbol_data.candles").alias("candle"),
+        *[c for c in ("_file", "_file_seq") if c in sym.columns],
+    )
+    return candles.select(
+        "symbol",
+        "resolution",
+        "fetch_timestamp",
+        F.col("candle")[0].cast("long").alias("timestamp_unix"),
+        F.col("candle")[1].alias("open"),
+        F.col("candle")[2].alias("high"),
+        F.col("candle")[3].alias("low"),
+        F.col("candle")[4].alias("close"),
+        F.col("candle")[5].cast("long").alias("volume"),
+        *[F.col(c) for c in ("_file", "_file_seq") if c in candles.columns],
+    )
+
+
+def quality_filter(df: DataFrame) -> DataFrame:
+    """P5 — DQ gate: o/h/l/c non-null, high >= low, volume >= 0, close > 0
+    (glue + lightweight variants combined; the close>0 strictness is the
+    deployed behavior)."""
+    return df.filter(
+        F.col("open").isNotNull()
+        & F.col("high").isNotNull()
+        & F.col("low").isNotNull()
+        & F.col("close").isNotNull()
+        & F.col("volume").isNotNull()
+        & (F.col("high") >= F.col("low"))
+        & (F.col("volume") >= 0)
+        & (F.col("close") > 0)
+    )
+
+
+def derive_silver_columns(df: DataFrame) -> DataFrame:
+    """F1-F7: symbol_clean, timestamps, calendar partition columns,
+    processed_at."""
+    ts = epoch_to_timestamp(F.col("timestamp_unix"))
+    return (
+        df.withColumn("symbol_clean", clean_symbol(F.col("symbol")))
+        .withColumn("timestamp_iso", ts)
+        .withColumn("year", F.year(ts))
+        .withColumn("month", F.month(ts))
+        .withColumn("day", F.dayofmonth(ts))
+        .withColumn("hour", F.hour(ts))
+        .withColumn("processed_at", F.current_timestamp())
+    )
+
+
+SILVER_COLUMNS = [
+    "symbol", "symbol_clean", "timestamp_unix", "timestamp_iso",
+    "open", "high", "low", "close", "volume", "resolution",
+    "fetch_timestamp", "year", "month", "day", "hour", "processed_at",
+]
+
+
+def bronze_to_silver(
+    raw: DataFrame,
+    dedup: str | None = "last",
+) -> DataFrame:
+    """The full normalize: explode -> DQ filter -> derive -> (optional)
+    last-wins dedup per (symbol, ts) using the file sequence as arrival
+    order (ST3: every 5-min fetch re-pulls the whole day, so raw files
+    overlap massively)."""
+    df = derive_silver_columns(quality_filter(explode_envelopes(raw)))
+    if dedup:
+        order = ["_file_seq", "fetch_timestamp"] if "_file_seq" in df.columns else ["fetch_timestamp"]
+        df = dedup_by_key(df, ["symbol", "timestamp_unix"], order, keep=dedup)
+    return df.select(*SILVER_COLUMNS)
+
+
+def write_silver(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_files_per_partition: int = 1,
+) -> None:
+    """S12 — partitioned Parquet sink: snappy, dictionary encoding,
+    dynamic partition overwrite (session conf) for idempotent re-runs.
+
+    The reference sets AQE confs as write options where they are inert
+    (etl/glue_job.py:213-214) — here session.tune() sets them correctly.
+    At 100 TB: repartition by the partition columns so each day/symbol
+    directory gets a handful of full-size files instead of
+    num_shuffle_partitions small ones."""
+    out = df.repartition(
+        *[F.col(c) for c in SILVER_PARTITIONING]
+    ) if target_files_per_partition == 1 else df
+    (
+        out.write.mode(mode)
+        .partitionBy(*SILVER_PARTITIONING)
+        .option("compression", "snappy")
+        .parquet(path)
+    )
+
+
+def silver_csv_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S11 — the reference's gzipped-CSV silver twin (kept for parity;
+    Parquet is the primary format)."""
+    (
+        df.write.mode(mode)
+        .partitionBy("symbol_clean", "year", "month", "day")
+        .option("header", True)
+        .option("compression", "gzip")
+        .csv(path)
+    )
+
+
+def run_metadata(silver: DataFrame) -> DataFrame:
+    """S15 shape — the ETL run ledger row (sql/rds_schema.sql:44-68):
+    row counts / distinct symbols / span, computed in one pass."""
+    return silver.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.countDistinct("symbol_clean").alias("symbols_count"),
+        F.min("timestamp_iso").alias("first_candle"),
+        F.max("timestamp_iso").alias("last_candle"),
+        F.current_timestamp().alias("ingested_at"),
+    ).withColumn("processing_status", F.lit("completed"))

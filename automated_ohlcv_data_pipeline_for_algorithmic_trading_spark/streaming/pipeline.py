@@ -1,0 +1,156 @@
+"""Structured Streaming equivalents of the reference's micro-batch
+pipeline (SURVEY.md SS2.8).
+
+The reference polls every 5 minutes (EventBridge cron, ST1), re-pulling
+the whole day each time so raw files overlap (ST3), and compacts daily
+(ST2). Here the raw zone is a streaming file source; watermark +
+dropDuplicates gives exactly-once candle semantics; tumbling windows give
+the resample; foreachBatch upserts day partitions idempotently (ST5).
+
+Scale notes: the file source lists incrementally (maxFilesPerTrigger
+bounds batch size); dedup state is bounded by the watermark horizon; the
+foreachBatch sink uses dynamic partition overwrite so re-processing a day
+is idempotent rather than duplicating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..plans.etl import SILVER_COLUMNS, bronze_to_silver
+from ..schemas import RAW_ENVELOPE_SCHEMA, SILVER_PARTITIONING
+
+
+def read_raw_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = (
+        spark.readStream.schema(RAW_ENVELOPE_SCHEMA)
+        .option("multiLine", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def streaming_silver(raw_stream: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """ST3 — normalize + exactly-once candles: explode/DQ/derive (the same
+    narrow transform as batch), then watermarked dropDuplicates on
+    (symbol, ts). State stays bounded by the watermark horizon."""
+    silver = bronze_to_silver(raw_stream, dedup=None)
+    return silver.withWatermark("timestamp_iso", watermark).dropDuplicates(
+        ["symbol", "timestamp_unix"]
+    )
+
+
+def streaming_resample(
+    silver_stream: DataFrame, minutes: int = 15, watermark: str | None = "1 hour"
+) -> DataFrame:
+    """ST4 — tumbling-window candle aggregation in append mode. Ordered
+    open/close use min_by/max_by on the source timestamp, identical to the
+    batch resample (A4); windows close once the watermark passes.
+
+    Pass ``watermark=None`` when the input stream already carries one
+    (e.g. the output of streaming_silver) — Spark disallows redefining a
+    watermark between chained stateful operators."""
+    if watermark is not None:
+        silver_stream = silver_stream.withWatermark("timestamp_iso", watermark)
+    return (
+        silver_stream
+        .groupBy(
+            F.col("symbol_clean"),
+            F.window("timestamp_iso", f"{minutes} minutes").alias("bucket"),
+        )
+        .agg(
+            F.min_by("open", F.struct("timestamp_iso", "timestamp_unix")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.struct("timestamp_iso", "timestamp_unix")).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.count(F.lit(1)).alias("num_candles"),
+        )
+        .select(
+            "symbol_clean", F.col("bucket.start").alias("bucket_start"),
+            "open", "high", "low", "close", "volume", "num_candles",
+        )
+    )
+
+
+def upsert_silver_sink(
+    silver_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """ST5 — exactly-once silver sink: foreachBatch writes each micro-batch
+    into day partitions with dynamic partition overwrite, so replays and
+    the daily compaction run (ST2, availableNow) are idempotent."""
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.isEmpty():
+            (
+                batch.select(*SILVER_COLUMNS)
+                .repartition(*[F.col(c) for c in SILVER_PARTITIONING])
+                .write.mode("overwrite")
+                .partitionBy(*SILVER_PARTITIONING)
+                .parquet(out_path)
+            )
+
+    writer = silver_stream.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def daily_compaction(
+    spark: SparkSession, raw_path: str, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """ST2 — the 16:00-IST daily batch as a one-shot availableNow run over
+    whatever raw files arrived since the last checkpoint."""
+    stream = streaming_silver(read_raw_stream(spark, raw_path))
+    return upsert_silver_sink(stream, out_path, checkpoint, available_now=True)
+
+
+def events_stream_demo(
+    spark: SparkSession, sf_dir: str, minutes: int = 15
+) -> DataFrame:
+    """Replay the driver's events table as a stream (FIXTURES.md SS5 ST1-5
+    stand-in): windowed aggregation with watermark, usable with a memory
+    sink + availableNow in tests. ``sf_dir`` is the testdata directory;
+    the file-source requires a directory, so events.parquet is selected
+    via pathGlobFilter."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos (TESTDATA quirk)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.col("event_type"), F.window("ts", f"{minutes} minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("num_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select("event_type", F.col("w.start").alias("bucket_start"),
+                "num_events", "total_value")
+    )

@@ -1,0 +1,110 @@
+"""Structured Streaming tests (ST1-ST5) driven synchronously with
+availableNow / processAllAvailable over file sources."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.mock import (
+    write_mock_envelope_files,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+    daily_compaction,
+    events_stream_demo,
+    read_raw_stream,
+    streaming_resample,
+    streaming_silver,
+)
+
+SYMBOLS = ["NSE:RELIANCE-EQ", "NSE:TCS-EQ"]
+
+
+@pytest.fixture(scope="module")
+def raw_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("raw_stream")
+    write_mock_envelope_files(spark, str(d), SYMBOLS, days=1, fetches=3)
+    return str(d)
+
+
+def test_streaming_dedup_exactly_once(spark, raw_dir, tmp_path_factory):
+    """Three overlapping fetch files stream in; watermarked dropDuplicates
+    must yield exactly one row per (symbol, ts)."""
+    out = str(tmp_path_factory.mktemp("mem_out"))
+    stream = streaming_silver(read_raw_stream(spark, raw_dir))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 2 * 75  # 2 symbols x 75 slots, dups collapsed
+    assert got.select("symbol", "timestamp_unix").distinct().count() == got.count()
+
+
+def test_daily_compaction_idempotent(spark, raw_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("silver_stream"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    q = daily_compaction(spark, raw_dir, out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    # second run with the same checkpoint: no new files -> no duplication
+    q2 = daily_compaction(spark, raw_dir, out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1 == 150
+
+
+def test_streaming_resample_matches_batch(spark, raw_dir, tmp_path_factory):
+    """ST4: the streaming tumbling-window resample must equal the batch
+    resample on the same data once all windows close."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.resample import (
+        resample_candles,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.etl import (
+        bronze_to_silver,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.raw_json import (
+        read_raw_envelopes,
+    )
+
+    agg = streaming_resample(
+        streaming_silver(read_raw_stream(spark, raw_dir)), minutes=60, watermark=None
+    )
+    qname = "resample_out"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["symbol_clean"], str(r["bucket_start"])): (r["open"], r["close"], r["volume"])
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+    }
+    batch_silver = bronze_to_silver(read_raw_envelopes(spark, raw_dir), dedup="last")
+    batch = {
+        (r["symbol_clean"], str(r["bucket_start"])): (r["open"], r["close"], int(r["volume"]))
+        for r in resample_candles(
+            batch_silver, 60, ["symbol_clean"], "timestamp_iso", tiebreak="timestamp_unix"
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_events_stream_demo(spark):
+    agg = events_stream_demo(spark, "/root/testdata/sf0.001", minutes=60)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT count(*) AS n, sum(num_events) AS total FROM ev_out").collect()[0]
+    assert rows["n"] > 0 and rows["total"] == 1000  # sf0.001 events row count
