@@ -67,6 +67,22 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.simil
     brute_force_knn,
     lsh_knn,
 )
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.joins import (
+    asof_join,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windows import (
+    rsi,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.multimodal import (
+    extract_features,
+    text_as_media,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.etl import (
+    bronze_to_silver,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.schemas import (
+    RAW_ENVELOPE_SCHEMA,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -483,6 +499,291 @@ ORDER BY ts DESC, event_id DESC LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# Joins (SURVEY.md SS2.7), set ops, indicators, ETL round-trip, SQL surface
+# ---------------------------------------------------------------------------
+
+def j_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 as-of semantics — for every event, the customer's latest order
+    with o_orderdate <= ts (union + ordered window fill: one shuffle, no
+    quadratic range join; sql/rds_schema.sql marketcap-snapshot shape)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    out = asof_join(
+        ev, orders, ["user_id"], "ts", "o_orderdate", tiebreak="o_orderkey"
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("o_orderkey_asof").alias("order_key_asof"),
+        F.col("o_totalprice_asof").alias("order_price_asof"),
+    ).orderBy("event_id")
+
+
+_J_ASOF_SQL = """
+SELECT event_id, user_id, ts, value,
+       o_orderkey AS order_key_asof,
+       o_totalprice AS order_price_asof
+FROM events e
+LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+QUALIFY row_number() OVER (
+    PARTITION BY event_id ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+ORDER BY event_id
+"""
+
+
+def j_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join — customers that have events (EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("c_custkey"))
+    return (
+        cust.join(ev, "c_custkey", "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+_J_SEMI_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def j_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — customers with no events (NOT EXISTS), count per
+    nation with the nation dim broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("c_custkey"))
+    return (
+        cust.join(ev, "c_custkey", "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("inactive_customers"))
+        .orderBy("n_name")
+    )
+
+
+_J_ANTI_SQL = """
+SELECT n_name, count(*) AS inactive_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def u_union_mixed_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J4 — union of two differently-shaped extracts via
+    unionByName(allowMissingColumns) (the reference's old-vs-new raw
+    format fallback, api/api_handler.py:380-386), then a rollup."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "ts", "user_id", "value")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("event_id", "ts", "user_id", "event_type")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return (
+        u.groupBy(F.coalesce("event_type", F.lit("_none")).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value", "total_value"),
+            F.count("value").alias("n_with_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_U_UNION_SQL = f"""
+WITH u AS (
+  SELECT event_id, ts, user_id, value, NULL AS event_type
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT event_id, ts, user_id, event_type FROM events WHERE event_id % 2 = 1
+)
+SELECT coalesce(event_type, '_none') AS event_type,
+       count(*) AS n_rows,
+       {sql_dsum('value')} AS total_value,
+       count(value) AS n_with_value
+FROM u GROUP BY 1 ORDER BY event_type
+"""
+
+
+def e_rsi14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — RSI-14 (declared indicator, examples/README.md:100-104) per
+    key over the value series; NULL during warm-up, 100/0 at the
+    all-gain/all-loss edges."""
+    ev = _t(spark, sf_dir, "events")
+    out = rsi(ev, ["user_id"], "ts", "value", n=14)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("rsi_14", 6).alias("rsi_14"),
+    ).orderBy("event_id")
+
+
+_E_RSI_SQL = """
+WITH d AS (
+  SELECT event_id, user_id, ts,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS delta
+  FROM events
+),
+g AS (
+  SELECT event_id, user_id, ts,
+         count(delta) OVER w AS n_deltas,
+         avg(CASE WHEN delta IS NOT NULL THEN
+               CASE WHEN delta > 0 THEN delta ELSE 0.0 END END) OVER w AS avg_gain,
+         avg(CASE WHEN delta IS NOT NULL THEN
+               CASE WHEN delta < 0 THEN -delta ELSE 0.0 END END) OVER w AS avg_loss
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts,
+       round(CASE WHEN n_deltas < 14 THEN NULL
+                  WHEN avg_loss = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END, 6) AS rsi_14
+FROM g ORDER BY event_id
+"""
+
+
+def o_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETL round-trip through the REAL bronze->silver code path: events are
+    folded into raw ingestion envelopes (to_json of the nested map/struct/
+    positional-candle shape, FIXTURES.md SS1), re-parsed with the canonical
+    schema, exploded and DQ-filtered by plans.etl, then daily-rolled-up.
+    The oracle computes the same rollup directly — proving the envelope
+    encode/decode/explode pipeline is lossless."""
+    ev = _t(spark, sf_dir, "events")
+    # one envelope per (user, day): candles = [[epoch, v, v, v, v, event_id]...]
+    candles = (
+        ev.withColumn("sym", F.concat(F.lit("NSE:U"), F.col("user_id"), F.lit("-EQ")))
+        .groupBy("sym", F.to_date("ts").alias("d"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("o1"),
+                        F.col("event_id").alias("o2"),
+                        F.array(
+                            F.unix_timestamp("ts").cast("double"),
+                            "value", "value", "value", "value",
+                            F.col("event_id").cast("double"),
+                        ).alias("candle"),
+                    )
+                )
+            ).alias("sorted")
+        )
+        .select(
+            "sym",
+            F.to_json(
+                F.create_map(
+                    F.col("sym"),
+                    F.struct(
+                        F.col("sym").alias("symbol"),
+                        F.lit("5").alias("resolution"),
+                        F.transform(F.col("sorted"), lambda s: s["candle"]).alias("candles"),
+                        F.lit("2024-01-31T00:00:00Z").alias("timestamp"),
+                        F.create_map(F.lit("k"), F.lit("v")).alias("metadata"),
+                    ),
+                )
+            ).alias("env_json"),
+        )
+    )
+    raw = candles.select(
+        F.from_json(
+            F.concat(F.lit('{"data":'), F.col("env_json"), F.lit(',"metadata":{}}')),
+            RAW_ENVELOPE_SCHEMA,
+        ).alias("env")
+    ).select(F.col("env.data").alias("data"), F.col("env.metadata").alias("metadata"))
+    silver = bronze_to_silver(raw, dedup=None)
+    return (
+        silver.groupBy("symbol_clean", F.to_date("timestamp_iso").alias("trade_date"))
+        .agg(
+            F.min_by("open", F.struct("timestamp_unix", "volume")).alias("first_value"),
+            F.max_by("close", F.struct("timestamp_unix", "volume")).alias("last_value"),
+            F.max("high").alias("max_value"),
+            F.min("low").alias("min_value"),
+            F.count(F.lit(1)).alias("num_candles"),
+        )
+        .orderBy("symbol_clean", "trade_date")
+    )
+
+
+_O_ROUNDTRIP_SQL = """
+WITH ranked AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, value,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS rl
+  FROM events WHERE value > 0
+)
+SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol_clean,
+       d AS trade_date,
+       max(CASE WHEN rf = 1 THEN value END) AS first_value,
+       max(CASE WHEN rl = 1 THEN value END) AS last_value,
+       max(value) AS max_value,
+       min(value) AS min_value,
+       count(*) AS num_candles
+FROM ranked GROUP BY 1, 2
+ORDER BY symbol_clean, trade_date
+"""
+
+
+#: One SQL text, two engines: executed verbatim by spark.sql AND DuckDB —
+#: the SS3.3 "same queries, a real engine" story, with the decimal-exact
+#: aggregation idiom embedded in portable ANSI SQL.
+_SQL_SHARED_DAILY = """
+SELECT user_id,
+       CAST(ts AS DATE) AS trade_date,
+       max(value) AS day_high,
+       min(value) AS day_low,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+       count(*) AS candle_count
+FROM events
+GROUP BY user_id, CAST(ts AS DATE)
+ORDER BY user_id, trade_date
+"""
+
+
+def sql_passthrough_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SS3.3 — the SQL surface: register the table as a view and run the
+    exact same ANSI text the oracle runs."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SQL_SHARED_DAILY)
+
+
+def m_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing — documents wrapped as binary payloads with
+    typed metadata, features extracted by an Arrow-batched mapInPandas
+    operator (deterministic md5-derived stand-in for the decoder). The
+    oracle recomputes byte length + md5 in SQL, validating the
+    binary-column round trip through Arrow."""
+    docs = _t(spark, sf_dir, "documents")
+    media = text_as_media(docs)
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id", "n_bytes", "content_md5",
+        F.round(F.element_at("feat", 1), 6).alias("feat0"),
+    ).orderBy("media_id")
+
+
+_M_BINARY_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       md5(text) AS content_md5,
+       round(CAST(CAST('0x' || substr(md5(text || '#0'), 1, 8) AS BIGINT) AS DOUBLE)
+             / 4294967296.0, 6) AS feat0
+FROM documents ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline operators: documents (text analysis, dedup family)
 # and embeddings (similarity search). Beyond-reference surface per
 # BASELINE.json north star.
@@ -775,6 +1076,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_pairs": d_simhash_pairs,
         "emb_ann_topk": emb_ann_topk,
         "emb_lsh_ann": emb_lsh_ann,
+        "j_asof_orders": j_asof_orders,
+        "j_semi_active_customers": j_semi_active_customers,
+        "j_anti_inactive_customers": j_anti_inactive_customers,
+        "u_union_mixed_schema": u_union_mixed_schema,
+        "e_rsi14": e_rsi14,
+        "o_bronze_roundtrip": o_bronze_roundtrip,
+        "sql_passthrough_daily": sql_passthrough_daily,
+        "m_binary_features": m_binary_features,
     }
 
 
@@ -808,6 +1117,14 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_topk": _EMB_ANN_SQL,
         # emb_lsh_ann: intentionally no oracle (approximate, non-SQL path;
         # recall asserted against brute force in tests) -> rows-only check.
+        "j_asof_orders": _J_ASOF_SQL,
+        "j_semi_active_customers": _J_SEMI_SQL,
+        "j_anti_inactive_customers": _J_ANTI_SQL,
+        "u_union_mixed_schema": _U_UNION_SQL,
+        "e_rsi14": _E_RSI_SQL,
+        "o_bronze_roundtrip": _O_ROUNDTRIP_SQL,
+        "sql_passthrough_daily": _SQL_SHARED_DAILY,
+        "m_binary_features": _M_BINARY_SQL,
     }
 
 
@@ -839,4 +1156,12 @@ HEADLINE_QUERIES = [
     "d_simhash",
     "emb_ann_topk",
     "emb_lsh_ann",
+    "j_asof_orders",
+    "j_semi_active_customers",
+    "j_anti_inactive_customers",
+    "u_union_mixed_schema",
+    "e_rsi14",
+    "o_bronze_roundtrip",
+    "sql_passthrough_daily",
+    "m_binary_features",
 ]

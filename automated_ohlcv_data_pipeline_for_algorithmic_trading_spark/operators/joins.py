@@ -37,6 +37,7 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     suffix: str = "_asof",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the latest right row with
     ``right_ts <= left_ts`` (backward; forward = earliest >=) per key.
@@ -45,6 +46,10 @@ def asof_join(
     join: one shuffle on (keys), one ordered scan — O(n log n) per key,
     no quadratic candidate pairs, no Python. This is the J2 semantics for
     sparse ``marketcap_snapshot`` dates (SURVEY.md SS2.7).
+
+    ``tiebreak``: a right-side column ordering equal-timestamp right rows
+    (latest wins backward / earliest wins forward) — required for
+    determinism when right timestamps are not unique per key.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
@@ -57,22 +62,27 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         *[F.col(c).alias(c + suffix) for c in val_cols],
     ).withColumn("_src", F.lit(0))
+    if tiebreak:
+        rhs = rhs.withColumn("_tb", F.col(tiebreak + suffix))
+        lhs = lhs.withColumn("_tb", F.lit(None).cast(dict(rhs.dtypes)["_tb"]))
     merged = lhs.unionByName(rhs, allowMissingColumns=True)
 
     if direction == "backward":
-        # right rows sort before left rows at the same ts -> inclusive match
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("_ts").asc(), F.col("_src").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
+        # right rows sort before left rows at the same ts -> inclusive
+        # match; among tied right rows the greatest tiebreak is filled last
+        tb = [F.col("_tb").asc()] if tiebreak else []
+        order = [F.col("_ts").asc(), F.col("_src").asc(), *tb]
     else:
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("_ts").desc(), F.col("_src").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
+        # earliest tiebreak wins forward -> make it the last filled
+        tb = [F.col("_tb").desc()] if tiebreak else []
+        order = [F.col("_ts").desc(), F.col("_src").asc(), *tb]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     out = merged
     for c in val_cols:
         out = out.withColumn(c + suffix, F.last(F.col(c + suffix), ignorenulls=True).over(w))
-    return out.filter(F.col("_src") == 1).drop("_src", "_ts")
+    out = out.filter(F.col("_src") == 1).drop("_src", "_ts")
+    return out.drop("_tb") if tiebreak else out

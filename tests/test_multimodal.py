@@ -1,0 +1,66 @@
+"""Multimodal column plumbing: binary payloads + typed metadata through
+Arrow-batched mapInPandas operators (decode stubbed deterministically)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.multimodal import (
+    decode_images,
+    extract_features,
+    frame_sample,
+    text_as_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "x" * 2500), (2, "")],
+        "doc_id long, text string",
+    )
+    return text_as_media(docs)
+
+
+def test_media_schema(media):
+    row = media.filter(F.col("media_id") == 0).collect()[0]
+    assert bytes(row["content"]) == b"hello world"
+    assert row["meta"]["mime"] == "application/octet-stream"
+    assert row["meta"]["source_uri"] == "mem://doc/0"
+
+
+def test_extract_features_deterministic(media):
+    out = {r["media_id"]: r for r in extract_features(media, fake=True).collect()}
+    assert out[0]["n_bytes"] == 11
+    assert out[0]["content_md5"] == hashlib.md5(b"hello world").hexdigest()
+    assert len(out[0]["feat"]) == 4
+    assert all(0.0 <= f < 1.0 for f in out[0]["feat"])
+    # empty payload still flows through the Arrow batch path
+    assert out[2]["n_bytes"] == 0
+    # rerun -> identical (no hidden randomness)
+    again = {r["media_id"]: r for r in extract_features(media, fake=True).collect()}
+    assert out[1]["feat"] == again[1]["feat"]
+
+
+def test_real_decode_is_marked_unimplemented(media):
+    with pytest.raises(Exception) as exc:
+        extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_decode_images_stub(media):
+    out = {r["media_id"]: r for r in decode_images(media, fake=True).collect()}
+    assert out[0]["mode"] == "RGB" and 64 <= out[0]["width"] < 257
+
+
+def test_frame_sample_udtf_shape(media):
+    # 2500-'ms' payload sampled every 1000ms -> frames at 0/1000/2000
+    frames = frame_sample(media, every_ms=1000, fake=True).filter(
+        F.col("media_id") == 1
+    ).collect()
+    assert [f["frame_offset_ms"] for f in sorted(frames, key=lambda r: r["frame_offset_ms"])] == [0, 1000, 2000]

@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the plans we designed for are the plans
+Catalyst actually produces (pushdown, pruning, broadcast, top-k). These
+are the properties that make the operators survive a 100x scale-up."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = physical(E.q01_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = physical(E.e_symbol_stats(spark, sf_dir))
+    # scan schema must not include unused columns like props/event_type
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_broadcast_join_for_dims(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = physical(E.q03_top_order_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = physical(E.e_tail_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partition_pruning_on_silver(spark, tmp_path):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.analytics import (
+        symbol_stats,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.etl import (
+        bronze_to_silver,
+        write_silver,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.mock import (
+        write_mock_envelope_files,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.raw_json import (
+        read_raw_envelopes,
+    )
+
+    raw_dir = tmp_path / "raw"
+    raw_dir.mkdir()
+    write_mock_envelope_files(spark, str(raw_dir), ["NSE:RELIANCE-EQ", "NSE:TCS-EQ"], days=2)
+    silver_path = str(tmp_path / "silver")
+    write_silver(bronze_to_silver(read_raw_envelopes(spark, str(raw_dir))), silver_path)
+    silver = spark.read.parquet(silver_path)
+    plan = physical(symbol_stats(silver, "RELIANCE", "2024-01-01"))
+    # the (symbol_clean, year, month, day) predicate must land in
+    # PartitionFilters, not a post-scan Filter
+    pf = plan.split("PartitionFilters:")[1][:400]
+    assert "symbol_clean" in pf and "year" in pf and "day" in pf
+
+
+def test_no_python_udfs_in_core_queries(spark, sf_dir):
+    """Everything except the explicit mapInPandas multimodal path must stay
+    JVM-side (no BatchEvalPython / ArrowEvalPython in the plan)."""
+    import __spark_entry__ as E
+
+    for name in ("q01_pricing_summary", "e_daily_rollup", "d_token_stats",
+                 "d_minhash_neardup", "emb_ann_topk"):
+        plan = physical(E.queries()[name](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
