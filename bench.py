@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,6 +47,50 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # ETL class (BASELINE.md: ~15,000 records / 500 symbols in 5-10 s on
+    # the reference): one synthetic day for 500 symbols through the real
+    # bronze->silver transform + partitioned parquet write.
+    import tempfile
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.etl import (
+        bronze_to_silver,
+        write_silver,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.mock import (
+        candles_to_envelopes,
+        mock_candles,
+    )
+
+    symbols = [f"NSE:SYM{i:03d}-EQ" for i in range(500)]
+    flat = mock_candles(spark, symbols, days=1, duplicate_fraction=0.25)
+    env = candles_to_envelopes(flat).withColumn(
+        "_file_seq", F.col("fetch_seq").cast("string")
+    )
+    from pyspark.sql import functions as _F
+
+    raw_shape = env.groupBy("_file_seq").agg(
+        _F.map_from_entries(
+            _F.collect_list(
+                _F.struct(
+                    "symbol",
+                    _F.struct(
+                        _F.col("symbol"),
+                        _F.lit("5").alias("resolution"),
+                        _F.col("candles"),
+                        _F.lit("t").alias("timestamp"),
+                        _F.create_map(_F.lit("k"), _F.lit("v")).alias("metadata"),
+                    ),
+                )
+            )
+        ).alias("data")
+    )
+    raw_shape.cache().count()  # materialize input outside the timed region
+    t0 = time.perf_counter()
+    with tempfile.TemporaryDirectory() as td:
+        write_silver(bronze_to_silver(raw_shape, dedup="last"), td + "/silver")
+    timings["etl_bronze_silver_500sym"] = round(time.perf_counter() - t0, 3)
+    raw_shape.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(
