@@ -141,6 +141,28 @@ def latest_prices(silver: DataFrame) -> DataFrame:
     ).withColumn("latest_price", F.col("close"))
 
 
+def volatile_days(daily_summary_df: DataFrame, threshold: float = 2.0) -> DataFrame:
+    """P11/O7 — days with |price_change_percent| above threshold, ranked
+    by magnitude (examples/query_analytics.py:181-196)."""
+    return daily_summary_df.filter(
+        F.abs(F.col("price_change_percent")) > threshold
+    ).orderBy(F.abs(F.col("price_change_percent")).desc())
+
+
+def trading_hours_only(df: DataFrame, ts_col: str = "timestamp_iso") -> DataFrame:
+    """P13 — keep candles inside the NSE session: Mon-Fri, 09:15-15:30 IST
+    (the reference gates ingestion on this wall-clock window,
+    ingestion/lambda_ingestion.py:28-58; as a data predicate it filters on
+    the event time converted to IST)."""
+    ist = F.from_utc_timestamp(F.col(ts_col), "Asia/Kolkata")
+    minutes = F.hour(ist) * 60 + F.minute(ist)
+    return df.filter(
+        (F.dayofweek(ist).between(2, 6))  # Mon=2 .. Fri=6
+        & (minutes >= 9 * 60 + 15)
+        & (minutes <= 15 * 60 + 30)
+    )
+
+
 def available_symbols(silver: DataFrame) -> DataFrame:
     """GET /symbols — partition discovery becomes a distinct over the
     partition column (api/api_handler_csv.py:31-54)."""

@@ -139,6 +139,21 @@ def write_silver(
     )
 
 
+def read_silver_csv(spark, path: str) -> DataFrame:
+    """S5 — read the gzipped-CSV silver twin back with the EXPLICIT
+    16-column schema (never inference; api/api_handler_csv.py:111-134's
+    typed reader). Gzip is transparent to the CSV source. Partition
+    columns (symbol_clean/year/month/day) come from the directory layout."""
+    from ..schemas import SILVER_SCHEMA
+    from pyspark.sql import types as T
+
+    # partition columns are directory-derived, not in-file
+    in_file = T.StructType(
+        [f for f in SILVER_SCHEMA.fields if f.name not in SILVER_PARTITIONING]
+    )
+    return spark.read.schema(in_file).option("header", True).csv(path)
+
+
 def silver_csv_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S11 — the reference's gzipped-CSV silver twin (kept for parity;
     Parquet is the primary format)."""

@@ -45,6 +45,12 @@ def parse_envelope_json(df: DataFrame, json_col: str) -> DataFrame:
     return df.withColumn("_env", F.from_json(F.col(json_col), RAW_ENVELOPE_SCHEMA))
 
 
+def write_raw_json(df: DataFrame, path: str) -> None:
+    """S14 — bronze sink: append-only raw envelope JSON (the bronze zone
+    is immutable history; dedup happens downstream, never by rewriting)."""
+    df.select("data", "metadata").write.mode("append").json(path)
+
+
 def latest_file_only(df: DataFrame) -> DataFrame:
     """ST3/dedup-before-compute: keep only rows from the lexicographically
     greatest file name — the reference's daily-ETL trick of processing only
