@@ -49,8 +49,8 @@ def series_rollup(
     p, key = F.col(price_col), _order_key(ts_col, tiebreak)
     aggs = [
         F.min_by(p, key).alias("open"),
-        F.max("" + price_col).alias("high"),
-        F.min("" + price_col).alias("low"),
+        F.max(p).alias("high"),
+        F.min(p).alias("low"),
         F.max_by(p, key).alias("close"),
         davg(p, "avg_price"),
         F.count(F.lit(1)).alias("num_records"),
