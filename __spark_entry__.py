@@ -735,6 +735,127 @@ ORDER BY symbol_clean, trade_date
 """
 
 
+def x_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — per-user event-type count matrix (beyond-reference OLAP;
+    compiles to one groupBy with conditional aggregates)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "signup"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot emits NULL for absent combos; normalize to 0 for the oracle
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    ).orderBy("user_id")
+
+
+_X_PIVOT_SQL = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def x_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — grouping-set totals over (event_type, day): every
+    combination incl. grand total, one pass (beyond-reference OLAP)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.to_date("ts").alias("trade_date"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("trade_date").asc_nulls_first(),
+        )
+    )
+
+
+_X_CUBE_SQL = f"""
+SELECT event_type, CAST(ts AS DATE) AS trade_date,
+       count(*) AS n_events, {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+ORDER BY event_type ASC NULLS FIRST, trade_date ASC NULLS FIRST
+"""
+
+
+def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — per-user sessions split on >30-minute gaps
+    (lag + cumulative-sum window; `session_window` is the streaming twin).
+    Output: one row per session with bounds and event count."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("_new", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return sess.orderBy("user_id", "session_id")
+
+
+_E_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def e_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 at query level — exact distinct active users per day (the
+    `approx_count_distinct` scale variant lives in the library; exact here
+    for the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("trade_date"))
+        .agg(
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("trade_date")
+    )
+
+
+_E_DISTINCT_SQL = """
+SELECT CAST(ts AS DATE) AS trade_date,
+       count(DISTINCT user_id) AS distinct_users,
+       count(*) AS n_events
+FROM events GROUP BY 1 ORDER BY trade_date
+"""
+
+
 #: One SQL text, two engines: executed verbatim by spark.sql AND DuckDB —
 #: the SS3.3 "same queries, a real engine" story, with the decimal-exact
 #: aggregation idiom embedded in portable ANSI SQL.
@@ -1084,6 +1205,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_bronze_roundtrip": o_bronze_roundtrip,
         "sql_passthrough_daily": sql_passthrough_daily,
         "m_binary_features": m_binary_features,
+        "x_pivot_event_matrix": x_pivot_event_matrix,
+        "x_cube_rollup": x_cube_rollup,
+        "e_sessionize": e_sessionize,
+        "e_distinct_daily_users": e_distinct_daily_users,
     }
 
 
@@ -1125,6 +1250,10 @@ def oracle_sql() -> dict[str, str]:
         "o_bronze_roundtrip": _O_ROUNDTRIP_SQL,
         "sql_passthrough_daily": _SQL_SHARED_DAILY,
         "m_binary_features": _M_BINARY_SQL,
+        "x_pivot_event_matrix": _X_PIVOT_SQL,
+        "x_cube_rollup": _X_CUBE_SQL,
+        "e_sessionize": _E_SESSION_SQL,
+        "e_distinct_daily_users": _E_DISTINCT_SQL,
     }
 
 
@@ -1164,4 +1293,8 @@ HEADLINE_QUERIES = [
     "o_bronze_roundtrip",
     "sql_passthrough_daily",
     "m_binary_features",
+    "x_pivot_event_matrix",
+    "x_cube_rollup",
+    "e_sessionize",
+    "e_distinct_daily_users",
 ]
