@@ -735,6 +735,81 @@ ORDER BY symbol_clean, trade_date
 """
 
 
+def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: revenue of lineitems below 20% of their part's
+    average quantity (correlated scalar-subquery pattern -> per-part agg +
+    self-join; the per-part averages are exact-decimal so the filter
+    boundary is engine-stable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg("l_quantity", "avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            dsum("l_extendedprice", "total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q17_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey AS pk, {sql_davg('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {sql_dsum('l_extendedprice')} AS total_price,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pk
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+def s_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming with an oracle: the events table replayed
+    through a file-source stream, watermarked tumbling-hour aggregation
+    per event_type, driven to completion with availableNow into a memory
+    sink — then compared against the equivalent batch SQL. Decimal-routed
+    sums keep the streamed result bit-identical to the batch oracle."""
+    import tempfile
+    import uuid
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        events_stream_demo,
+    )
+
+    tune(spark)
+    agg = events_stream_demo(spark, sf_dir, minutes=60)
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("event_type", "bucket_start")
+
+
+_S_STREAM_SQL = """
+SELECT event_type,
+       time_bucket(INTERVAL '60 minutes', ts, TIMESTAMP '2000-01-01 00:00:00')
+           AS bucket_start,
+       count(*) AS num_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type, bucket_start
+ORDER BY event_type, bucket_start
+"""
+
+
 def x_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot — per-user event-type count matrix (beyond-reference OLAP;
     compiles to one groupBy with conditional aggregates)."""
@@ -1209,6 +1284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cube_rollup": x_cube_rollup,
         "e_sessionize": e_sessionize,
         "e_distinct_daily_users": e_distinct_daily_users,
+        "q17_small_quantity_avg": q17_small_quantity_avg,
+        "s_stream_hourly": s_stream_hourly,
     }
 
 
@@ -1254,6 +1331,8 @@ def oracle_sql() -> dict[str, str]:
         "x_cube_rollup": _X_CUBE_SQL,
         "e_sessionize": _E_SESSION_SQL,
         "e_distinct_daily_users": _E_DISTINCT_SQL,
+        "q17_small_quantity_avg": _Q17_SQL,
+        "s_stream_hourly": _S_STREAM_SQL,
     }
 
 
@@ -1297,4 +1376,6 @@ HEADLINE_QUERIES = [
     "x_cube_rollup",
     "e_sessionize",
     "e_distinct_daily_users",
+    "q17_small_quantity_avg",
+    "s_stream_hourly",
 ]

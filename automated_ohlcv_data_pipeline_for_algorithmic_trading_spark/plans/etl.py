@@ -42,16 +42,19 @@ def explode_envelopes(raw: DataFrame) -> DataFrame:
         F.explode("symbol_data.candles").alias("candle"),
         *[c for c in ("_file", "_file_seq") if c in sym.columns],
     )
+    # F.get (not candle[i]): a truncated candle array yields NULLs that the
+    # DQ filter drops, instead of an ANSI out-of-bounds error killing the
+    # batch — malformed feed rows must degrade, not fail.
     return candles.select(
         "symbol",
         "resolution",
         "fetch_timestamp",
-        F.col("candle")[0].cast("long").alias("timestamp_unix"),
-        F.col("candle")[1].alias("open"),
-        F.col("candle")[2].alias("high"),
-        F.col("candle")[3].alias("low"),
-        F.col("candle")[4].alias("close"),
-        F.col("candle")[5].cast("long").alias("volume"),
+        F.get("candle", 0).cast("long").alias("timestamp_unix"),
+        F.get("candle", 1).alias("open"),
+        F.get("candle", 2).alias("high"),
+        F.get("candle", 3).alias("low"),
+        F.get("candle", 4).alias("close"),
+        F.get("candle", 5).cast("long").alias("volume"),
         *[F.col(c) for c in ("_file", "_file_seq") if c in candles.columns],
     )
 
@@ -61,7 +64,8 @@ def quality_filter(df: DataFrame) -> DataFrame:
     (glue + lightweight variants combined; the close>0 strictness is the
     deployed behavior)."""
     return df.filter(
-        F.col("open").isNotNull()
+        F.col("timestamp_unix").isNotNull()
+        & F.col("open").isNotNull()
         & F.col("high").isNotNull()
         & F.col("low").isNotNull()
         & F.col("close").isNotNull()

@@ -149,7 +149,9 @@ def events_stream_demo(
         .groupBy(F.col("event_type"), F.window("ts", f"{minutes} minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("num_events"),
-            F.sum("value").alias("total_value"),
+            # decimal-routed sum: bit-identical to the batch oracle
+            # regardless of micro-batch/accumulation order
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
         )
         .select("event_type", F.col("w.start").alias("bucket_start"),
                 "num_events", "total_value")
