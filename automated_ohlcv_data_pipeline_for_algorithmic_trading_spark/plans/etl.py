@@ -135,6 +135,11 @@ def write_silver(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     out = df.repartition(n, *[F.col(c) for c in SILVER_PARTITIONING])
+    # time-sorted rows within each file: parquet row-group min/max stats on
+    # timestamp become selective, so intraday range predicates skip row
+    # groups instead of scanning whole symbol-days
+    if "timestamp_unix" in df.columns:
+        out = out.sortWithinPartitions(*SILVER_PARTITIONING, "timestamp_unix")
     (
         out.write.mode(mode)
         .partitionBy(*SILVER_PARTITIONING)

@@ -1,0 +1,33 @@
+"""Grouped-map extension point: user pandas indicators per symbol."""
+
+from __future__ import annotations
+
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.extension import (
+    apply_per_symbol,
+    bollinger_bands,
+)
+
+
+def test_bollinger_via_extension_point(spark):
+    rows = [
+        ("A", i, 100.0 + (i % 5)) for i in range(1, 31)
+    ] + [("B", i, 50.0) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "symbol_clean string, t long, close double")
+    out = apply_per_symbol(
+        df,
+        bollinger_bands(window=5, num_std=2.0),
+        "symbol_clean string, t long, close double, "
+        "bb_mid double, bb_upper double, bb_lower double",
+        ts_col="t",
+    )
+    got = {(r["symbol_clean"], r["t"]): r for r in out.collect()}
+    assert len(got) == 40
+    # constant series: zero std -> bands collapse onto the mid
+    b = got[("B", 10)]
+    assert b["bb_mid"] == b["bb_upper"] == b["bb_lower"] == 50.0
+    # varying series: bands straddle the mid
+    a = got[("A", 30)]
+    assert a["bb_lower"] < a["bb_mid"] < a["bb_upper"]
+    # chronological ordering inside the group was honored (rolling means
+    # at t=1 see only the first row)
+    assert got[("A", 1)]["bb_mid"] == got[("A", 1)]["close"]
