@@ -51,6 +51,7 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windo
     daily_window_summary,
 )
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+    bpe_ish_tokens,
     fingerprint,
     language_guess,
     quality_score,
@@ -65,6 +66,7 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup
 )
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
     brute_force_knn,
+    embedding_near_dup_pairs,
     lsh_knn,
 )
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.joins import (
@@ -1196,6 +1198,49 @@ ORDER BY doc_a, doc_b
 """
 
 
+def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup (exact all-pairs baseline at
+    verification scale; embedding_near_dup_pairs(lsh_planes=...) is the
+    bucketed scale path, recall-tested in tests/test_text_dedup.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+_EMB_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def d_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish regex variant: letter/digit/punct runs via
+    regexp_extract_all (whitespace counting lives in d_token_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = bpe_ish_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+_D_BPE_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+           AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(
+           text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')))
+           AS n_unique_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 10
     (broadcast queries x partitioned corpus — the exact-kNN scale plan)."""
@@ -1272,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_pairs": d_simhash_pairs,
         "emb_ann_topk": emb_ann_topk,
         "emb_lsh_ann": emb_lsh_ann,
+        "emb_cosine_neardup": emb_cosine_neardup,
+        "d_bpe_tokens": d_bpe_tokens,
         "j_asof_orders": j_asof_orders,
         "j_semi_active_customers": j_semi_active_customers,
         "j_anti_inactive_customers": j_anti_inactive_customers,
@@ -1317,6 +1364,8 @@ def oracle_sql() -> dict[str, str]:
         "d_simhash": _simhash_sql(),
         "d_simhash_pairs": _simhash_pairs_sql(),
         "emb_ann_topk": _EMB_ANN_SQL,
+        "emb_cosine_neardup": _EMB_NEARDUP_SQL,
+        "d_bpe_tokens": _D_BPE_SQL,
         # emb_lsh_ann: intentionally no oracle (approximate, non-SQL path;
         # recall asserted against brute force in tests) -> rows-only check.
         "j_asof_orders": _J_ASOF_SQL,
@@ -1362,6 +1411,7 @@ HEADLINE_QUERIES = [
     "d_fingerprint",
     "d_exact_dedup",
     "d_simhash",
+    "d_bpe_tokens",
     "emb_ann_topk",
     "emb_lsh_ann",
     "j_asof_orders",

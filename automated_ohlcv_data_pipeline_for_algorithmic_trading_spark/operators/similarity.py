@@ -80,6 +80,56 @@ def brute_force_knn(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_planes: int | None = None,
+    lsh_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) with
+    cosine >= threshold and a < b.
+
+    ``lsh_planes=None`` does exact all-pairs (the validation baseline);
+    with planes set, candidates come from multi-table hyperplane buckets
+    first — the scale path: high-cosine pairs collide in some table with
+    probability 1-(1-(1-theta/pi)^planes)^tables, and only candidates pay
+    the exact cosine."""
+    base = df.select(id_col, vec_col)
+    n = with_norm(base, vec_col)
+    a = n.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_emb").alias("emb_a"),
+        F.col("_norm").alias("norm_a"),
+    )
+    b = n.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_emb").alias("emb_b"),
+        F.col("_norm").alias("norm_b"),
+    )
+    if lsh_planes is None:
+        pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    else:
+        buckets = hyperplane_buckets(base, lsh_planes, dim, vec_col, lsh_tables)
+        ba = buckets.select(F.col(id_col).alias("doc_a"), "bucket")
+        bb = buckets.select(F.col(id_col).alias("doc_b"), "bucket")
+        cand = (
+            ba.join(bb, "bucket")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        pairs = cand.join(a, "doc_a").join(b, "doc_b")
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        pairs.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("doc_a", "doc_b", F.round("_cos", 6).alias("cosine"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplane) bucketing — the approximate scale path
 # ---------------------------------------------------------------------------

@@ -60,6 +60,18 @@ def token_stats(df: DataFrame, text_col: str = "text", id_cols=("doc_id",)) -> D
     )
 
 
+#: BPE-ish pre-tokenization regex (letter runs / digit runs / punctuation
+#: runs, leading-space tolerant) — the GPT-2-style pre-tokenizer shape in a
+#: dialect both Spark and DuckDB regex engines agree on.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokenization: array of letter/digit/punct runs."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def _hits(toks: Column, words: tuple[str, ...]) -> Column:
     wordlist = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t)))

@@ -93,6 +93,30 @@ def test_simhash_similar_docs_close(docs):
     assert pairs[(0, 3)] == 0
 
 
+def test_embedding_neardup_lsh_path_subset_of_exact(spark, sf_dir):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.3, lsh_planes=4, lsh_tables=8
+        ).collect()
+    }
+    assert lsh <= exact  # candidates are exact-verified, never invented
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5  # OR-amplified recall holds
+
+
 def test_knn_brute_force_and_lsh_recall(spark, sf_dir):
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
         load_table,
