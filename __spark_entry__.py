@@ -53,6 +53,7 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windo
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
     bpe_ish_tokens,
     fingerprint,
+    kgram_bottomk_fingerprint,
     language_guess,
     quality_score,
     token_stats,
@@ -67,6 +68,7 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
     brute_force_knn,
     embedding_near_dup_pairs,
+    ivf_knn,
     lsh_knn,
 )
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.joins import (
@@ -1241,6 +1243,53 @@ FROM documents ORDER BY doc_id
 """
 
 
+def d_kgram_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: bottom-4 sketch of char-8-gram
+    hashes, plus the collapsed md5 fingerprint (sketch array kept out of
+    the comparison — engines stringify arrays differently)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = kgram_bottomk_fingerprint(docs)
+    return out.select(
+        "doc_id",
+        F.size("fingerprint_sketch").cast("long").alias("sketch_size"),
+        "fingerprint",
+    ).orderBy("doc_id")
+
+
+_D_KGRAM_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+             generate_series(1, greatest(length(lower(text)) - 7, 1)),
+             i -> substr(lower(text), CAST(i AS INTEGER), 8)) AS grams
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+             grams, x -> CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)))) AS hs
+  FROM g
+),
+s AS (SELECT doc_id, hs[1:4] AS sketch FROM h)
+SELECT doc_id,
+       len(sketch) AS sketch_size,
+       md5(array_to_string(list_transform(sketch, x -> CAST(x AS VARCHAR)), ','))
+           AS fingerprint
+FROM s ORDER BY doc_id
+"""
+
+
+def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN: k-means coarse quantizer (pyspark.ml), search
+    limited to n_probe nearest cells. No SQL oracle (iterative clustering
+    is not SQL-expressible) -> rows-only check; recall vs brute force is
+    asserted in tests/test_ivf_fingerprint.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_knn(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=8, n_probe=3
+    ).orderBy("query_id", "rank")
+
+
 def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 10
     (broadcast queries x partitioned corpus — the exact-kNN scale plan)."""
@@ -1319,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_ann": emb_lsh_ann,
         "emb_cosine_neardup": emb_cosine_neardup,
         "d_bpe_tokens": d_bpe_tokens,
+        "d_kgram_fingerprint": d_kgram_fingerprint,
+        "emb_ivf_ann": emb_ivf_ann,
         "j_asof_orders": j_asof_orders,
         "j_semi_active_customers": j_semi_active_customers,
         "j_anti_inactive_customers": j_anti_inactive_customers,
@@ -1366,6 +1417,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_topk": _EMB_ANN_SQL,
         "emb_cosine_neardup": _EMB_NEARDUP_SQL,
         "d_bpe_tokens": _D_BPE_SQL,
+        "d_kgram_fingerprint": _D_KGRAM_SQL,
+        # emb_ivf_ann: no oracle (iterative k-means) -> rows-only check
         # emb_lsh_ann: intentionally no oracle (approximate, non-SQL path;
         # recall asserted against brute force in tests) -> rows-only check.
         "j_asof_orders": _J_ASOF_SQL,
@@ -1412,6 +1465,8 @@ HEADLINE_QUERIES = [
     "d_exact_dedup",
     "d_simhash",
     "d_bpe_tokens",
+    "d_kgram_fingerprint",
+    "emb_ivf_ann",
     "emb_ann_topk",
     "emb_lsh_ann",
     "j_asof_orders",

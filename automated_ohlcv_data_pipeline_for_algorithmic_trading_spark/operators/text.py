@@ -117,6 +117,37 @@ def language_guess(df: DataFrame, text_col: str = "text", id_cols=("doc_id",)) -
     return out.withColumn("lang_guess", F.when(mx > 0, guess).otherwise(F.lit("und")))
 
 
+def kgram_bottomk_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols=("doc_id",),
+    k: int = 8,
+    sketch_size: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprint: hash every character k-gram
+    (the values a Rabin-Karp rolling scan produces — computed here
+    directly per gram, which parallelizes; "rolling" is a single-threaded
+    optimization, not a semantic), then keep the bottom-``sketch_size``
+    hashes as the document's fingerprint sketch. Near-identical documents
+    share most of their sketch (bottom-k is an unbiased set sketch, the
+    winnowing-family trick)."""
+    txt = F.lower(F.col(text_col))
+    n = F.length(txt)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: txt.substr(i, F.lit(k)),
+    )
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long")
+    )
+    sketch = F.slice(F.array_sort(F.array_distinct(hashes)), 1, sketch_size)
+    return df.select(
+        *id_cols,
+        sketch.alias("fingerprint_sketch"),
+        F.md5(F.concat_ws(",", sketch.cast("array<string>"))).alias("fingerprint"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_cols=("doc_id",)) -> DataFrame:
     """Document fingerprinting: md5 of the raw text (exact identity) and
     md5 of the sorted unique token set (content identity, robust to token

@@ -1,0 +1,51 @@
+"""IVF kNN recall vs brute force; rolling k-gram bottom-k fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+    brute_force_knn,
+    ivf_knn,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+    kgram_bottomk_fingerprint,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+    load_table,
+)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {}
+    for r in brute_force_knn(queries, emb, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ivf_knn(queries, emb, k=5, n_lists=8, n_probe=3).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+    # every returned neighbor must be a real corpus id, ranked 1..5
+    for q, r in approx.items():
+        assert len(r) <= 5
+
+
+def test_kgram_fingerprint_near_dup_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "an utterly different sentence about engines"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "tiny"),  # shorter than k -> single padded gram, no crash
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in kgram_bottomk_fingerprint(docs).collect()}
+    assert out[0]["fingerprint"] == out[3]["fingerprint"]  # identical docs
+    s0, s1, s2 = (set(out[i]["fingerprint_sketch"]) for i in (0, 1, 2))
+    assert len(s0 & s1) > len(s0 & s2)  # near-dups share sketch entries
+    assert out[4]["fingerprint_sketch"]  # degenerate doc still fingerprints
