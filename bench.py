@@ -93,6 +93,7 @@ def main() -> None:
     raw_shape.unpersist()
 
     total = round(sum(timings.values()), 3)
+    query_only = {k: v for k, v in timings.items() if k != "etl_bronze_silver_500sym"}
     print(
         json.dumps(
             {
@@ -101,6 +102,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_num,
+                # BASELINE.md comparison aids: reference analytics queries
+                # run 2-5 s each (Lambda, warm); reference ETL day-batch
+                # runs 5-10 s for ~15k records / 500 symbols.
+                "n_queries": len(query_only),
+                "mean_query_sec": round(sum(query_only.values()) / len(query_only), 3),
+                "max_query_sec": round(max(query_only.values()), 3),
+                "etl_sec": timings.get("etl_bronze_silver_500sym"),
             }
         )
     )
