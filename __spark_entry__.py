@@ -1247,7 +1247,11 @@ def d_kgram_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: bottom-4 sketch of char-8-gram
     hashes, plus the collapsed md5 fingerprint (sketch array kept out of
     the comparison — engines stringify arrays differently)."""
-    docs = _t(spark, sf_dir, "documents")
+    # small parquet = 1 input split; the per-row work (~1k md5 grams/doc)
+    # is the cost, so spread rows across cores before the transform
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = kgram_bottomk_fingerprint(docs)
     return out.select(
         "doc_id",

@@ -102,7 +102,12 @@ def ivf_knn(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     to_vec = array_to_vector(_as_double(F.col(vec_col)))
-    corpus_v = corpus.select(id_col, vec_col).withColumn("_v", to_vec)
+    # spread the corpus across cores before the iterative fit — a single
+    # small input file would otherwise serialize every k-means pass
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus_v = (
+        corpus.select(id_col, vec_col).repartition(par).withColumn("_v", to_vec)
+    )
     km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_cell")
     model = km.fit(corpus_v)
     corpus_cells = model.transform(corpus_v).select(
