@@ -912,6 +912,35 @@ ORDER BY user_id, session_id
 """
 
 
+def e_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) per key — Spark
+    `percentile` == DuckDB `quantile_cont` (both linear interpolation on
+    the sorted values; rounded to absorb last-ulp interpolation-formula
+    differences). `percentile_approx` is the documented scale path when
+    exact sort-based percentiles get too heavy."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_E_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def e_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 at query level — exact distinct active users per day (the
     `approx_count_distinct` scale variant lives in the library; exact here
@@ -1386,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cube_rollup": x_cube_rollup,
         "e_sessionize": e_sessionize,
         "e_distinct_daily_users": e_distinct_daily_users,
+        "e_percentiles": e_percentiles,
         "q17_small_quantity_avg": q17_small_quantity_avg,
         "s_stream_hourly": s_stream_hourly,
     }
@@ -1437,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
         "x_cube_rollup": _X_CUBE_SQL,
         "e_sessionize": _E_SESSION_SQL,
         "e_distinct_daily_users": _E_DISTINCT_SQL,
+        "e_percentiles": _E_PERCENTILES_SQL,
         "q17_small_quantity_avg": _Q17_SQL,
         "s_stream_hourly": _S_STREAM_SQL,
     }
@@ -1485,6 +1516,7 @@ HEADLINE_QUERIES = [
     "x_cube_rollup",
     "e_sessionize",
     "e_distinct_daily_users",
+    "e_percentiles",
     "q17_small_quantity_avg",
     "s_stream_hourly",
 ]
