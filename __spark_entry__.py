@@ -1352,13 +1352,52 @@ WHERE rank <= 5 ORDER BY query_id, rank
 
 def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN via deterministic random-hyperplane LSH buckets —
-    the 2^planes-cheaper scale path (recall vs brute force is asserted in
-    tests/test_similarity.py; no SQL oracle — bucketing is not reasonably
-    SQL-expressible)."""
+    the 2^planes-cheaper scale path. The hyperplanes are md5-derived, so
+    even this *approximate* operator has an exact oracle: the SQL twin
+    regenerates identical planes/buckets/candidates."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_knn(
         emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=4, n_tables=8
     ).orderBy("query_id", "rank")
+
+
+def _lsh_ann_sql(n_planes: int = 4, n_tables: int = 8, dim: int = 64) -> str:
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        _hyperplane_component,
+    )
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            idx = t * n_planes + p
+            w = "[" + ", ".join(
+                repr(_hyperplane_component(idx, d)) for d in range(dim)
+            ) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(emb, {w}) > 0 THEN {2**p} ELSE 0 END)"
+            )
+        bucket_exprs.append(f"({t * 2**n_planes} + " + " + ".join(bits) + ")")
+    buckets = ", ".join(bucket_exprs)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+b AS (SELECT vec_id, unnest([{buckets}]) AS bucket FROM e),
+qb AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 10),
+cb AS (SELECT vec_id AS neighbor_id, bucket FROM b),
+cand AS (SELECT DISTINCT query_id, neighbor_id
+         FROM cb JOIN qb USING (bucket) WHERE neighbor_id <> query_id),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
+  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1453,8 +1492,7 @@ def oracle_sql() -> dict[str, str]:
         "d_bpe_tokens": _D_BPE_SQL,
         "d_kgram_fingerprint": _D_KGRAM_SQL,
         # emb_ivf_ann: no oracle (iterative k-means) -> rows-only check
-        # emb_lsh_ann: intentionally no oracle (approximate, non-SQL path;
-        # recall asserted against brute force in tests) -> rows-only check.
+        "emb_lsh_ann": _lsh_ann_sql(),
         "j_asof_orders": _J_ASOF_SQL,
         "j_semi_active_customers": _J_SEMI_SQL,
         "j_anti_inactive_customers": _J_ANTI_SQL,
