@@ -25,11 +25,15 @@ def clean_symbol(symbol: ColumnOrName) -> Column:
 
 
 def normalize_symbol(symbol: ColumnOrName) -> Column:
-    """F2 — canonicalize user input to the full form: upper/trim, add
-    ``NSE:`` prefix and ``-EQ`` suffix when missing (api/api_handler.py:592-612)."""
+    """F2 — canonicalize user input (api/api_handler.py:592-612): upper +
+    trim; anything already exchange-qualified (contains ':') passes
+    through unchanged — even without '-EQ'; bare names become
+    ``NSE:{name}-EQ`` (or ``NSE:{name}`` when '-EQ' was already given)."""
     s = F.upper(F.trim(_col(symbol)))
-    s = F.when(s.contains(":"), s).otherwise(F.concat(F.lit("NSE:"), s))
-    return F.when(s.endswith("-EQ"), s).otherwise(F.concat(s, F.lit("-EQ")))
+    bare = F.when(
+        s.endswith("-EQ"), F.concat(F.lit("NSE:"), s)
+    ).otherwise(F.concat(F.lit("NSE:"), s, F.lit("-EQ")))
+    return F.when(s.contains(":"), s).otherwise(bare)
 
 
 def epoch_to_timestamp(epoch: ColumnOrName) -> Column:

@@ -20,9 +20,13 @@ DEFAULT_PERIOD = timedelta(days=30)
 
 
 def period_to_timedelta(period: str) -> timedelta:
-    """'3m' -> 90 days, '30d' -> 30 days, '2y' -> 730 days."""
-    m = _PERIOD_RE.match((period or "").strip())
+    """'3m' -> 90 days, '30d' -> 30 days, '2y' -> 730 days; a bare number
+    ('45') is days (api/api_handler.py:763-764 ``days = int(token)``)."""
+    token = (period or "").strip()
+    m = _PERIOD_RE.match(token)
     if not m:
+        if token.isdigit():
+            return timedelta(days=int(token))
         return DEFAULT_PERIOD
     n, unit = int(m.group(1)), m.group(2).lower()
     days = {"d": 1, "m": 30, "y": 365}[unit]
@@ -30,9 +34,13 @@ def period_to_timedelta(period: str) -> timedelta:
 
 
 def interval_to_minutes(interval: str, default: int = 5) -> int:
-    """'5m' -> 5, '1h' -> 60, '1d' -> 1440."""
-    m = _INTERVAL_RE.match((interval or "").strip())
+    """'5m' -> 5, '1h' -> 60, '1d' -> 1440; a bare number ('15') is
+    minutes (api/api_handler.py:784-785 fallback)."""
+    token = (interval or "").strip()
+    m = _INTERVAL_RE.match(token)
     if not m:
+        if token.isdigit():
+            return int(token)
         return default
     n, unit = int(m.group(1)), m.group(2).lower()
     return n * {"m": 1, "h": 60, "d": 1440}[unit]

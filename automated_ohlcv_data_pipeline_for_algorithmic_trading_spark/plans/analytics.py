@@ -19,7 +19,7 @@ from ..functions.candles import price_change_cols
 from ..functions.timeparse import interval_to_minutes, period_to_timedelta
 from ..operators.dedup import dedup_by_key
 from ..operators.resample import resample_candles
-from ..operators.rollup import daily_rollup, latest_snapshot
+from ..operators.rollup import latest_snapshot, ohlcv_daily_rollup
 from ..operators.topk import tail_limit, top_movers
 
 
@@ -35,10 +35,7 @@ def symbol_stats(silver: DataFrame, symbol_clean: str, date: str) -> DataFrame:
     """query_type=symbol_stats — one symbol, one day, the A1 rollup
     (analytics/lambda_analytics.py:99-207)."""
     day = _day_filter(silver.filter(F.col("symbol_clean") == symbol_clean), date)
-    return daily_rollup(
-        day, ["symbol_clean"], "timestamp_iso", "close", "volume",
-        tiebreak="timestamp_unix",
-    )
+    return ohlcv_daily_rollup(day, ["symbol_clean"])
 
 
 def daily_summary(silver: DataFrame, date: str) -> DataFrame:
@@ -46,10 +43,7 @@ def daily_summary(silver: DataFrame, date: str) -> DataFrame:
     price-change columns, sorted by pct desc
     (analytics/lambda_analytics.py:210-321)."""
     day = _day_filter(silver, date)
-    rolled = daily_rollup(
-        day, ["symbol_clean"], "timestamp_iso", "close", "volume",
-        tiebreak="timestamp_unix",
-    )
+    rolled = ohlcv_daily_rollup(day, ["symbol_clean"])
     return price_change_cols(rolled).orderBy(F.col("price_change_percent").desc())
 
 
@@ -59,16 +53,12 @@ def date_range_stats(
     """query_type=date_range — per-day rollups across a range; the
     reference loops days sequentially (analytics/lambda_analytics.py:324-344),
     here it is one pruned scan + one groupBy."""
-    return daily_rollup(
+    return ohlcv_daily_rollup(
         silver.filter(
             (F.col("symbol_clean") == symbol_clean)
             & F.to_date("timestamp_iso").between(from_date, to_date)
         ),
         ["symbol_clean"],
-        "timestamp_iso",
-        "close",
-        "volume",
-        tiebreak="timestamp_unix",
     ).orderBy("trade_date")
 
 

@@ -21,17 +21,23 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.close_onl
 
 def test_symbol_cleaning_and_normalization(spark):
     df = spark.createDataFrame(
-        [("NSE:RELIANCE-EQ",), ("reliance",), (" tcs ",), ("NSE:INFY-EQ",)],
+        [("NSE:RELIANCE-EQ",), ("reliance",), (" tcs ",), ("NSE:INFY-EQ",),
+         ("BSE:X",), ("hdfc-eq",)],
         "symbol string",
     )
     out = df.select(
         clean_symbol("symbol").alias("clean"),
         normalize_symbol("symbol").alias("norm"),
     ).collect()
-    assert [r["clean"] for r in out] == ["RELIANCE", "reliance", " tcs ", "INFY"]
+    assert [r["clean"] for r in out[:4]] == ["RELIANCE", "reliance", " tcs ", "INFY"]
     assert out[1]["norm"] == "NSE:RELIANCE-EQ"
     assert out[2]["norm"] == "NSE:TCS-EQ"
     assert out[0]["norm"] == "NSE:RELIANCE-EQ"  # already canonical
+    # exchange-qualified without -EQ passes through UNCHANGED (reference
+    # api_handler falls through without appending)
+    assert out[4]["norm"] == "BSE:X"
+    # bare name that already carries -EQ only gains the prefix
+    assert out[5]["norm"] == "NSE:HDFC-EQ"
 
 
 def test_period_and_interval_tokens():
@@ -44,6 +50,10 @@ def test_period_and_interval_tokens():
     assert interval_to_minutes("1h") == 60
     assert interval_to_minutes("1d") == 1440
     assert interval_to_minutes("??", default=5) == 5
+    # bare numeric tokens: days for periods, minutes for intervals
+    # (reference fallback branches)
+    assert period_to_timedelta("45").days == 45
+    assert interval_to_minutes("15") == 15
 
 
 def test_epoch_unit_heuristic(spark):

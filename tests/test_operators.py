@@ -52,6 +52,33 @@ def test_daily_rollup_ordered_first_last(candles):
     assert out[("B", "2024-01-01")]["open"] == 50.0
 
 
+def test_ohlcv_daily_rollup_uses_own_columns(spark):
+    """Parity pin (analytics/lambda_analytics.py:146-166): day open is the
+    FIRST row's OPEN column, day close the LAST row's CLOSE column — not
+    first/last of a single price series."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.rollup import (
+        ohlcv_daily_rollup,
+    )
+
+    rows = [
+        # symbol, ts, epoch, open, high, low, close, volume
+        ("A", ts("2024-01-01 09:15:00"), 1, 100.0, 106.0, 99.0, 104.0, 10),
+        ("A", ts("2024-01-01 09:20:00"), 2, 104.0, 105.0, 98.0, 101.0, 20),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, timestamp_iso timestamp, timestamp_unix long, "
+        "open double, high double, low double, close double, volume long",
+    )
+    r = ohlcv_daily_rollup(df, ["symbol"]).collect()[0]
+    assert r["open"] == 100.0      # first OPEN, not first close (104)
+    assert r["close"] == 101.0     # last CLOSE, not last open (104)
+    assert r["high"] == 106.0 and r["low"] == 98.0
+    assert r["volume"] == 30.0
+    assert abs(r["avg_price"] - 102.5) < 1e-12  # mean of CLOSE
+    assert r["num_records"] == 2
+
+
 def test_dedup_directions(spark):
     rows = [("A", 1, 10.0, 1), ("A", 1, 11.0, 2), ("A", 2, 12.0, 3)]
     df = spark.createDataFrame(rows, "symbol string, t long, price double, seq long")
