@@ -74,9 +74,20 @@ def main() -> int:
             print(f"ROWS  {name}: {len(s_rows)} rows (no oracle) [{spark_t:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            # Mirror the driver: materialize through pandas so dtype
+            # quirks (e.g. HUGEINT -> float64 turning 3 into 3.0) are
+            # caught here instead of only in the driver's gate.
+            cur = con.execute(oracles[name])
+            date_cols = {d[0] for d in cur.description if str(d[1]).upper() == "DATE"}
+            ddf = cur.df()
+            ddf = ddf.astype(object).where(ddf.notna(), None)
+            for c in date_cols:
+                ddf[c] = ddf[c].map(lambda v: v.date() if v is not None else None)
+            d_cols = list(ddf.columns)
+            d_rows = [
+                tuple(x.item() if hasattr(x, "item") else x for x in row)
+                for row in ddf.itertuples(index=False, name=None)
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
