@@ -1313,14 +1313,90 @@ FROM s ORDER BY doc_id
 
 
 def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate kNN: k-means coarse quantizer (pyspark.ml), search
-    limited to n_probe nearest cells. No SQL oracle (iterative clustering
-    is not SQL-expressible) -> rows-only check; recall vs brute force is
-    asserted in tests/test_ivf_fingerprint.py."""
+    """IVF approximate kNN: deterministic Lloyd's k-means coarse quantizer
+    (md5-seeded init + fixed iterations + decimal-exact means — see
+    seeded_centroids), search limited to n_probe nearest cells. Because
+    the fit is engine-independent, even this *approximate*, iterative
+    operator has an exact SQL oracle: _ivf_ann_sql unrolls the same
+    iterations in DuckDB. Recall vs brute force is asserted in
+    tests/test_ivf_fingerprint.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_knn(
         emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=8, n_probe=3
     ).orderBy("query_id", "rank")
+
+
+def _ivf_ann_sql(
+    n_lists: int = 8, n_probe: int = 3, k: int = 5, n_iter: int = 2, dim: int = 64
+) -> str:
+    """DuckDB replay of the seeded-k-means IVF search: same md5-bottom-k
+    init, same unrolled Lloyd iterations with decimal-exact means, same
+    sequential-fold distances -> bit-identical centroids and results."""
+    d2 = (
+        "list_dot_product(s.emb, s.emb) + list_dot_product(c.centroid, c.centroid)"
+        " - 2.0 * list_dot_product(s.emb, c.centroid)"
+    )
+
+    def assign(src: str, cents: str) -> str:
+        return f"""(
+  SELECT vec_id, emb, cell FROM (
+    SELECT s.vec_id, s.emb, c.cell,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM {src} s CROSS JOIN {cents} c)
+  WHERE rn = 1)"""
+
+    def means(assigned: str) -> str:
+        return f"""(
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+    SELECT cell, i AS pos,
+           CAST(sum(CAST(emb[i] AS DECIMAL(38,6))) AS DOUBLE) / count(emb[i]) AS m
+    FROM {assigned}, generate_series(1, {dim}) t(i)
+    GROUP BY cell, i)
+  GROUP BY cell)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS emb FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS cell,
+         emb AS centroid
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_lists})""",
+    ]
+    cur = "c0"
+    for i in range(n_iter):
+        ctes.append(f"a{i} AS {assign('e', cur)}")
+        cur = f"c{i + 1}"
+        ctes.append(f"{cur} AS {means(f'a{i}')}")
+    ctes.append(f"af AS {assign('e', cur)}")
+    ctes.append(f"""probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM e s CROSS JOIN {cur} c WHERE s.vec_id < 10)
+  WHERE rn <= {n_probe})""")
+    ctes.append(
+        "n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)"
+    )
+    ctes.append("""cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM af a JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id)""")
+    ctes.append("""scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
+  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id)""")
+    with_block = ",\n".join(ctes)
+    return f"""
+WITH {with_block}
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
 
 
 def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1491,7 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_neardup": _EMB_NEARDUP_SQL,
         "d_bpe_tokens": _D_BPE_SQL,
         "d_kgram_fingerprint": _D_KGRAM_SQL,
-        # emb_ivf_ann: no oracle (iterative k-means) -> rows-only check
+        "emb_ivf_ann": _ivf_ann_sql(),
         "emb_lsh_ann": _lsh_ann_sql(),
         "j_asof_orders": _J_ASOF_SQL,
         "j_semi_active_customers": _J_SEMI_SQL,

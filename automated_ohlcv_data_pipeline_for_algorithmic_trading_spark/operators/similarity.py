@@ -80,6 +80,86 @@ def brute_force_knn(
     )
 
 
+def _cell_dist2(x: Column, c: Column) -> Column:
+    """Squared L2 distance via ``|x|^2 + |c|^2 - 2<x,c>`` with sequential
+    fold dots — the exact expression the DuckDB oracle replays with
+    ``list_dot_product``, so assignments are bit-identical cross-engine."""
+    return dot(x, x) + dot(c, c) - F.lit(2.0) * dot(x, c)
+
+
+def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (_vid, _x) x broadcast(cell, centroid)
+    -> (_vid, _x, _cell), ties broken by lowest cell id."""
+    j = base.join(F.broadcast(cents))
+    w = Window.partitionBy("_vid").orderBy(F.col("_d2").asc(), F.col("cell").asc())
+    return (
+        j.withColumn("_d2", _cell_dist2(F.col("_x"), F.col("centroid")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_vid", "_x", F.col("cell").alias("_cell"))
+    )
+
+
+def seeded_centroids(
+    corpus: DataFrame,
+    n_lists: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means coarse quantizer, DataFrame-only.
+
+    - init: the ``n_lists`` corpus vectors with smallest ``(md5(id), id)``
+      — an order-independent pseudo-random sample any engine reproduces;
+    - ``n_iter`` fixed Lloyd iterations; per-dim means via exact decimal
+      sums (partition-count-invariant, see functions/exact.py);
+    - assignment distance through :func:`_cell_dist2` sequential dots.
+
+    Unlike ``pyspark.ml`` KMeans (whose k-means|| init and double
+    accumulation depend on partitioning), the result is bit-identical on
+    any cluster size AND replayable in plain SQL — ``_ivf_ann_sql`` in
+    ``__spark_entry__`` regenerates the same centroids inside DuckDB, so
+    even the *approximate* IVF query has an exact oracle. Cells that lose
+    all members simply drop out on both engines. Returns
+    ``(cell int, centroid array<double>)``.
+    """
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.functions.exact import davg
+
+    base = corpus.select(
+        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
+    )
+    seeded = base.withColumn(
+        "_h", F.md5(F.col("_vid").cast("string").cast("binary"))
+    )
+    # bottom-k by hash (TakeOrdered — no full sort at scale), then number
+    # the k seed rows; the window spans only n_lists rows.
+    seeds = seeded.orderBy("_h", "_vid").limit(n_lists)
+    w0 = Window.orderBy("_h", "_vid")
+    cents = seeds.withColumn("cell", F.row_number().over(w0) - 1).select(
+        "cell", F.col("_x").alias("centroid")
+    )
+    for _ in range(n_iter):
+        assigned = _assign_cells(base, cents)
+        el = assigned.select("_cell", F.posexplode("_x").alias("_pos", "_val"))
+        dims = el.groupBy("_cell", "_pos").agg(davg("_val", "_m"))
+        cents = (
+            dims.groupBy("_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
+            .select(
+                F.col("_cell").alias("cell"),
+                F.transform("_pm", lambda s: s["_m"]).alias("centroid"),
+            )
+        )
+    # materialize the <= n_lists centroid rows (same driver-side footprint
+    # as pyspark.ml's clusterCenters()): downstream corpus assignment and
+    # query probing both consume the table, and without this each would
+    # re-execute the whole iterative lineage.
+    rows = [(r["cell"], list(r["centroid"])) for r in cents.collect()]
+    return corpus.sparkSession.createDataFrame(
+        rows, "cell int, centroid array<double>"
+    )
+
+
 def ivf_knn(
     queries: DataFrame,
     corpus: DataFrame,
@@ -89,17 +169,67 @@ def ivf_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit: str = "seeded",
+    n_iter: int = 2,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate kNN: k-means coarse quantizer over
-    the corpus; each query scans only its ``n_probe`` nearest cells.
+    """IVF (inverted-file) approximate kNN: a coarse quantizer over the
+    corpus; each query scans only its ``n_probe`` nearest cells.
 
+    ``fit="seeded"`` (default) uses :func:`seeded_centroids` — the
+    deterministic, oracle-replayable quantizer. ``fit="ml"`` uses
+    ``pyspark.ml`` KMeans (converged centroids, engine-dependent bits).
     The centroid fit is a one-off (cheap, sampled at real scale); the
     search is an equi-join on cell id — scanned candidates drop by
     ~n_lists/n_probe. Output matches brute_force_knn's shape; recall is
     validated against it in tests.
     """
+    if fit == "ml":
+        cdf = _ml_kmeans_centroids(corpus, n_lists, id_col, vec_col, seed)
+    else:
+        cdf = seeded_centroids(corpus, n_lists, n_iter, id_col, vec_col)
+    base = corpus.select(
+        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
+    )
+    corpus_cells = _assign_cells(base, cdf).select(
+        F.col("_vid").alias("neighbor_id"), F.col("_x").alias("_cvec"), "_cell"
+    )
+    qbase = queries.select(
+        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
+    )
+    jq = qbase.join(F.broadcast(cdf))
+    wq = Window.partitionBy("_vid").orderBy(F.col("_d2").asc(), F.col("cell").asc())
+    probes = (
+        jq.withColumn("_d2", _cell_dist2(F.col("_x"), F.col("centroid")))
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select(F.col("_vid").alias("query_id"), F.col("_x").alias("_qvec"),
+                F.col("cell").alias("_cell"))
+    )
+    pairs = corpus_cells.join(F.broadcast(probes), "_cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = dot(F.col("_qvec"), F.col("_cvec")) / (
+        l2_norm(F.col("_qvec")) * l2_norm(F.col("_cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rank")
+    )
+
+
+def _ml_kmeans_centroids(
+    corpus: DataFrame, n_lists: int, id_col: str, vec_col: str, seed: int
+) -> DataFrame:
+    """pyspark.ml KMeans fit -> (cell, centroid) table (converged but
+    engine/partitioning-dependent — not oracle-replayable)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from pyspark.ml.functions import array_to_vector
 
     to_vec = array_to_vector(_as_double(F.col(vec_col)))
     # spread the corpus across cores before the iterative fit — a single
@@ -110,43 +240,11 @@ def ivf_knn(
     )
     km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_cell")
     model = km.fit(corpus_v)
-    corpus_cells = model.transform(corpus_v).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "_cell"
-    )
-    # centroid table (tiny) -> for each query, its n_probe nearest cells
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    cdf = queries.sparkSession.createDataFrame(
-        centroids, f"_cell int, _centroid array<double>"
-    )
-    qv = queries.select(id_col, vec_col).withColumn("_q", _as_double(F.col(vec_col)))
-    qc = qv.join(F.broadcast(cdf))
-    dist2 = F.aggregate(
-        F.zip_with(F.col("_q"), F.col("_centroid"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    wq = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("_cell").asc())
-    probes = (
-        qc.withColumn("_d2", dist2)
-        .withColumn("_r", F.row_number().over(wq))
-        .filter(F.col("_r") <= n_probe)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "_cell")
-    )
-    pairs = corpus_cells.join(F.broadcast(probes), "_cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    qa, ca = _as_double(F.col("_qvec")), _as_double(F.col("_cvec"))
-    cos = dot(qa, ca) / (l2_norm(qa) * l2_norm(ca))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("_cos", cos)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rank")
+    return corpus.sparkSession.createDataFrame(
+        centroids, "cell int, centroid array<double>"
     )
 
 

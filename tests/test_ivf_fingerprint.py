@@ -33,6 +33,30 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         assert len(r) <= 5
 
 
+def test_ivf_ml_fit_path(spark, sf_dir):
+    """pyspark.ml KMeans quantizer variant keeps the same output shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    rows = ivf_knn(queries, emb, k=3, n_lists=4, n_probe=2, fit="ml").collect()
+    assert rows and {r["query_id"] for r in rows} <= {0, 1, 2}
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+
+
+def test_seeded_centroids_partitioning_invariant(spark, sf_dir):
+    """The deterministic fit must not depend on input partitioning — the
+    property that makes the DuckDB oracle replay exact."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = seeded_centroids(emb, n_lists=4, n_iter=1).collect()
+    b = seeded_centroids(emb.repartition(7), n_lists=4, n_iter=1).collect()
+    ca = {r["cell"]: r["centroid"] for r in a}
+    cb = {r["cell"]: r["centroid"] for r in b}
+    assert ca == cb  # bit-identical, not approximately equal
+
+
 def test_kgram_fingerprint_near_dup_overlap(spark):
     docs = spark.createDataFrame(
         [
