@@ -148,7 +148,10 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     (+1 if bit j of h else -1) is positive. Implemented as explode ->
     32 conditional sums -> bit recombination; one shuffle on doc id.
     """
-    toks = with_token_set(df.select(id_col, text_col), text_col)
+    # single small input file = one split; spread rows before the
+    # token-explode + md5 map side so it doesn't run on one core
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = with_token_set(df.select(id_col, text_col).repartition(par), text_col)
     exploded = toks.select(
         id_col, F.explode("token_set").alias("t")
     ).withColumn(
@@ -173,18 +176,68 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bucketed: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming distance over 32-bit sketches.
 
-    All-pairs here (ints only, cheap); at scale, join on 8-bit prefix
-    buckets of the sketch (pigeonhole over 4 chunks for max_hamming<=3)."""
+    Bucketed (default): split the sketch into 4 byte chunks; hamming <= 3
+    means at least one chunk is EQUAL (pigeonhole), so candidates come
+    from equi-joins on (chunk_index, chunk_value) — one shuffle over 4n
+    rows instead of an all-pairs theta join, and the result is *exactly*
+    the all-pairs answer, not an approximation. ``bucketed=False`` keeps
+    the naive theta join as a small-data cross-check (tests compare the
+    two). For max_hamming > 3 the pigeonhole guarantee needs
+    ceil(32 / (max_hamming + 1))-bit chunks; this implementation fixes 4
+    chunks and therefore requires max_hamming <= 3.
+    """
     sk = simhash32(df, text_col, id_col)
-    a = sk.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sk_a"))
-    b = sk.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sk_b"))
+    if bucketed:
+        # both sides of the self-join consume the sketch table; without
+        # materialization lineage recomputes the token explode twice
+        sk = sk.localCheckpoint()
+    if not bucketed:
+        a = sk.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sk_a"))
+        b = sk.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sk_b"))
+        ham = F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+        return (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming")
+        )
+    if max_hamming > 3:
+        raise ValueError("bucketed simhash join supports max_hamming <= 3")
+    chunk = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c")
+    ch = sk.select(id_col, "simhash", chunk).withColumn(
+        "ckey", F.expr("shiftrightunsigned(simhash, c * 8) & 255")
+    )
+    a = ch.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sk_a"), "c", "ckey"
+    )
+    b = ch.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sk_b"), "c", "ckey"
+    )
+    # each pair may collide in up to 4 chunks; emit it only from the FIRST
+    # matching chunk (a codegen'd predicate on the sketches already in the
+    # row) instead of a distinct — saves a full shuffle of the candidate
+    # set, which on near-dup-heavy corpora is the dominant cost
+    def _chunk_diff(cc: int) -> str:
+        return (
+            f"(shiftrightunsigned(sk_a, {cc * 8}) & 255)"
+            f" != (shiftrightunsigned(sk_b, {cc * 8}) & 255)"
+        )
+
+    # unrolled (codegen-friendly, no interpreted higher-order fn):
+    # true iff every chunk before c differs
+    pred = f"c = 2 OR ({_chunk_diff(2)})"
+    pred = f"c = 1 OR ({_chunk_diff(1)} AND ({pred}))"
+    pred = f"c = 0 OR ({_chunk_diff(0)} AND ({pred}))"
+    first_match = F.expr(pred)
     ham = F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["c", "ckey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
+        .filter((F.col("hamming") <= max_hamming) & first_match)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import davg, dsum
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -123,8 +125,6 @@ def seeded_centroids(
     all members simply drop out on both engines. Returns
     ``(cell int, centroid array<double>)``.
     """
-    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.functions.exact import davg
-
     base = corpus.select(
         F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
     )
@@ -280,7 +280,12 @@ def embedding_near_dup_pairs(
     if lsh_planes is None:
         pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
     else:
-        buckets = hyperplane_buckets(base, lsh_planes, dim, vec_col, lsh_tables)
+        # materialize the (n rows) bucket table once — both sides of the
+        # self-join consume it, and lineage would recompute the plane
+        # dots per side otherwise
+        buckets = hyperplane_buckets(
+            base, lsh_planes, dim, vec_col, lsh_tables
+        ).localCheckpoint()
         ba = buckets.select(F.col(id_col).alias("doc_a"), "bucket")
         bb = buckets.select(F.col(id_col).alias("doc_b"), "bucket")
         cand = (
@@ -304,11 +309,33 @@ def embedding_near_dup_pairs(
 
 def _hyperplane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random weight in [-1, 1) derived from md5 of
-    (plane, dim) — reproducible on any engine/cluster without seed state."""
+    (plane, dim) — reproducible on any engine/cluster without seed state.
+    Kept as the Python reference; :func:`hyperplane_weights` computes the
+    same formula JVM-side and the oracle SQL replays it in DuckDB."""
     import hashlib
 
     h = hashlib.md5(f"p{plane}d{dim}".encode()).hexdigest()[:8]
     return (int(h, 16) % 20001 - 10000) / 10000.0
+
+
+def hyperplane_weights(spark, n_total_planes: int, dim: int) -> DataFrame:
+    """(plane, pos, w) weight table generated entirely JVM-side:
+    w = (md5int('p{plane}d{pos}') % 20001 - 10000) / 10000.
+
+    Replaces a driver-built literal DataFrame (n_planes*dim Python rows
+    serialized + re-broadcast per query) with a range cross-product the
+    executors compute — no Python in the loop and a few ms of plan time."""
+    planes = spark.range(n_total_planes).select(F.col("id").cast("int").alias("plane"))
+    poss = spark.range(dim).select(F.col("id").cast("int").alias("pos"))
+    key = F.concat(
+        F.lit("p"), F.col("plane").cast("string"),
+        F.lit("d"), F.col("pos").cast("string"),
+    )
+    w = (
+        (F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast("long")
+         % 20001 - 10000) / F.lit(10000.0)
+    )
+    return planes.crossJoin(poss).withColumn("w", w)
 
 
 def hyperplane_buckets(
@@ -327,6 +354,9 @@ def hyperplane_buckets(
     per-row higher-order-function fold over literal plane arrays is ~2000
     interpreted lambda steps per vector — measured ~4x slower even at
     bench scale, and it is the per-row cost that multiplies at 100 TB.)
+    The per-plane dot is reduced through decimal (dsum) so the sign test
+    `dot > 0` is partition-count-invariant and bit-identical to the
+    DuckDB oracle — a plain double sum could flip sign near zero.
 
     Similar vectors collide in one table with probability
     (1 - theta/pi)^planes; OR-amplification over ``n_tables`` tables
@@ -334,20 +364,16 @@ def hyperplane_buckets(
     candidate set ~n/2^planes.
     """
     spark = df.sparkSession
-    weights = [
-        (t * n_planes + p, d, _hyperplane_component(t * n_planes + p, d))
-        for t in range(n_tables)
-        for p in range(n_planes)
-        for d in range(dim)
-    ]
-    wdf = spark.createDataFrame(weights, "plane int, pos int, w double")
-    el = df.select(
+    wdf = hyperplane_weights(spark, n_tables * n_planes, dim)
+    # a single small parquet file is one input split; the exploded
+    # (rows x dim x planes) map side would otherwise run on one core
+    el = df.repartition(spark.sparkContext.defaultParallelism).select(
         F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val")
     )
     dots = (
         el.join(F.broadcast(wdf), "pos")
         .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
+        .agg(dsum(F.col("val") * F.col("w"), "dot"))
     )
     contrib = F.when(
         F.col("dot") > 0,

@@ -93,6 +93,25 @@ def test_simhash_similar_docs_close(docs):
     assert pairs[(0, 3)] == 0
 
 
+def test_simhash_bucketed_join_equals_all_pairs(spark, sf_dir):
+    """The 4-chunk pigeonhole equi-join is EXACT for hamming <= 3: it must
+    return the identical pair set as the naive all-pairs theta join."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucketed = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    naive = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_hamming=3, bucketed=False).collect()
+    }
+    assert bucketed == naive and bucketed
+
+
 def test_embedding_neardup_lsh_path_subset_of_exact(spark, sf_dir):
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
         embedding_near_dup_pairs,
