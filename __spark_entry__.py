@@ -238,12 +238,19 @@ def e_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "trade_date")
 
 
+#: Composite (ts, event_id) ordering key for arg_min/arg_max: DuckDB 1.0
+#: has no struct sort keys, so encode both into one HUGEINT — monotone in
+#: (ts, event_id) for non-negative ids < 1e12. Mirrors the Spark side's
+#: min_by(value, struct(ts, event_id)) tiebreak exactly; without it, two
+#: events sharing a timestamp would make the oracle nondeterministic.
+_SQL_TS_EVENT_KEY = "CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id"
+
 _E_DAILY_ROLLUP_SQL = f"""
 SELECT user_id, CAST(ts AS DATE) AS trade_date,
-       arg_min(value, ts) AS open,
+       arg_min(value, {_SQL_TS_EVENT_KEY}) AS open,
        max(value) AS high,
        min(value) AS low,
-       arg_max(value, ts) AS close,
+       arg_max(value, {_SQL_TS_EVENT_KEY}) AS close,
        {sql_davg('value')} AS avg_price,
        count(*) AS num_records
 FROM events
@@ -268,10 +275,10 @@ def e_resample_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E_RESAMPLE_SQL = f"""
 SELECT event_type,
        time_bucket(INTERVAL '15 minutes', ts, TIMESTAMP '2000-01-01 00:00:00') AS bucket_start,
-       arg_min(value, ts) AS open,
+       arg_min(value, {_SQL_TS_EVENT_KEY}) AS open,
        max(value) AS high,
        min(value) AS low,
-       arg_max(value, ts) AS close,
+       arg_max(value, {_SQL_TS_EVENT_KEY}) AS close,
        {sql_dsum('value')} AS total_value,
        count(*) AS num_records
 FROM events
@@ -341,10 +348,11 @@ def e_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_E_TOP_MOVERS_SQL = """
+_E_TOP_MOVERS_SQL = f"""
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS trade_date,
-         arg_min(value, ts) AS open, arg_max(value, ts) AS close
+         arg_min(value, {_SQL_TS_EVENT_KEY}) AS open,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
   FROM events GROUP BY 1, 2
 )
 SELECT user_id, trade_date, open, close,
@@ -1018,8 +1026,17 @@ FROM documents ORDER BY media_id
 # BASELINE.json north star.
 # ---------------------------------------------------------------------------
 
+#: Shared SQL fragment: lowercase whitespace token ARRAY of a document.
+#: The CASE guard mirrors Spark tokens(): blank/whitespace-only text must
+#: yield [] — a bare regexp_split_to_array returns [''] (one empty token)
+#: and every count/ratio downstream would diverge.
+_SQL_TOKS = (
+    r"CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    r"ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"
+)
+
 #: Shared SQL fragment: lowercase whitespace token set of a document.
-_SQL_TOKSET = r"list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))"
+_SQL_TOKSET = rf"list_distinct({_SQL_TOKS})"
 
 
 def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,7 +1045,7 @@ def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(docs).orderBy("doc_id")
 
 
-_D_TOKEN_STATS_SQL = r"""
+_D_TOKEN_STATS_SQL = rf"""
 SELECT doc_id,
        n_chars_computed,
        len(ts) AS n_tokens,
@@ -1037,7 +1054,7 @@ SELECT doc_id,
             THEN CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE) / len(ts)
             ELSE 0.0 END AS mean_token_len
 FROM (SELECT doc_id, length(text) AS n_chars_computed,
-             regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             {_SQL_TOKS} AS ts
       FROM documents)
 ORDER BY doc_id
 """
@@ -1049,8 +1066,8 @@ def d_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(docs).orderBy("doc_id")
 
 
-_D_QUALITY_SQL = r"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+_D_QUALITY_SQL = rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts
            FROM documents),
 r AS (
   SELECT doc_id, len(ts) AS n,
@@ -1094,7 +1111,7 @@ def _lang_sql() -> str:
     # hits are counted over the token MULTISET (with repetition), matching
     # text._hits over the raw token array.
     return rf"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts
            FROM documents),
 h AS (SELECT doc_id,
          {hits}

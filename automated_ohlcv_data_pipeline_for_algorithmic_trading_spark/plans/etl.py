@@ -120,7 +120,9 @@ def write_silver(
     write_parallelism: int | None = None,
 ) -> None:
     """S12 — partitioned Parquet sink: snappy, dictionary encoding,
-    dynamic partition overwrite (session conf) for idempotent re-runs.
+    dynamic partition overwrite for idempotent re-runs — set at the
+    WRITER level so it holds even on a session where tune() could not
+    apply the conf (a static overwrite would wipe the whole directory).
 
     The reference sets AQE confs as write options where they are inert
     (etl/glue_job.py:213-214) — here session.tune() sets them correctly.
@@ -142,6 +144,7 @@ def write_silver(
         out = out.sortWithinPartitions(*SILVER_PARTITIONING, "timestamp_unix")
     (
         out.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*SILVER_PARTITIONING)
         .option("compression", "snappy")
         .parquet(path)

@@ -96,6 +96,10 @@ def upsert_silver_sink(
                 batch.select(*SILVER_COLUMNS)
                 .repartition(*[F.col(c) for c in SILVER_PARTITIONING])
                 .write.mode("overwrite")
+                # writer-level option, NOT the session conf: if the conf
+                # were lost (untuned/host-locked session) a static
+                # overwrite would delete the whole output dir per batch
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*SILVER_PARTITIONING)
                 .parquet(out_path)
             )

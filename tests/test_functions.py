@@ -54,6 +54,14 @@ def test_period_and_interval_tokens():
     # (reference fallback branches)
     assert period_to_timedelta("45").days == 45
     assert interval_to_minutes("15") == 15
+    # reference edge semantics (api/api_handler.py:745-785): a bare unit
+    # token is value 0; a malformed interval raises (no silent default)
+    assert period_to_timedelta("d").days == 0
+    assert period_to_timedelta("y").days == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_to_minutes("??")
 
 
 def test_epoch_unit_heuristic(spark):

@@ -83,6 +83,33 @@ def test_jaccard_and_minhash_agree(docs):
     assert set(lsh) <= set(exact)  # LSH never invents pairs (exact-verified)
 
 
+def test_empty_text_tokens_parity_with_oracle_fragment(spark):
+    """Spark tokens() yields [] for blank text; the shared DuckDB fragment
+    must agree (a bare regexp_split_to_array gives [''] -> count 1)."""
+    import duckdb
+
+    from __spark_entry__ import _SQL_TOKS
+    from pyspark.sql import functions as F
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        tokens,
+    )
+
+    sdf = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "a b a")], "doc_id long, text string"
+    )
+    s = {
+        r["doc_id"]: r["n"]
+        for r in sdf.select("doc_id", F.size(tokens("text")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS"
+        " SELECT * FROM (VALUES (0, ''), (1, '   '), (2, 'a b a')) t(doc_id, text)"
+    )
+    d = dict(con.execute(f"SELECT doc_id, len({_SQL_TOKS}) FROM documents").fetchall())
+    assert s == d == {0: 0, 1: 0, 2: 3}
+
+
 def test_simhash_similar_docs_close(docs):
     sk = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
     ham_near = bin(sk[0] ^ sk[1]).count("1")
