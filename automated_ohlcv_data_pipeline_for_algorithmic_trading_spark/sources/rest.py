@@ -34,6 +34,26 @@ class CircuitOpenError(RuntimeError):
     pass
 
 
+def http_json_transport(base_url: str, timeout_s: float = 10.0) -> Transport:
+    """Real-HTTP transport (stdlib urllib): GET
+    ``{base_url}/quote?symbol=...&<params>`` expecting JSON
+    ``{"candles": [[ts, o, h, l, c, v], ...]}`` — the quote-API shape the
+    reference polls (ingestion/lambda_ingestion.py:292-340). Non-2xx and
+    socket errors raise, which RestPollSource turns into retries/breaker
+    trips. Exercised against a live local server in
+    tests/test_rest_http_integration.py."""
+    import json
+    from urllib.parse import urlencode
+    from urllib.request import urlopen
+
+    def transport(symbol: str, params: dict) -> list[list[float]]:
+        q = urlencode({"symbol": symbol, **params})
+        with urlopen(f"{base_url}/quote?{q}", timeout=timeout_s) as resp:
+            return json.loads(resp.read().decode("utf-8"))["candles"]
+
+    return transport
+
+
 @dataclass
 class CircuitBreaker:
     """CLOSED -> OPEN after ``threshold`` consecutive failures; OPEN ->

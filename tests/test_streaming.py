@@ -57,6 +57,51 @@ def test_daily_compaction_idempotent(spark, raw_dir, tmp_path_factory):
     assert spark.read.parquet(out).count() == n1 == 150
 
 
+def test_upsert_sink_overlapping_rerun_idempotent(spark, raw_dir, tmp_path_factory):
+    """ST5 contract: a full REPLAY of the same inputs (fresh checkpoint,
+    so every micro-batch re-fires) must leave the silver table unchanged —
+    day partitions are overwritten in place, never duplicated and never
+    wholesale-deleted — even when the SESSION conf says static overwrite
+    (the writer-level option must win)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        upsert_silver_sink,
+    )
+
+    out = str(tmp_path_factory.mktemp("silver_upsert"))
+    q = upsert_silver_sink(
+        streaming_silver(read_raw_stream(spark, raw_dir)),
+        out,
+        str(tmp_path_factory.mktemp("ckpt_a")),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    first = sorted(
+        (r["symbol_clean"], r["timestamp_unix"], r["close"])
+        for r in spark.read.parquet(out).collect()
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "static")
+    try:
+        q2 = upsert_silver_sink(
+            streaming_silver(read_raw_stream(spark, raw_dir)),
+            out,
+            str(tmp_path_factory.mktemp("ckpt_b")),
+            available_now=True,
+        )
+        q2.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    second = sorted(
+        (r["symbol_clean"], r["timestamp_unix"], r["close"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert second == first and first
+
+
 def test_streaming_resample_matches_batch(spark, raw_dir, tmp_path_factory):
     """ST4: the streaming tumbling-window resample must equal the batch
     resample on the same data once all windows close."""
