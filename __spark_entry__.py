@@ -822,6 +822,136 @@ ORDER BY event_type, bucket_start
 """
 
 
+def s_stateful_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator WITH an exact oracle: running
+    per-symbol VWAP via groupBy().applyInPandasWithState (state = one
+    (price*volume, volume) pair per symbol, surviving micro-batches),
+    driven to completion with availableNow into a memory sink. The fold
+    accumulates integer micro-units (the decimal(38,6) quantum), so the
+    streamed result is bit-identical to the batch windowed-SQL replay —
+    an oracle most engines can't offer for stateful streaming at all.
+    Synthetic per-event volume = event_id % 100 + 1 (SQL-replayable)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.stateful import (
+        streaming_vwap_exact,
+    )
+
+    tune(spark)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos (TESTDATA quirk)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("user_id").cast("string").alias("symbol_clean"),
+            "event_id",
+            F.expr("ts div 1000").cast("long").alias("timestamp_unix"),
+            F.col("value").alias("close"),
+            F.expr("event_id % 100 + 1").cast("long").alias("volume"),
+        )
+    )
+    name = f"stateful_vwap_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_vwap_exact(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("symbol_clean", "timestamp_unix", "event_id")
+
+
+_S_VWAP_SQL = """
+WITH src AS (
+  SELECT CAST(user_id AS VARCHAR) AS symbol_clean, event_id,
+         epoch_us(ts) AS timestamp_unix, value AS close,
+         event_id % 100 + 1 AS volume
+  FROM events)
+SELECT symbol_clean, event_id, timestamp_unix, close, volume,
+       CAST(sum(CAST(close * volume AS DECIMAL(38,6))) OVER w AS DOUBLE)
+           / CAST(sum(volume) OVER w AS BIGINT) AS vwap,
+       CAST(sum(volume) OVER w AS BIGINT) AS cum_volume
+FROM src
+WINDOW w AS (PARTITION BY symbol_clean ORDER BY timestamp_unix, event_id
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY symbol_clean, timestamp_unix, event_id
+"""
+
+
+def x_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas extension point (SS2.9) WITH an exact oracle:
+    Bollinger bands (rolling mean +/- 2 sample stddev, 20-row window) per
+    user series via applyInPandas. The pandas side uses exact integer
+    micro-unit sums (bollinger_bands_exact), so it replays bit-identically
+    as windowed decimal SQL."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.extension import (
+        apply_per_symbol,
+        bollinger_bands_exact,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("timestamp_unix"),
+        F.col("value").alias("close"),
+    )
+    # explicit hash partitioning on the group key: AQE would coalesce the
+    # small shuffle to ~2 partitions and serialize the 150 pandas groups
+    src = src.repartition(spark.sparkContext.defaultParallelism, "user_id")
+    out = apply_per_symbol(
+        src,
+        bollinger_bands_exact(window=20, num_std=2.0),
+        "user_id bigint, event_id bigint, timestamp_unix bigint, close double,"
+        " bb_mid double, bb_upper double, bb_lower double",
+        keys=("user_id",),
+        ts_col=("timestamp_unix", "event_id"),
+    )
+    return out.orderBy("user_id", "timestamp_unix", "event_id")
+
+
+_X_BOLLINGER_SQL = """
+WITH src AS (
+  SELECT user_id, event_id, epoch_us(ts) AS timestamp_unix, value AS close
+  FROM events),
+w AS (
+  SELECT user_id, event_id, timestamp_unix, close,
+         CAST(sum(CAST(close AS DECIMAL(38,6))) OVER win AS DOUBLE) AS sx,
+         CAST(sum(CAST(close * close AS DECIMAL(38,6))) OVER win AS DOUBLE) AS sxx,
+         count(*) OVER win AS cnt
+  FROM src
+  WINDOW win AS (PARTITION BY user_id ORDER BY timestamp_unix, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+s AS (
+  SELECT *, sx / cnt AS bb_mid,
+         CASE WHEN cnt >= 2
+              THEN sqrt(greatest((cnt * sxx - sx * sx) / (cnt * (cnt - 1)), 0.0))
+              ELSE 0.0 END AS sd
+  FROM w)
+SELECT user_id, event_id, timestamp_unix, close, bb_mid,
+       bb_mid + 2.0 * sd AS bb_upper,
+       bb_mid - 2.0 * sd AS bb_lower
+FROM s ORDER BY user_id, timestamp_unix, event_id
+"""
+
+
 def x_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot — per-user event-type count matrix (beyond-reference OLAP;
     compiles to one groupBy with conditional aggregates)."""
@@ -1574,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_percentiles": e_percentiles,
         "q17_small_quantity_avg": q17_small_quantity_avg,
         "s_stream_hourly": s_stream_hourly,
+        "s_stateful_vwap": s_stateful_vwap,
+        "x_bollinger_bands": x_bollinger_bands,
     }
 
 
@@ -1625,6 +1757,8 @@ def oracle_sql() -> dict[str, str]:
         "e_percentiles": _E_PERCENTILES_SQL,
         "q17_small_quantity_avg": _Q17_SQL,
         "s_stream_hourly": _S_STREAM_SQL,
+        "s_stateful_vwap": _S_VWAP_SQL,
+        "x_bollinger_bands": _X_BOLLINGER_SQL,
     }
 
 
@@ -1676,4 +1810,6 @@ HEADLINE_QUERIES = [
     "e_percentiles",
     "q17_small_quantity_avg",
     "s_stream_hourly",
+    "s_stateful_vwap",
+    "x_bollinger_bands",
 ]

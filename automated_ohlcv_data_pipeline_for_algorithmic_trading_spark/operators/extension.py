@@ -23,7 +23,7 @@ def apply_per_symbol(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     output_schema: str,
     keys: Sequence[str] = ("symbol_clean",),
-    ts_col: str | None = "timestamp_iso",
+    ts_col: str | Sequence[str] | None = "timestamp_iso",
 ) -> DataFrame:
     """Run ``fn`` once per key group as a pandas DataFrame (sorted by
     ``ts_col`` when given — indicator code can assume chronological
@@ -37,7 +37,8 @@ def apply_per_symbol(
 
     def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
         if ts_col is not None:
-            pdf = pdf.sort_values(list(keys) + [ts_col])
+            order = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+            pdf = pdf.sort_values(list(keys) + order)
         return fn(pdf)
 
     return df.groupBy(*keys).applyInPandas(wrapped, schema=output_schema)
@@ -54,6 +55,43 @@ def bollinger_bands(
         roll = pdf[price_col].rolling(window, min_periods=1)
         mid = roll.mean()
         sd = roll.std().fillna(0.0)
+        return pdf.assign(
+            bb_mid=mid, bb_upper=mid + num_std * sd, bb_lower=mid - num_std * sd
+        )
+
+    return fn
+
+
+def bollinger_bands_exact(
+    window: int = 20, num_std: float = 2.0, price_col: str = "close"
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """Determinism-contract Bollinger bands: rolling mean and SAMPLE std
+    from exact integer micro-unit sums — the pandas twin of dsum/dstddev
+    (functions/exact.py), so the grouped-map result is bit-identical to a
+    windowed decimal(38,6) SQL replay on any engine/partitioning.
+
+    Prices and their squares quantize to 1e-6 with round-half-even (the
+    same rounding a DECIMAL(38,6) cast applies); rolling integer sums are
+    exact in float64 while window sums stay below 2^53 micro-units
+    (~9e9 in price units — far above any real OHLCV window). n < 2 emits
+    sd = 0 like :func:`bollinger_bands`. Oracle-checked in
+    __spark_entry__ as x_bollinger_bands."""
+    import numpy as np
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[price_col].to_numpy(dtype=float)
+        xu = np.rint(x * 1e6)
+        xxu = np.rint(x * x * 1e6)
+        s = pd.Series(xu).rolling(window, min_periods=1)
+        ss = pd.Series(xxu).rolling(window, min_periods=1)
+        n = s.count().to_numpy()
+        sx = s.sum().to_numpy() / 1e6
+        sxx = ss.sum().to_numpy() / 1e6
+        mid = sx / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = (n * sxx - sx * sx) / (n * (n - 1))
+        sd = np.sqrt(np.maximum(var, 0.0))
+        sd[n < 2] = 0.0
         return pdf.assign(
             bb_mid=mid, bb_upper=mid + num_std * sd, bb_lower=mid - num_std * sd
         )

@@ -71,3 +71,67 @@ def streaming_vwap(silver_stream: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- determinism-contract variant (oracle-checked in __spark_entry__) ------
+
+VWAP_EXACT_OUTPUT_SCHEMA = (
+    "symbol_clean string, event_id long, timestamp_unix long, close double, "
+    "volume long, vwap double, cum_volume long"
+)
+VWAP_EXACT_STATE_SCHEMA = "pvu long, v long"
+
+
+def _vwap_exact_fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
+    """Like _vwap_fn, but price*volume accumulates in integer micro-units
+    (round-half-even to 1e-6, the decimal(38,6) quantum) so the running
+    sum is EXACT and association-free — the stateful stream result is
+    bit-identical to a windowed decimal SQL replay on any engine, per the
+    repo determinism contract (functions/exact.py). Rows are folded in
+    (timestamp_unix, event_id) order for a deterministic tiebreak."""
+    import pandas as pd
+
+    (pvu, v) = state.get if state.exists else (0, 0)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["timestamp_unix", "event_id"])
+        for row in pdf.itertuples():
+            pvu += round(float(row.close) * int(row.volume) * 1e6)
+            v += int(row.volume)
+            out.append(
+                (
+                    key[0],
+                    int(row.event_id),
+                    int(row.timestamp_unix),
+                    float(row.close),
+                    int(row.volume),
+                    (pvu / 1e6) / v if v else None,
+                    v,
+                )
+            )
+    state.update((int(pvu), int(v)))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "symbol_clean", "event_id", "timestamp_unix", "close",
+            "volume", "vwap", "cum_volume",
+        ],
+    )
+
+
+def streaming_vwap_exact(stream: DataFrame) -> DataFrame:
+    """Oracle-checkable running VWAP: input needs (symbol_clean, event_id,
+    timestamp_unix, close, volume); output adds exact (vwap, cum_volume)."""
+    return (
+        stream.select(
+            "symbol_clean", "event_id", "timestamp_unix", "close", "volume"
+        )
+        .groupBy("symbol_clean")
+        .applyInPandasWithState(
+            _vwap_exact_fn,
+            VWAP_EXACT_OUTPUT_SCHEMA,
+            VWAP_EXACT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.extension import (
     apply_per_symbol,
     bollinger_bands,
+    bollinger_bands_exact,
 )
 
 
@@ -31,3 +32,32 @@ def test_bollinger_via_extension_point(spark):
     # chronological ordering inside the group was honored (rolling means
     # at t=1 see only the first row)
     assert got[("A", 1)]["bb_mid"] == got[("A", 1)]["close"]
+
+
+def test_bollinger_exact_matches_pandas_rolling(spark):
+    """The determinism-contract variant must agree with the plain pandas
+    rolling implementation to float tolerance (its only difference is
+    exact decimal-quantum summation)."""
+    rows = [("A", i, 100.0 + ((i * 7) % 13) * 0.37) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "symbol_clean string, t long, close double")
+    schema = (
+        "symbol_clean string, t long, close double, "
+        "bb_mid double, bb_upper double, bb_lower double"
+    )
+    plain = {
+        r["t"]: r
+        for r in apply_per_symbol(
+            df, bollinger_bands(window=20), schema, ts_col="t"
+        ).collect()
+    }
+    exact = {
+        r["t"]: r
+        for r in apply_per_symbol(
+            df, bollinger_bands_exact(window=20), schema, ts_col="t"
+        ).collect()
+    }
+    assert set(plain) == set(exact)
+    for t, p in plain.items():
+        e = exact[t]
+        for c in ("bb_mid", "bb_upper", "bb_lower"):
+            assert abs(p[c] - e[c]) < 1e-6, (t, c, p[c], e[c])
