@@ -43,3 +43,29 @@ def dedup_by_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def dedup_by_key_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str | Sequence[str],
+    keep: str = "last",
+) -> DataFrame:
+    """Same result as :func:`dedup_by_key`, expressed as a
+    ``max_by/min_by(struct(all cols), struct(order cols))`` aggregation.
+
+    Scale note: the window form must SORT each key's rows inside one
+    task, so a pathologically hot key (90-99% of rows) serializes on one
+    core. The aggregation form collapses duplicates map-side (partial
+    aggregation) before the single shuffle — the hot key costs about the
+    same as the uniform case (measured in SCALE_RESULTS.md). Prefer this
+    form when keys can be skewed; the window form reads more naturally
+    when groups are small/uniform."""
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+    chooser = F.max_by if keep == "last" else F.min_by
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    okey = F.struct(*[F.col(c) for c in order_cols])
+    out = df.groupBy(*keys).agg(chooser(payload, okey).alias("_row"))
+    return out.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])

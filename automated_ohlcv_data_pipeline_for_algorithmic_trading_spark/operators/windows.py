@@ -81,6 +81,74 @@ def sma(
     return df.withColumn(out_col, avg)
 
 
+def sma_chunked(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    n: int = 20,
+    out_col: str | None = None,
+    min_periods: int = 1,
+    chunk: F.Column | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Skew-robust SMA: identical to :func:`sma`, but the window
+    partitions on ``(keys, chunk)`` instead of ``keys`` alone, so one
+    pathologically hot key (90-99% of all rows) spreads across chunks
+    instead of sorting in a single task (measured 24.6s -> ~2s on a
+    95%-hot key at 12M rows, SCALE_RESULTS.md).
+
+    Mechanics: each chunk's last ``n-1`` rows are copied into the NEXT
+    chunk with data for that key (gap-safe via a lead over the distinct
+    chunk list), flagged, used only as trailing history, and dropped from
+    the output — so every row sees exactly the frame the global window
+    would give it. ``chunk`` defaults to ``to_date(ts_col)`` and must be
+    monotone in ``ts_col``.
+
+    Precondition for exact equality: every chunk (except a key's first)
+    holds at least ``n-1`` rows for that key — pick a coarse enough chunk
+    (day/week) for the instrument's cadence. Thinner chunks shorten the
+    visible history of early-chunk rows.
+    """
+    out_col = out_col or f"sma_{n}"
+    base = df.withColumn(
+        "_chunk", chunk if chunk is not None else F.to_date(F.col(ts_col))
+    )
+    order_cols = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    # destination of carried rows: the next chunk WITH data (gap-safe)
+    chunks = base.select(*keys, "_chunk").distinct()
+    wn = Window.partitionBy(*keys).orderBy(F.col("_chunk"))
+    nxt = chunks.withColumn("_next_chunk", F.lead("_chunk").over(wn))
+    wr = Window.partitionBy(*keys, "_chunk").orderBy(
+        *[c.desc() for c in order_cols]
+    )
+    carry = (
+        base.withColumn("_rdesc", F.row_number().over(wr))
+        .filter(F.col("_rdesc") <= n - 1)
+        .drop("_rdesc")
+        .join(nxt, [*keys, "_chunk"])
+        .filter(F.col("_next_chunk").isNotNull())
+        .withColumn("_chunk", F.col("_next_chunk"))
+        .drop("_next_chunk")
+        .withColumn("_carry", F.lit(1))
+    )
+    allrows = base.withColumn("_carry", F.lit(0)).unionByName(carry)
+    w = (
+        Window.partitionBy(*keys, "_chunk")
+        .orderBy(*order_cols)
+        .rowsBetween(-(n - 1), 0)
+    )
+    avg = F.avg(value_col).over(w)
+    if min_periods > 1:
+        cnt = F.count(value_col).over(w)
+        avg = F.when(cnt >= min_periods, avg)
+    return (
+        allrows.withColumn(out_col, avg)
+        .filter(F.col("_carry") == 0)
+        .drop("_carry", "_chunk")
+    )
+
+
 def rsi(
     df: DataFrame,
     keys: Sequence[str],

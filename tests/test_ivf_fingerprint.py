@@ -57,6 +57,24 @@ def test_seeded_centroids_partitioning_invariant(spark, sf_dir):
     assert ca == cb  # bit-identical, not approximately equal
 
 
+def test_hyperplane_weights_match_python_reference(spark):
+    """JVM-side md5 weight generation must equal _hyperplane_component
+    exactly — the LSH oracles regenerate these weights in DuckDB from the
+    same formula."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        _hyperplane_component,
+        hyperplane_weights,
+    )
+
+    got = {
+        (r["plane"], r["pos"]): r["w"]
+        for r in hyperplane_weights(spark, 3, 8).collect()
+    }
+    assert len(got) == 24
+    for (p, d), w in got.items():
+        assert w == _hyperplane_component(p, d), (p, d)
+
+
 def test_kgram_fingerprint_near_dup_overlap(spark):
     docs = spark.createDataFrame(
         [

@@ -88,6 +88,64 @@ def test_dedup_directions(spark):
     assert {r["price"] for r in first} == {10.0, 12.0}
 
 
+def test_sma_chunked_equals_global_window(spark):
+    """The chunked (skew-robust) SMA must reproduce the global-window SMA
+    bit-for-bit when every chunk holds >= n-1 rows. Hourly candles
+    (24 rows per day-chunk >= 19) over 8 days with one whole day MISSING:
+    the carry must route the pre-gap history to the next chunk WITH data,
+    not to the empty calendar day."""
+    import datetime as dt
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators import (
+        sma,
+        sma_chunked,
+    )
+
+    rows = []
+    for sym in ("A", "B"):
+        for i in range(8 * 24):
+            ts = dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+            if ts.date() == dt.date(2024, 1, 3):  # gap day
+                continue
+            rows.append((sym, ts, i, float((i * 37 + hash(sym) % 97) % 211) / 7))
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, seq long, v double")
+    plain = {
+        (r["symbol"], r["seq"]): r["sma_20"]
+        for r in sma(df, ["symbol"], "ts", "v", n=20).collect()
+    }
+    chunked = {
+        (r["symbol"], r["seq"]): r["sma_20"]
+        for r in sma_chunked(df, ["symbol"], "ts", "v", n=20, tiebreak="seq").collect()
+    }
+    assert plain == chunked and len(plain) == 2 * 7 * 24  # bit-identical
+
+
+def test_dedup_agg_form_equals_window_form(spark, sf_dir):
+    """dedup_by_key_agg (skew-robust partial-agg form) must return the
+    identical row set as the window form on real data, both directions."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators import (
+        dedup_by_key_agg,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "trade_date", F.to_date("ts")
+    )
+    keys = ["user_id", "trade_date", "event_type"]
+    for keep in ("first", "last"):
+        w = sorted(
+            tuple(r) for r in dedup_by_key(ev, keys, ["ts", "event_id"], keep).collect()
+        )
+        a = sorted(
+            tuple(r)
+            for r in dedup_by_key_agg(ev, keys, ["ts", "event_id"], keep).collect()
+        )
+        assert w == a and w
+
+
 def test_resample_epoch_aligned(spark):
     # 09:15 and 09:20 land in the same 10-min epoch bucket [09:10, 09:20)?
     # No: epoch-aligned 10-min buckets are :00/:10/:20 -> 09:15 in [09:10,09:20),
