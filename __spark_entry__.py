@@ -52,6 +52,7 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windo
 )
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
     bpe_ish_tokens,
+    chunk_documents,
     fingerprint,
     kgram_bottomk_fingerprint,
     language_guess,
@@ -1500,6 +1501,107 @@ FROM s ORDER BY doc_id
 """
 
 
+def d_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling (training-data
+    curation): downsample dominant event classes, keep rare ones whole.
+    md5-derived coin -> same rows selected on any cluster/engine; the
+    oracle replays the predicate verbatim. One codegen'd filter, no
+    shuffle, no RNG state."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = stratified_sample(
+        ev,
+        "event_type",
+        {"click": 500, "view": 250, "purchase": 10000, "signup": 10000},
+        id_col="event_id",
+        default_permyriad=2000,
+    )
+    return out.select("event_id", "user_id", "event_type", "value").orderBy("event_id")
+
+
+_D_SAMPLE_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+      < CASE event_type WHEN 'click' THEN 500 WHEN 'view' THEN 250
+                        WHEN 'purchase' THEN 10000 WHEN 'signup' THEN 10000
+                        ELSE 2000 END
+ORDER BY event_id
+"""
+
+
+def d_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking of documents (64-token chunks,
+    16-token overlap) — pure per-row array exprs, no shuffle; the model-
+    sized-pieces step of a training-data pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+_D_CHUNKS_SQL = rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+n AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+c AS (SELECT doc_id, ts, n,
+             CAST(ceil(greatest(n - 16, 1) / 48.0) AS BIGINT) AS nc
+      FROM n),
+e0 AS (SELECT doc_id, ts, unnest(generate_series(0, nc - 1)) AS chunk_idx
+       FROM c),
+e AS (SELECT doc_id, chunk_idx,
+             ts[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS chunk
+      FROM e0)
+SELECT doc_id, chunk_idx, len(chunk) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM e ORDER BY doc_id, chunk_idx
+"""
+
+
+def j_interval_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join as a bucketed equi-join: every click inside
+    a 2-hour window opened by the same user's signup event. The theta
+    predicate becomes an equi-join on (user, hour-bucket) + residual
+    filter — shuffle-join scale instead of broadcast-nested-loop."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.joins import (
+        interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"), "ts"
+    )
+    out = interval_join(
+        clicks, signups, ["user_id"], "ts", "win_start", "win_end",
+        bucket_seconds=3600,
+    )
+    return out.select(
+        "signup_event_id",
+        "click_event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros("win_start")).alias("micros_into_window"),
+    ).orderBy("signup_event_id", "click_event_id")
+
+
+_J_INTERVAL_SQL = """
+SELECT s.event_id AS signup_event_id, c.event_id AS click_event_id, s.user_id,
+       epoch_us(c.ts) - epoch_us(s.ts) AS micros_into_window
+FROM events s JOIN events c
+  ON s.user_id = c.user_id
+ AND s.event_type = 'signup' AND c.event_type = 'click'
+ AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 2 HOUR
+ORDER BY signup_event_id, click_event_id
+"""
+
+
 def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN: deterministic Lloyd's k-means coarse quantizer
     (md5-seeded init + fixed iterations + decimal-exact means — see
@@ -1706,6 +1808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_hourly": s_stream_hourly,
         "s_stateful_vwap": s_stateful_vwap,
         "x_bollinger_bands": x_bollinger_bands,
+        "d_stratified_sample": d_stratified_sample,
+        "d_doc_chunks": d_doc_chunks,
+        "j_interval_clicks": j_interval_clicks,
     }
 
 
@@ -1759,6 +1864,9 @@ def oracle_sql() -> dict[str, str]:
         "s_stream_hourly": _S_STREAM_SQL,
         "s_stateful_vwap": _S_VWAP_SQL,
         "x_bollinger_bands": _X_BOLLINGER_SQL,
+        "d_stratified_sample": _D_SAMPLE_SQL,
+        "d_doc_chunks": _D_CHUNKS_SQL,
+        "j_interval_clicks": _J_INTERVAL_SQL,
     }
 
 
@@ -1812,4 +1920,7 @@ HEADLINE_QUERIES = [
     "s_stream_hourly",
     "s_stateful_vwap",
     "x_bollinger_bands",
+    "d_stratified_sample",
+    "d_doc_chunks",
+    "j_interval_clicks",
 ]

@@ -29,6 +29,54 @@ def enrich(
     return fact.join(d, on=on, how=how)
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: Sequence[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval (range) join: every (point, interval) pair with
+    ``start <= point_ts < end``, per key — as a BUCKETED EQUI-JOIN, not a
+    theta join.
+
+    Each interval explodes into the fixed time buckets it covers; points
+    carry their single bucket; the join runs on (keys, bucket) — one
+    shuffle whose size is points + intervals x mean_buckets — then the
+    exact range predicate filters residuals. A point lives in exactly one
+    bucket, so no pair duplicates and no distinct. At 100 TB this is the
+    difference between a broadcast-nested-loop scan and an ordinary
+    shuffle join; pick ``bucket_seconds`` near the typical interval
+    length so mean_buckets stays ~1-2.
+
+    Columns from both sides are kept (callers select); timestamps compare
+    at microsecond precision.
+    """
+    keys = list(keys)
+    us = int(bucket_seconds) * 1_000_000
+    # integer div, not double division + cast: at 1e15 micros a double
+    # quotient can land one ulp under an exact integer and truncate into
+    # the previous bucket
+    p = points.withColumn("_bucket", F.expr(f"unix_micros({point_ts}) div {us}"))
+    i = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros({start_ts}) div {us}"),
+                # end is exclusive, but a point in end's bucket can still
+                # precede it — include the boundary bucket
+                F.expr(f"unix_micros({end_ts}) div {us}"),
+            )
+        ),
+    )
+    joined = p.join(i, [*keys, "_bucket"]).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    )
+    return joined.drop("_bucket")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -159,3 +159,45 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_cols=("doc_id",)) -> D
         F.md5(F.col(text_col)).alias("exact_fingerprint"),
         content_key.alias("content_fingerprint"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Overlapping token-window chunking — the training-data shaping step
+    that turns long documents into model-sized pieces.
+
+    Chunk c covers tokens [c*step, c*step + chunk_tokens) with
+    step = chunk_tokens - overlap; n_chunks = ceil(max(n - overlap, 1) /
+    step); empty documents produce no chunks. Pure per-row array
+    expressions (sequence -> transform -> slice -> posexplode): no
+    shuffle at all, embarrassingly parallel at any scale, and exactly
+    replayable in SQL (the d_doc_chunks oracle).
+
+    Output: (id_col, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    base = df.select(
+        id_col, tokens(text_col).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    nc = f"cast(ceil(greatest(_n - {overlap}, 1) / {step}.0) as bigint)"
+    chunks = F.expr(
+        f"transform(sequence(0, {nc} - 1),"
+        f" c -> slice(_toks, c * {step} + 1, {chunk_tokens}))"
+    )
+    return (
+        base.filter(F.col("_n") > 0)
+        .select(id_col, F.posexplode(chunks).alias("chunk_idx", "_chunk"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
+        )
+    )

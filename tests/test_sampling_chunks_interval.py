@@ -1,0 +1,91 @@
+"""Training-data curation operators: deterministic stratified sampling,
+document chunking, and the bucketed interval join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.joins import (
+    interval_join,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sampling import (
+    stratified_sample,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+    chunk_documents,
+)
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 2 == 0, "big").otherwise("rare").alias("cls"),
+    )
+    out = stratified_sample(df, "cls", {"big": 1000, "rare": 10000}, "row_id")
+    got = out.groupBy("cls").count().collect()
+    counts = {r["cls"]: r["count"] for r in got}
+    assert counts["rare"] == 10000  # rate 10000/10000 keeps everything
+    assert 800 <= counts["big"] <= 1200  # ~10% of 10000, md5-uniform
+    # deterministic: same selection on a different partitioning
+    again = stratified_sample(
+        df.repartition(13), "cls", {"big": 1000, "rare": 10000}, "row_id"
+    )
+    assert sorted(r["row_id"] for r in out.collect()) == sorted(
+        r["row_id"] for r in again.collect()
+    )
+
+
+def test_chunk_documents_boundaries(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(10))),   # 10 toks -> 1 chunk
+            (1, " ".join(f"t{i}" for i in range(64))),   # exactly 64 -> 1
+            (2, " ".join(f"t{i}" for i in range(65))),   # 65 -> 2 (overlap)
+            (3, ""),                                     # empty -> none
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 1 and by_doc[0][0]["n_chunk_tokens"] == 10
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_chunk_tokens"] == 64
+    assert len(by_doc[2]) == 2
+    c0, c1 = sorted(by_doc[2], key=lambda r: r["chunk_idx"])
+    assert c0["n_chunk_tokens"] == 64
+    # second chunk starts at token 48: 65 - 48 = 17 tokens
+    assert c1["n_chunk_tokens"] == 17
+    assert c1["chunk_text"].split()[0] == "t48"  # 16-token overlap
+    assert 3 not in by_doc
+
+
+def test_interval_join_equals_theta_join(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=7 * i)) for i in range(200)],
+        "k long, pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, j, t0 + dt.timedelta(minutes=50 * j),
+             t0 + dt.timedelta(minutes=50 * j + 90))
+            for j in range(20)
+        ],
+        "k long, iid long, s timestamp, e timestamp",
+    )
+    fast = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, ["k"], "ts", "s", "e", bucket_seconds=3600
+        ).collect()
+    }
+    slow = {
+        (r["pid"], r["iid"])
+        for r in points.join(intervals, "k")
+        .filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .collect()
+    }
+    assert fast == slow and fast
