@@ -1158,12 +1158,16 @@ FROM documents ORDER BY media_id
 # ---------------------------------------------------------------------------
 
 #: Shared SQL fragment: lowercase whitespace token ARRAY of a document.
-#: The CASE guard mirrors Spark tokens(): blank/whitespace-only text must
-#: yield [] — a bare regexp_split_to_array returns [''] (one empty token)
-#: and every count/ratio downstream would diverge.
+#: Mirrors Spark tokens() exactly: strip ALL edge whitespace via regexp
+#: (SQL trim only removes spaces, so 'a\n' would split into ['a','']),
+#: and blank/whitespace-only text yields [] — a bare
+#: regexp_split_to_array returns [''] (one empty token) and every
+#: count/ratio downstream would diverge. The 'g' flag matters: DuckDB
+#: regexp_replace replaces only the first match by default.
+_SQL_STRIPPED = r"regexp_replace(lower(text), '^\s+|\s+$', '', 'g')"
 _SQL_TOKS = (
-    r"CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
-    r"ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"
+    rf"CASE WHEN {_SQL_STRIPPED} = '' THEN []::VARCHAR[] "
+    rf"ELSE regexp_split_to_array({_SQL_STRIPPED}, '\s+') END"
 )
 
 #: Shared SQL fragment: lowercase whitespace token set of a document.

@@ -29,11 +29,16 @@ STOPWORDS: tuple[str, ...] = LANG_PROFILES["en"]
 
 
 def tokens(text: Column | str, lowercase: bool = True) -> Column:
-    """Whitespace tokenization -> array<string> (empty array for blank)."""
+    """Whitespace tokenization -> array<string> (empty array for blank).
+
+    Strips ALL leading/trailing whitespace via regexp, not ``trim()`` —
+    SQL trim removes only spaces (0x20), so ``'a\\n'`` would otherwise
+    split into ``['a', '']`` (found by the hypothesis chunking test).
+    The DuckDB twin (``_SQL_TOKS`` in __spark_entry__) mirrors this."""
     c = F.col(text) if isinstance(text, str) else text
     if lowercase:
         c = F.lower(c)
-    t = F.trim(c)
+    t = F.regexp_replace(c, r"^\s+|\s+$", "")
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )

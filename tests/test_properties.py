@@ -73,6 +73,76 @@ def test_resample_conserves_count_and_extremes(rows):
         assert r["low"] <= r["close"] <= r["high"]
 
 
+doc_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c\t\n"), min_size=0, max_size=400
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(doc_texts, st.integers(min_value=2, max_value=8),
+       st.integers(min_value=0, max_value=6))
+def test_chunking_covers_every_token_in_order(texts, chunk_tokens, overlap):
+    """Every document's token stream must be exactly reconstructible from
+    its chunks (drop each chunk's leading `overlap` tokens after the
+    first); empty docs chunk to nothing."""
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    spark = _spark()
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    step = chunk_tokens - overlap
+    for doc_id, text in enumerate(texts):
+        toks = text.lower().strip().split()
+        if not toks:
+            assert doc_id not in by_doc
+            continue
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        for i, c in enumerate(chunks):
+            ctoks = c["chunk_text"].split()
+            assert len(ctoks) == c["n_chunk_tokens"] <= chunk_tokens
+            assert ctoks == toks[i * step : i * step + chunk_tokens]
+        # the last chunk must reach the end of the token stream
+        # (together with the per-chunk slice check => full coverage)
+        last = chunks[-1]
+        assert (len(chunks) - 1) * step + last["n_chunk_tokens"] == len(toks)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                max_size=80, unique=True))
+def test_stratified_sample_subset_and_idempotent(ids):
+    """Sampling returns a subset, is idempotent (sampling the sample at
+    the same rate changes nothing), and monotone in the rate."""
+    spark = _spark()
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame([(i, "x") for i in ids], "rid long, cls string")
+    lo = stratified_sample(df, "cls", {"x": 3000}, "rid")
+    hi = stratified_sample(df, "cls", {"x": 8000}, "rid")
+    lo_ids = {r["rid"] for r in lo.collect()}
+    hi_ids = {r["rid"] for r in hi.collect()}
+    assert lo_ids <= hi_ids <= set(ids)
+    again = {r["rid"] for r in stratified_sample(lo, "cls", {"x": 3000}, "rid").collect()}
+    assert again == lo_ids
+
+
 def _spark():
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import get_spark
 

@@ -94,20 +94,18 @@ def test_empty_text_tokens_parity_with_oracle_fragment(spark):
         tokens,
     )
 
-    sdf = spark.createDataFrame(
-        [(0, ""), (1, "   "), (2, "a b a")], "doc_id long, text string"
-    )
+    cases = [(0, ""), (1, "   "), (2, "a b a"), (3, "\n"), (4, "a\n"),
+             (5, "\tb  c\n\n")]
+    sdf = spark.createDataFrame(cases, "doc_id long, text string")
     s = {
         r["doc_id"]: r["n"]
         for r in sdf.select("doc_id", F.size(tokens("text")).alias("n")).collect()
     }
     con = duckdb.connect()
-    con.execute(
-        "CREATE TABLE documents AS"
-        " SELECT * FROM (VALUES (0, ''), (1, '   '), (2, 'a b a')) t(doc_id, text)"
-    )
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", cases)
     d = dict(con.execute(f"SELECT doc_id, len({_SQL_TOKS}) FROM documents").fetchall())
-    assert s == d == {0: 0, 1: 0, 2: 3}
+    assert s == d == {0: 0, 1: 0, 2: 3, 3: 0, 4: 1, 5: 2}
 
 
 def test_simhash_similar_docs_close(docs):
