@@ -1339,6 +1339,54 @@ FROM verified WHERE j >= 0.95 ORDER BY doc_a, doc_b
 """
 
 
+def d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph -> dedup DECISIONS: connected components via
+    fixed-round min-label propagation (iterative DataFrame joins with
+    checkpointing), keeper = min doc id within 3 hops. Pairs come from
+    the MinHash-LSH path; because the round count is fixed and the pair
+    generation is md5-deterministic, the ENTIRE iterative graph algorithm
+    replays as unrolled SQL — a value-hash oracle for a class of
+    computation that normally only gets rows-only checks."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        near_dup_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.95)
+    return near_dup_components(pairs, rounds=3).orderBy("doc_id")
+
+
+def _components_sql(rounds: int = 3) -> str:
+    inner = _minhash_sql().strip().removeprefix("WITH").strip()
+    order_clause = "ORDER BY doc_a, doc_b"
+    assert inner.endswith(order_clause)
+    inner = inner[: -len(order_clause)].strip()
+    # wrap the minhash pair query as a CTE chain prefix; rsplit — the
+    # FINAL top-level select becomes the `pairs` CTE (earlier CTE bodies
+    # also start with SELECT doc_a)
+    prefix, final_select = inner.rsplit("SELECT doc_a", 1)
+    ctes = [
+        prefix.rstrip().rstrip(","),
+        "pairs AS (SELECT doc_a" + final_select + ")",
+        """verts AS (SELECT DISTINCT v FROM (
+  SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b AS v FROM pairs))""",
+        """edges AS (SELECT doc_a AS v, doc_b AS n FROM pairs
+           UNION ALL SELECT doc_b AS v, doc_a AS n FROM pairs)""",
+        "l0 AS (SELECT v, v AS label FROM verts)",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""l{r + 1} AS (
+  SELECT l.v, least(l.label, coalesce(min(ln.label), l.label)) AS label
+  FROM l{r} l LEFT JOIN edges e ON e.v = l.v
+              LEFT JOIN l{r} ln ON ln.v = e.n
+  GROUP BY l.v, l.label)""")
+    with_block = ",\n".join(ctes)
+    return f"""
+WITH {with_block}
+SELECT v AS doc_id, label AS keeper_id FROM l{rounds} ORDER BY doc_id
+"""
+
+
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash sketch per document (md5-derived bit votes)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1815,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_stratified_sample": d_stratified_sample,
         "d_doc_chunks": d_doc_chunks,
         "j_interval_clicks": j_interval_clicks,
+        "d_dup_components": d_dup_components,
     }
 
 
@@ -1871,6 +1920,7 @@ def oracle_sql() -> dict[str, str]:
         "d_stratified_sample": _D_SAMPLE_SQL,
         "d_doc_chunks": _D_CHUNKS_SQL,
         "j_interval_clicks": _J_INTERVAL_SQL,
+        "d_dup_components": _components_sql(),
     }
 
 
@@ -1927,4 +1977,5 @@ HEADLINE_QUERIES = [
     "d_stratified_sample",
     "d_doc_chunks",
     "j_interval_clicks",
+    "d_dup_components",
 ]

@@ -241,3 +241,49 @@ def simhash_near_dup_pairs(
         .filter((F.col("hamming") <= max_hamming) & first_match)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def near_dup_components(
+    pairs: DataFrame,
+    rounds: int = 3,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Canonical-keeper selection over the near-dup pair graph: every doc
+    appearing in ``pairs`` gets a ``keeper_id`` — the minimum doc id
+    reachable within ``rounds`` hops (iterative min-label propagation).
+
+    This is the step that turns PAIRS into DEDUP DECISIONS: keep
+    ``keeper_id``, drop the rest of the component. DataFrame-only
+    iteration — each round is one equi-join + min-aggregate, labels are
+    localCheckpoint'd so plans stay shallow (the standard checkpoint
+    discipline for iterative algorithms at scale). Near-dup clusters are
+    quasi-cliques (tiny diameter), so small ``rounds`` reaches the fixed
+    point in practice; because the round count is FIXED, the whole
+    computation replays as unrolled SQL — see ``_components_sql`` in
+    __spark_entry__ (most engines cannot oracle-check iterative graph
+    algorithms at all). Output: (doc_id, keeper_id).
+    """
+    va = pairs.select(F.col(id_a).alias("v"))
+    vb = pairs.select(F.col(id_b).alias("v"))
+    verts = va.union(vb).distinct()
+    edges = pairs.select(F.col(id_a).alias("v"), F.col(id_b).alias("n")).union(
+        pairs.select(F.col(id_b).alias("v"), F.col(id_a).alias("n"))
+    )
+    labels = verts.withColumn("label", F.col("v"))
+    for _ in range(rounds):
+        lab_n = labels.select(F.col("v").alias("n"), F.col("label").alias("nl"))
+        nbr_min = edges.join(lab_n, "n").groupBy("v").agg(F.min("nl").alias("nm"))
+        labels = (
+            labels.join(nbr_min, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nm"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("keeper_id")
+    )

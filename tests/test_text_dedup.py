@@ -137,6 +137,31 @@ def test_simhash_bucketed_join_equals_all_pairs(spark, sf_dir):
     assert bucketed == naive and bucketed
 
 
+def test_near_dup_components_keeper_selection(spark):
+    """Min-label propagation: cliques resolve in one round; a chain
+    resolves min within `rounds` hops (fixed-round semantics are exactly
+    what the unrolled SQL oracle replays)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        near_dup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        # component A: triangle {1,2,3}; component B: chain 10-11-12-13-14
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (13, 14)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["keeper_id"] for r in near_dup_components(pairs, rounds=3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    # 3 rounds reach 3 hops: 13 is 3 hops from 10 -> 10; 14 is 4 hops ->
+    # best reachable is 10's label after round 2 propagated to 13... the
+    # fixed-round fixpoint: 14 sees min within 3 hops = 11
+    assert out[10] == out[11] == out[12] == out[13] == 10
+    assert out[14] == 11
+    # one more round converges the chain fully
+    out4 = {r["doc_id"]: r["keeper_id"] for r in near_dup_components(pairs, rounds=4).collect()}
+    assert all(out4[v] == 10 for v in (10, 11, 12, 13, 14))
+
+
 def test_embedding_neardup_lsh_path_subset_of_exact(spark, sf_dir):
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
         embedding_near_dup_pairs,
