@@ -91,14 +91,22 @@ def _cell_dist2(x: Column, c: Column) -> Column:
 
 def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: (_vid, _x) x broadcast(cell, centroid)
-    -> (_vid, _x, _cell), ties broken by lowest cell id."""
+    -> (_vid, _x, _cell), ties broken by lowest cell id.
+
+    min_by over a (d2, cell) struct rather than a row_number window: an
+    aggregation gets map-side partial combine and needs no per-key sort —
+    at n x n_lists candidate rows the window's shuffle-and-sort is the
+    fit's hot spot."""
     j = base.join(F.broadcast(cents))
-    w = Window.partitionBy("_vid").orderBy(F.col("_d2").asc(), F.col("cell").asc())
+    scored = j.withColumn("_d2", _cell_dist2(F.col("_x"), F.col("centroid")))
+    pick = F.min_by(
+        F.struct(F.col("cell").alias("c"), F.col("_x").alias("x")),
+        F.struct(F.col("_d2"), F.col("cell")),
+    )
     return (
-        j.withColumn("_d2", _cell_dist2(F.col("_x"), F.col("centroid")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("_vid", "_x", F.col("cell").alias("_cell"))
+        scored.groupBy("_vid")
+        .agg(pick.alias("_p"))
+        .select("_vid", F.col("_p.x").alias("_x"), F.col("_p.c").alias("_cell"))
     )
 
 
@@ -140,6 +148,9 @@ def seeded_centroids(
     )
     for _ in range(n_iter):
         assigned = _assign_cells(base, cents)
+        # explode + two cheap aggs beats 64 decimal agg columns in one
+        # groupBy (measured: wide decimal buffers cost more than the
+        # exploded shuffle, which partial-agg compresses to cells x dims)
         el = assigned.select("_cell", F.posexplode("_x").alias("_pos", "_val"))
         dims = el.groupBy("_cell", "_pos").agg(davg("_val", "_m"))
         cents = (
