@@ -748,6 +748,62 @@ ORDER BY symbol_clean, trade_date
 """
 
 
+def e_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based approximate percentiles per event_type — the
+    deterministic, mergeable quantile scale path (two map-side-combined
+    shuffles at any data size). Integer bin counts make even this
+    APPROXIMATE operator value-hash-checkable; percentile_approx's GK
+    sketch is merge-order dependent and could never be."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.rollup import (
+        approx_percentiles_hist,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = approx_percentiles_hist(
+        ev, ["event_type"], "value", probs=(0.5, 0.9, 0.99), bins=64
+    )
+    return out.orderBy("event_type")
+
+
+_E_PCT_HIST_SQL = """
+WITH stats AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi, count(value) AS n
+  FROM events GROUP BY event_type),
+binned AS (
+  SELECT e.event_type,
+         CASE WHEN hi = lo THEN 0
+              ELSE CAST(least(floor((value - lo) / ((hi - lo) / 64.0)), 63)
+                   AS BIGINT) END AS b
+  FROM events e JOIN stats USING (event_type)),
+c AS (SELECT event_type, b, count(*) AS c FROM binned GROUP BY event_type, b),
+cum AS (
+  SELECT event_type, b, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM c),
+j AS (SELECT cum.*, lo, hi, n FROM cum JOIN stats USING (event_type)),
+est AS (
+  -- CAST the probabilities to DOUBLE: DuckDB parses 0.99 as DECIMAL and
+  -- would compute n * 0.99 exactly, while Spark multiplies doubles
+  SELECT event_type, b, c, cum, n,
+         lo + (b + greatest(0.0, least(1.0,
+               (n * CAST(0.5 AS DOUBLE) - (cum - c)) / c)))
+            * ((hi - lo) / 64.0) AS e50,
+         lo + (b + greatest(0.0, least(1.0,
+               (n * CAST(0.9 AS DOUBLE) - (cum - c)) / c)))
+            * ((hi - lo) / 64.0) AS e90,
+         lo + (b + greatest(0.0, least(1.0,
+               (n * CAST(0.99 AS DOUBLE) - (cum - c)) / c)))
+            * ((hi - lo) / 64.0) AS e99
+  FROM j)
+SELECT event_type,
+       arg_min(e50, b) FILTER (WHERE cum >= n * CAST(0.5 AS DOUBLE))  AS p50,
+       arg_min(e90, b) FILTER (WHERE cum >= n * CAST(0.9 AS DOUBLE))  AS p90,
+       arg_min(e99, b) FILTER (WHERE cum >= n * CAST(0.99 AS DOUBLE)) AS p99
+FROM est GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q17-shaped: revenue of lineitems below 20% of their part's
     average quantity (correlated scalar-subquery pattern -> per-part agg +
@@ -950,6 +1006,85 @@ SELECT user_id, event_id, timestamp_unix, close, bb_mid,
        bb_mid + 2.0 * sd AS bb_upper,
        bb_mid - 2.0 * sd AS bb_lower
 FROM s ORDER BY user_id, timestamp_unix, event_id
+"""
+
+
+def s_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via Spark's native session_window (the
+    streaming twin of the batch lag-gap e_sessionize): merge events with
+    <= 30-minute gaps per user inside a real streaming query
+    (availableNow -> memory sink). Output avoids the gap-extended
+    window end (session bounds = min/max event ts) so the batch SQL
+    oracle replays it exactly."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    tune(spark)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos (TESTDATA quirk)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+#: Batch replay of session_window semantics: same >30-min gap split as
+#: e_sessionize, aggregated to session bounds. session_window treats a
+#: gap of EXACTLY the duration as a new session (merge iff
+#: ts < prev_end + gap), matching the strict > comparison here.
+_S_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+ORDER BY user_id, session_start
 """
 
 
@@ -1864,6 +1999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_doc_chunks": d_doc_chunks,
         "j_interval_clicks": j_interval_clicks,
         "d_dup_components": d_dup_components,
+        "s_stream_sessions": s_stream_sessions,
+        "e_percentiles_hist": e_percentiles_hist,
     }
 
 
@@ -1921,6 +2058,8 @@ def oracle_sql() -> dict[str, str]:
         "d_doc_chunks": _D_CHUNKS_SQL,
         "j_interval_clicks": _J_INTERVAL_SQL,
         "d_dup_components": _components_sql(),
+        "s_stream_sessions": _S_SESSIONS_SQL,
+        "e_percentiles_hist": _E_PCT_HIST_SQL,
     }
 
 
@@ -1978,4 +2117,6 @@ HEADLINE_QUERIES = [
     "d_doc_chunks",
     "j_interval_clicks",
     "d_dup_components",
+    "s_stream_sessions",
+    "e_percentiles_hist",
 ]

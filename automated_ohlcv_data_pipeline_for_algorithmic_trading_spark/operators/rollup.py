@@ -167,3 +167,68 @@ def conditional_counts(
         F.count_if(cond).alias(name) for name, cond in conditions.items()
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def approx_percentiles_hist(
+    df,
+    keys,
+    value_col: str,
+    probs=(0.5, 0.9, 0.99),
+    bins: int = 64,
+):
+    """Approximate percentiles via fixed-bin histograms — the
+    deterministic scale path for quantiles.
+
+    Two aggregations: (1) per-key (min, max, count); (2) per-(key, bin)
+    counts with bin = floor((v - lo) / width), width = (hi - lo)/bins.
+    The estimate interpolates inside the first bin whose cumulative count
+    reaches p*n. Integer counts make the result partition-count-INVARIANT
+    and exactly SQL-replayable — unlike percentile_approx (GK sketch,
+    merge-order dependent), this approximate operator has a value-hash
+    oracle (e_percentiles_hist). Error is bounded by one bin width;
+    histograms are trivially mergeable (counts add), so at 100 TB this is
+    two map-side-combined shuffles regardless of data size.
+
+    Output: one row per key with a ``p{int(100p)}`` column per prob.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    stats = df.groupBy(*keys).agg(
+        F.min(value_col).alias("_lo"),
+        F.max(value_col).alias("_hi"),
+        F.count(value_col).alias("_n"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    bin_ = F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((F.col(value_col) - F.col("_lo")) / width), F.lit(bins - 1)
+        ).cast("long")
+    )
+    counts = (
+        df.join(F.broadcast(stats), keys)
+        .withColumn("_b", bin_)
+        .groupBy(*keys, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy(*keys).orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counts.withColumn("_cum", F.sum("_c").over(w)).join(
+        F.broadcast(stats), keys
+    )
+    aggs = []
+    for p in probs:
+        target = F.col("_n") * F.lit(float(p))
+        frac = F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0), (target - (F.col("_cum") - F.col("_c"))) / F.col("_c")
+            ),
+        )
+        est = F.col("_lo") + (F.col("_b") + frac) * width
+        picked = F.min(
+            F.when(F.col("_cum") >= target, F.struct(F.col("_b"), est.alias("e")))
+        )
+        aggs.append(picked.getField("e").alias(f"p{int(round(p * 100))}"))
+    return cum.groupBy(*keys).agg(*aggs)

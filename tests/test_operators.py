@@ -88,6 +88,51 @@ def test_dedup_directions(spark):
     assert {r["price"] for r in first} == {10.0, 12.0}
 
 
+def test_approx_percentiles_hist_accuracy_and_invariance(spark, sf_dir):
+    """Histogram quantiles must land within one bin width of the exact
+    percentile and be identical under repartitioning (integer counts ->
+    partition-count-invariant, unlike percentile_approx)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.rollup import (
+        approx_percentiles_hist,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: r
+        for r in approx_percentiles_hist(
+            ev, ["event_type"], "value", probs=(0.5, 0.9), bins=64
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("x50"),
+            F.expr("percentile(value, 0.9)").alias("x90"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    for et, r in got.items():
+        bin_w = (exact[et]["hi"] - exact[et]["lo"]) / 64.0
+        assert abs(r["p50"] - exact[et]["x50"]) <= bin_w, et
+        assert abs(r["p90"] - exact[et]["x90"]) <= bin_w, et
+    again = {
+        r["event_type"]: r
+        for r in approx_percentiles_hist(
+            ev.repartition(11), ["event_type"], "value", probs=(0.5, 0.9), bins=64
+        ).collect()
+    }
+    for et in got:
+        assert got[et]["p50"] == again[et]["p50"]  # bit-identical
+        assert got[et]["p90"] == again[et]["p90"]
+
+
 def test_sma_chunked_equals_global_window(spark):
     """The chunked (skew-robust) SMA must reproduce the global-window SMA
     bit-for-bit when every chunk holds >= n-1 rows. Hourly candles
