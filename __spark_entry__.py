@@ -1747,6 +1747,30 @@ FROM e ORDER BY doc_id, chunk_idx
 """
 
 
+def d_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data cleaning: mask email-shaped tokens and long digit
+    runs, per-doc match counts + md5 of the redacted text. Chained
+    regexp expressions, codegen'd, shuffle-free."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        redact_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return redact_pii(docs).orderBy("doc_id")
+
+
+_D_REDACT_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '[0-9]{9,}')) AS n_long_numbers,
+       md5(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{9,}', '<NUM>', 'g')) AS redacted_md5
+FROM documents ORDER BY doc_id
+"""
+
+
 def j_interval_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join as a bucketed equi-join: every click inside
     a 2-hour window opened by the same user's signup event. The theta
@@ -2001,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dup_components": d_dup_components,
         "s_stream_sessions": s_stream_sessions,
         "e_percentiles_hist": e_percentiles_hist,
+        "d_redact_pii": d_redact_pii,
     }
 
 
@@ -2060,6 +2085,7 @@ def oracle_sql() -> dict[str, str]:
         "d_dup_components": _components_sql(),
         "s_stream_sessions": _S_SESSIONS_SQL,
         "e_percentiles_hist": _E_PCT_HIST_SQL,
+        "d_redact_pii": _D_REDACT_SQL,
     }
 
 
@@ -2119,4 +2145,5 @@ HEADLINE_QUERIES = [
     "d_dup_components",
     "s_stream_sessions",
     "e_percentiles_hist",
+    "d_redact_pii",
 ]

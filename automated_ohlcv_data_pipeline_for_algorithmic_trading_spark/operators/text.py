@@ -206,3 +206,32 @@ def chunk_documents(
             F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
         )
     )
+
+
+#: Dialect-safe PII-ish patterns (same semantics in Java regex and RE2):
+#: email-shaped tokens and long digit runs (phone/account numbers).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONG_NUMBER = r"[0-9]{9,}"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_cols=("doc_id",)
+) -> DataFrame:
+    """Training-data cleaning: mask email-shaped tokens and long digit
+    runs, report per-doc match counts and the md5 of the redacted text
+    (compact, comparison-friendly). Pure regexp expressions — codegen'd,
+    no shuffle, and the patterns evaluate identically in the DuckDB
+    oracle (d_redact_pii). Real pipelines extend the pattern table; the
+    operator shape (chained regexp_replace + counts) is the point."""
+    emails = F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(emails, PII_LONG_NUMBER, "<NUM>")
+    return df.select(
+        *id_cols,
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_LONG_NUMBER), 0))
+        .cast("long")
+        .alias("n_long_numbers"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -137,6 +137,28 @@ def test_simhash_bucketed_join_equals_all_pairs(spark, sf_dir):
     assert bucketed == naive and bucketed
 
 
+def test_redact_pii_masks_and_counts(spark):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        redact_pii,
+    )
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact a.b+c@ex-ample.co.uk or 123456789 now"),
+            (1, "clean text, short num 12345678"),  # 8 digits: NOT masked
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_long_numbers"] == 1
+    assert out[1]["n_emails"] == 0 and out[1]["n_long_numbers"] == 0
+    expect0 = hashlib.md5(b"contact <EMAIL> or <NUM> now").hexdigest()
+    assert out[0]["redacted_md5"] == expect0
+    expect1 = hashlib.md5(b"clean text, short num 12345678").hexdigest()
+    assert out[1]["redacted_md5"] == expect1
+
+
 def test_near_dup_components_keeper_selection(spark):
     """Min-label propagation: cliques resolve in one round; a chain
     resolves min within `rounds` hops (fixed-round semantics are exactly
