@@ -89,33 +89,38 @@ def _vwap_exact_fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
     bit-identical to a windowed decimal SQL replay on any engine, per the
     repo determinism contract (functions/exact.py). Rows are folded in
     (timestamp_unix, event_id) order for a deterministic tiebreak."""
+    import numpy as np
     import pandas as pd
 
     (pvu, v) = state.get if state.exists else (0, 0)
-    out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["timestamp_unix", "event_id"])
-        for row in pdf.itertuples():
-            pvu += round(float(row.close) * int(row.volume) * 1e6)
-            v += int(row.volume)
-            out.append(
-                (
-                    key[0],
-                    int(row.event_id),
-                    int(row.timestamp_unix),
-                    float(row.close),
-                    int(row.volume),
-                    (pvu / 1e6) / v if v else None,
-                    v,
-                )
-            )
-    state.update((int(pvu), int(v)))
+    frames = [f for f in pdfs if len(f)]
+    if not frames:  # NoTimeout never calls with an empty group, but be safe
+        state.update((int(pvu), int(v)))
+        return
+    pdf = (frames[0] if len(frames) == 1 else pd.concat(frames)).sort_values(
+        ["timestamp_unix", "event_id"]
+    )
+    close = pdf["close"].to_numpy(np.float64)
+    vol = pdf["volume"].to_numpy(np.int64)
+    # (close * volume) * 1e6 rounded half-even (np.rint == Python round):
+    # the same integer micro-units a per-row fold would accumulate, but
+    # vectorized — cumsum over int64 is exact, order fixed by the sort.
+    dpvu = np.rint(close * vol.astype(np.float64) * 1e6).astype(np.int64)
+    cum_pvu = pvu + np.cumsum(dpvu)
+    cum_v = v + np.cumsum(vol)
+    vwap = np.where(cum_v > 0, (cum_pvu / 1e6) / np.maximum(cum_v, 1), np.nan)
+    n = len(pdf)
+    state.update((int(cum_pvu[-1]) if n else int(pvu), int(cum_v[-1]) if n else int(v)))
     yield pd.DataFrame(
-        out,
-        columns=[
-            "symbol_clean", "event_id", "timestamp_unix", "close",
-            "volume", "vwap", "cum_volume",
-        ],
+        {
+            "symbol_clean": np.repeat(key[0], n),
+            "event_id": pdf["event_id"].to_numpy(np.int64),
+            "timestamp_unix": pdf["timestamp_unix"].to_numpy(np.int64),
+            "close": close,
+            "volume": vol,
+            "vwap": vwap,
+            "cum_volume": cum_v,
+        }
     )
 
 
