@@ -96,9 +96,17 @@ def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
     min_by over a (d2, cell) struct rather than a row_number window: an
     aggregation gets map-side partial combine and needs no per-key sort —
     at n x n_lists candidate rows the window's shuffle-and-sort is the
-    fit's hot spot."""
-    j = base.join(F.broadcast(cents))
-    scored = j.withColumn("_d2", _cell_dist2(F.col("_x"), F.col("centroid")))
+    fit's hot spot. |x|^2 and |c|^2 are folded ONCE per row/centroid
+    before the join (identical bits, same fold) instead of per candidate
+    pair — the pairwise work drops to the single cross dot."""
+    j = base.withColumn("_xx", dot(F.col("_x"), F.col("_x"))).join(
+        F.broadcast(cents.withColumn("_cc", dot(F.col("centroid"), F.col("centroid"))))
+    )
+    scored = j.withColumn(
+        "_d2",
+        F.col("_xx") + F.col("_cc")
+        - F.lit(2.0) * dot(F.col("_x"), F.col("centroid")),
+    )
     pick = F.min_by(
         F.struct(F.col("cell").alias("c"), F.col("_x").alias("x")),
         F.struct(F.col("_d2"), F.col("cell")),
@@ -133,9 +141,12 @@ def seeded_centroids(
     all members simply drop out on both engines. Returns
     ``(cell int, centroid array<double>)``.
     """
+    # spread a single-file corpus across cores before the per-row-heavy
+    # assignment folds (one parquet file = one input split otherwise)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     base = corpus.select(
         F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
-    )
+    ).repartition(par, "_vid")
     seeded = base.withColumn(
         "_h", F.md5(F.col("_vid").cast("string").cast("binary"))
     )
@@ -200,9 +211,13 @@ def ivf_knn(
         cdf = seeded_centroids(corpus, n_lists, n_iter, id_col, vec_col)
     base = corpus.select(
         F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
-    )
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism, "_vid")
+    # per-vector norm folded once here, not per candidate pair below
     corpus_cells = _assign_cells(base, cdf).select(
-        F.col("_vid").alias("neighbor_id"), F.col("_x").alias("_cvec"), "_cell"
+        F.col("_vid").alias("neighbor_id"),
+        F.col("_x").alias("_cvec"),
+        "_cell",
+        l2_norm(F.col("_x")).alias("_cnorm"),
     )
     qbase = queries.select(
         F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
@@ -214,13 +229,14 @@ def ivf_knn(
         .withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= n_probe)
         .select(F.col("_vid").alias("query_id"), F.col("_x").alias("_qvec"),
-                F.col("cell").alias("_cell"))
+                F.col("cell").alias("_cell"),
+                l2_norm(F.col("_x")).alias("_qnorm"))
     )
     pairs = corpus_cells.join(F.broadcast(probes), "_cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     cos = dot(F.col("_qvec"), F.col("_cvec")) / (
-        l2_norm(F.col("_qvec")) * l2_norm(F.col("_cvec"))
+        F.col("_qnorm") * F.col("_cnorm")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("neighbor_id").asc()
