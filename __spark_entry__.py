@@ -1771,6 +1771,166 @@ FROM documents ORDER BY doc_id
 """
 
 
+def d_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: md5(salt|id) % 10000 against
+    cumulative weights. Pure per-row expression — reproducible on any
+    cluster size / engine, no shuffle."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").orderBy("doc_id")
+
+
+_D_SPLIT_SQL = r"""
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < 9000 THEN 'train'
+            WHEN split_bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS split_bucket
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
+def d_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-line fraction
+    and most-frequent-bigram fraction. Per-row array exprs, no shuffle."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        repetition_signals,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs).orderBy("doc_id")
+
+
+#: Token bigram list from the shared token fragment (DuckDB
+#: generate_series(1, 0) is empty, matching Spark's size>=2 guard).
+_SQL_BIGRAMS = (
+    r"list_transform(generate_series(1, len(ts) - 1),"
+    r" i -> ts[i] || ' ' || ts[i + 1])"
+)
+
+_D_REPETITION_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(text, chr(10)),
+                          l -> regexp_replace(l, '^\s+|\s+$', '', 'g')),
+           l -> l <> '') AS lines,
+         {_SQL_BIGRAMS} AS bg
+  FROM (SELECT doc_id, text, {_SQL_TOKS} AS ts FROM documents)
+),
+top AS (SELECT doc_id, max(c) AS top_c
+        FROM (SELECT doc_id, gram, count(*) AS c
+              FROM (SELECT doc_id, unnest(bg) AS gram FROM t)
+              GROUP BY doc_id, gram)
+        GROUP BY doc_id)
+SELECT t.doc_id,
+       len(lines) AS n_lines,
+       round(CASE WHEN len(lines) > 0
+             THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+             ELSE 0.0 END, 6) AS dup_line_frac,
+       len(bg) AS n_bigrams,
+       round(CASE WHEN len(bg) > 0
+             THEN CAST(coalesce(top.top_c, 0) AS DOUBLE) / len(bg)
+             ELSE 0.0 END, 6) AS top_bigram_frac
+FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def d_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most frequent token bigrams: explode -> partial-agg
+    count -> TakeOrderedAndProject top-20 (count desc, gram asc)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        top_ngrams,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=20)
+
+
+_D_TOP_BIGRAMS_SQL = rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+g AS (SELECT unnest({_SQL_BIGRAMS}) AS gram FROM t)
+SELECT gram, count(*) AS n_occurrences
+FROM g GROUP BY gram
+ORDER BY n_occurrences DESC, gram LIMIT 20
+"""
+
+
+def d_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF. Integer ranking
+    keys (tf desc, df asc, term asc) — the float score is reported, never
+    the sort key (cross-engine ln() ulp differences)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        tf_idf_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf_topk(docs, k=3).orderBy(
+        "doc_id", F.desc("tf"), "df", "term"
+    )
+
+
+_D_TFIDF_SQL = rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+toks AS (SELECT doc_id, unnest(ts) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             round(tf.tf * ln(CAST(n_docs + 1 AS DOUBLE) / (dfq.df + 1)), 6)
+                 AS tf_idf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC)
+                 AS rnk
+      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df, tf_idf
+FROM s WHERE rnk <= 3
+ORDER BY doc_id, tf DESC, df, term
+"""
+
+
+def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing token 3-grams
+    with a benchmark set (here: every 50th document). Benchmark shingles
+    are distinct'd + broadcast; clean corpus docs never shuffle."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corp = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corp, bench, ngram=3).orderBy("doc_id")
+
+
+_SQL_TRIGRAMS = (
+    r"list_transform(generate_series(1, len(ts) - 2),"
+    r" i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])"
+)
+
+_D_DECONTAM_SQL = rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct({_SQL_TRIGRAMS})) AS gram FROM t),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+hits AS (SELECT g.doc_id, count(*) AS n_shared_grams
+         FROM g JOIN bg USING (gram)
+         WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_shared_grams, 0) AS n_shared_grams,
+       coalesce(h.n_shared_grams, 0) > 0 AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 50 <> 0
+ORDER BY doc_id
+"""
+
+
 def j_interval_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join as a bucketed equi-join: every click inside
     a 2-hour window opened by the same user's signup event. The theta
@@ -2026,6 +2186,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_sessions": s_stream_sessions,
         "e_percentiles_hist": e_percentiles_hist,
         "d_redact_pii": d_redact_pii,
+        "d_hash_split": d_hash_split,
+        "d_repetition": d_repetition,
+        "d_top_bigrams": d_top_bigrams,
+        "d_tfidf_topk": d_tfidf_topk,
+        "d_decontaminate": d_decontaminate,
     }
 
 
@@ -2086,6 +2251,11 @@ def oracle_sql() -> dict[str, str]:
         "s_stream_sessions": _S_SESSIONS_SQL,
         "e_percentiles_hist": _E_PCT_HIST_SQL,
         "d_redact_pii": _D_REDACT_SQL,
+        "d_hash_split": _D_SPLIT_SQL,
+        "d_repetition": _D_REPETITION_SQL,
+        "d_top_bigrams": _D_TOP_BIGRAMS_SQL,
+        "d_tfidf_topk": _D_TFIDF_SQL,
+        "d_decontaminate": _D_DECONTAM_SQL,
     }
 
 
@@ -2146,4 +2316,9 @@ HEADLINE_QUERIES = [
     "s_stream_sessions",
     "e_percentiles_hist",
     "d_redact_pii",
+    "d_hash_split",
+    "d_repetition",
+    "d_top_bigrams",
+    "d_tfidf_topk",
+    "d_decontaminate",
 ]

@@ -18,7 +18,13 @@ from .text import (  # noqa: F401
     fingerprint,
     kgram_bottomk_fingerprint,
     bpe_ish_tokens,
+    token_ngrams,
+    repetition_signals,
+    chunk_documents,
+    redact_pii,
 )
+from .corpus import top_ngrams, tf_idf_topk, decontaminate  # noqa: F401
+from .sampling import stratified_sample, hash_split  # noqa: F401
 from .dedup_similarity import (  # noqa: F401
     exact_dedup_groups,
     minhash_near_dup_pairs,

@@ -1,0 +1,133 @@
+"""Corpus-level text operators for training-data pipelines
+(beyond-reference surface, SURVEY.md §7 phase 5): corpus n-gram counts,
+TF-IDF term ranking, and benchmark decontamination.
+
+Unlike the per-row operators in :mod:`text`, these aggregate or join
+ACROSS documents — the shapes that decide whether a pipeline survives
+100 TB:
+
+- ``top_ngrams``: explode → hash-aggregate count → top-k. Partial
+  (map-side) aggregation absorbs the explosion; the shuffle carries only
+  per-partition (gram, count) partials, and the top-k is a
+  TakeOrderedAndProject, never a full sort.
+- ``tf_idf_topk``: two hash aggregations sharing the (doc_id, term)
+  grouping, a term-keyed shuffle join for document frequencies, and a
+  bounded per-document window. Ranking uses INTEGER keys (tf desc, df
+  asc, term asc) so it is bit-stable across engines; the float tf-idf
+  score is a reported metric, not the sort key (ln() can differ in the
+  last ulp between engines — never rank on it).
+- ``decontaminate``: the n-gram-overlap test every training corpus runs
+  against its eval benchmarks. Benchmark shingles are DISTINCT'd then
+  broadcast (a benchmark is tiny next to the corpus), so the corpus side
+  is a map-side hash-join probe — no corpus shuffle at all; only the
+  matched shingles (rare) shuffle for the per-document count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_ngrams, tokens
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide most frequent token n-grams (count desc, gram asc).
+
+    Output: (gram, n_occurrences) — exactly ``k`` rows (fewer only if the
+    corpus has fewer distinct grams).
+    """
+    grams = df.select(
+        F.explode(token_ngrams(tokens(text_col), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").cast("long").alias("n_occurrences"))
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("gram")).limit(k)
+
+
+def tf_idf_topk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF.
+
+    tf = term count within the document (token multiset), df = number of
+    documents containing the term, idf = ln((N + 1) / (df + 1)),
+    score = tf * idf. Returned score is rounded to 1e-6.
+
+    The RANKING key is (tf desc, df asc, term asc) — all integers/strings,
+    so the selected rows are identical on any engine and any partitioning;
+    the float score is reported but deliberately not the sort key.
+
+    Output: (id_col, term, tf, df, tf_idf), k rows per document.
+    """
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = df.select(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tf_idf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "tf_idf")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing token
+    ``ngram``-grams with an evaluation benchmark (the overlap test
+    described in public LM reports, e.g. GPT-3 appendix C / PaLM §6 —
+    shingle both sides, intersect, drop or flag the hits).
+
+    Both sides shingle to DISTINCT n-grams; the benchmark's shingle set
+    is collapsed (distinct across all benchmark docs) and broadcast.
+    Corpus documents with zero overlap — the overwhelming majority —
+    never shuffle: the broadcast-join probe filters them map-side, and
+    only matched shingles reach the per-document count aggregation. The
+    final left join fills 0 for clean documents.
+
+    Output: (id_col, n_shared_grams, is_contaminated) — one row per
+    CORPUS document.
+    """
+    def shingles(d: DataFrame) -> DataFrame:
+        return d.select(
+            id_col,
+            F.explode(
+                F.array_distinct(token_ngrams(tokens(text_col), ngram))
+            ).alias("gram"),
+        )
+
+    bench_grams = F.broadcast(shingles(benchmark).select("gram").distinct())
+    hits = (
+        shingles(corpus)
+        .join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_grams", F.lit(0).cast("long")).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )

@@ -30,6 +30,47 @@ def hash_permyriad(id_col: str) -> Column:
     return h % 10000
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 9000), ("val", 500), ("test", 500)),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the dataset-split step of
+    a training pipeline, done the reproducible way: the split is a pure
+    function of (salt, id), so it survives re-runs, cluster resizes, and
+    engine swaps (the DuckDB twin replays it bit-for-bit), and adding new
+    rows never reshuffles old ones between splits.
+
+    ``splits`` are (name, weight-permyriad) in priority order and must sum
+    to 10000. Row goes to the first split whose cumulative range contains
+    ``md5(salt|id) % 10000``. Pure per-row expression: no shuffle, no RNG,
+    embarrassingly parallel at 100 TB.
+
+    Output: (id_col, split_bucket, split).
+    """
+    total = sum(w for _, w in splits)
+    if total != 10000:
+        raise ValueError(f"split weights must sum to 10000, got {total}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = (h % 10000).alias("split_bucket")
+    expr: Column = F.lit(splits[-1][0])
+    upper = 0
+    edges = []
+    for name, weight in splits:
+        upper += weight
+        edges.append((name, upper))
+    for name, edge in reversed(edges[:-1]):
+        expr = F.when(F.col("split_bucket") < edge, F.lit(name)).otherwise(expr)
+    return df.select(id_col, bucket).withColumn("split", expr)
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

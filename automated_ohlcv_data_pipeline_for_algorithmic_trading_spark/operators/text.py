@@ -208,6 +208,78 @@ def chunk_documents(
     )
 
 
+def token_ngrams(toks: Column, n: int = 2, sep: str = " ") -> Column:
+    """Token n-grams as joined strings: [] when the document has < n
+    tokens. Pure array expression (sequence -> transform), no UDF."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                sep, *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_cols=("doc_id",)
+) -> DataFrame:
+    """Gopher-style within-document repetition signals — the quality
+    filters large-scale corpus curation applies before training
+    (Rae et al. 2021 §A1.1, public paper): duplicate-line fraction and
+    the fraction of all token bigrams taken up by the single most
+    frequent bigram. Highly repetitive documents (boilerplate, scraped
+    listings) score high and get dropped.
+
+    Line metrics are per-row array expressions (linear, shuffle-free).
+    The most-frequent-bigram count is explode -> groupBy(id, gram) ->
+    max-per-id — linear and vectorized, NOT a per-row "count each
+    distinct gram inside the array" lambda, which is quadratic in
+    document length through interpreted higher-order functions
+    (measured: 230 s -> ~2 s at sf0.01 on the long-document tail).
+
+    Output: (id, n_lines, dup_line_frac, n_bigrams, top_bigram_frac),
+    ratios rounded to 1e-6; both rounded identically in the DuckDB twin.
+    """
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), "\n"),
+            lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
+        ),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        *id_cols,
+        n_lines.cast("long").alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        token_ngrams(tokens(text_col), 2).alias("_bigrams"),
+    )
+    top = (
+        base.select(*id_cols, F.explode("_bigrams").alias("gram"))
+        .groupBy(*id_cols, "gram")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(*id_cols)
+        .agg(F.max("_c").alias("_top"))
+    )
+    n_bi = F.size("_bigrams")
+    top_frac = F.when(
+        n_bi > 0, F.coalesce(F.col("_top"), F.lit(0)).cast("double") / n_bi
+    ).otherwise(F.lit(0.0))
+    return base.join(top, list(id_cols), "left").select(
+        *id_cols,
+        "n_lines",
+        "dup_line_frac",
+        n_bi.cast("long").alias("n_bigrams"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+    )
+
+
 #: Dialect-safe PII-ish patterns (same semantics in Java regex and RE2):
 #: email-shaped tokens and long digit runs (phone/account numbers).
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

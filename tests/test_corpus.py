@@ -1,0 +1,129 @@
+"""Corpus-level curation operators: hash split, repetition signals,
+top n-grams, TF-IDF ranking, and benchmark decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+    decontaminate,
+    tf_idf_topk,
+    top_ngrams,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sampling import (
+    hash_split,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+    repetition_signals,
+    token_ngrams,
+    tokens,
+)
+
+
+def test_hash_split_deterministic_partition_invariant(spark):
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    out = hash_split(df, "doc_id").collect()
+    counts: dict[str, int] = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+        assert 0 <= r["split_bucket"] < 10000
+    # ~90/5/5 within md5-uniform tolerance
+    assert 4300 <= counts["train"] <= 4700
+    assert 150 <= counts["val"] <= 350
+    assert 150 <= counts["test"] <= 350
+    again = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(17), "doc_id").collect()
+    }
+    assert all(again[r["doc_id"]] == r["split"] for r in out)
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest
+
+    df = spark.range(1).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", splits=(("a", 5000), ("b", 4000)))
+
+
+def test_token_ngrams_short_and_exact(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b"), (2, "a"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", token_ngrams(tokens("text"), 3).alias("g")).collect()
+    }
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == [] and rows[2] == [] and rows[3] == []
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "x y\nx y\nz w"),      # dup line 1/3; bigrams: "x y" twice
+            (1, "a b c d"),            # no repetition
+            (2, ""),                   # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert rows[0]["n_lines"] == 3
+    assert abs(rows[0]["dup_line_frac"] - (1 - 2 / 3)) < 1e-6
+    # tokens: x y x y z w -> bigrams: xy yx xy yz zw -> top "x y" count 2 of 5
+    assert rows[0]["n_bigrams"] == 5
+    assert abs(rows[0]["top_bigram_frac"] - 0.4) < 1e-6
+    assert rows[1]["dup_line_frac"] == 0.0
+    assert abs(rows[1]["top_bigram_frac"] - (1 / 3)) < 1e-6
+    assert rows[2]["n_lines"] == 0 and rows[2]["top_bigram_frac"] == 0.0
+
+
+def test_top_ngrams_count_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(0, "b a b a"), (1, "a b")],
+        "doc_id long, text string",
+    )
+    # bigrams: doc0 -> "b a","a b","b a"; doc1 -> "a b"
+    rows = top_ngrams(df, n=2, k=2).collect()
+    assert [(r["gram"], r["n_occurrences"]) for r in rows] == [
+        ("a b", 2),
+        ("b a", 2),
+    ]
+
+
+def test_tf_idf_topk_ranks_rare_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "common common rare0 rare0 rare0"),
+            (1, "common zeta"),
+            (2, "common other"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tf_idf_topk(df, k=1).collect()
+    top = {r["doc_id"]: r for r in rows}
+    # "common" appears in all docs (df=3) -> never the top term
+    assert top[0]["term"] == "rare0" and top[0]["tf"] == 3
+    assert top[1]["term"] == "zeta" and top[1]["df"] == 1
+    assert top[2]["term"] == "other"
+    assert all(r["tf_idf"] > 0 for r in rows)
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "a document with the quick brown fox inside"),  # 2 shared 3-grams
+            (1, "totally unrelated words here"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(corpus, bench, ngram=3).collect()}
+    assert len(rows) == 3
+    assert rows[0]["is_contaminated"] and rows[0]["n_shared_grams"] == 2
+    assert not rows[1]["is_contaminated"] and rows[1]["n_shared_grams"] == 0
+    assert not rows[2]["is_contaminated"]
