@@ -37,7 +37,12 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20) -
     Output: (gram, n_occurrences) — exactly ``k`` rows (fewer only if the
     corpus has fewer distinct grams).
     """
-    grams = df.select(
+    # single-file corpora arrive as one input split — spread the
+    # per-row-heavy tokenize/ngram map work (at real scale the scan
+    # already has many splits and this repartition is a cheap no-op
+    # relative to the explode it feeds)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    grams = df.select(text_col).repartition(par).select(
         F.explode(token_ngrams(tokens(text_col), n)).alias("gram")
     )
     counts = grams.groupBy("gram").agg(F.count("*").cast("long").alias("n_occurrences"))
@@ -59,7 +64,12 @@ def tf_idf_topk(
 
     Output: (id_col, term, tf, df, tf_idf), k rows per document.
     """
-    toks = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(id_col, text_col)
+        .repartition(par, id_col)  # spread single-split inputs
+        .select(id_col, F.explode(tokens(text_col)).alias("term"))
+    )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n_docs = df.select(F.count("*").cast("long").alias("n_docs"))
@@ -107,8 +117,13 @@ def decontaminate(
     Output: (id_col, n_shared_grams, is_contaminated) — one row per
     CORPUS document.
     """
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+
     def shingles(d: DataFrame) -> DataFrame:
-        return d.select(
+        # repartition: spread the shingle construction over cores when
+        # the input is a single parquet split (local corpora); harmless
+        # rebalance at real scale
+        return d.select(id_col, text_col).repartition(par, id_col).select(
             id_col,
             F.explode(
                 F.array_distinct(token_ngrams(tokens(text_col), ngram))

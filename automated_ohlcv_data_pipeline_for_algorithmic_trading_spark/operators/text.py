@@ -234,10 +234,13 @@ def repetition_signals(
 
     Line metrics are per-row array expressions (linear, shuffle-free).
     The most-frequent-bigram count is explode -> groupBy(id, gram) ->
-    max-per-id — linear and vectorized, NOT a per-row "count each
+    per-id (max, sum) — linear and vectorized, NOT a per-row "count each
     distinct gram inside the array" lambda, which is quadratic in
     document length through interpreted higher-order functions
     (measured: 230 s -> ~2 s at sf0.01 on the long-document tail).
+    n_bigrams comes from the SAME aggregation (sum of counts), so the
+    final join carries only scalar metrics — never the bigram arrays
+    (carrying them through the join shuffle measured 79 s at sf0.1).
 
     Output: (id, n_lines, dup_line_frac, n_bigrams, top_bigram_frac),
     ratios rounded to 1e-6; both rounded identically in the DuckDB twin.
@@ -254,28 +257,36 @@ def repetition_signals(
         n_lines > 0,
         1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
     ).otherwise(F.lit(0.0))
-    base = df.select(
+    # a small corpus often arrives as ONE parquet split; spread the
+    # per-row-heavy tokenize/ngram map work (playbook: single-file input)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(*id_cols, text_col).repartition(par, *id_cols)
+    base = src.select(
         *id_cols,
         n_lines.cast("long").alias("n_lines"),
         F.round(dup_line_frac, 6).alias("dup_line_frac"),
-        token_ngrams(tokens(text_col), 2).alias("_bigrams"),
     )
-    top = (
-        base.select(*id_cols, F.explode("_bigrams").alias("gram"))
+    bi = (
+        src.select(
+            *id_cols, F.explode(token_ngrams(tokens(text_col), 2)).alias("gram")
+        )
         .groupBy(*id_cols, "gram")
         .agg(F.count("*").alias("_c"))
         .groupBy(*id_cols)
-        .agg(F.max("_c").alias("_top"))
+        .agg(
+            F.max("_c").cast("long").alias("_top"),
+            F.sum("_c").cast("long").alias("_n_bi"),
+        )
     )
-    n_bi = F.size("_bigrams")
+    n_bi = F.coalesce(F.col("_n_bi"), F.lit(0).cast("long"))
     top_frac = F.when(
         n_bi > 0, F.coalesce(F.col("_top"), F.lit(0)).cast("double") / n_bi
     ).otherwise(F.lit(0.0))
-    return base.join(top, list(id_cols), "left").select(
+    return base.join(bi, list(id_cols), "left").select(
         *id_cols,
         "n_lines",
         "dup_line_frac",
-        n_bi.cast("long").alias("n_bigrams"),
+        n_bi.alias("n_bigrams"),
         F.round(top_frac, 6).alias("top_bigram_frac"),
     )
 
