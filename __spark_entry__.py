@@ -1445,10 +1445,20 @@ def d_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        MINHASH_P,
+        _uhash_coeffs,
+    )
+
     k, bands, rows = 16, 4, 4
+    coeffs = _uhash_coeffs(k)
+    # one 48-bit md5 base hash per token (mod P), k affine mixes — the
+    # exact scheme minhash_signatures computes JVM-side
+    base = r"CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 2147483647"
+    assert MINHASH_P == 2147483647
     sigs = ",\n         ".join(
-        f"list_min(list_transform(ts, t -> md5(t || '#{i}'))) AS sig{i}"
-        for i in range(k)
+        f"list_min(list_transform(mh, m -> ({a} * m + {b}) % 2147483647)) AS sig{i}"
+        for i, (a, b) in enumerate(coeffs)
     )
     band_exprs = ", ".join(
         "md5(concat_ws('|', '{b}', {cols}))".format(
@@ -1458,9 +1468,10 @@ def _minhash_sql() -> str:
     )
     return rf"""
 WITH t AS (SELECT doc_id, {_SQL_TOKSET} AS ts FROM documents),
-sig AS (SELECT doc_id, ts,
+tm AS (SELECT doc_id, list_transform(ts, t -> {base}) AS mh FROM t),
+sig AS (SELECT doc_id,
          {sigs}
-        FROM t),
+        FROM tm),
 bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),

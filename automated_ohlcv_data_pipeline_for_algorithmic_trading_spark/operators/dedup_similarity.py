@@ -22,11 +22,38 @@ MINHASH_K = 16
 LSH_BANDS = 4
 LSH_ROWS = 4
 
+#: Universal-hash modulus (2^31 - 1, prime). Token base hash is a 48-bit
+#: md5 prefix reduced mod P; the i-th "permutation" is the affine map
+#: (a_i * m + b_i) mod P. One md5 per token instead of k — the k mixes
+#: are two integer ops each, and a_i*m < 2^62 never overflows a signed
+#: 64-bit (no ANSI wrap). Both engines replay this exactly.
+MINHASH_P = 2_147_483_647
 
-def _perm_hash(t: Column, i: int) -> Column:
-    """i-th 'permutation': md5 keyed by the hash index. String-min over
-    hex digests is a valid min-hash (uniform over the key space)."""
-    return F.md5(F.concat(t, F.lit(f"#{i}")))
+
+def _uhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Fixed (a_i, b_i) pairs, md5-derived so they are reproducible
+    constants (not RNG state) and regenerable inside the SQL-oracle
+    generator. a_i in [1, P-1], b_i in [0, P-1]."""
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [
+        (h32(f"minhash-a-{i}") % (MINHASH_P - 1) + 1, h32(f"minhash-b-{i}") % MINHASH_P)
+        for i in range(k)
+    ]
+
+
+def _token_base_hash(t: Column) -> Column:
+    """48-bit md5 prefix of the token, reduced mod P — the single
+    per-token digest every permutation mixes from."""
+    return F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long") % MINHASH_P
+
+
+def _perm_hash_int(m: Column, i: int, coeffs: list[tuple[int, int]]) -> Column:
+    a, b = coeffs[i]
+    return (F.lit(a) * m + F.lit(b)) % MINHASH_P
 
 
 def with_token_set(df: DataFrame, text_col: str = "text", out: str = "token_set") -> DataFrame:
@@ -36,19 +63,26 @@ def with_token_set(df: DataFrame, text_col: str = "text", out: str = "token_set"
 def minhash_signature(
     df: DataFrame, token_set_col: str = "token_set", k: int = MINHASH_K
 ) -> DataFrame:
-    """Append sig0..sig{k-1}: min over the token set of the i-th keyed hash.
+    """Append sig0..sig{k-1}: min over the token set of the i-th affine
+    mix of the token's base hash.
 
     Per-row array form (kept for composability on pre-aggregated rows);
     the hot pipeline uses :func:`minhash_signatures` instead — higher-order
-    lambdas are interpreted, k of them per row is the slow path.
+    lambdas are interpreted, per-row is the slow path. Values match
+    :func:`minhash_signatures` exactly.
     """
-    out = df
+    coeffs = _uhash_coeffs(k)
+    out = df.withColumn(
+        "_mh", F.transform(F.col(token_set_col), lambda t: _token_base_hash(t))
+    )
     for i in range(k):
         out = out.withColumn(
             f"sig{i}",
-            F.array_min(F.transform(F.col(token_set_col), lambda t, i=i: _perm_hash(t, i))),
+            F.array_min(
+                F.transform(F.col("_mh"), lambda m, i=i: _perm_hash_int(m, i, coeffs))
+            ),
         )
-    return out
+    return out.drop("_mh")
 
 
 def minhash_signatures(
@@ -57,19 +91,24 @@ def minhash_signatures(
     token_set_col: str = "token_set",
     k: int = MINHASH_K,
 ) -> DataFrame:
-    """(id, sig0..sig{k-1}) via explode -> codegen'd md5 -> groupBy-min.
+    """(id, sig0..sig{k-1}) via explode -> one codegen'd md5 -> k affine
+    mixes -> groupBy-min.
 
-    Same values as :func:`minhash_signature` (min over the distinct token
-    set of md5(token '#i')), restructured for throughput: the k keyed
-    hashes are plain codegen expressions over exploded token rows instead
-    of k interpreted array lambdas, and the groupBy's map-side partial
-    aggregation means the shuffle carries one row per (doc, partition) —
-    not the exploded tokens (measured ~3x on the sf0.1 corpus).
+    Same values as :func:`minhash_signature`, restructured for
+    throughput: ONE md5 per exploded token row (not k), the k
+    "permutations" are two integer ops each inside the min aggregates,
+    and the groupBy's map-side partial aggregation means the shuffle
+    carries one row per (doc, partition) — not the exploded tokens
+    (explode-vs-lambda measured ~3x on the sf0.1 corpus; the shared
+    base hash cuts the md5 count 16x on top).
     """
-    tok = F.col("_tok")
-    exploded = df.select(id_col, F.explode(token_set_col).alias("_tok"))
+    coeffs = _uhash_coeffs(k)
+    exploded = df.select(id_col, F.explode(token_set_col).alias("_tok")).select(
+        id_col, _token_base_hash(F.col("_tok")).alias("_m")
+    )
+    m = F.col("_m")
     return exploded.groupBy(id_col).agg(
-        *[F.min(_perm_hash(tok, i)).alias(f"sig{i}") for i in range(k)]
+        *[F.min(_perm_hash_int(m, i, coeffs)).alias(f"sig{i}") for i in range(k)]
     )
 
 
@@ -142,8 +181,21 @@ def minhash_near_dup_pairs(
         )
         .distinct()
     )
-    ta = toks.select(F.col(id_col).alias("doc_a"), F.col("token_set").alias("set_a"))
-    tb = toks.select(F.col(id_col).alias("doc_b"), F.col("token_set").alias("set_b"))
+    # Verification joins shuffle every candidate's token set TWICE; as
+    # raw strings that is the dominant shuffle of the whole pipeline.
+    # Jaccard only needs intersection/union SIZES, which are preserved
+    # by any injective token mapping — hash each distinct token to a
+    # 48-bit long (md5 prefix; within-doc collision odds ~n^2/2^49, nil
+    # for real documents) and intersect longs instead: ~4x smaller
+    # shuffle rows and long-vs-long equality in the intersect. Values
+    # are IDENTICAL, so the SQL oracle keeps the plain string-set form.
+    hset = F.transform(
+        F.col("token_set"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+    ).alias("hset")
+    hashed = toks.select(id_col, hset)
+    ta = hashed.select(F.col(id_col).alias("doc_a"), F.col("hset").alias("set_a"))
+    tb = hashed.select(F.col(id_col).alias("doc_b"), F.col("hset").alias("set_b"))
     verified = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
