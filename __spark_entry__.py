@@ -1437,7 +1437,8 @@ ORDER BY doc_a, doc_b
 
 
 def d_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16)+LSH(4x4) candidate generation, exact-verified at 0.95.
+    """MinHash+LSH candidate generation (threshold-adaptive banding:
+    32 hashes, 4 bands x 8 rows at 0.95), exact-verified at 0.95.
     md5-keyed permutations are deterministic across engines, so the oracle
     reproduces the identical candidate set."""
     docs = _t(spark, sf_dir, "documents")
@@ -1448,9 +1449,11 @@ def _minhash_sql() -> str:
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
         MINHASH_P,
         _uhash_coeffs,
+        lsh_banding_for,
     )
 
-    k, bands, rows = 16, 4, 4
+    # mirror the threshold-adaptive banding the Spark query resolves to
+    k, bands, rows = lsh_banding_for(0.95)
     coeffs = _uhash_coeffs(k)
     # one 48-bit md5 base hash per token (mod P), k affine mixes — the
     # exact scheme minhash_signatures computes JVM-side

@@ -147,63 +147,141 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def lsh_banding_for(threshold: float) -> tuple[int, int, int]:
+    """(k, bands, rows) matched to the verification threshold.
+
+    Banding theory: a pair with Jaccard s collides in one band with
+    probability s^rows and in any band with 1-(1-s^rows)^bands. ``rows``
+    sets the sharpness of that S-curve: at rows=4 a 0.5-similar pair
+    still collides ~25% of the time — fine when hunting s>=0.9 in a
+    diverse corpus, but on template-heavy corpora (every doc ~half
+    similar to every other) it makes the candidate set quadratic and
+    verification the bottleneck. For high thresholds, longer bands keep
+    recall >= 0.98 at s=threshold (0.95^8 per band, x4 bands -> 0.987)
+    while cutting mid-similarity collisions ~16x (0.5^8 vs 0.5^4).
+    Signatures are cheap (two integer ops per extra hash), so k doubles.
+    """
+    if threshold >= 0.93:
+        return 32, 4, 8
+    return MINHASH_K, LSH_BANDS, LSH_ROWS
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.9,
-    k: int = MINHASH_K,
-    bands: int = LSH_BANDS,
-    rows: int = LSH_ROWS,
+    k: int | None = None,
+    bands: int | None = None,
+    rows: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-verified.
 
-    Pipeline: token sets -> k minhash signatures -> band keys -> self-join
-    on band -> DISTINCT candidate pairs -> exact Jaccard filter. Only the
-    band join shuffles; candidate verification re-joins the (small relative
-    to n^2) candidate set against token sets.
+    Pipeline: token sets -> collapse docs with IDENTICAL token sets ->
+    k minhash signatures per distinct set -> band keys -> self-join on
+    band -> DISTINCT candidate pairs -> exact Jaccard filter -> expand
+    decisions back over set members.
+
+    The collapse step is the production-scale guard: real corpora are
+    dominated by identical content (exact dups and reorderings with the
+    same token set), and a thousand copies of one document put a
+    thousand identical signatures in every one of their band buckets —
+    the self-join goes quadratic in copy count. Identical token sets
+    have identical signatures, band keys, and Jaccard to any third doc,
+    so running LSH + verification once per DISTINCT set and expanding
+    afterwards produces the EXACT same pair set (tests pin this against
+    the naive per-doc path) while the expensive stages scale with
+    distinct content only; the expansion is output-proportional. The
+    SQL oracle keeps the straightforward per-doc form.
     """
+    if k is None or bands is None or rows is None:
+        auto_k, auto_b, auto_r = lsh_banding_for(threshold)
+        k = auto_k if k is None else k
+        bands = auto_b if bands is None else bands
+        rows = auto_r if rows is None else rows
     # A small corpus often arrives as ONE parquet split; the signature
-    # stage is per-row-heavy (k md5 per token), so spread it before the
+    # stage is per-row-heavy (md5 per token), so spread it before the
     # map work. Hash-partitioning by id also balances skewed doc sizes.
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = with_token_set(df.select(id_col, text_col), text_col).repartition(
         par, id_col
     )
-    sigs = minhash_signatures(toks, id_col=id_col, k=k)
-    banded = lsh_bands(sigs, bands=bands, rows=rows).select(id_col, "band")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, F.col("a.band") == F.col("b.band"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
-    )
-    # Verification joins shuffle every candidate's token set TWICE; as
-    # raw strings that is the dominant shuffle of the whole pipeline.
+    # One md5 per token, shared by grouping, signatures AND verification.
     # Jaccard only needs intersection/union SIZES, which are preserved
     # by any injective token mapping — hash each distinct token to a
     # 48-bit long (md5 prefix; within-doc collision odds ~n^2/2^49, nil
     # for real documents) and intersect longs instead: ~4x smaller
-    # shuffle rows and long-vs-long equality in the intersect. Values
-    # are IDENTICAL, so the SQL oracle keeps the plain string-set form.
-    hset = F.transform(
-        F.col("token_set"),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
-    ).alias("hset")
-    hashed = toks.select(id_col, hset)
-    ta = hashed.select(F.col(id_col).alias("doc_a"), F.col("hset").alias("set_a"))
-    tb = hashed.select(F.col(id_col).alias("doc_b"), F.col("hset").alias("set_b"))
-    verified = (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
+    # shuffle rows and long-vs-long equality in the intersect. Sorted,
+    # the array IS the set identity (longs are comma-safe to join on,
+    # unlike raw tokens which may contain any separator).
+    hset = F.array_sort(
+        F.transform(
+            F.col("token_set"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+        )
+    )
+    hashed = (
+        toks.select(F.col(id_col).alias("_id"), hset.alias("hset"))
+        .withColumn("_sk", F.md5(F.array_join("hset", ",")))
+        # compact (id, ~|tokens| longs); cut the raw-text lineage once —
+        # grouping, signatures, verification and both expansions all
+        # re-consume this, not the tokenizer
+        .localCheckpoint()
+    )
+    grp = hashed.groupBy("_sk").agg(
+        F.min("_id").alias("_gid"), F.min(F.size("hset")).alias("_sz")
+    )
+    # (member id, its set-group id, set size) — one row per doc
+    withg = hashed.join(grp, "_sk").select("_id", "_gid", "_sz", "hset").localCheckpoint()
+    reps = withg.filter(F.col("_id") == F.col("_gid")).select("_gid", "hset")
+    coeffs = _uhash_coeffs(k)
+    m = F.col("_h") % MINHASH_P
+    sigs = (
+        reps.select("_gid", F.explode("hset").alias("_h"))
+        .groupBy("_gid")
+        .agg(*[F.min(_perm_hash_int(m, i, coeffs)).alias(f"sig{i}") for i in range(k)])
+    )
+    banded = lsh_bands(sigs, bands=bands, rows=rows).select("_gid", "band")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, F.col("a.band") == F.col("b.band"))
+        .filter(F.col("a._gid") < F.col("b._gid"))
+        .select(F.col("a._gid").alias("_ga"), F.col("b._gid").alias("_gb"))
+        .distinct()
+    )
+    ra = reps.select(F.col("_gid").alias("_ga"), F.col("hset").alias("set_a"))
+    rb = reps.select(F.col("_gid").alias("_gb"), F.col("hset").alias("set_b"))
+    rep_pairs = (
+        cand.join(ra, "_ga")
+        .join(rb, "_gb")
         .withColumn("jaccard", jaccard(F.col("set_a"), F.col("set_b")))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("_ga", "_gb", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
+    # Expansion. Within a set-group every member pair has Jaccard exactly
+    # 1.0 (nonempty sets; empty sets define Jaccard 0 and never emit, just
+    # as they never reach the band join — explode drops them). Across two
+    # groups every member pair inherits the verified rep-pair Jaccard.
+    ma = withg.select("_gid", F.col("_id").alias("doc_a"), "_sz")
+    mb = withg.select("_gid", F.col("_id").alias("doc_b"))
+    intra = (
+        ma.filter(F.col("_sz") > 0)
+        .join(mb, "_gid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    ea = withg.select(F.col("_gid").alias("_ga"), F.col("_id").alias("_da"))
+    eb = withg.select(F.col("_gid").alias("_gb"), F.col("_id").alias("_db"))
+    cross = (
+        rep_pairs.join(ea, "_ga")
+        .join(eb, "_gb")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def exact_jaccard_pairs(

@@ -83,6 +83,62 @@ def test_jaccard_and_minhash_agree(docs):
     assert set(lsh) <= set(exact)  # LSH never invents pairs (exact-verified)
 
 
+def test_minhash_set_collapse_matches_naive_per_doc_path(spark):
+    """The distinct-token-set collapse inside minhash_near_dup_pairs must
+    reproduce EXACTLY the naive per-doc LSH pipeline's output — including
+    reordered texts (same token set, different text), exact copies, empty
+    docs, and cross-group near-dups."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        jaccard,
+        lsh_bands,
+        minhash_signatures,
+        with_token_set,
+    )
+
+    rows = [
+        (10, "alpha beta gamma delta epsilon"),
+        (11, "epsilon delta gamma beta alpha"),  # same token set as 10
+        (12, "alpha beta gamma delta epsilon"),  # exact copy of 10
+        (13, "alpha beta gamma delta zeta"),  # near-dup, different set
+        (14, "unrelated words entirely here now"),
+        (15, ""),
+        (16, "   "),
+        (17, "zeta delta gamma beta alpha"),  # same set as 13
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # naive reference: per-doc signatures -> band join -> exact verify
+    toks = with_token_set(docs.select("doc_id", "text"), "text")
+    sigs = minhash_signatures(toks)
+    banded = lsh_bands(sigs).select("doc_id", "band")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, F.col("a.band") == F.col("b.band"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("token_set").alias("set_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("token_set").alias("set_b"))
+    for threshold in (0.7, 0.95):
+        naive = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .withColumn("jaccard", jaccard(F.col("set_a"), F.col("set_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+            .collect()
+        }
+        collapsed = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in minhash_near_dup_pairs(docs, threshold=threshold).collect()
+        }
+        assert collapsed == naive
+        assert (10, 11) in collapsed and collapsed[(10, 11)] == 1.0
+        assert (13, 17) in collapsed and collapsed[(13, 17)] == 1.0
+
+
 def test_empty_text_tokens_parity_with_oracle_fragment(spark):
     """Spark tokens() yields [] for blank text; the shared DuckDB fragment
     must agree (a bare regexp_split_to_array gives [''] -> count 1)."""
