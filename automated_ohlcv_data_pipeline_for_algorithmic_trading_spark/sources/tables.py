@@ -23,12 +23,15 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-#: Timestamp columns stored as parquet TIMESTAMP(NANOS), which Spark cannot
-#: map to TimestampType natively. We read them as raw nanos longs
-#: (spark.sql.legacy.parquet.nanosAsLong) and convert with exact integer
-#: division — double division would lose precision at 1e18 ns epochs.
-#: DuckDB truncates ns->us the same way, so both engines see identical
-#: microsecond timestamps.
+#: Timestamp columns whose parquet physical encoding has varied across
+#: testdata generations; normalize every variant to TimestampType (LTZ):
+#:  - TIMESTAMP(NANOS): Spark can't map it natively — read as raw nanos
+#:    longs (spark.sql.legacy.parquet.nanosAsLong) and convert with exact
+#:    integer division (double division would lose precision at 1e18 ns
+#:    epochs). DuckDB truncates ns->us the same way.
+#:  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+#:    under the UTC session timezone a plain cast preserves the instant
+#:    and restores the TimestampType every downstream expr expects.
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -41,9 +44,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for c in ts_cols:
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in df.columns:
+            continue
+        if dtypes[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes[c] == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

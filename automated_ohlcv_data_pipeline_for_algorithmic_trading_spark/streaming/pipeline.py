@@ -123,6 +123,47 @@ def daily_compaction(
     return upsert_silver_sink(stream, out_path, checkpoint, available_now=True)
 
 
+def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events table with ``ts``
+    normalized to TimestampType regardless of the parquet physical
+    encoding. The testdata generator has shipped both TIMESTAMP(NANOS)
+    (only readable as raw nanos longs via the legacy conf) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read natively as
+    TIMESTAMP_NTZ). A streaming schema is fixed before the query starts,
+    so probe the footer driver-side once (pyarrow, one 8 KB read) and
+    build the matching schema — the same normalization
+    ``sources.tables.load_table`` applies on the batch side."""
+    import pyarrow.parquet as pq
+
+    unit = getattr(
+        pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type, "unit", None
+    )
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(
+                "ts", T.LongType() if unit == "ns" else T.TimestampNTZType()
+            ),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if unit == "ns":
+        # exact integer ns -> us, then to LTZ micros
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ wall-clock == UTC instant under the UTC session timezone
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def events_stream_demo(
     spark: SparkSession, sf_dir: str, minutes: int = 15
 ) -> DataFrame:
@@ -131,23 +172,7 @@ def events_stream_demo(
     sink + availableNow in tests. ``sf_dir`` is the testdata directory;
     the file-source requires a directory, so events.parquet is selected
     via pathGlobFilter."""
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos (TESTDATA quirk)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = events_stream_source(spark, sf_dir)
     return (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.col("event_type"), F.window("ts", f"{minutes} minutes").alias("w"))

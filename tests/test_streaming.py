@@ -141,6 +141,40 @@ def test_streaming_resample_matches_batch(spark, raw_dir, tmp_path_factory):
     assert streamed == batch
 
 
+def test_events_stream_source_matches_batch_timeline(spark):
+    """Regression: the driver has regenerated testdata with a different
+    parquet timestamp encoding (TIMESTAMP(NANOS) -> TIMESTAMP(MICROS,
+    isAdjustedToUTC=false)). A mis-decoded stream shows up as a
+    1000x-compressed timeline (micros fed to a nanos div-1000), which the
+    count-only assertions can't see — so pin the stream's min/max ts to
+    the batch loader's, which normalizes every encoding."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+        load_table,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        events_stream_source,
+    )
+
+    src = events_stream_source(spark, "/root/testdata/sf0.001").select("event_id", "ts")
+    q = (
+        src.writeStream.format("memory")
+        .queryName("ev_ts_check")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, min(ts) AS lo, max(ts) AS hi FROM ev_ts_check"
+    ).collect()[0]
+    ref = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+    )
+    assert (got.n, got.lo, got.hi) == (ref.n, ref.lo, ref.hi)
+
+
 def test_events_stream_demo(spark):
     agg = events_stream_demo(spark, "/root/testdata/sf0.001", minutes=60)
     q = (
