@@ -207,6 +207,309 @@ ORDER BY revenue DESC, n_name ASC
 """
 
 
+def q02_min_unit_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped: cheapest observed supplier per large part —
+    argmin-per-group after a fact join (window rank over join, the shape
+    the reference's "best offer" lookup uses). Dims broadcast; the only
+    shuffle is the window partition on p_partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    supp = _t(spark, sf_dir, "supplier")
+    unit_cost = F.col("l_extendedprice") / F.col("l_quantity")
+    w = Window.partitionBy("p_partkey").orderBy(
+        unit_cost.asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            unit_cost.alias("unit_cost"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_Q02_SQL = """
+SELECT p_partkey, p_name, s_name, l_extendedprice / l_quantity AS unit_cost
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size >= 40
+QUALIFY row_number() OVER (
+    PARTITION BY p_partkey
+    ORDER BY l_extendedprice / l_quantity ASC, l_suppkey ASC) = 1
+ORDER BY p_partkey
+"""
+
+
+def q04_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: order count per priority where EXISTS a returned
+    lineitem — left-semi join then agg (never materializes the fact
+    columns past the join)."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q04_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q06_revenue_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: pure filter + single agg. All three predicates
+    reach the parquet scan (PushedFilters); the agg is a one-row
+    map-side-partial sum — the minimal-IO plan at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q06_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: top-20 customers by revenue lost to returns.
+    lineitem filters early (returnflag pushdown), dims broadcast, one
+    shuffle for the orderkey join + one for the customer rollup."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: promo revenue share for one month — conditional
+    aggregate ratio over a broadcast part join. Both sums run through the
+    exact-decimal path so the double ratio is partitioning-invariant."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(promo, "promo_revenue"),
+            dsum(disc_price, "total_revenue"),
+        )
+        .select(
+            (
+                F.lit(100.0)
+                * (F.col("promo_revenue") / F.col("total_revenue"))
+            ).alias("promo_share_pct"),
+            "promo_revenue",
+            "total_revenue",
+        )
+    )
+
+
+_Q14_SQL = f"""
+SELECT 100.0 * (promo_revenue / total_revenue) AS promo_share_pct,
+       promo_revenue, total_revenue
+FROM (
+  SELECT
+    {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+    {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+)
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped: distinct supplier count per part class, minus a
+    NOT-IN supplier blocklist (negative-acctbal suppliers). The blocklist
+    is a broadcast anti join; countDistinct expands to a two-phase
+    partial-distinct agg — no extra shuffle beyond the group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    blocked = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(blocked), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: orders whose total quantity clears a threshold
+    (HAVING over a grouped fact), joined back to orders + customer. The
+    grouped fact is the only big shuffle; the join back is on its key so
+    AQE keeps it co-partitioned."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {sql_dsum('l_quantity')} > 250.0
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: per-nation count + balance of customers richer
+    than the positive-balance average yet with no recent orders. The
+    scalar average is a one-row broadcast cross join (no recompute per
+    row); the no-recent-orders test is a broadcast-able anti join whose
+    date filter pushes into the orders scan."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal", "avg_bal"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, "c_custkey", "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_Q22_SQL = f"""
+SELECT n_name, count(*) AS n_customers, {sql_dsum('c_acctbal')} AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT {sql_davg('c_acctbal')} FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # OHLCV query surface on the events stream table
 # (user_id ~ symbol, value ~ price; FIXTURES.md SS5)
@@ -891,35 +1194,20 @@ def s_stateful_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from pyspark.sql import types as T
-
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        events_stream_source,
+    )
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.stateful import (
         streaming_vwap_exact,
     )
 
     tune(spark)
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos (TESTDATA quirk)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select(
-            F.col("user_id").cast("string").alias("symbol_clean"),
-            "event_id",
-            F.expr("ts div 1000").cast("long").alias("timestamp_unix"),
-            F.col("value").alias("close"),
-            F.expr("event_id % 100 + 1").cast("long").alias("volume"),
-        )
+    ev = events_stream_source(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("symbol_clean"),
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("timestamp_unix"),
+        F.col("value").alias("close"),
+        F.expr("event_id % 100 + 1").cast("long").alias("volume"),
     )
     name = f"stateful_vwap_{uuid.uuid4().hex[:8]}"
     q = (
@@ -1019,26 +1307,12 @@ def s_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from pyspark.sql import types as T
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        events_stream_source,
+    )
 
     tune(spark)
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos (TESTDATA quirk)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = events_stream_source(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -1085,6 +1359,85 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events
 FROM sessions GROUP BY user_id, sid
 ORDER BY user_id, session_start
+"""
+
+
+def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each view event joined to
+    the same user's purchases within the next 30 minutes — the funnel
+    attribution shape. Both sides are real file-source streams with
+    watermarks; the time-bound join condition lets Spark expire state, so
+    at 100 TB state size is bounded by (watermark window x arrival rate),
+    not the stream length. availableNow drives it to completion and the
+    batch SQL interval join replays it exactly (inner joins emit on
+    match, so the result set is watermark-invariant for in-order data)."""
+    import tempfile
+    import uuid
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        events_stream_source,
+    )
+
+    tune(spark)
+    views = (
+        events_stream_source(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("view_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    buys = (
+        events_stream_source(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buy_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        buys,
+        (F.col("view_user") == F.col("buy_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        F.col("view_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts"))).alias(
+            "lag_us"
+        ),
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id", "view_id", "purchase_id")
+
+
+_S_JOIN_SQL = """
+SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+       a.ts AS view_ts, b.ts AS purchase_ts,
+       epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 30 MINUTE
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+ORDER BY a.user_id, view_id, purchase_id
 """
 
 
@@ -2148,6 +2501,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_order_revenue": q03_top_order_revenue,
         "q05_nation_revenue": q05_nation_revenue,
+        "q02_min_unit_cost": q02_min_unit_cost,
+        "q04_priority_returns": q04_priority_returns,
+        "q06_revenue_band": q06_revenue_band,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q14_promo_share": q14_promo_share,
+        "q16_supplier_variety": q16_supplier_variety,
+        "q18_large_orders": q18_large_orders,
+        "q22_idle_rich_customers": q22_idle_rich_customers,
         "e_symbol_stats": e_symbol_stats,
         "e_daily_rollup": e_daily_rollup,
         "e_resample_15m": e_resample_15m,
@@ -2198,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_interval_clicks": j_interval_clicks,
         "d_dup_components": d_dup_components,
         "s_stream_sessions": s_stream_sessions,
+        "s_stream_join": s_stream_join,
         "e_percentiles_hist": e_percentiles_hist,
         "d_redact_pii": d_redact_pii,
         "d_hash_split": d_hash_split,
@@ -2213,6 +2575,14 @@ def oracle_sql() -> dict[str, str]:
         "q01_pricing_summary": _Q01_SQL,
         "q03_top_order_revenue": _Q03_SQL,
         "q05_nation_revenue": _Q05_SQL,
+        "q02_min_unit_cost": _Q02_SQL,
+        "q04_priority_returns": _Q04_SQL,
+        "q06_revenue_band": _Q06_SQL,
+        "q10_returned_revenue": _Q10_SQL,
+        "q14_promo_share": _Q14_SQL,
+        "q16_supplier_variety": _Q16_SQL,
+        "q18_large_orders": _Q18_SQL,
+        "q22_idle_rich_customers": _Q22_SQL,
         "e_symbol_stats": _E_SYMBOL_STATS_SQL,
         "e_daily_rollup": _E_DAILY_ROLLUP_SQL,
         "e_resample_15m": _E_RESAMPLE_SQL,
@@ -2263,6 +2633,7 @@ def oracle_sql() -> dict[str, str]:
         "j_interval_clicks": _J_INTERVAL_SQL,
         "d_dup_components": _components_sql(),
         "s_stream_sessions": _S_SESSIONS_SQL,
+        "s_stream_join": _S_JOIN_SQL,
         "e_percentiles_hist": _E_PCT_HIST_SQL,
         "d_redact_pii": _D_REDACT_SQL,
         "d_hash_split": _D_SPLIT_SQL,
@@ -2280,6 +2651,14 @@ HEADLINE_QUERIES = [
     "q01_pricing_summary",
     "q03_top_order_revenue",
     "q05_nation_revenue",
+    "q02_min_unit_cost",
+    "q04_priority_returns",
+    "q06_revenue_band",
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q16_supplier_variety",
+    "q18_large_orders",
+    "q22_idle_rich_customers",
     "e_symbol_stats",
     "e_daily_rollup",
     "e_resample_15m",
@@ -2328,6 +2707,7 @@ HEADLINE_QUERIES = [
     "j_interval_clicks",
     "d_dup_components",
     "s_stream_sessions",
+    "s_stream_join",
     "e_percentiles_hist",
     "d_redact_pii",
     "d_hash_split",
