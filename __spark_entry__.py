@@ -1297,6 +1297,142 @@ FROM s ORDER BY user_id, timestamp_unix, event_id
 """
 
 
+def x_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle EMA(12)/EMA(26)/MACD per user series: a sequential
+    recurrence most engines can only approximate cross-engine, made
+    bit-exact by folding integer micro-units (operators/extension.py
+    ema_macd_exact) — the DuckDB twin replays the identical fold as a
+    recursive CTE. Grouped-map pandas per instrument: one shuffle on the
+    group key, Arrow both ways; group size is one instrument's history,
+    so 100 TB parallelism scales with instrument count."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.extension import (
+        apply_per_symbol,
+        ema_macd_exact,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("timestamp_unix"),
+        F.col("value").alias("close"),
+    )
+    # explicit hash partitioning on the group key (see x_bollinger_bands)
+    src = src.repartition(spark.sparkContext.defaultParallelism, "user_id")
+    out = apply_per_symbol(
+        src,
+        ema_macd_exact(fast=12, slow=26),
+        "user_id bigint, event_id bigint, timestamp_unix bigint, close double,"
+        " ema_fast double, ema_slow double, macd double",
+        keys=("user_id",),
+        ts_col=("timestamp_unix", "event_id"),
+    )
+    return out.orderBy("user_id", "timestamp_unix", "event_id")
+
+
+_X_EMA_MACD_SQL = """
+WITH RECURSIVE src AS (
+  SELECT user_id, event_id, epoch_us(ts) AS timestamp_unix, value AS close,
+         CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events),
+ema AS (
+  SELECT user_id, event_id, timestamp_unix, close, v, rn,
+         v AS e12, v AS e26
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.timestamp_unix, s.close, s.v, s.rn,
+         e.e12 + CAST(floor(2.0 * (s.v - e.e12) / 13.0) AS BIGINT),
+         e.e26 + CAST(floor(2.0 * (s.v - e.e26) / 27.0) AS BIGINT)
+  FROM src s JOIN ema e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+SELECT user_id, event_id, timestamp_unix, close,
+       CAST(e12 AS DOUBLE) / 1000000.0 AS ema_fast,
+       CAST(e26 AS DOUBLE) / 1000000.0 AS ema_slow,
+       CAST(e12 - e26 AS DOUBLE) / 1000000.0 AS macd
+FROM ema
+ORDER BY user_id, timestamp_unix, event_id
+"""
+
+
+def x_rolling_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling aggregate: per event, the count / exact sum /
+    avg of the same user's values over the trailing 30 minutes — a RANGE
+    window frame on the epoch-micros order key (not ROWS: peers at the
+    same timestamp enter the frame together on both engines). The sum is
+    decimal-routed, so the frame result is accumulation-order-free."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-30 * 60 * 1_000_000, 0)
+    )
+    roll_sum = (
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    )
+    roll_n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("timestamp_unix"),
+        roll_sum.alias("roll_sum"),
+        roll_n.alias("roll_n"),
+        (roll_sum / roll_n).alias("roll_avg"),
+    ).orderBy("user_id", "timestamp_unix", "event_id")
+
+
+_X_ROLLING_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS timestamp_unix,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS roll_sum,
+       count(*) OVER w AS roll_n,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+           / (count(*) OVER w) AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, timestamp_unix, event_id
+"""
+
+
+def e_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — JSON property access in the hot path as a native expression
+    (get_json_object, JVM-side; reference parses payload dicts in Python
+    per row). Extracts props.k and aggregates per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .withColumn(
+            "k_avg", F.col("k_sum").cast("double") / F.col("n_with_k")
+        )
+        .orderBy("event_type")
+    )
+
+
+_E_PROPS_JSON_SQL = """
+WITH src AS (
+  SELECT event_type, CAST(props ->> 'k' AS BIGINT) AS k FROM events)
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       min(k) AS k_min,
+       max(k) AS k_max,
+       CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(k) AS k_avg
+FROM src
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def s_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization via Spark's native session_window (the
     streaming twin of the batch lag-gap e_sessionize): merge events with
@@ -2560,6 +2696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dup_components": d_dup_components,
         "s_stream_sessions": s_stream_sessions,
         "s_stream_join": s_stream_join,
+        "x_ema_macd": x_ema_macd,
+        "x_rolling_30m": x_rolling_30m,
+        "e_props_json": e_props_json,
         "e_percentiles_hist": e_percentiles_hist,
         "d_redact_pii": d_redact_pii,
         "d_hash_split": d_hash_split,
@@ -2634,6 +2773,9 @@ def oracle_sql() -> dict[str, str]:
         "d_dup_components": _components_sql(),
         "s_stream_sessions": _S_SESSIONS_SQL,
         "s_stream_join": _S_JOIN_SQL,
+        "x_ema_macd": _X_EMA_MACD_SQL,
+        "x_rolling_30m": _X_ROLLING_SQL,
+        "e_props_json": _E_PROPS_JSON_SQL,
         "e_percentiles_hist": _E_PCT_HIST_SQL,
         "d_redact_pii": _D_REDACT_SQL,
         "d_hash_split": _D_SPLIT_SQL,
@@ -2708,6 +2850,9 @@ HEADLINE_QUERIES = [
     "d_dup_components",
     "s_stream_sessions",
     "s_stream_join",
+    "x_ema_macd",
+    "x_rolling_30m",
+    "e_props_json",
     "e_percentiles_hist",
     "d_redact_pii",
     "d_hash_split",

@@ -62,6 +62,51 @@ def bollinger_bands(
     return fn
 
 
+def ema_macd_exact(
+    fast: int = 12, slow: int = 26, price_col: str = "close"
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """Determinism-contract EMA pair + MACD: the classic recurrence
+    ``e_i = e_{i-1} + alpha * (x_i - e_{i-1})`` folded in integer
+    micro-units so a sequential SQL replay (DuckDB recursive CTE) is
+    bit-identical to this pandas fold:
+
+    - quantize prices with round-half-even at 1e-6 (``np.rint(x * 1e6)``,
+      the same rounding a DECIMAL(38,6) cast applies),
+    - step ``e_i = e_{i-1} + floor(2.0 * (v_i - e_{i-1}) / (n + 1.0))``
+      with the floor over the DOUBLE quotient — all operands stay far
+      below 2^53, so both engines compute the identical double and the
+      identical integer state,
+    - emit doubles only at the end (state / 1e6).
+
+    MACD = ema_fast - ema_slow computed on the integer states, so even
+    the difference is exact. EMA seeds at the first price (the common
+    convention; a SMA warm-up seed would fold the same way)."""
+    import math
+
+    import numpy as np
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.rint(pdf[price_col].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        e_fast = np.empty(len(v), dtype=np.int64)
+        e_slow = np.empty(len(v), dtype=np.int64)
+        ef = es = 0
+        for i, vi in enumerate(v.tolist()):
+            if i == 0:
+                ef = es = vi
+            else:
+                ef += math.floor(2.0 * (vi - ef) / (fast + 1.0))
+                es += math.floor(2.0 * (vi - es) / (slow + 1.0))
+            e_fast[i] = ef
+            e_slow[i] = es
+        return pdf.assign(
+            ema_fast=e_fast / 1e6,
+            ema_slow=e_slow / 1e6,
+            macd=(e_fast - e_slow) / 1e6,
+        )
+
+    return fn
+
+
 def bollinger_bands_exact(
     window: int = 20, num_std: float = 2.0, price_col: str = "close"
 ) -> Callable[[pd.DataFrame], pd.DataFrame]:

@@ -61,3 +61,41 @@ def test_bollinger_exact_matches_pandas_rolling(spark):
         e = exact[t]
         for c in ("bb_mid", "bb_upper", "bb_lower"):
             assert abs(p[c] - e[c]) < 1e-6, (t, c, p[c], e[c])
+
+def test_ema_macd_exact_tracks_float_recurrence():
+    """The integer micro-unit EMA fold must track the plain float
+    recurrence to ~1e-6 (one quantum per step) and be exactly
+    reproducible: same input -> bit-identical output."""
+    import numpy as np
+    import pandas as pd
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.extension import (
+        ema_macd_exact,
+    )
+
+    rng = np.random.default_rng(7)
+    close = np.round(100 + rng.normal(0, 1, 500).cumsum(), 2)
+    pdf = pd.DataFrame({"close": close})
+    out = ema_macd_exact(fast=12, slow=26)(pdf)
+
+    # float reference recurrence
+    ref_f = np.empty(len(close))
+    ref_s = np.empty(len(close))
+    ef = es = close[0]
+    for i, x in enumerate(close):
+        if i:
+            ef += 2.0 * (x - ef) / 13.0
+            es += 2.0 * (x - es) / 27.0
+        ref_f[i] = ef
+        ref_s[i] = es
+    assert np.max(np.abs(out["ema_fast"].to_numpy() - ref_f)) < 1e-3
+    assert np.max(np.abs(out["ema_slow"].to_numpy() - ref_s)) < 1e-3
+    assert np.allclose(
+        out["macd"].to_numpy(),
+        out["ema_fast"].to_numpy() - out["ema_slow"].to_numpy(),
+        atol=2e-6,
+    )
+
+    again = ema_macd_exact(fast=12, slow=26)(pdf)
+    assert (again["ema_fast"] == out["ema_fast"]).all()
+    assert (again["macd"] == out["macd"]).all()
