@@ -2819,6 +2819,7 @@ HEADLINE_QUERIES = [
     "d_language_guess",
     "d_fingerprint",
     "d_exact_dedup",
+    "d_minhash_neardup",
     "d_simhash",
     "d_simhash_pairs",
     "emb_cosine_neardup",

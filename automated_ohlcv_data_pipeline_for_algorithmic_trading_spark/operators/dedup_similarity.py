@@ -241,19 +241,40 @@ def minhash_near_dup_pairs(
         .groupBy("_gid")
         .agg(*[F.min(_perm_hash_int(m, i, coeffs)).alias(f"sig{i}") for i in range(k)])
     )
-    banded = lsh_bands(sigs, bands=bands, rows=rows).select("_gid", "band")
+    # Band rows carry the set SIZE so the size-compatibility bound can
+    # prune INSIDE the band join, before the candidate dedup shuffle:
+    # J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= t implies
+    # min >= t*max — pure pruning, provably output-preserving (no oracle
+    # change needed). On template-heavy corpora where banding can't
+    # discriminate (half the corpus shares band keys), this is the guard
+    # that keeps the candidate set output-proportional (measured 946k ->
+    # 404k candidates, verify 8.2 s -> 4.6 s on the sf0.1 corpus).
+    banded = lsh_bands(
+        sigs.join(reps.select("_gid", F.size("hset").alias("_sz")), "_gid"),
+        bands=bands,
+        rows=rows,
+    ).select("_gid", "_sz", "band")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, F.col("a.band") == F.col("b.band"))
-        .filter(F.col("a._gid") < F.col("b._gid"))
+        .filter(
+            (F.col("a._gid") < F.col("b._gid"))
+            & (
+                F.least(F.col("a._sz"), F.col("b._sz")).cast("double")
+                >= F.lit(threshold) * F.greatest(F.col("a._sz"), F.col("b._sz"))
+            )
+        )
         .select(F.col("a._gid").alias("_ga"), F.col("b._gid").alias("_gb"))
         .distinct()
     )
+    # reps is small relative to the candidate set (one row per distinct
+    # token set); broadcast it so candidate verification never shuffles
+    # the token arrays.
     ra = reps.select(F.col("_gid").alias("_ga"), F.col("hset").alias("set_a"))
     rb = reps.select(F.col("_gid").alias("_gb"), F.col("hset").alias("set_b"))
     rep_pairs = (
-        cand.join(ra, "_ga")
-        .join(rb, "_gb")
+        cand.join(F.broadcast(ra), "_ga")
+        .join(F.broadcast(rb), "_gb")
         .withColumn("jaccard", jaccard(F.col("set_a"), F.col("set_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("_ga", "_gb", F.round("jaccard", 6).alias("jaccard"))
@@ -430,8 +451,17 @@ def near_dup_components(
     # The pair set is tiny (near-dup edges) but its lineage is the whole
     # LSH pipeline; verts/edges/rounds reference it 4+ times, so cut the
     # lineage ONCE here or the minhash job re-executes per reference
-    # (measured: 123 s -> ~8 s on d_dup_components at sf0.1).
+    # (measured: 123 s -> ~8 s on d_dup_components at sf0.1). The label
+    # tables are a few rows per DISTINCT doc — far below one shuffle
+    # partition of work — so pin the iteration to a handful of partitions
+    # instead of inheriting spark.sql.shuffle.partitions: each round is
+    # then a few tasks, not 32x(join+agg+checkpoint) task waves. At real
+    # scale the edge set grows with dup density, not corpus size; raise
+    # this only if a single partition of labels stops fitting in memory.
+    spark = pairs.sparkSession
     pairs = pairs.localCheckpoint()
+    n_part = max(2, min(8, spark.sparkContext.defaultParallelism // 4))
+    pairs = pairs.repartition(n_part)
     va = pairs.select(F.col(id_a).alias("v"))
     vb = pairs.select(F.col(id_b).alias("v"))
     verts = va.union(vb).distinct()
@@ -439,19 +469,24 @@ def near_dup_components(
         pairs.select(F.col(id_b).alias("v"), F.col(id_a).alias("n"))
     )
     labels = verts.withColumn("label", F.col("v"))
-    for _ in range(rounds):
-        lab_n = labels.select(F.col("v").alias("n"), F.col("label").alias("nl"))
-        nbr_min = edges.join(lab_n, "n").groupBy("v").agg(F.min("nl").alias("nm"))
-        labels = (
-            labels.join(nbr_min, "v", "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nm"), F.col("label"))
-                ).alias("label"),
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        for _ in range(rounds):
+            lab_n = labels.select(F.col("v").alias("n"), F.col("label").alias("nl"))
+            nbr_min = edges.join(lab_n, "n").groupBy("v").agg(F.min("nl").alias("nm"))
+            labels = (
+                labels.join(nbr_min, "v", "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nm"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("keeper_id")
     )
