@@ -1155,18 +1155,23 @@ def s_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream_demo,
     )
 
-    tune(spark)
-    agg = events_stream_demo(spark, sf_dir, minutes=60)
-    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
     )
-    q.awaitTermination(300)
+
+    tune(spark)
+    with stateful_partitions(spark):
+        agg = events_stream_demo(spark, sf_dir, minutes=60)
+        name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).orderBy("event_type", "bucket_start")
 
 
@@ -1202,24 +1207,29 @@ def s_stateful_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
-    ev = events_stream_source(spark, sf_dir).select(
-        F.col("user_id").cast("string").alias("symbol_clean"),
-        "event_id",
-        F.unix_micros(F.col("ts")).alias("timestamp_unix"),
-        F.col("value").alias("close"),
-        F.expr("event_id % 100 + 1").cast("long").alias("volume"),
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
     )
-    name = f"stateful_vwap_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_vwap_exact(ev)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+
+    with stateful_partitions(spark):
+        ev = events_stream_source(spark, sf_dir).select(
+            F.col("user_id").cast("string").alias("symbol_clean"),
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("timestamp_unix"),
+            F.col("value").alias("close"),
+            F.expr("event_id % 100 + 1").cast("long").alias("volume"),
+        )
+        name = f"stateful_vwap_{uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_vwap_exact(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).orderBy("symbol_clean", "timestamp_unix", "event_id")
 
 
@@ -1447,28 +1457,33 @@ def s_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream_source,
     )
 
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
+    )
+
     tune(spark)
-    ev = events_stream_source(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
+    with stateful_partitions(spark):
+        ev = events_stream_source(spark, sf_dir)
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select("user_id", "session_start", "session_end", "n_events")
         )
-        .select("user_id", "session_start", "session_end", "n_events")
-    )
-    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).orderBy("user_id", "session_start")
 
 
@@ -1514,53 +1529,62 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream_source,
     )
 
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
+    )
+
     tune(spark)
-    views = (
-        events_stream_source(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("view_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
+    with stateful_partitions(spark):
+        views = (
+            events_stream_source(spark, sf_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("view_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "2 hours")
         )
-        .withWatermark("view_ts", "2 hours")
-    )
-    buys = (
-        events_stream_source(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("buy_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
+        buys = (
+            events_stream_source(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("buy_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
         )
-        .withWatermark("purchase_ts", "2 hours")
-    )
-    joined = views.join(
-        buys,
-        (F.col("view_user") == F.col("buy_user"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "inner",
-    ).select(
-        F.col("view_user").alias("user_id"),
-        "view_id",
-        "purchase_id",
-        "view_ts",
-        "purchase_ts",
-        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts"))).alias(
-            "lag_us"
-        ),
-    )
-    name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        joined = views.join(
+            buys,
+            (F.col("view_user") == F.col("buy_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "inner",
+        ).select(
+            F.col("view_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            "view_ts",
+            "purchase_ts",
+            (
+                F.unix_micros(F.col("purchase_ts"))
+                - F.unix_micros(F.col("view_ts"))
+            ).alias("lag_us"),
+        )
+        name = f"stream_join_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).orderBy("user_id", "view_id", "purchase_id")
 
 

@@ -18,6 +18,6 @@ plans      : composed jobs (bronze->silver ETL, SQL view registry)
 streaming  : Structured Streaming equivalents of the micro-batch pipeline
 """
 
-from .session import get_spark, tune  # noqa: F401
+from .session import get_spark, stateful_partitions, tune  # noqa: F401
 
 __version__ = "0.1.0"

