@@ -199,12 +199,14 @@ def minhash_near_dup_pairs(
         k = auto_k if k is None else k
         bands = auto_b if bands is None else bands
         rows = auto_r if rows is None else rows
-    # A small corpus often arrives as ONE parquet split; the signature
-    # stage is per-row-heavy (md5 per token), so spread it before the
-    # map work. Hash-partitioning by id also balances skewed doc sizes.
+    # A small corpus often arrives as ONE parquet split; tokenization and
+    # the per-token md5 are the per-row-heavy stages, so exchange the RAW
+    # (id, text) rows first — the projection must sit above the
+    # repartition or Catalyst evaluates it on the unsplit input. Hash-
+    # partitioning by id also balances skewed doc sizes.
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks = with_token_set(df.select(id_col, text_col), text_col).repartition(
-        par, id_col
+    toks = with_token_set(
+        df.select(id_col, text_col).repartition(par, id_col), text_col
     )
     # One md5 per token, shared by grouping, signatures AND verification.
     # Jaccard only needs intersection/union SIZES, which are preserved
@@ -266,6 +268,14 @@ def minhash_near_dup_pairs(
         )
         .select(F.col("a._gid").alias("_ga"), F.col("b._gid").alias("_gb"))
         .distinct()
+        # The candidate set is small in BYTES (two longs per row), so AQE
+        # coalesces the post-distinct exchange to one partition — and then
+        # ONE task runs verification + both expansion joins serially
+        # (measured 3.8 s of a 13 s wall at sf0.1). Candidates are small
+        # but verify is per-row-heavy (array intersect over token sets):
+        # spread them explicitly; the exchange cost is trivial at this
+        # width. 13.6 s -> 4.0 s end-to-end at sf0.1.
+        .repartition(par)
     )
     # reps is small relative to the candidate set (one row per distinct
     # token set); broadcast it so candidate verification never shuffles
