@@ -25,10 +25,13 @@ from ..operators.topk import tail_limit, top_movers
 
 def _day_filter(df: DataFrame, date: str) -> DataFrame:
     d = dt.date.fromisoformat(date)
-    # partition-pruning predicate: hits year/month/day partition columns
-    return df.filter(
-        (F.col("year") == d.year) & (F.col("month") == d.month) & (F.col("day") == d.day)
-    )
+    # dt equality prunes the partition directory; the year/month/day
+    # predicates additionally hit parquet row-group stats when the input
+    # is an unpartitioned table (e.g. a one-file extract)
+    preds = (F.col("year") == d.year) & (F.col("month") == d.month) & (F.col("day") == d.day)
+    if "dt" in df.columns:
+        preds = (F.col("dt") == d.isoformat()) & preds
+    return df.filter(preds)
 
 
 def symbol_stats(silver: DataFrame, symbol_clean: str, date: str) -> DataFrame:

@@ -5,9 +5,10 @@ Semantics: etl/glue_job.py:119-193 (explode map -> struct projection ->
 explode candles -> positional extraction -> derived columns -> DQ filter)
 with the lightweight variant's stricter ``close > 0`` gate
 (etl/lightweight_etl.py:83-86 — it gates the actually-deployed data;
-SURVEY.md SS7.4). Output is the 16-column silver schema
+SURVEY.md SS7.4). Output is the 17-column silver schema
 (etl/lightweight_etl.py:129-133) written as Parquet partitioned by
-(symbol_clean, year, month, day).
+(symbol_clean, dt) — see schemas.SILVER_PARTITIONING for why the date
+levels collapse into one Hive column.
 
 Scale design: the whole normalize is narrow (no shuffle) — explodes and
 projections pipeline inside one codegen stage per input split; the only
@@ -87,6 +88,7 @@ def derive_silver_columns(df: DataFrame) -> DataFrame:
         .withColumn("month", F.month(ts))
         .withColumn("day", F.dayofmonth(ts))
         .withColumn("hour", F.hour(ts))
+        .withColumn("dt", F.date_format(ts, "yyyy-MM-dd"))
         .withColumn("processed_at", F.current_timestamp())
     )
 
@@ -94,7 +96,7 @@ def derive_silver_columns(df: DataFrame) -> DataFrame:
 SILVER_COLUMNS = [
     "symbol", "symbol_clean", "timestamp_unix", "timestamp_iso",
     "open", "high", "low", "close", "volume", "resolution",
-    "fetch_timestamp", "year", "month", "day", "hour", "processed_at",
+    "fetch_timestamp", "year", "month", "day", "hour", "dt", "processed_at",
 ]
 
 
@@ -153,9 +155,9 @@ def write_silver(
 
 def read_silver_csv(spark, path: str) -> DataFrame:
     """S5 — read the gzipped-CSV silver twin back with the EXPLICIT
-    16-column schema (never inference; api/api_handler_csv.py:111-134's
+    17-column schema (never inference; api/api_handler_csv.py:111-134's
     typed reader). Gzip is transparent to the CSV source. Partition
-    columns (symbol_clean/year/month/day) come from the directory layout."""
+    columns (symbol_clean/dt) come from the directory layout."""
     from ..schemas import SILVER_SCHEMA
     from pyspark.sql import types as T
 
@@ -171,7 +173,7 @@ def silver_csv_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     Parquet is the primary format)."""
     (
         df.write.mode(mode)
-        .partitionBy("symbol_clean", "year", "month", "day")
+        .partitionBy(*SILVER_PARTITIONING)
         .option("header", True)
         .option("compression", "gzip")
         .csv(path)

@@ -42,7 +42,7 @@ def test_csv_gz_roundtrip(spark, tmp_path):
     assert a == b  # typed round-trip through gzip CSV is lossless
     import glob
 
-    assert glob.glob(f"{out}/symbol_clean=*/year=*/month=*/day=*/*.csv.gz")
+    assert glob.glob(f"{out}/symbol_clean=*/dt=*/*.csv.gz")
 
 
 def test_raw_json_sink_roundtrip(spark, tmp_path):

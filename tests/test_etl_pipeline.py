@@ -76,7 +76,7 @@ def test_silver_schema_and_partitioning(silver):
     assert set(silver.columns) >= {
         "symbol", "symbol_clean", "timestamp_unix", "timestamp_iso",
         "open", "high", "low", "close", "volume", "resolution",
-        "year", "month", "day", "hour",
+        "year", "month", "day", "hour", "dt",
     }
     syms = {r["symbol_clean"] for r in silver.select("symbol_clean").distinct().collect()}
     assert syms == {"RELIANCE", "TCS", "INFY"}

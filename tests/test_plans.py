@@ -68,10 +68,10 @@ def test_partition_pruning_on_silver(spark, tmp_path):
     write_silver(bronze_to_silver(read_raw_envelopes(spark, str(raw_dir))), silver_path)
     silver = spark.read.parquet(silver_path)
     plan = physical(symbol_stats(silver, "RELIANCE", "2024-01-01"))
-    # the (symbol_clean, year, month, day) predicate must land in
-    # PartitionFilters, not a post-scan Filter
+    # the (symbol_clean, dt) predicate must land in PartitionFilters,
+    # not a post-scan Filter
     pf = plan.split("PartitionFilters:")[1][:400]
-    assert "symbol_clean" in pf and "year" in pf and "day" in pf
+    assert "symbol_clean" in pf and "dt" in pf
 
 
 def test_no_python_udfs_in_core_queries(spark, sf_dir):
