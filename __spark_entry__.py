@@ -2055,36 +2055,41 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash32(docs).orderBy("doc_id")
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int = 32) -> str:
     sums = ",\n       ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(32)
+        for j in range(bits)
     )
-    bits = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(32)
+    recomb = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(bits)
     )
     return rf"""
 WITH toks AS (SELECT doc_id, unnest({_SQL_TOKSET}) AS t FROM documents),
-h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM toks),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, {bits // 4}) AS BIGINT) AS h FROM toks),
 s AS (SELECT doc_id,
        {sums}
       FROM h GROUP BY doc_id)
-SELECT doc_id, {bits} AS simhash FROM s ORDER BY doc_id
+SELECT doc_id, {recomb} AS simhash FROM s ORDER BY doc_id
 """
 
 
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: hamming <= 3 over 32-bit sketches via the
-    4-chunk pigeonhole equi-join (one shuffle on (chunk, byte) keys — NOT
-    all-pairs; hamming <= 3 guarantees some byte chunk matches, so the
-    result equals the exhaustive answer, which the all-pairs DuckDB
-    oracle independently verifies)."""
+    """SimHash near-dup pairs: hamming <= 3 over 60-bit sketches via the
+    4-chunk pigeonhole equi-join (one shuffle on (chunk, 15-bit value)
+    keys — NOT all-pairs; hamming <= 3 guarantees some chunk matches, so
+    the result equals the exhaustive answer, which the all-pairs DuckDB
+    oracle independently verifies). 60-bit, not 32: 8-bit chunks have
+    256 values and template-heavy corpora put half the corpus in one hot
+    bucket (19M intermediate join rows at sf0.1); 15-bit chunks keep the
+    equi-join output-proportional."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+    return simhash_near_dup_pairs(docs, max_hamming=3, bits=60).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def _simhash_pairs_sql() -> str:
-    inner = _simhash_sql().replace("ORDER BY doc_id", "")
+    inner = _simhash_sql(bits=60).replace("ORDER BY doc_id", "")
     return f"""
 WITH sk AS ({inner})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

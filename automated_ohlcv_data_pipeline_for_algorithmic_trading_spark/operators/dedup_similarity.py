@@ -334,14 +334,19 @@ def exact_jaccard_pairs(
     )
 
 
-def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over the distinct token set.
+def simhash_sketch(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """``bits``-wide SimHash over the distinct token set (bits % 4 == 0,
+    bits <= 60 so the sketch stays a positive BIGINT on every engine).
 
-    Per token: h = first 32 bits of md5 (deterministic across engines).
-    Per doc, bit j of the sketch is 1 iff sum over tokens of
+    Per token: h = first bits/4 hex chars of md5 (deterministic across
+    engines). Per doc, bit j of the sketch is 1 iff sum over tokens of
     (+1 if bit j of h else -1) is positive. Implemented as explode ->
-    32 conditional sums -> bit recombination; one shuffle on doc id.
+    ``bits`` conditional sums -> bit recombination; one shuffle on doc id.
     """
+    if bits % 4 or not 0 < bits <= 60:
+        raise ValueError("bits must be a multiple of 4 in (0, 60]")
     # single small input file = one split; spread rows before the
     # token-explode + md5 map side so it doesn't run on one core
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -349,20 +354,25 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     exploded = toks.select(
         id_col, F.explode("token_set").alias("t")
     ).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+        "h", F.conv(F.substring(F.md5(F.col("t")), 1, bits // 4), 16, 10).cast("long")
     )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{j}")
-        for j in range(32)
+        for j in range(bits)
     ]
     agg = exploded.groupBy(id_col).agg(*bit_sums)
     sketch = None
-    for j in range(32):
+    for j in range(bits):
         bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
         sketch = bit if sketch is None else sketch + bit
     return agg.select(id_col, sketch.alias("simhash"))
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash (the compact per-doc sketch column)."""
+    return simhash_sketch(df, text_col, id_col, bits=32)
 
 
 def simhash_near_dup_pairs(
@@ -371,20 +381,31 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bucketed: bool = True,
+    bits: int = 32,
 ) -> DataFrame:
-    """SimHash near-dup pairs: hamming distance over 32-bit sketches.
+    """SimHash near-dup pairs: hamming distance over ``bits``-wide
+    sketches (bits % 4 == 0 so the four pigeonhole chunks stay equal
+    width).
 
-    Bucketed (default): split the sketch into 4 byte chunks; hamming <= 3
-    means at least one chunk is EQUAL (pigeonhole), so candidates come
+    Bucketed (default): split the sketch into 4 equal chunks; hamming <=
+    3 means at least one chunk is EQUAL (pigeonhole), so candidates come
     from equi-joins on (chunk_index, chunk_value) — one shuffle over 4n
     rows instead of an all-pairs theta join, and the result is *exactly*
     the all-pairs answer, not an approximation. ``bucketed=False`` keeps
     the naive theta join as a small-data cross-check (tests compare the
-    two). For max_hamming > 3 the pigeonhole guarantee needs
-    ceil(32 / (max_hamming + 1))-bit chunks; this implementation fixes 4
-    chunks and therefore requires max_hamming <= 3.
+    two). For max_hamming > 3 the pigeonhole guarantee needs more than 4
+    chunks; this implementation fixes 4 and therefore max_hamming <= 3.
+
+    Chunk width is the scale lever: 8-bit chunks (bits=32) have only 256
+    values, and on template-heavy corpora one hot bucket can hold half
+    the corpus — the equi-join degenerates quadratically (measured 19M
+    intermediate rows for 15k output at sf0.1). 15-bit chunks (bits=60)
+    give 32768 bucket values, collapsing hot buckets ~128x while keeping
+    the exact-pigeonhole guarantee.
     """
-    sk = simhash32(df, text_col, id_col)
+    sk = simhash_sketch(df, text_col, id_col, bits=bits)
+    cw = bits // 4  # chunk width in bits
+    cmask = (1 << cw) - 1
     if bucketed:
         # both sides of the self-join consume the sketch table; without
         # materialization lineage recomputes the token explode twice
@@ -403,7 +424,7 @@ def simhash_near_dup_pairs(
         raise ValueError("bucketed simhash join supports max_hamming <= 3")
     chunk = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c")
     ch = sk.select(id_col, "simhash", chunk).withColumn(
-        "ckey", F.expr("shiftrightunsigned(simhash, c * 8) & 255")
+        "ckey", F.expr(f"shiftrightunsigned(simhash, c * {cw}) & {cmask}")
     )
     a = ch.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sk_a"), "c", "ckey"
@@ -417,8 +438,8 @@ def simhash_near_dup_pairs(
     # set, which on near-dup-heavy corpora is the dominant cost
     def _chunk_diff(cc: int) -> str:
         return (
-            f"(shiftrightunsigned(sk_a, {cc * 8}) & 255)"
-            f" != (shiftrightunsigned(sk_b, {cc * 8}) & 255)"
+            f"(shiftrightunsigned(sk_a, {cc * cw}) & {cmask})"
+            f" != (shiftrightunsigned(sk_b, {cc * cw}) & {cmask})"
         )
 
     # unrolled (codegen-friendly, no interpreted higher-order fn):

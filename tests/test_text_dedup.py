@@ -191,6 +191,18 @@ def test_simhash_bucketed_join_equals_all_pairs(spark, sf_dir):
         for r in simhash_near_dup_pairs(docs, max_hamming=3, bucketed=False).collect()
     }
     assert bucketed == naive and bucketed
+    # the 60-bit sketch (15-bit chunks) obeys the same pigeonhole
+    b60 = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_hamming=3, bits=60).collect()
+    }
+    n60 = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            docs, max_hamming=3, bits=60, bucketed=False
+        ).collect()
+    }
+    assert b60 == n60
 
 
 def test_redact_pii_masks_and_counts(spark):
