@@ -510,6 +510,436 @@ ORDER BY n_name
 """
 
 
+def q07_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped: shipping volume between two nations by year, in
+    both directions. Dims broadcast; the only real shuffle is
+    lineitem-orders; the paired-nation predicate collapses to a residual
+    filter over two broadcast joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(revenue, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q07_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped: one nation's share of ECONOMY-part revenue inside
+    one region's market, by order year — a conditional-sum ratio where
+    BOTH sums run exact-decimal so the double division is
+    partitioning-invariant."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("supp_nation") == "NATION_10", volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(national, "national_revenue"),
+            dsum(volume, "market_revenue"),
+        )
+        .withColumn(
+            "mkt_share", F.col("national_revenue") / F.col("market_revenue")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q08_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       {sql_dsum("CASE WHEN n2.n_name = 'NATION_10' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS national_revenue,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS market_revenue,
+       {sql_dsum("CASE WHEN n2.n_name = 'NATION_10' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+         / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped: profit by supplier nation and order year over a
+    name-matched part subset. No partsupp table in this dataset, so cost
+    is proxied per-row as 0.5 * p_retailprice * l_quantity — the operator
+    shape (5-way join, LIKE filter, two-level group) is what matters."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dsum(amount, "profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+_Q09_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity')} AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped: parts whose traded value from one nation's
+    suppliers exceeds a fraction of the GLOBAL total — the global scalar
+    comes from a second aggregate broadcast back as a one-row cross join,
+    not a per-row subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    per_part = national.groupBy("l_partkey").agg(dsum(value, "part_value"))
+    total = national.agg(dsum(value, "total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.002) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+_Q11_SQL = f"""
+WITH national AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3')
+SELECT l_partkey, {sql_dsum('value')} AS part_value
+FROM national
+GROUP BY l_partkey
+HAVING {sql_dsum('value')} > 0.002 * (SELECT {sql_dsum('value')} FROM national)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped: urgent-vs-other order counts per line status for
+    one ship year — conditional integer counts after the fact join (the
+    orders side carries only the priority column into the join)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: histogram of per-customer order counts — a LEFT
+    join with a join-side predicate (so zero-order customers survive with
+    count 0) feeding a second aggregation over the first's result."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    )
+    per_cust = cust.join(orders, "c_custkey", "left").groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped: supplier(s) with the maximum quarterly revenue.
+    The max is a window over the aggregated (100-row) supplier revenue
+    table — never a re-aggregation — and equality on exact-decimal
+    revenue is bit-safe on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        dsum(revenue, "total_revenue")
+    )
+    w = Window.partitionBy()
+    return (
+        per_supp.withColumn("mx", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), "s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS s_suppkey,
+         {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey)
+SELECT r.s_suppkey, s_name, total_revenue
+FROM revenue r JOIN supplier ON r.s_suppkey = supplier.s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY r.s_suppkey
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: revenue under an OR-of-ANDs brand/size/quantity
+    predicate. The disjunction stays a residual filter on ONE equi-join
+    (never three scans unioned), and Catalyst extracts the common
+    p_partkey conjunct."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disj = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(disj)
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+_Q19_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped: suppliers who moved serious volume of some
+    ECONOMY part in one year — a LEFT SEMI join against an aggregated,
+    HAVING-filtered inner table (the no-partsupp adaptation of the
+    nested-IN shape)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50.0)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        supp.join(heavy, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 50.0)
+ORDER BY s_suppkey
+"""
+
+
+def q21_sole_blockers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped: suppliers who are the ONLY supplier with a
+    returned line inside multi-supplier orders. The classic
+    EXISTS/NOT-EXISTS pair re-expressed as ONE aggregation over
+    (order, supplier) flags plus a per-order rollup — two shuffles total,
+    no correlated re-scans of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("ret").alias("n_ret_supp")
+    )
+    return (
+        per_os.join(per_o, "l_orderkey")
+        .filter(
+            (F.col("ret") == 1) & (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), "s_suppkey")
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+    )
+
+
+_Q21_SQL = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(ret) AS n_ret_supp
+  FROM per_os GROUP BY l_orderkey)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_os
+JOIN per_o USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE ret = 1 AND n_supp >= 2 AND n_ret_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+"""
+
+
 # ---------------------------------------------------------------------------
 # OHLCV query surface on the events stream table
 # (user_id ~ symbol, value ~ price; FIXTURES.md SS5)
@@ -2674,6 +3104,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_variety": q16_supplier_variety,
         "q18_large_orders": q18_large_orders,
         "q22_idle_rich_customers": q22_idle_rich_customers,
+        "q07_nation_trade": q07_nation_trade,
+        "q08_market_share": q08_market_share,
+        "q09_product_profit": q09_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q12_priority_lines": q12_priority_lines,
+        "q13_order_distribution": q13_order_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_heavy_shippers": q20_heavy_shippers,
+        "q21_sole_blockers": q21_sole_blockers,
         "e_symbol_stats": e_symbol_stats,
         "e_daily_rollup": e_daily_rollup,
         "e_resample_15m": e_resample_15m,
@@ -2751,6 +3191,16 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_variety": _Q16_SQL,
         "q18_large_orders": _Q18_SQL,
         "q22_idle_rich_customers": _Q22_SQL,
+        "q07_nation_trade": _Q07_SQL,
+        "q08_market_share": _Q08_SQL,
+        "q09_product_profit": _Q09_SQL,
+        "q11_important_parts": _Q11_SQL,
+        "q12_priority_lines": _Q12_SQL,
+        "q13_order_distribution": _Q13_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q19_disjunctive_revenue": _Q19_SQL,
+        "q20_heavy_shippers": _Q20_SQL,
+        "q21_sole_blockers": _Q21_SQL,
         "e_symbol_stats": _E_SYMBOL_STATS_SQL,
         "e_daily_rollup": _E_DAILY_ROLLUP_SQL,
         "e_resample_15m": _E_RESAMPLE_SQL,
@@ -2830,6 +3280,16 @@ HEADLINE_QUERIES = [
     "q16_supplier_variety",
     "q18_large_orders",
     "q22_idle_rich_customers",
+    "q07_nation_trade",
+    "q08_market_share",
+    "q09_product_profit",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_sole_blockers",
     "e_symbol_stats",
     "e_daily_rollup",
     "e_resample_15m",
