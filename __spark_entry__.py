@@ -1795,6 +1795,56 @@ ORDER BY user_id, timestamp_unix, event_id
 """
 
 
+def e_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly screen: events whose value sits more than
+    3 sample standard deviations from the user's trailing 50-row mean
+    (>= 10 trailing observations). Mean/stddev come from exact decimal
+    window sums (operators/windows.rolling_zscore), so the double z-score
+    replays bit-identically in the DuckDB oracle."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windows import (
+        rolling_zscore,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("timestamp_unix"),
+        "value",
+    )
+    z = rolling_zscore(
+        ev, ["user_id"], ("timestamp_unix", "event_id"), "value", n=50, min_obs=10
+    )
+    return (
+        z.filter(F.abs(F.col("zscore")) > 3.0)
+        .select("user_id", "event_id", "timestamp_unix", "value", "zscore")
+        .orderBy("user_id", "timestamp_unix", "event_id")
+    )
+
+
+_E_ZSCORE_SQL = """
+WITH src AS (
+  SELECT user_id, event_id, epoch_us(ts) AS timestamp_unix, value FROM events),
+w AS (
+  SELECT user_id, event_id, timestamp_unix, value,
+         CAST(count(value) OVER win AS DOUBLE) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) OVER win AS DOUBLE) AS sx,
+         CAST(sum(CAST(value * value AS DECIMAL(38,6))) OVER win AS DOUBLE) AS sxx
+  FROM src
+  WINDOW win AS (PARTITION BY user_id ORDER BY timestamp_unix, event_id
+                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
+z AS (
+  SELECT user_id, event_id, timestamp_unix, value,
+         CASE WHEN n < 10.0 OR (n * sxx - sx * sx) / (n * (n - 1.0)) <= 0
+              THEN NULL
+              ELSE (value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+         END AS zscore
+  FROM w)
+SELECT user_id, event_id, timestamp_unix, value, zscore
+FROM z WHERE abs(zscore) > 3.0
+ORDER BY user_id, timestamp_unix, event_id
+"""
+
+
 def x_rolling_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based rolling aggregate: per event, the count / exact sum /
     avg of the same user's values over the trailing 30 minutes — a RANGE
@@ -3167,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_join": s_stream_join,
         "x_ema_macd": x_ema_macd,
         "x_rolling_30m": x_rolling_30m,
+        "e_zscore_anomaly": e_zscore_anomaly,
         "e_props_json": e_props_json,
         "e_percentiles_hist": e_percentiles_hist,
         "d_redact_pii": d_redact_pii,
@@ -3254,6 +3305,7 @@ def oracle_sql() -> dict[str, str]:
         "s_stream_join": _S_JOIN_SQL,
         "x_ema_macd": _X_EMA_MACD_SQL,
         "x_rolling_30m": _X_ROLLING_SQL,
+        "e_zscore_anomaly": _E_ZSCORE_SQL,
         "e_props_json": _E_PROPS_JSON_SQL,
         "e_percentiles_hist": _E_PCT_HIST_SQL,
         "d_redact_pii": _D_REDACT_SQL,
@@ -3342,6 +3394,7 @@ HEADLINE_QUERIES = [
     "s_stream_join",
     "x_ema_macd",
     "x_rolling_30m",
+    "e_zscore_anomaly",
     "e_props_json",
     "e_percentiles_hist",
     "d_redact_pii",

@@ -186,3 +186,45 @@ def rsi(
         .otherwise(100.0 - 100.0 / (1.0 + avg_gain / avg_loss))
     )
     return tmp.withColumn(out_col, rsi_expr).drop("_delta", "_gain", "_loss")
+
+
+def rolling_zscore(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | Sequence[str],
+    value_col: str = "value",
+    n: int = 50,
+    min_obs: int = 10,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Rolling z-score per key series: how many sample standard deviations
+    the current value sits from the trailing ``n``-row mean — the
+    monitoring primitive behind threshold alerting (the reference's
+    volatility screen, monitoring/dashboard.py shape, generalized).
+
+    Mean and SAMPLE stddev come from exact decimal window sums of value
+    and value^2 (functions/exact.py discipline), so the double z-score is
+    partition-count-invariant and bit-replayable by any engine that sums
+    the same decimals — the window twin of dispersion_stats. Rows with
+    fewer than ``min_obs`` trailing observations emit NULL (warm-up), and
+    a zero-variance window emits NULL (a flat series has no scale).
+    """
+    dec = "decimal(38,6)"
+    order = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(n - 1), 0)
+    )
+    v = F.col(value_col)
+    cnt = F.count(v).over(w).cast("double")
+    sx = F.sum(v.cast(dec)).over(w).cast("double")
+    sxx = F.sum((v * v).cast(dec)).over(w).cast("double")
+    mean = sx / cnt
+    var = (cnt * sxx - sx * sx) / (cnt * (cnt - 1.0))
+    sd = F.sqrt(var)
+    z = (
+        F.when((cnt < F.lit(float(min_obs))) | (var <= 0), F.lit(None).cast("double"))
+        .otherwise((v - mean) / sd)
+    )
+    return df.withColumn(out_col, z)

@@ -255,3 +255,25 @@ def test_asof_join_backward(spark):
         for r in asof_join(trades, quotes, ["symbol"], "t", "t").collect()
     }
     assert out == {5: None, 10: 100.0, 25: 105.0}
+
+
+def test_rolling_zscore_known_values_and_guards(spark):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windows import (
+        rolling_zscore,
+    )
+
+    rows = [("A", i, 1.0 if i < 9 else 2.0) for i in range(10)]
+    rows += [("B", i, 5.0) for i in range(12)]  # flat series: no scale
+    df = spark.createDataFrame(rows, "k string, t long, value double")
+    out = rolling_zscore(df, ["k"], "t", "value", n=50, min_obs=10).collect()
+    by = {(r["k"], r["t"]): r["zscore"] for r in out}
+    # warm-up: fewer than min_obs trailing rows -> NULL
+    assert by[("A", 8)] is None
+    # 10th row of A: nine 1.0s then 2.0 -> mean 1.1, sd sqrt(0.1*0.9/9+...)
+    import statistics
+
+    vals = [1.0] * 9 + [2.0]
+    expect = (2.0 - statistics.mean(vals)) / statistics.stdev(vals)
+    assert abs(by[("A", 9)] - expect) < 1e-9
+    # zero-variance window -> NULL, never a division blow-up
+    assert all(by[("B", t)] is None for t in range(12))
