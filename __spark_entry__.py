@@ -2597,21 +2597,21 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_bucket_ctes(n_planes: int, n_tables: int, dim: int) -> str:
     """CTEs replaying hyperplane_weights + hyperplane_buckets bit-for-bit
     in DuckDB: e (double embeddings), lw (md5-derived plane weights),
-    lel (exploded dims), ld (decimal-exact plane dots), lb (vec_id,
-    bucket) one row per table."""
+    lel (exploded dims), ld (exact integer micro-unit plane dots), lb
+    (vec_id, bucket) one row per table."""
     total = n_tables * n_planes
     return f"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
      FROM embeddings),
 lw AS (SELECT plane, pos,
-              (CAST('0x' || substr(md5('p' || CAST(plane AS VARCHAR)
+              CAST('0x' || substr(md5('p' || CAST(plane AS VARCHAR)
                                         || 'd' || CAST(pos AS VARCHAR)), 1, 8)
-                    AS BIGINT) % 20001 - 10000) / 10000.0 AS w
+                    AS BIGINT) % 20001 - 10000 AS w
        FROM generate_series(0, {total - 1}) p(plane),
             generate_series(0, {dim - 1}) q(pos)),
 lel AS (SELECT vec_id, i - 1 AS pos, emb[i] AS val
         FROM e, generate_series(1, {dim}) t(i)),
 ld AS (SELECT vec_id, plane,
-              CAST(sum(CAST(val * w AS DECIMAL(38,6))) AS DOUBLE) AS dot
+              sum(CAST(round(val * 1e6) AS BIGINT) * w) AS dot
        FROM lel JOIN lw USING (pos) GROUP BY vec_id, plane),
 lb AS (SELECT vec_id,
               (plane // {n_planes}) * {2 ** n_planes}

