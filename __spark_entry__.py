@@ -3132,6 +3132,191 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def x_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst peak-to-trough drawdown per user (value as price series):
+    running-max window + total-ordered trough pick, one shuffle for both
+    windows (operators/finance.max_drawdown). Extends the reference's
+    indicator analytics (examples/README.md:100-104) with the
+    portfolio-risk stat its users compute downstream."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        max_drawdown,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("timestamp_unix"),
+        "value",
+    )
+    return max_drawdown(
+        ev, ["user_id"], "timestamp_unix", "event_id", "value"
+    ).orderBy("user_id")
+
+
+_X_DRAWDOWN_SQL = """
+WITH src AS (
+  SELECT user_id, event_id, epoch_us(ts) AS timestamp_unix, value
+  FROM events WHERE value > 0),
+dd AS (
+  SELECT user_id, event_id, timestamp_unix, value,
+         value / max(value) OVER (PARTITION BY user_id
+             ORDER BY timestamp_unix, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS drawdown,
+         count(*) OVER (PARTITION BY user_id) AS n_obs
+  FROM src),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY drawdown, timestamp_unix, event_id) AS rn
+  FROM dd)
+SELECT user_id, drawdown AS max_drawdown, timestamp_unix AS trough_ts,
+       event_id AS trough_id, value AS trough_value, n_obs
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def x_beta_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user beta / alpha / market correlation of daily close-to-close
+    returns vs the equal-weight market factor. Ticks reduce to
+    symbol-days first (single-shuffle ordered-last), the per-day market
+    factor is broadcast back, and every regression moment is an exact
+    decimal sum — bit-identical across partitionings and in the oracle
+    (operators/finance.daily_returns / beta_vs_market)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        beta_vs_market,
+        daily_returns,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
+    return beta_vs_market(rets, ["user_id"]).orderBy("user_id")
+
+
+_X_BETA_SQL = f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE value > 0),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM src GROUP BY user_id, CAST(ts AS DATE)),
+rets AS (
+  SELECT user_id, trade_date, close,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily),
+r AS (SELECT user_id, trade_date, ret FROM rets
+      WHERE ret IS NOT NULL AND abs(ret) <= 10.0),
+mkt AS (
+  SELECT trade_date,
+         CAST(sum(CAST(ret AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mkt_ret
+  FROM r GROUP BY trade_date),
+j AS (SELECT r.user_id, r.ret, m.mkt_ret FROM r JOIN mkt m USING (trade_date)),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(ret AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(mkt_ret AS DECIMAL(38,6))) AS DOUBLE) AS sm,
+         CAST(sum(CAST(ret * mkt_ret AS DECIMAL(38,6))) AS DOUBLE) AS sxm,
+         CAST(sum(CAST(mkt_ret * mkt_ret AS DECIMAL(38,6))) AS DOUBLE) AS smm,
+         CAST(sum(CAST(ret * ret AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM j GROUP BY user_id)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_days,
+       (n * sxm - sx * sm) / (n * smm - sm * sm) AS beta,
+       (sx - ((n * sxm - sx * sm) / (n * smm - sm * sm)) * sm) / n AS alpha,
+       CASE WHEN (n * sxx - sx * sx) > 0
+            THEN (n * sxm - sx * sm)
+                   / sqrt((n * sxx - sx * sx) * (n * smm - sm * sm))
+       END AS corr_mkt
+FROM agg
+WHERE n >= 2.0 AND (n * smm - sm * sm) > 0
+ORDER BY user_id
+"""
+
+
+def d_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog register table (p=8) over event user
+    ids — md5-derived hash, integer div/mod bucket split, bin()-based
+    rank, one 256-group hash aggregate (operators/sketch.hll_registers).
+    Unlike approx_count_distinct, the registers are engine-portable and
+    merge across days by element-wise max; the oracle rebuilds them
+    exactly in SQL."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_registers(ev, "user_id", p=8).orderBy("bucket")
+
+
+#: 2^52: the low 52 bits of the 60-bit md5 hash after the p=8 bucket split.
+_HLL_WIDTH = 1 << 52
+
+_D_HLL_SQL = f"""
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS h
+  FROM events WHERE user_id IS NOT NULL),
+b AS (SELECT h // {_HLL_WIDTH} AS bucket, h % {_HLL_WIDTH} AS rem FROM h),
+rk AS (
+  SELECT bucket,
+         CASE WHEN rem = 0 THEN 53 ELSE 52 - length(bin(rem)) + 1 END AS r
+  FROM b)
+SELECT bucket, CAST(max(r) AS INTEGER) AS r
+FROM rk GROUP BY bucket ORDER BY bucket
+"""
+
+
+def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build: collapse the event changelog into versioned
+    (valid_from, valid_to, is_current) rows per user, tracking
+    event_type as the attribute (operators/scd.scd2_history). The
+    row-level complement of the MERGE upsert (plans/merge.py) — both
+    windows share one partition key, so one shuffle total."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.scd import (
+        scd2_history,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("timestamp_unix"),
+        "event_type",
+    )
+    out = scd2_history(
+        ev, ["user_id"], "timestamp_unix", "event_id", ["event_type"]
+    )
+    # valid_to is nullable (open versions): surface it as double so both
+    # engines materialize the same float64 through pandas — a nullable
+    # int64 silently becomes float64 on the DuckDB side only, which
+    # breaks the driver's value hash (same class of issue as the
+    # round-1 e_sessionize HUGEINT->float64 fix). Micros < 2^53, exact.
+    return out.withColumn("valid_to", F.col("valid_to").cast("double")).orderBy(
+        "user_id", "version"
+    )
+
+
+_X_SCD2_SQL = """
+WITH src AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type FROM events),
+c AS (
+  SELECT user_id, event_id, tu, event_type,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS prev_attr
+  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+v AS (SELECT * FROM c WHERE rn = 1 OR event_type IS DISTINCT FROM prev_attr),
+o AS (
+  SELECT user_id, tu AS valid_from,
+         lead(tu) OVER w2 AS valid_to,
+         row_number() OVER w2 AS version,
+         event_type
+  FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY tu, event_id))
+SELECT user_id, valid_from, CAST(valid_to AS DOUBLE) AS valid_to, version,
+       valid_to IS NULL AS is_current, event_type
+FROM o ORDER BY user_id, version
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -3226,6 +3411,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_top_bigrams": d_top_bigrams,
         "d_tfidf_topk": d_tfidf_topk,
         "d_decontaminate": d_decontaminate,
+        "x_max_drawdown": x_max_drawdown,
+        "x_beta_market": x_beta_market,
+        "d_hll_users": d_hll_users,
+        "x_scd2_history": x_scd2_history,
     }
 
 
@@ -3314,6 +3503,10 @@ def oracle_sql() -> dict[str, str]:
         "d_top_bigrams": _D_TOP_BIGRAMS_SQL,
         "d_tfidf_topk": _D_TFIDF_SQL,
         "d_decontaminate": _D_DECONTAM_SQL,
+        "x_max_drawdown": _X_DRAWDOWN_SQL,
+        "x_beta_market": _X_BETA_SQL,
+        "d_hll_users": _D_HLL_SQL,
+        "x_scd2_history": _X_SCD2_SQL,
     }
 
 
@@ -3403,4 +3596,8 @@ HEADLINE_QUERIES = [
     "d_top_bigrams",
     "d_tfidf_topk",
     "d_decontaminate",
+    "x_max_drawdown",
+    "x_beta_market",
+    "d_hll_users",
+    "x_scd2_history",
 ]

@@ -1,0 +1,183 @@
+"""Portfolio-risk analytics beyond the reference's indicator list: max
+drawdown and per-symbol beta/alpha/correlation against an equal-weight
+market factor.
+
+The reference's analytics surface (analytics/lambda_analytics.py:146-240,
+examples/README.md:100-104) stops at per-symbol rollups and the declared
+sma_20 / rsi_14 indicators; a trading user's next questions — "how deep
+was the worst peak-to-trough loss?" and "how does this symbol co-move
+with the market?" — are these two operators. Both follow the repo-wide
+determinism contract: every unordered reduction routes through decimal
+(see functions/exact.py), so results are partition-count invariant and
+replay bit-identically in an ANSI-SQL oracle.
+
+Scale notes (100 TB):
+- ``max_drawdown`` is two window passes over the SAME partition key
+  (one hash shuffle, two in-partition sorts) and a width-1 filter — no
+  groupBy, no second shuffle. Per-symbol history fits a partition by
+  construction (symbols × days, not ticks × ticks).
+- ``beta_vs_market`` reduces ticks → symbol-days FIRST (map-side
+  combinable aggregate), builds the market factor as a tiny per-day
+  aggregate, and broadcast-joins it back — the only wide shuffle is the
+  symbol-day rollup; the regression itself is a single map-side
+  combinable aggregate over symbol.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["max_drawdown", "daily_returns", "beta_vs_market"]
+
+#: Exact accumulator for sums of double products. Scale 6 (not higher):
+#: a double->decimal cast only rounds identically across engines while
+#: |value| * 10^scale stays under 2^53, and beta_vs_market caps |ret| at
+#: ret_cap (default 10) so every summand satisfies that bound. The sum
+#: itself is exact at any row count (38-6 integer digits).
+_DEC = "decimal(38,6)"
+
+
+def max_drawdown(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Worst peak-to-trough drawdown per key.
+
+    drawdown(t) = value(t) / running_max(value) - 1 over the (ts, id)
+    order; the reported row is the trough with the most negative
+    drawdown, tie-broken on (ts, id) so the answer is total-ordered and
+    engine-independent. Rows with non-positive values are excluded
+    (drawdown is defined on prices).
+
+    Both the running max and the ranking are windows over the SAME
+    partition key, so Spark plans one exchange and two sorts — no
+    extra shuffle for the final per-key row.
+    """
+    pos = df.filter(F.col(value_col) > 0)
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_max = F.max(F.col(value_col)).over(w_run)
+    dd = (F.col(value_col) / run_max - F.lit(1.0)).alias("drawdown")
+    with_dd = pos.select(
+        *keys,
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(value_col),
+        dd,
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("n_obs"),
+    )
+    w_rank = Window.partitionBy(*keys).orderBy(
+        F.col("drawdown"), F.col(ts_col), F.col(id_col)
+    )
+    return (
+        with_dd.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *keys,
+            F.col("drawdown").alias("max_drawdown"),
+            F.col(ts_col).alias("trough_ts"),
+            F.col(id_col).alias("trough_id"),
+            F.col(value_col).alias("trough_value"),
+            "n_obs",
+        )
+    )
+
+
+def daily_returns(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key daily close-to-close simple returns.
+
+    Day close is ``max_by(value, (ts, id))`` — the single-shuffle ordered
+    "last" (same shape as rollup.daily_rollup); the return divides by the
+    previous day's close via one lag window. Ticks collapse to
+    symbol-days before any window runs, so the window input is tiny
+    relative to the fact table.
+    """
+    key = F.struct(F.col(ts_col), F.col(id_col))
+    daily = (
+        df.filter(F.col(value_col) > 0)
+        .groupBy(*keys, F.to_date(F.col(ts_col)).alias("trade_date"))
+        .agg(F.max_by(F.col(value_col), key).alias("close"))
+    )
+    w = Window.partitionBy(*keys).orderBy("trade_date")
+    prev = F.lag("close").over(w)
+    return (
+        daily.withColumn("prev_close", prev)
+        .filter(F.col("prev_close").isNotNull())
+        .withColumn("ret", F.col("close") / F.col("prev_close") - F.lit(1.0))
+        .drop("prev_close")
+    )
+
+
+def beta_vs_market(
+    returns: DataFrame,
+    keys: Sequence[str],
+    date_col: str = "trade_date",
+    ret_col: str = "ret",
+    min_days: int = 2,
+    ret_cap: float = 10.0,
+) -> DataFrame:
+    """OLS beta / alpha / correlation of each key's daily returns against
+    the equal-weight market factor (cross-sectional mean return per day).
+
+    Returns with ``|ret| > ret_cap`` are winsorized out first (a >1000%
+    daily move is a data error, and the cap also keeps every decimal
+    summand inside the cross-engine-exact range — see ``_DEC``). The
+    market factor is a per-day aggregate — thousands of rows at most,
+    broadcast back to the per-key returns. The regression moments are ONE
+    map-side-combinable aggregate per key with every sum routed through
+    decimal, so beta is bit-identical across partitionings and replays
+    exactly in SQL. Keys with fewer than ``min_days`` observations or
+    zero market variance are dropped (undefined regression).
+    """
+    r = F.col(ret_col)
+    returns = returns.filter(F.abs(r) <= F.lit(ret_cap))
+    market = returns.groupBy(date_col).agg(
+        (
+            F.sum(r.cast(_DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mkt_ret")
+    )
+    joined = returns.join(F.broadcast(market), on=date_col)
+    m = F.col("mkt_ret")
+    agg = joined.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(r.cast(_DEC)).cast("double").alias("sx"),
+        F.sum(m.cast(_DEC)).cast("double").alias("sm"),
+        F.sum((r * m).cast(_DEC)).cast("double").alias("sxm"),
+        F.sum((m * m).cast(_DEC)).cast("double").alias("smm"),
+        F.sum((r * r).cast(_DEC)).cast("double").alias("sxx"),
+    )
+    n, sx, sm, sxm, smm, sxx = (
+        F.col(c) for c in ("n", "sx", "sm", "sxm", "smm", "sxx")
+    )
+    cov_n = n * sxm - sx * sm
+    var_m_n = n * smm - sm * sm
+    var_x_n = n * sxx - sx * sx
+    beta = cov_n / var_m_n
+    return (
+        agg.filter((n >= float(min_days)) & (var_m_n > 0))
+        .select(
+            *keys,
+            n.cast("long").alias("n_days"),
+            beta.alias("beta"),
+            ((sx - beta * sm) / n).alias("alpha"),
+            F.when(var_x_n > 0, cov_n / F.sqrt(var_x_n * var_m_n)).alias(
+                "corr_mkt"
+            ),
+        )
+    )

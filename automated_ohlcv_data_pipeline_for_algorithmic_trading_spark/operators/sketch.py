@@ -1,0 +1,101 @@
+"""Deterministic distinct-count sketching (HyperLogLog registers built
+from md5, entirely in native column expressions).
+
+Spark's own ``approx_count_distinct`` is a black-box HLL++ whose hash is
+engine-private — fine for ad-hoc use, but it cannot be oracle-checked,
+cannot be merged with registers produced by another engine, and its
+estimate is not reproducible outside Spark. This module builds the HLL
+register table explicitly from md5 (the repo's cross-engine hash), so:
+
+- the register table is bit-identical in any engine with md5 (the DuckDB
+  oracle regenerates it from the same SQL-expressible arithmetic);
+- registers from disjoint partitions/files/days MERGE by ``max`` — the
+  sketch is an additive daily artifact, the property that makes HLL the
+  right distinct-count structure for a 100 TB incremental pipeline
+  (store 2^p bytes per day, union = element-wise max, no rescan);
+- the estimator is the published HLL formula (Flajolet et al. 2007) with
+  the small-range linear-counting correction.
+
+Scale notes: one hash-groupBy on ``bucket`` (2^p groups — map-side
+combine collapses each partition to ≤2^p rows before the shuffle), so
+the shuffle is O(2^p × partitions) regardless of row count.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_registers", "hll_estimate", "merge_registers"]
+
+#: md5 hex chars used for the hash (15 chars = 60 bits, fits BIGINT both
+#: in Spark and in DuckDB's CAST('0x'... AS BIGINT)).
+_HEX_CHARS = 15
+_HASH_BITS = 4 * _HEX_CHARS
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: Column | str, p: int = 8) -> DataFrame:
+    """HLL register table for the values of ``col``: one row per
+    non-empty bucket, columns ``bucket`` (0..2^p-1) and ``r`` (max rank).
+
+    hash = first 60 bits of md5(value as string); the top ``p`` bits pick
+    the bucket, the rank is the position of the highest set bit in the
+    remaining ``60-p`` bits (rank = width+1 when they are all zero).
+    Integer ``div``/``%`` keep the arithmetic exact (a double division
+    would lose bits above 2^53), and ``bin()`` gives the bit position
+    without any float log2 — both expressions replay exactly in DuckDB.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    width = _HASH_BITS - p
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, _HEX_CHARS), 16, 10).cast(
+        "long"
+    )
+    hashed = df.filter(c.isNotNull()).select(h.alias("_h"))
+    bucket = F.expr(f"_h div {1 << width}").cast("long")
+    rem = (F.col("_h") % F.lit(1 << width)).cast("long")
+    rank = F.when(rem == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(rem)) + 1
+    )
+    return (
+        hashed.select(bucket.alias("bucket"), rank.cast("int").alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def merge_registers(*register_dfs: DataFrame) -> DataFrame:
+    """Union register tables from disjoint slices into one sketch
+    (element-wise max) — the HLL merge law. Lets a pipeline keep one
+    tiny register table per day/partition and answer "distinct over any
+    date range" without touching the fact data."""
+    out = register_dfs[0]
+    for other in register_dfs[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> float:
+    """Distinct-count estimate from a register table (driver-side: the
+    table has at most 2^p rows). Raw HLL estimator with the linear
+    counting correction for the small range."""
+    m = 1 << p
+    rows = {int(b): int(r) for b, r in registers.collect()}
+    z = sum(2.0 ** -rows.get(i, 0) for i in range(m))
+    est = _alpha(m) * m * m / z
+    if est <= 2.5 * m:
+        zeros = m - len([1 for r in rows.values() if r > 0])
+        if zeros:
+            return m * math.log(m / zeros)
+    return est

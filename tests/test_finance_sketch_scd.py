@@ -1,0 +1,181 @@
+"""Unit tests for the portfolio-risk operators (finance.py), the
+deterministic HLL sketch (sketch.py), and the SCD2 history build
+(scd.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+    beta_vs_market,
+    daily_returns,
+    max_drawdown,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.scd import (
+    scd2_history,
+)
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+    hll_estimate,
+    hll_registers,
+    merge_registers,
+)
+
+
+def _prices(spark, rows):
+    return spark.createDataFrame(
+        [Row(sym=s, ts=t, pid=i, px=float(p)) for i, (s, t, p) in enumerate(rows)]
+    )
+
+
+class TestMaxDrawdown:
+    def test_simple_peak_trough(self, spark):
+        # 100 -> 120 -> 60 -> 90: worst drawdown is 60/120 - 1 = -50%
+        df = _prices(spark, [("A", 1, 100), ("A", 2, 120), ("A", 3, 60), ("A", 4, 90)])
+        out = max_drawdown(df, ["sym"], "ts", "pid", "px").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.max_drawdown == pytest.approx(-0.5)
+        assert r.trough_ts == 3 and r.trough_value == 60.0 and r.n_obs == 4
+
+    def test_monotonic_rise_has_zero_drawdown(self, spark):
+        df = _prices(spark, [("A", 1, 10), ("A", 2, 20), ("A", 3, 30)])
+        r = max_drawdown(df, ["sym"], "ts", "pid", "px").collect()[0]
+        # drawdown 0 at every point; trough tie-breaks to the earliest row
+        assert r.max_drawdown == 0.0 and r.trough_ts == 1
+
+    def test_non_positive_prices_excluded(self, spark):
+        df = _prices(spark, [("A", 1, 100), ("A", 2, -5), ("A", 3, 50)])
+        r = max_drawdown(df, ["sym"], "ts", "pid", "px").collect()[0]
+        assert r.n_obs == 2 and r.max_drawdown == pytest.approx(-0.5)
+
+    def test_partition_count_invariant(self, spark):
+        rows = [("S%d" % (i % 7), i, 50 + ((i * 37) % 100)) for i in range(400)]
+        df = _prices(spark, rows)
+        a = sorted(map(tuple, max_drawdown(df, ["sym"], "ts", "pid", "px").collect()))
+        b = sorted(
+            map(
+                tuple,
+                max_drawdown(
+                    df.repartition(13), ["sym"], "ts", "pid", "px"
+                ).collect(),
+            )
+        )
+        assert a == b
+
+
+class TestBetaVsMarket:
+    def test_market_itself_has_beta_one(self, spark):
+        # two symbols with identical returns: market == each, beta == 1
+        rows = []
+        px = {"A": 100.0, "B": 200.0}
+        for d in range(1, 11):
+            for s in ("A", "B"):
+                px[s] *= 1 + (0.01 if d % 2 else -0.005) * (1 if s == "A" else 1)
+                rows.append((s, d, px[s]))
+        df = spark.createDataFrame(
+            [
+                Row(sym=s, ts=f"2024-01-{d:02d} 12:00:00", pid=i, px=p)
+                for i, (s, d, p) in enumerate(rows)
+            ]
+        ).withColumn("ts", F.to_timestamp("ts"))
+        rets = daily_returns(df, ["sym"], "ts", "pid", "px")
+        out = {r.sym: r for r in beta_vs_market(rets, ["sym"]).collect()}
+        assert out["A"].beta == pytest.approx(1.0, abs=1e-9)
+        assert out["A"].corr_mkt == pytest.approx(1.0, abs=1e-9)
+        assert out["A"].n_days == 9
+
+    def test_winsorize_drops_insane_returns(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(sym="A", trade_date="2024-01-01", ret=0.01),
+                Row(sym="A", trade_date="2024-01-02", ret=250.0),  # data error
+                Row(sym="A", trade_date="2024-01-03", ret=-0.02),
+                Row(sym="B", trade_date="2024-01-01", ret=0.02),
+                Row(sym="B", trade_date="2024-01-03", ret=-0.01),
+            ]
+        )
+        out = beta_vs_market(df, ["sym"])
+        # the 250.0 return is excluded -> A still has 2 usable days
+        assert {r.sym: r.n_days for r in out.collect()} == {"A": 2, "B": 2}
+
+
+class TestHll:
+    def test_estimate_within_hll_error(self, spark):
+        n = 5000
+        df = spark.range(n).select(F.col("id").alias("v"))
+        regs = hll_registers(df, "v", p=8)
+        est = hll_estimate(regs, p=8)
+        # standard error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+        assert abs(est - n) / n < 0.20
+
+    def test_duplicates_do_not_change_sketch(self, spark):
+        df = spark.range(1000)
+        once = hll_registers(df.select(F.col("id").alias("v")), "v", p=6)
+        thrice = hll_registers(
+            df.union(df).union(df).select(F.col("id").alias("v")), "v", p=6
+        )
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, thrice.collect())
+        )
+
+    def test_merge_law_equals_union_sketch(self, spark):
+        a = spark.range(0, 800).select(F.col("id").alias("v"))
+        b = spark.range(500, 1500).select(F.col("id").alias("v"))
+        merged = merge_registers(
+            hll_registers(a, "v", p=7), hll_registers(b, "v", p=7)
+        )
+        direct = hll_registers(a.union(b), "v", p=7)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_small_range_linear_counting(self, spark):
+        df = spark.range(30).select(F.col("id").alias("v"))
+        est = hll_estimate(hll_registers(df, "v", p=8), p=8)
+        assert abs(est - 30) / 30 < 0.25
+
+
+class TestScd2:
+    def _changelog(self, spark, rows):
+        return spark.createDataFrame(
+            [Row(k=k, ts=t, i=i, attr=a) for i, (k, t, a) in enumerate(rows)]
+        )
+
+    def test_consecutive_duplicates_collapse(self, spark):
+        df = self._changelog(
+            spark,
+            [("u1", 1, "x"), ("u1", 2, "x"), ("u1", 3, "y"), ("u1", 4, "y"),
+             ("u1", 5, "x")],
+        )
+        out = scd2_history(df, ["k"], "ts", "i", ["attr"]).orderBy("version").collect()
+        assert [(r.valid_from, r.valid_to, r.attr, r.is_current) for r in out] == [
+            (1, 3, "x", False),
+            (3, 5, "y", False),
+            (5, None, "x", True),
+        ]
+        assert [r.version for r in out] == [1, 2, 3]
+
+    def test_null_transitions(self, spark):
+        df = self._changelog(
+            spark, [("u1", 1, None), ("u1", 2, None), ("u1", 3, "a"), ("u1", 4, None)]
+        )
+        out = scd2_history(df, ["k"], "ts", "i", ["attr"]).orderBy("version").collect()
+        # NULL->NULL is no change; NULL->a and a->NULL are changes
+        assert [(r.valid_from, r.attr) for r in out] == [(1, None), (3, "a"), (4, None)]
+
+    def test_intervals_tile_without_gaps(self, spark):
+        rows = [("u%d" % (i % 5), i, "s%d" % ((i * 7) % 3)) for i in range(200)]
+        out = scd2_history(
+            self._changelog(spark, rows), ["k"], "ts", "i", ["attr"]
+        ).collect()
+        by_key: dict[str, list] = {}
+        for r in out:
+            by_key.setdefault(r.k, []).append(r)
+        for rows_k in by_key.values():
+            rows_k.sort(key=lambda r: r.version)
+            for prev, nxt in zip(rows_k, rows_k[1:]):
+                assert prev.valid_to == nxt.valid_from
+                assert not prev.is_current
+            assert rows_k[-1].is_current and rows_k[-1].valid_to is None
