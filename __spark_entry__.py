@@ -3317,6 +3317,90 @@ FROM o ORDER BY user_id, version
 """
 
 
+def j_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each click event joined to the
+    SCD2 state (operators/scd.scd2_history over the user's NON-click
+    events) that was valid at the click's timestamp — the "as of time T"
+    feature join a training pipeline runs against dimension history.
+
+    Executed as the non-quadratic as-of join (union + ordered window
+    fill, one shuffle on user_id — operators/joins.asof_join), not a
+    range join: because SCD2 intervals tile half-open, "the newest
+    version starting <= ts" IS the interval containing ts. The oracle
+    replays it as an explicit interval join."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.joins import (
+        asof_join,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.scd import (
+        scd2_history,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("tu"),
+        "event_type",
+    )
+    dim = scd2_history(
+        ev.filter(F.col("event_type") != "click"),
+        ["user_id"],
+        "tu",
+        "event_id",
+        ["event_type"],
+    ).select(
+        "user_id",
+        "valid_from",
+        F.col("version"),
+        F.col("event_type").alias("state"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.col("tu").alias("click_ts")
+    )
+    out = asof_join(
+        clicks, dim, ["user_id"], "click_ts", "valid_from", tiebreak="version"
+    )
+    return (
+        out.filter(F.col("version_asof").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "click_ts",
+            F.col("state_asof").alias("state"),
+            F.col("version_asof").alias("state_version"),
+        )
+        .orderBy("user_id", "click_ts", "event_id")
+    )
+
+
+_J_SCD2_LOOKUP_SQL = """
+WITH src AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type FROM events),
+c AS (
+  SELECT user_id, event_id, tu, event_type,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS prev_attr
+  FROM src WHERE event_type <> 'click'
+  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+v AS (SELECT * FROM c WHERE rn = 1 OR event_type IS DISTINCT FROM prev_attr),
+dim AS (
+  SELECT user_id, tu AS valid_from,
+         lead(tu) OVER w2 AS valid_to,
+         row_number() OVER w2 AS version,
+         event_type AS state
+  FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY tu, event_id)),
+clicks AS (
+  SELECT user_id, event_id, tu AS click_ts FROM src
+  WHERE event_type = 'click')
+SELECT k.user_id, k.event_id, k.click_ts, d.state,
+       d.version AS state_version
+FROM clicks k JOIN dim d
+  ON k.user_id = d.user_id
+ AND d.valid_from <= k.click_ts
+ AND (d.valid_to IS NULL OR k.click_ts < d.valid_to)
+ORDER BY k.user_id, k.click_ts, k.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -3415,6 +3499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_beta_market": x_beta_market,
         "d_hll_users": d_hll_users,
         "x_scd2_history": x_scd2_history,
+        "j_scd2_lookup": j_scd2_lookup,
     }
 
 
@@ -3507,6 +3592,7 @@ def oracle_sql() -> dict[str, str]:
         "x_beta_market": _X_BETA_SQL,
         "d_hll_users": _D_HLL_SQL,
         "x_scd2_history": _X_SCD2_SQL,
+        "j_scd2_lookup": _J_SCD2_LOOKUP_SQL,
     }
 
 
@@ -3600,4 +3686,5 @@ HEADLINE_QUERIES = [
     "x_beta_market",
     "d_hll_users",
     "x_scd2_history",
+    "j_scd2_lookup",
 ]

@@ -30,7 +30,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["max_drawdown", "daily_returns", "beta_vs_market"]
+__all__ = [
+    "max_drawdown",
+    "max_drawdown_chunked",
+    "daily_returns",
+    "beta_vs_market",
+]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
 #: a double->decimal cast only rounds identically across engines while
@@ -87,6 +92,81 @@ def max_drawdown(
             F.col(ts_col).alias("trough_ts"),
             F.col(id_col).alias("trough_id"),
             F.col(value_col).alias("trough_value"),
+            "n_obs",
+        )
+    )
+
+
+def max_drawdown_chunked(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    chunk_width: int = 86_400_000_000,
+) -> DataFrame:
+    """Skew-robust ``max_drawdown``: identical output, but no stage ever
+    sorts a whole key's history in one task. ``ts_col`` must be a
+    numeric epoch; ``chunk_width`` is one chunk in that unit (default:
+    one day of epoch-micros).
+
+    A 95%-hot key serializes the plain two-window form (measured 53 s vs
+    5 s uniform on 12M rows) because both windows partition on the key
+    alone. Running max is a prefix scan, so it decomposes exactly like
+    the sma day-chunk carry: (1) running max WITHIN (key, day) — the
+    composite partition key spreads the hot key across days; (2) a
+    per-(key, day) summary table (one row per chunk — tiny) carries the
+    prefix max of all PRIOR days via an ordered window over chunks;
+    (3) total running max = greatest(carry, within-chunk running max);
+    (4) the trough row is picked with a map-side-combinable
+    ``min(struct(drawdown, ts, id, value))`` aggregate — lexicographic
+    struct ordering gives the same (drawdown, ts, id) tiebreak as the
+    window form, and partial aggregation absorbs the hot key.
+    """
+    pos = df.filter(F.col(value_col) > 0)
+    chunk = F.expr(f"{ts_col} div {chunk_width}").alias("_chunk")
+    src = pos.select(
+        *keys, F.col(ts_col), F.col(id_col), F.col(value_col), chunk
+    )
+    w_in = (
+        Window.partitionBy(*keys, "_chunk")
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = src.withColumn("_rm_in", F.max(F.col(value_col)).over(w_in))
+    summary = src.groupBy(*keys, "_chunk").agg(
+        F.max(F.col(value_col)).alias("_chunk_max")
+    )
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summary.select(
+        *keys, "_chunk", F.max("_chunk_max").over(w_carry).alias("_carry")
+    )
+    dd = (
+        F.col(value_col) / F.greatest(F.coalesce(F.col("_carry"), F.lit(0.0)), F.col("_rm_in"))
+        - F.lit(1.0)
+    )
+    scored = within.join(carry, [*keys, "_chunk"]).select(
+        *keys,
+        F.struct(
+            dd.alias("drawdown"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(value_col).alias("value"),
+        ).alias("_t"),
+    )
+    return (
+        scored.groupBy(*keys)
+        .agg(F.min("_t").alias("_m"), F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            *keys,
+            F.col("_m.drawdown").alias("max_drawdown"),
+            F.col("_m.ts").alias("trough_ts"),
+            F.col("_m.id").alias("trough_id"),
+            F.col("_m.value").alias("trough_value"),
             "n_obs",
         )
     )

@@ -12,6 +12,7 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finan
     beta_vs_market,
     daily_returns,
     max_drawdown,
+    max_drawdown_chunked,
 )
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.scd import (
     scd2_history,
@@ -49,6 +50,27 @@ class TestMaxDrawdown:
         df = _prices(spark, [("A", 1, 100), ("A", 2, -5), ("A", 3, 50)])
         r = max_drawdown(df, ["sym"], "ts", "pid", "px").collect()[0]
         assert r.n_obs == 2 and r.max_drawdown == pytest.approx(-0.5)
+
+    def test_chunked_variant_identical(self, spark):
+        # chunk width 10 -> chunk boundaries cut through each key's
+        # history; outputs must still match the plain two-window form
+        rows = [
+            ("S%d" % (i % 7), i, 50 + ((i * 37 + (i * i) % 13) % 100))
+            for i in range(500)
+        ]
+        df = _prices(spark, rows)
+        plain = sorted(
+            map(tuple, max_drawdown(df, ["sym"], "ts", "pid", "px").collect())
+        )
+        chunked = sorted(
+            map(
+                tuple,
+                max_drawdown_chunked(
+                    df, ["sym"], "ts", "pid", "px", chunk_width=10
+                ).collect(),
+            )
+        )
+        assert plain == chunked
 
     def test_partition_count_invariant(self, spark):
         rows = [("S%d" % (i % 7), i, 50 + ((i * 37) % 100)) for i in range(400)]
