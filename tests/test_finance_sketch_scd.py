@@ -159,6 +159,34 @@ class TestHll:
         assert abs(est - 30) / 30 < 0.25
 
 
+class TestScd2Lookup:
+    def test_point_in_time_semantics(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.joins import (
+            asof_join,
+        )
+
+        dim = spark.createDataFrame(
+            [
+                Row(k="u1", valid_from=10, version=1, state="a"),
+                Row(k="u1", valid_from=20, version=2, state="b"),
+            ]
+        )
+        facts = spark.createDataFrame(
+            [
+                Row(k="u1", fid=1, ts=5),   # before first version -> no match
+                Row(k="u1", fid=2, ts=10),  # exactly at open -> version 1
+                Row(k="u1", fid=3, ts=19),  # inside v1
+                Row(k="u1", fid=4, ts=20),  # boundary -> new version wins
+                Row(k="u1", fid=5, ts=99),  # open interval
+            ]
+        )
+        out = asof_join(
+            facts, dim, ["k"], "ts", "valid_from", tiebreak="version"
+        )
+        got = {r.fid: r.version_asof for r in out.collect()}
+        assert got == {1: None, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
 class TestScd2:
     def _changelog(self, spark, rows):
         return spark.createDataFrame(
