@@ -225,7 +225,12 @@ def beta_vs_market(
     zero market variance are dropped (undefined regression).
     """
     r = F.col(ret_col)
-    returns = returns.filter(F.abs(r) <= F.lit(ret_cap))
+    # Both the market factor and the regression consume `returns`; cut
+    # the lineage once or the whole tick->symbol-day rollup executes
+    # twice (once per join side — visible as two identical subtrees in
+    # the physical plan). The checkpointed table is symbol-days, tiny
+    # relative to the fact input.
+    returns = returns.filter(F.abs(r) <= F.lit(ret_cap)).localCheckpoint()
     market = returns.groupBy(date_col).agg(
         (
             F.sum(r.cast(_DEC)).cast("double")
