@@ -3401,6 +3401,116 @@ ORDER BY k.user_id, k.click_ts, k.event_id
 """
 
 
+def d_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pipeline as ONE query — what a
+    training-data team actually runs, composed from this engine's
+    operators: near-dup keeper selection (MinHash-LSH pairs ->
+    connected-components, run over ALL documents so duplicates OF
+    benchmark docs are also caught), benchmark decontamination (3-gram
+    overlap vs the held-out set), quality floor, and the deterministic
+    train/val/test hash split for survivors.
+
+    Every corpus doc gets one verdict: drop_reason in
+    (duplicate | contaminated | low_quality), first match in that
+    priority order, or its split assignment. All stages are doc_id
+    equi-joins over md5-deterministic signals, so the ENTIRE pipeline
+    (including the iterative component search) replays as one SQL
+    statement in the oracle."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        decontaminate,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        near_dup_components,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    comp = near_dup_components(
+        minhash_near_dup_pairs(docs, threshold=0.95), rounds=3
+    )
+    q = quality_score(corpus).select("doc_id", "quality_score")
+    cont = decontaminate(corpus, bench, ngram=3).select(
+        "doc_id", "is_contaminated"
+    )
+    split = hash_split(corpus.select("doc_id"), "doc_id").select(
+        "doc_id", "split"
+    )
+    joined = (
+        corpus.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .join(cont, "doc_id")
+        .join(q, "doc_id")
+        .join(split, "doc_id")
+    )
+    reason = (
+        F.when(
+            F.col("keeper_id").isNotNull()
+            & (F.col("keeper_id") != F.col("doc_id")),
+            F.lit("duplicate"),
+        )
+        .when(F.col("is_contaminated"), F.lit("contaminated"))
+        .when(F.col("quality_score") < 0.15, F.lit("low_quality"))
+    )
+    return joined.select(
+        "doc_id",
+        reason.alias("drop_reason"),
+        F.when(reason.isNull(), F.col("split")).alias("split"),
+    ).orderBy("doc_id")
+
+
+def _curation_sql(rounds: int = 3, q_thresh: float = 0.15) -> str:
+    comp = _components_sql(rounds).strip()
+    tail = f"SELECT v AS doc_id, label AS keeper_id FROM l{rounds} ORDER BY doc_id"
+    assert comp.endswith(tail)
+    with_chain = comp[: -len(tail)].rstrip().rstrip(",")
+    return rf"""{with_chain},
+comp AS (SELECT v AS doc_id, label AS keeper_id FROM l{rounds}),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+qt AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM corpus),
+q AS (
+  SELECT doc_id,
+         round(least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0)
+           * (1.0 - CASE WHEN len(ts) > 0 THEN
+                CAST(len(list_filter(ts, t -> list_contains(
+                    ['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+                  / len(ts) ELSE 0.0 END)
+           * CASE WHEN len(ts) > 0 THEN
+                CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+             ELSE 0.0 END, 6) AS quality_score
+  FROM qt),
+dt AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+dg AS (SELECT doc_id, unnest(list_distinct({_SQL_TRIGRAMS})) AS gram FROM dt),
+dbg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0),
+dhits AS (SELECT dg.doc_id, count(*) AS n_shared
+          FROM dg JOIN dbg USING (gram)
+          WHERE dg.doc_id % 50 <> 0 GROUP BY dg.doc_id),
+verdict AS (
+  SELECT c.doc_id,
+         CASE WHEN comp.keeper_id IS NOT NULL
+                   AND comp.keeper_id <> c.doc_id THEN 'duplicate'
+              WHEN coalesce(h.n_shared, 0) > 0 THEN 'contaminated'
+              WHEN q.quality_score < {q_thresh} THEN 'low_quality'
+         END AS drop_reason,
+         CAST('0x' || substr(md5('split-v1' || '|' || CAST(c.doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 10000 AS bkt
+  FROM corpus c
+  LEFT JOIN comp USING (doc_id)
+  LEFT JOIN dhits h ON h.doc_id = c.doc_id
+  JOIN q ON q.doc_id = c.doc_id)
+SELECT doc_id, drop_reason,
+       CASE WHEN drop_reason IS NULL THEN
+         CASE WHEN bkt < 9000 THEN 'train'
+              WHEN bkt < 9500 THEN 'val'
+              ELSE 'test' END
+       END AS split
+FROM verdict ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -3500,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_hll_users": d_hll_users,
         "x_scd2_history": x_scd2_history,
         "j_scd2_lookup": j_scd2_lookup,
+        "d_curation_pipeline": d_curation_pipeline,
     }
 
 
@@ -3593,6 +3704,7 @@ def oracle_sql() -> dict[str, str]:
         "d_hll_users": _D_HLL_SQL,
         "x_scd2_history": _X_SCD2_SQL,
         "j_scd2_lookup": _J_SCD2_LOOKUP_SQL,
+        "d_curation_pipeline": _curation_sql(),
     }
 
 
@@ -3687,4 +3799,5 @@ HEADLINE_QUERIES = [
     "d_hll_users",
     "x_scd2_history",
     "j_scd2_lookup",
+    "d_curation_pipeline",
 ]
