@@ -3511,6 +3511,72 @@ FROM verdict ORDER BY doc_id
 """
 
 
+def d_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch over the corpus token multiset
+    (operators/sketch.cms_sketch, depth 4 x width 1024, md5-derived
+    cells): estimated vs exact counts for the 20 most frequent tokens.
+    The sketch collapses map-side to <=4096 cells regardless of corpus
+    size and merges across days by cell-wise sum; estimates only ever
+    over-count. Frequency twin of the HLL distinct sketch — and like it,
+    the whole structure replays exactly in the SQL oracle."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .select(F.explode(tokens("text")).alias("token"))
+    )
+    # the sketch and the exact top-20 both consume the token multiset;
+    # cut the tokenizer lineage once
+    toks = toks.localCheckpoint()
+    cells = cms_sketch(toks, "token")
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "token")
+        .limit(20)
+    )
+    est = cms_estimate(cells, exact.select("token"), "token")
+    return (
+        exact.join(est, exact["token"] == est["value"])
+        .select("token", "n_exact", "cms_count")
+        .orderBy(F.col("n_exact").desc(), "token")
+    )
+
+
+_D_CMS_SQL = rf"""
+WITH tok AS (SELECT unnest({_SQL_TOKS}) AS token FROM documents),
+top AS (SELECT token, count(*) AS n_exact FROM tok
+        GROUP BY token ORDER BY n_exact DESC, token LIMIT 20),
+salts AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cells AS (
+  SELECT r, c, count(*) AS n FROM (
+    SELECT s.r AS r,
+           CAST('0x' || substr(md5('cms' || CAST(s.r AS VARCHAR)
+                || '|' || token), 1, 8) AS BIGINT) % 1024 AS c
+    FROM tok, salts s)
+  GROUP BY r, c),
+probe AS (
+  SELECT t.token, s.r AS r,
+         CAST('0x' || substr(md5('cms' || CAST(s.r AS VARCHAR)
+              || '|' || t.token), 1, 8) AS BIGINT) % 1024 AS c
+  FROM top t, salts s),
+est AS (SELECT p.token, min(coalesce(cl.n, 0)) AS cms_count
+        FROM probe p LEFT JOIN cells cl USING (r, c) GROUP BY p.token)
+SELECT t.token, t.n_exact, CAST(e.cms_count AS BIGINT) AS cms_count
+FROM top t JOIN est e USING (token)
+ORDER BY n_exact DESC, token
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -3611,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_scd2_history": x_scd2_history,
         "j_scd2_lookup": j_scd2_lookup,
         "d_curation_pipeline": d_curation_pipeline,
+        "d_cms_tokens": d_cms_tokens,
     }
 
 
@@ -3705,6 +3772,7 @@ def oracle_sql() -> dict[str, str]:
         "x_scd2_history": _X_SCD2_SQL,
         "j_scd2_lookup": _J_SCD2_LOOKUP_SQL,
         "d_curation_pipeline": _curation_sql(),
+        "d_cms_tokens": _D_CMS_SQL,
     }
 
 
@@ -3800,4 +3868,5 @@ HEADLINE_QUERIES = [
     "x_scd2_history",
     "j_scd2_lookup",
     "d_curation_pipeline",
+    "d_cms_tokens",
 ]

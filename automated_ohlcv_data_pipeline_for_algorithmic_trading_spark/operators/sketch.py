@@ -28,7 +28,14 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_estimate", "merge_registers"]
+__all__ = [
+    "hll_registers",
+    "hll_estimate",
+    "merge_registers",
+    "cms_sketch",
+    "cms_estimate",
+    "merge_cms",
+]
 
 #: md5 hex chars used for the hash (15 chars = 60 bits, fits BIGINT both
 #: in Spark and in DuckDB's CAST('0x'... AS BIGINT)).
@@ -84,6 +91,95 @@ def merge_registers(*register_dfs: DataFrame) -> DataFrame:
     for other in register_dfs[1:]:
         out = out.unionByName(other)
     return out.groupBy("bucket").agg(F.max("r").alias("r"))
+
+
+def _cms_col(c: Column, row: int, width: int) -> Column:
+    """Row-``row`` bucket of the count-min sketch: an md5-derived hash of
+    the value under a per-row salt, reduced mod width. Exact integer
+    arithmetic, replays in any engine with md5."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(f"cms{row}"), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h % F.lit(width)).cast("long")
+
+
+def cms_sketch(
+    df: DataFrame, col: Column | str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch cells for the multiset of values in ``col``: one
+    row per touched (r, c) cell with its count. Frequency twin of
+    ``hll_registers``: sketches from disjoint slices MERGE by cell-wise
+    SUM (``merge_cms``), so a pipeline can keep <= depth*width longs per
+    day and answer "estimated count of x over any date range" without
+    rescanning facts; estimates only ever over-count (classic CMS bound:
+    err <= e/width * N with prob 1 - e^-depth).
+
+    One hash aggregate on (r, c): map-side combine collapses every
+    partition to <= depth*width rows before the shuffle, so shuffle
+    volume is independent of input row count.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    src = df.filter(c.isNotNull()).select(c.alias("_v"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"), _cms_col(F.col("_v"), i, width).alias("c")
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        src.select(F.explode(rows).alias("cell"))
+        .select("cell.r", "cell.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_cms(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of count-min sketches — the CMS merge law."""
+    out = sketches[0]
+    for other in sketches[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("r", "c").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    cells: DataFrame,
+    items: DataFrame,
+    col: Column | str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimated multiset count for each distinct value in ``items``:
+    min over rows of the value's cell counts (0 when a cell is absent).
+    The cells table is tiny (<= depth*width rows) and broadcasts; the
+    probe side never shuffles more than (item, depth) rows.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    probes = items.select(c.alias("_v")).distinct()
+    exploded = probes.select(
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        _cms_col(F.col("_v"), i, width).alias("c"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("_v", "cell.r", "cell.c")
+    joined = exploded.join(F.broadcast(cells), ["r", "c"], "left")
+    return (
+        joined.groupBy("_v")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_count"))
+        .select(F.col("_v").alias("value"), "cms_count")
+    )
 
 
 def hll_estimate(registers: DataFrame, p: int = 8) -> float:

@@ -18,8 +18,11 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.scd i
     scd2_history,
 )
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+    cms_estimate,
+    cms_sketch,
     hll_estimate,
     hll_registers,
+    merge_cms,
     merge_registers,
 )
 
@@ -157,6 +160,45 @@ class TestHll:
         df = spark.range(30).select(F.col("id").alias("v"))
         est = hll_estimate(hll_registers(df, "v", p=8), p=8)
         assert abs(est - 30) / 30 < 0.25
+
+
+class TestCms:
+    def _multiset(self, spark):
+        # value i appears i times, i in 1..40 -> 820 rows
+        return spark.range(1, 41).selectExpr(
+            "explode(array_repeat(concat('v', id), cast(id as int))) AS v"
+        )
+
+    def test_never_undercounts(self, spark):
+        df = self._multiset(spark)
+        cells = cms_sketch(df, "v")
+        est = {
+            r.value: r.cms_count
+            for r in cms_estimate(cells, df, "v").collect()
+        }
+        for i in range(1, 41):
+            assert est[f"v{i}"] >= i
+
+    def test_wide_sketch_is_exact_on_small_input(self, spark):
+        # 40 distinct values into 4x4096 cells: collision odds ~0
+        df = self._multiset(spark)
+        cells = cms_sketch(df, "v", depth=4, width=4096)
+        est = {
+            r.value: r.cms_count
+            for r in cms_estimate(
+                cells, df, "v", depth=4, width=4096
+            ).collect()
+        }
+        assert est == {f"v{i}": i for i in range(1, 41)}
+
+    def test_merge_law_equals_union_sketch(self, spark):
+        a = spark.range(0, 500).selectExpr("concat('x', id % 37) AS v")
+        b = spark.range(0, 700).selectExpr("concat('x', id % 53) AS v")
+        merged = merge_cms(cms_sketch(a, "v"), cms_sketch(b, "v"))
+        direct = cms_sketch(a.union(b), "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
 
 
 class TestScd2Lookup:
