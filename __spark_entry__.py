@@ -3577,6 +3577,59 @@ ORDER BY n_exact DESC, token
 """
 
 
+def s_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance on a real stream: the events table
+    replayed as 8 micro-batches (file source, maxFilesPerTrigger=1),
+    each batch's HLL registers merged into the running register table in
+    foreachBatch — the "one tiny sketch artifact per day, never rescan
+    the facts" pattern a 100 TB pipeline runs for distinct counts.
+
+    Because HLL registers merge by element-wise max, the final table is
+    provably independent of how the input was batched — so the streamed
+    result hash-matches the BATCH SQL oracle (the same _D_HLL_SQL as
+    d_hll_users), turning the merge law itself into a checked property."""
+    import tempfile
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+        hll_registers,
+        merge_registers,
+    )
+
+    tune(spark)
+    src_dir = tempfile.mkdtemp(prefix="hll_stream_src_")
+    _t(spark, sf_dir, "events").select("user_id").repartition(8).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    state: dict[str, DataFrame] = {}
+
+    def _merge_batch(batch_df: DataFrame, _bid: int) -> None:
+        regs = hll_registers(batch_df, "user_id", p=8)
+        merged = (
+            regs if "r" not in state else merge_registers(state["r"], regs)
+        )
+        # checkpoint the (<=256-row) running sketch so lineage never
+        # chains across micro-batches
+        state["r"] = merged.localCheckpoint()
+
+    with stateful_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_merge_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return state["r"].orderBy("bucket")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -3678,6 +3731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_scd2_lookup": j_scd2_lookup,
         "d_curation_pipeline": d_curation_pipeline,
         "d_cms_tokens": d_cms_tokens,
+        "s_stream_hll": s_stream_hll,
     }
 
 
@@ -3773,6 +3827,7 @@ def oracle_sql() -> dict[str, str]:
         "j_scd2_lookup": _J_SCD2_LOOKUP_SQL,
         "d_curation_pipeline": _curation_sql(),
         "d_cms_tokens": _D_CMS_SQL,
+        "s_stream_hll": _D_HLL_SQL,
     }
 
 
@@ -3869,4 +3924,5 @@ HEADLINE_QUERIES = [
     "j_scd2_lookup",
     "d_curation_pipeline",
     "d_cms_tokens",
+    "s_stream_hll",
 ]
