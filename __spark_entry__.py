@@ -3630,6 +3630,45 @@ def s_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state["r"].orderBy("bucket")
 
 
+def d_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing (512 tokens, 8 shards):
+    curated documents -> fixed-budget training sequences
+    (operators/corpus.pack_sequences). The fill counter resets at each
+    overflow — a non-associative prefix scan, so it runs as the
+    sanctioned Arrow applyInPandas integer loop per shard; the oracle
+    replays the scan as a per-shard recursive CTE (same pattern as the
+    exact EMA fold)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return pack_sequences(
+        docs.repartition(par, "doc_id"), "doc_id", "text", budget=512, n_shards=8
+    ).orderBy("id")
+
+
+_D_PACK_SQL = rf"""
+WITH RECURSIVE src AS (
+  SELECT doc_id AS id, least(len(ts), 512) AS t, doc_id % 8 AS shard,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents)),
+pack AS (
+  SELECT shard, id, t, rn, t AS fill, CAST(0 AS BIGINT) AS seq_idx
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.id, s.t, s.rn,
+         CASE WHEN p.fill + s.t > 512 AND p.fill > 0
+              THEN s.t ELSE p.fill + s.t END,
+         CASE WHEN p.fill + s.t > 512 AND p.fill > 0
+              THEN p.seq_idx + 1 ELSE p.seq_idx END
+  FROM src s JOIN pack p ON s.shard = p.shard AND s.rn = p.rn + 1)
+SELECT id, shard, seq_idx, t AS n_tokens
+FROM pack ORDER BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -3732,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_curation_pipeline": d_curation_pipeline,
         "d_cms_tokens": d_cms_tokens,
         "s_stream_hll": s_stream_hll,
+        "d_pack_sequences": d_pack_sequences,
     }
 
 
@@ -3828,6 +3868,7 @@ def oracle_sql() -> dict[str, str]:
         "d_curation_pipeline": _curation_sql(),
         "d_cms_tokens": _D_CMS_SQL,
         "s_stream_hll": _D_HLL_SQL,
+        "d_pack_sequences": _D_PACK_SQL,
     }
 
 
@@ -3925,4 +3966,5 @@ HEADLINE_QUERIES = [
     "d_curation_pipeline",
     "d_cms_tokens",
     "s_stream_hll",
+    "d_pack_sequences",
 ]

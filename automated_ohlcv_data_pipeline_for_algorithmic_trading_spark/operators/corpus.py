@@ -146,3 +146,59 @@ def decontaminate(
             (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("is_contaminated"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Greedy sequence packing — the step that turns curated documents
+    into fixed-budget training sequences: documents are taken in
+    ``id_col`` order and appended to the current sequence until the next
+    one would overflow ``budget`` tokens, which opens a new sequence.
+    Documents longer than the budget are capped at ``budget`` (they
+    become one full sequence on their own).
+
+    Packing is a prefix scan with a NON-associative reset (the fill
+    counter restarts at each overflow), so it cannot be a window
+    expression; it runs as an Arrow-batched ``applyInPandas`` integer
+    loop per shard (the sanctioned extension shape, same as the exact
+    EMA fold). Sharding by ``id % n_shards`` is what makes it scale:
+    each shard packs independently and in parallel — at 100 TB you raise
+    ``n_shards`` to the cluster width; determinism is unaffected because
+    the shard assignment and the in-shard order are both pure functions
+    of the id. Token counts are computed ONCE, Spark-side (native
+    exprs), so only (id, n_tokens, shard) longs reach Python.
+
+    Output: (id, shard, seq_idx, n_tokens) — sequence key is
+    (shard, seq_idx).
+    """
+    import pandas as pd
+
+    capped = F.least(F.size(tokens(text_col)), F.lit(budget))
+    slim = df.select(
+        F.col(id_col).alias("id"),
+        capped.cast("long").alias("n_tokens"),
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        seq_idx, fill = 0, 0
+        out = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill + t > budget and fill > 0:
+                seq_idx += 1
+                fill = 0
+            fill += t
+            out.append(seq_idx)
+        pdf["seq_idx"] = out
+        return pdf[["id", "shard", "seq_idx", "n_tokens"]]
+
+    return slim.groupBy("shard").applyInPandas(
+        pack, schema="id long, shard long, seq_idx long, n_tokens long"
+    )

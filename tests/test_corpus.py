@@ -127,3 +127,57 @@ def test_decontaminate_flags_overlap(spark):
     assert rows[0]["is_contaminated"] and rows[0]["n_shared_grams"] == 2
     assert not rows[1]["is_contaminated"] and rows[1]["n_shared_grams"] == 0
     assert not rows[2]["is_contaminated"]
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    from pyspark.sql import Row
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    # deterministic token counts: doc i has (i*7) % 23 + 1 tokens
+    rows = [
+        Row(doc_id=i, text=" ".join(f"t{j}" for j in range((i * 7) % 23 + 1)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    out = pack_sequences(df, budget=40, n_shards=4).collect()
+    assert len(out) == 300
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert r.shard == r.id % 4
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.id)
+        fills: dict[int, int] = {}
+        prev_seq = 0
+        for r in shard_rows:
+            # seq ids advance monotonically by at most 1 per doc
+            assert r.seq_idx in (prev_seq, prev_seq + 1)
+            if r.seq_idx == prev_seq + 1:
+                # greedy: the doc would NOT have fit in the previous seq
+                assert fills[prev_seq] + r.n_tokens > 40
+            fills[r.seq_idx] = fills.get(r.seq_idx, 0) + r.n_tokens
+            prev_seq = r.seq_idx
+        # no sequence exceeds the budget
+        assert all(v <= 40 for v in fills.values())
+
+
+def test_pack_sequences_caps_long_docs(spark):
+    from pyspark.sql import Row
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=" ".join(f"t{j}" for j in range(100))),
+            Row(doc_id=4, text="a b"),
+        ]
+    )
+    out = {r.id: r for r in pack_sequences(df, budget=10, n_shards=4).collect()}
+    assert out[0].n_tokens == 10  # capped at budget
+    assert out[0].seq_idx == 0
+    assert out[4].seq_idx == 1  # would overflow the full sequence
