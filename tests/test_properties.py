@@ -147,3 +147,71 @@ def _spark():
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import get_spark
 
     return get_spark("tests", shuffle_partitions=8)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(candle_lists)
+def test_max_drawdown_properties(rows):
+    spark = _spark()
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        max_drawdown,
+        max_drawdown_chunked,
+    )
+
+    df = spark.createDataFrame(
+        [(f"S{s}", t, round(v, 2), i) for i, (s, t, v, _q) in enumerate(rows)],
+        "symbol string, t long, v double, rid long",
+    )
+    got = max_drawdown(df, ["symbol"], "t", "rid", "v").collect()
+    # drawdown is never positive and the trough never beats the running max
+    for r in got:
+        assert r.max_drawdown <= 0.0
+        assert r.n_obs >= 1
+    # chunked decomposition is bit-identical on any input
+    chunked = max_drawdown_chunked(
+        df, ["symbol"], "t", "rid", "v", chunk_width=7
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, chunked))
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(candle_lists)
+def test_scd2_reconstructs_changelog_states(rows):
+    spark = _spark()
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.scd import (
+        scd2_history,
+    )
+
+    # attr: a small set of states derived from the value
+    df = spark.createDataFrame(
+        [
+            (f"S{s}", t, i, f"state{int(v) % 3}")
+            for i, (s, t, v, _q) in enumerate(rows)
+        ],
+        "symbol string, t long, rid long, attr string",
+    )
+    hist = scd2_history(df, ["symbol"], "t", "rid", ["attr"]).collect()
+    src = df.collect()
+    # every changelog event's attr equals the version covering its ts
+    # (events ordered (t, rid); the covering version is the newest with
+    # valid_from <= t, tie-broken by version number)
+    by_key: dict[str, list] = {}
+    for h in hist:
+        by_key.setdefault(h.symbol, []).append(h)
+    for row in src:
+        versions = sorted(by_key[row.symbol], key=lambda h: h.version)
+        covering = [
+            h for h in versions
+            if h.valid_from <= row.t
+            and (h.valid_to is None or row.t < h.valid_to or (
+                # boundary events: an event AT a change instant may be the
+                # closing event of the old version when tied on ts
+                row.t == h.valid_from))
+        ]
+        assert any(h.attr == row.attr for h in covering)
+    # exactly one current version per key, intervals tile
+    for versions in by_key.values():
+        versions.sort(key=lambda h: h.version)
+        assert sum(1 for h in versions if h.is_current) == 1
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to == b.valid_from
