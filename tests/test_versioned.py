@@ -1,0 +1,104 @@
+"""Versioned parquet tables (plans/versioned.py): snapshot isolation,
+time travel, atomic pointer swap, rollback, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.versioned import (
+    commit_version,
+    history,
+    latest_version,
+    read_version,
+    rollback,
+    vacuum,
+)
+
+
+def _vals(df):
+    return sorted(r.v for r in df.collect())
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+class TestVersioned:
+    def test_overwrite_append_time_travel(self, spark, table):
+        assert latest_version(table) is None
+        v1 = commit_version(spark.range(3).selectExpr("id AS v"), table)
+        v2 = commit_version(
+            spark.range(10, 12).selectExpr("id AS v"), table, mode="append"
+        )
+        v3 = commit_version(
+            spark.range(100, 101).selectExpr("id AS v"), table, mode="overwrite"
+        )
+        assert (v1, v2, v3) == (1, 2, 3)
+        assert _vals(read_version(spark, table, 1)) == [0, 1, 2]
+        assert _vals(read_version(spark, table, 2)) == [0, 1, 2, 10, 11]
+        assert _vals(read_version(spark, table, 3)) == [100]
+        assert _vals(read_version(spark, table)) == [100]
+        assert [h["mode"] for h in history(table)] == [
+            "overwrite", "append", "overwrite",
+        ]
+
+    def test_snapshot_isolation_under_later_commits(self, spark, table):
+        commit_version(spark.range(5).selectExpr("id AS v"), table)
+        pinned = read_version(spark, table, 1)
+        commit_version(
+            spark.range(50, 55).selectExpr("id AS v"), table, mode="overwrite"
+        )
+        # the pinned frame still reads version 1's exact files
+        assert _vals(pinned) == [0, 1, 2, 3, 4]
+
+    def test_unreferenced_data_files_are_invisible(self, spark, table):
+        commit_version(spark.range(2).selectExpr("id AS v"), table)
+        # simulate a crashed commit: data files exist, no manifest
+        orphan = os.path.join(table, "data", "deadbeef")
+        spark.range(1000, 1003).selectExpr("id AS v").write.parquet(orphan)
+        assert _vals(read_version(spark, table)) == [0, 1]
+
+    def test_rollback_writes_no_data(self, spark, table):
+        commit_version(spark.range(3).selectExpr("id AS v"), table)
+        commit_version(
+            spark.range(7, 9).selectExpr("id AS v"), table, mode="overwrite"
+        )
+        v3 = rollback(table, 1)
+        assert v3 == 3
+        assert _vals(read_version(spark, table)) == [0, 1, 2]
+        # rollback manifest references version 1's files verbatim
+        m1 = json.load(open(os.path.join(table, "_versions", "v0000000001.json")))
+        m3 = json.load(open(os.path.join(table, "_versions", "v0000000003.json")))
+        assert m1["files"] == m3["files"]
+
+    def test_append_never_rewrites_existing_files(self, spark, table):
+        commit_version(spark.range(3).selectExpr("id AS v"), table)
+        m1 = json.load(open(os.path.join(table, "_versions", "v0000000001.json")))
+        mtimes = {f: os.path.getmtime(f) for f in m1["files"]}
+        commit_version(
+            spark.range(3, 6).selectExpr("id AS v"), table, mode="append"
+        )
+        for f, t in mtimes.items():
+            assert os.path.getmtime(f) == t
+
+    def test_vacuum_removes_only_expired(self, spark, table):
+        commit_version(spark.range(2).selectExpr("id AS v"), table)
+        commit_version(
+            spark.range(5, 7).selectExpr("id AS v"), table, mode="overwrite"
+        )
+        deleted = vacuum(table, keep_versions=1)
+        assert deleted  # version 1's files are gone
+        assert _vals(read_version(spark, table)) == [5, 6]
+        with pytest.raises(FileNotFoundError):
+            read_version(spark, table, 1)
+
+    def test_pointer_swap_is_atomic_artifact(self, spark, table):
+        commit_version(spark.range(1).selectExpr("id AS v"), table)
+        # no temp pointer files left behind
+        leftovers = [f for f in os.listdir(table) if f.startswith("_latest.tmp")]
+        assert leftovers == []
+        assert latest_version(table) == 1
