@@ -54,6 +54,7 @@ __all__ = [
     "history",
     "rollback",
     "vacuum",
+    "merge_commit",
 ]
 
 _VERSIONS = "_versions"
@@ -208,3 +209,48 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
         if v not in keep:
             os.remove(_manifest_path(table_dir, v))
     return deleted
+
+
+def merge_commit(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    order_col: str | None = None,
+    note: str = "merge",
+) -> int:
+    """MERGE as a version commit: upsert ``updates`` into the latest
+    snapshot and commit the result as a new version — the composition of
+    plans/merge.py's row-level contract with the manifest log, giving an
+    upsert you can time-travel across and roll back (what `MERGE INTO` +
+    table history provides on a real lakehouse format).
+
+    Matched keys take the update row (last-wins on ``order_col`` within
+    the batch); unmatched keys append. The previous snapshot's files are
+    untouched — readers pinned on old versions are unaffected.
+
+    Note the cost model difference vs merge_into_parquet: this rewrites
+    the whole CURRENT snapshot into the new version (simple, version-
+    complete), where merge_into_parquet rewrites only touched partitions
+    (cheaper, but no history). At 100 TB use this for dimension-sized
+    tables (the SCD2/security-master class) and the partition-scoped
+    MERGE for the fact tables.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import dedup_by_key
+
+    if order_col is not None:
+        updates = dedup_by_key(updates, keys, [order_col], keep="last").drop(
+            order_col
+        )
+    prev = latest_version(table_dir)
+    if prev is None:
+        return commit_version(updates, table_dir, note=note)
+    current = read_version(spark, table_dir, prev)
+    kept = current.join(
+        F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+    )
+    return commit_version(
+        kept.unionByName(updates), table_dir, mode="overwrite", note=note
+    )

@@ -102,3 +102,43 @@ class TestVersioned:
         leftovers = [f for f in os.listdir(table) if f.startswith("_latest.tmp")]
         assert leftovers == []
         assert latest_version(table) == 1
+
+
+class TestMergeCommit:
+    def test_upsert_with_history(self, spark, table):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.versioned import (
+            merge_commit,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, val string, seq int"
+        ).drop("seq")
+        assert merge_commit(spark, base, table, ["k"]) == 1
+        # batch updates k=2 twice (last wins on seq) and inserts k=4
+        upd = spark.createDataFrame(
+            [(2, "B0", 1), (2, "B1", 2), (4, "d", 1)], "k int, val string, seq int"
+        )
+        assert merge_commit(spark, upd, table, ["k"], order_col="seq") == 2
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.versioned import (
+            read_version,
+        )
+
+        v2 = {(r.k, r.val) for r in read_version(spark, table).collect()}
+        assert v2 == {(1, "a"), (2, "B1"), (3, "c"), (4, "d")}
+        # time travel: version 1 still has the pre-merge row
+        v1 = {(r.k, r.val) for r in read_version(spark, table, 1).collect()}
+        assert v1 == {(1, "a"), (2, "b"), (3, "c")}
+
+    def test_idempotent_replay(self, spark, table):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.versioned import (
+            merge_commit,
+            read_version,
+        )
+
+        base = spark.createDataFrame([(1, "a")], "k int, val string")
+        merge_commit(spark, base, table, ["k"])
+        upd = spark.createDataFrame([(1, "A"), (2, "b")], "k int, val string")
+        merge_commit(spark, upd, table, ["k"])
+        merge_commit(spark, upd, table, ["k"])  # replayed batch
+        rows = {(r.k, r.val) for r in read_version(spark, table).collect()}
+        assert rows == {(1, "A"), (2, "b")}
