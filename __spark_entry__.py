@@ -3669,6 +3669,106 @@ FROM pack ORDER BY id
 """
 
 
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes): posexplode ->
+    one (label, dim) hash aggregate with exact decimal per-dimension
+    sums -> sort-rebuilt mean vector (operators/similarity.
+    label_centroids). The centroid is serialized as exact BIGINT
+    micro-units so the float array hash-compares across engines."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb, "label", "embedding")
+    u6 = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("centroid"),
+            lambda m: F.floor(m * 1000000.0).cast("long").cast("string"),
+        ),
+    )
+    return cents.select(
+        "label", "n_vectors", u6.alias("centroid_u6")
+    ).orderBy("label")
+
+
+_EMB_CENTROIDS_SQL = """
+WITH d AS (
+  SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s),
+pd AS (
+  SELECT label, dim,
+         CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean,
+         count(*) AS n
+  FROM d GROUP BY label, dim)
+SELECT label, CAST(min(n) AS BIGINT) AS n_vectors,
+       array_to_string(
+         list(CAST(CAST(floor(mean * 1000000.0) AS BIGINT) AS VARCHAR)
+              ORDER BY dim), ',') AS centroid_u6
+FROM pd GROUP BY label ORDER BY label
+"""
+
+
+def e_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (plans/quality.py): five predicate
+    rules in ONE aggregate pass over one scan plus a keyed uniqueness
+    rule — the reference's ad-hoc ETL checks (close>0, monitoring view
+    conditional counts) generalized into a reusable report of
+    (rule, n_violations, n_rows)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.quality import (
+        dq_report,
+        dq_unique_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rules = {
+        "value_nonnull": F.col("value").isNull(),
+        "value_positive": F.col("value") <= 0,
+        "ts_in_window": (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp")),
+        "event_type_domain": ~F.col("event_type").isin(
+            "click", "error", "purchase", "signup", "view"
+        ),
+        "props_parse": F.col("props").isNotNull()
+        & F.get_json_object(F.col("props"), "$").isNull(),
+    }
+    report = dq_report(ev, rules).unionByName(
+        dq_unique_report(ev, ["event_id"])
+    )
+    return report.orderBy("rule")
+
+
+_E_DQ_SQL = """
+WITH base AS (SELECT * FROM events),
+wide AS (
+  SELECT count(*) AS n_rows,
+         count(*) FILTER (WHERE value IS NULL) AS value_nonnull,
+         count(*) FILTER (WHERE value <= 0) AS value_positive,
+         count(*) FILTER (WHERE ts < TIMESTAMP '2020-01-01'
+                             OR ts >= TIMESTAMP '2030-01-01') AS ts_in_window,
+         count(*) FILTER (WHERE event_type NOT IN
+             ('click','error','purchase','signup','view')) AS event_type_domain,
+         count(*) FILTER (WHERE props IS NOT NULL
+                            AND NOT json_valid(props)) AS props_parse
+  FROM base),
+uniq AS (
+  SELECT CAST(sum(c - 1) AS BIGINT) AS n_violations,
+         CAST(sum(c) AS BIGINT) AS n_rows
+  FROM (SELECT count(*) AS c FROM base GROUP BY event_id))
+SELECT rule, n_violations, n_rows FROM (
+  SELECT 'value_nonnull' AS rule, CAST(value_nonnull AS BIGINT) AS n_violations, CAST(n_rows AS BIGINT) AS n_rows FROM wide
+  UNION ALL SELECT 'value_positive', CAST(value_positive AS BIGINT), CAST(n_rows AS BIGINT) FROM wide
+  UNION ALL SELECT 'ts_in_window', CAST(ts_in_window AS BIGINT), CAST(n_rows AS BIGINT) FROM wide
+  UNION ALL SELECT 'event_type_domain', CAST(event_type_domain AS BIGINT), CAST(n_rows AS BIGINT) FROM wide
+  UNION ALL SELECT 'props_parse', CAST(props_parse AS BIGINT), CAST(n_rows AS BIGINT) FROM wide
+  UNION ALL SELECT 'unique_event_id', n_violations, n_rows FROM uniq)
+ORDER BY rule
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -3772,6 +3872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_cms_tokens": d_cms_tokens,
         "s_stream_hll": s_stream_hll,
         "d_pack_sequences": d_pack_sequences,
+        "emb_label_centroids": emb_label_centroids,
+        "e_dq_report": e_dq_report,
     }
 
 
@@ -3869,6 +3971,8 @@ def oracle_sql() -> dict[str, str]:
         "d_cms_tokens": _D_CMS_SQL,
         "s_stream_hll": _D_HLL_SQL,
         "d_pack_sequences": _D_PACK_SQL,
+        "emb_label_centroids": _EMB_CENTROIDS_SQL,
+        "e_dq_report": _E_DQ_SQL,
     }
 
 
@@ -3967,4 +4071,6 @@ HEADLINE_QUERIES = [
     "d_cms_tokens",
     "s_stream_hll",
     "d_pack_sequences",
+    "emb_label_centroids",
+    "e_dq_report",
 ]

@@ -479,3 +479,49 @@ def lsh_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector (class centroids) with exact per-dimension
+    decimal sums — the vector-column aggregation a training pipeline runs
+    for class prototypes, cluster seeding, and embedding-drift checks.
+
+    Shape at scale: posexplode -> ONE hash aggregate on (label, dim)
+    (map-side combine collapses each partition to labels x dims rows) ->
+    per-label reassembly of the (dim, mean) pairs into an ordered array.
+    The reassembly's collect_list is order-nondeterministic, so the array
+    is rebuilt by SORTING the (dim, mean) structs — making the result,
+    like every reduction here, partition-count invariant and exactly
+    replayable in SQL (`list(x ORDER BY dim)` on the DuckDB side).
+
+    Output: (label, n_vectors, centroid array<double>).
+    """
+    dims = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"),
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.min("_n").alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("mean")))
+            ).alias("_pairs"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.transform(F.col("_pairs"), lambda p: p["mean"]).alias("centroid"),
+        )
+    )

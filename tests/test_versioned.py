@@ -142,3 +142,48 @@ class TestMergeCommit:
         merge_commit(spark, upd, table, ["k"])  # replayed batch
         rows = {(r.k, r.val) for r in read_version(spark, table).collect()}
         assert rows == {(1, "A"), (2, "b")}
+
+
+class TestDqReport:
+    def test_predicate_and_unique_rules(self, spark):
+        from pyspark.sql import functions as F
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.quality import (
+            dq_report,
+            dq_unique_report,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, -1.0), (2, None), (3, 0.0)], "k int, v double"
+        )
+        rep = {
+            r.rule: (r.n_violations, r.n_rows)
+            for r in dq_report(
+                df,
+                {
+                    "v_nonnull": F.col("v").isNull(),
+                    "v_positive": F.col("v") <= 0,
+                },
+            ).collect()
+        }
+        # v <= 0 is NULL for the null row -> not counted as a violation
+        # of positivity (it has its own rule)
+        assert rep == {"v_nonnull": (1, 4), "v_positive": (2, 4)}
+        uniq = dq_unique_report(df, ["k"]).collect()[0]
+        assert (uniq.rule, uniq.n_violations, uniq.n_rows) == ("unique_k", 1, 4)
+
+    def test_empty_input(self, spark):
+        from pyspark.sql import functions as F
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.quality import (
+            dq_report,
+            dq_unique_report,
+        )
+
+        df = spark.createDataFrame([], "k int, v double")
+        rep = dq_report(df, {"v_nonnull": F.col("v").isNull()}).collect()
+        assert [(r.rule, r.n_violations is None or r.n_violations == 0, r.n_rows) for r in rep] == [
+            ("v_nonnull", True, 0)
+        ]
+        uniq = dq_unique_report(df, ["k"]).collect()[0]
+        assert (uniq.n_violations, uniq.n_rows) == (0, 0)
