@@ -3769,6 +3769,67 @@ ORDER BY rule
 """
 
 
+def e_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report (plans/quality.psi_drift): PSI of the
+    event-value histogram, first half of the month vs second, per
+    event_type — the train-vs-serve stability check, with each side
+    collapsed to (key, bin) counts map-side and the PSI reduction routed
+    through decimal so the score is engine- and partitioning-stable."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.quality import (
+        psi_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    out = psi_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        "value",
+        keys=["event_type"],
+        bins=20,
+        lo=0.0,
+        hi=1000.0,
+    )
+    return out.orderBy("event_type")
+
+
+_E_DRIFT_SQL = """
+WITH src AS (
+  SELECT event_type, value, ts < TIMESTAMP '2024-01-16' AS is_base
+  FROM events WHERE value IS NOT NULL),
+binned AS (
+  SELECT event_type, is_base,
+         CAST(least(greatest(floor((value - 0.0) / 50.0), 0), 19) AS INTEGER)
+             AS bin,
+         count(*) AS c
+  FROM src GROUP BY event_type, is_base, bin),
+a AS (SELECT event_type, bin, c FROM binned WHERE is_base),
+cur AS (SELECT event_type, bin, c FROM binned WHERE NOT is_base),
+j AS (
+  SELECT coalesce(a.event_type, cur.event_type) AS event_type,
+         coalesce(a.bin, cur.bin) AS bin,
+         coalesce(a.c, 0) AS c_a, coalesce(cur.c, 0) AS c_b
+  FROM a FULL JOIN cur ON a.event_type = cur.event_type AND a.bin = cur.bin),
+t AS (
+  SELECT event_type, c_a, c_b,
+         sum(c_a) OVER (PARTITION BY event_type) AS n_a,
+         sum(c_b) OVER (PARTITION BY event_type) AS n_b
+  FROM j),
+terms AS (
+  SELECT event_type, n_a, n_b,
+         (CAST(c_a + 1 AS DOUBLE) / CAST(n_a + 20 AS DOUBLE)
+          - CAST(c_b + 1 AS DOUBLE) / CAST(n_b + 20 AS DOUBLE))
+         * ln((CAST(c_a + 1 AS DOUBLE) / CAST(n_a + 20 AS DOUBLE))
+              / (CAST(c_b + 1 AS DOUBLE) / CAST(n_b + 20 AS DOUBLE))) AS term
+  FROM t)
+SELECT event_type,
+       round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi,
+       CAST(min(n_a) AS BIGINT) AS n_base,
+       CAST(min(n_b) AS BIGINT) AS n_current
+FROM terms GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -3874,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_pack_sequences": d_pack_sequences,
         "emb_label_centroids": emb_label_centroids,
         "e_dq_report": e_dq_report,
+        "e_drift_psi": e_drift_psi,
     }
 
 
@@ -3973,6 +4035,7 @@ def oracle_sql() -> dict[str, str]:
         "d_pack_sequences": _D_PACK_SQL,
         "emb_label_centroids": _EMB_CENTROIDS_SQL,
         "e_dq_report": _E_DQ_SQL,
+        "e_drift_psi": _E_DRIFT_SQL,
     }
 
 
@@ -4073,4 +4136,5 @@ HEADLINE_QUERIES = [
     "d_pack_sequences",
     "emb_label_centroids",
     "e_dq_report",
+    "e_drift_psi",
 ]

@@ -187,3 +187,37 @@ class TestDqReport:
         ]
         uniq = dq_unique_report(df, ["k"]).collect()[0]
         assert (uniq.n_violations, uniq.n_rows) == (0, 0)
+
+
+class TestPsiDrift:
+    def test_identical_distributions_score_zero(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.quality import (
+            psi_drift,
+        )
+
+        df = spark.range(1000).selectExpr(
+            "'k' AS g", "CAST(id % 100 AS DOUBLE) * 10.0 AS v"
+        )
+        r = psi_drift(df, df, "v", keys=["g"], bins=20, lo=0.0, hi=1000.0).collect()[0]
+        assert r.psi == 0.0 and r.n_base == 1000 and r.n_current == 1000
+
+    def test_shifted_distribution_scores_high(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.quality import (
+            psi_drift,
+        )
+
+        a = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+        b = spark.range(1000).selectExpr("CAST(500 + id % 100 AS DOUBLE) AS v")
+        r = psi_drift(a, b, "v", bins=20, lo=0.0, hi=1000.0).collect()[0]
+        assert r.psi > 0.25  # disjoint histograms -> strong drift
+
+    def test_partition_count_invariant(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.quality import (
+            psi_drift,
+        )
+
+        a = spark.range(3000).selectExpr("CAST((id * 37) % 997 AS DOUBLE) AS v")
+        b = spark.range(2000).selectExpr("CAST((id * 61) % 997 AS DOUBLE) AS v")
+        r1 = psi_drift(a, b, "v").collect()[0].psi
+        r2 = psi_drift(a.repartition(17), b.repartition(3), "v").collect()[0].psi
+        assert r1 == r2
