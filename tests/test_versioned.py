@@ -221,3 +221,47 @@ class TestPsiDrift:
         r1 = psi_drift(a, b, "v").collect()[0].psi
         r2 = psi_drift(a.repartition(17), b.repartition(3), "v").collect()[0].psi
         assert r1 == r2
+
+
+class TestClusteredLayout:
+    def test_disjoint_file_ranges_enable_skipping(self, spark, tmp_path):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.layout import (
+            file_stats,
+            write_clustered,
+        )
+
+        df = spark.range(100_000).selectExpr(
+            "CAST(id * 2654435761 % 100000 AS BIGINT) AS k", "id AS payload"
+        )
+        clustered = str(tmp_path / "clustered")
+        unclustered = str(tmp_path / "plain")
+        write_clustered(df, clustered, ["k"], n_files=8)
+        df.repartition(8).write.parquet(unclustered)
+
+        cstats = [s for s in file_stats(clustered, "k") if s[1] is not None]
+        ustats = [s for s in file_stats(unclustered, "k") if s[1] is not None]
+        assert len(cstats) >= 4
+        # clustered: file ranges are (near-)disjoint -> a point/range
+        # predicate overlaps ~1 file; unclustered: every file spans
+        # nearly the whole domain -> zero skipping
+        cstats.sort(key=lambda s: s[1])
+        for (_, _, hi), (_, lo2, _) in zip(cstats, cstats[1:]):
+            assert hi <= lo2
+        probe = 50_000
+        c_hits = sum(1 for _, lo, hi in cstats if lo <= probe <= hi)
+        u_hits = sum(1 for _, lo, hi in ustats if lo <= probe <= hi)
+        assert c_hits <= 2 and u_hits == len(ustats)
+
+    def test_roundtrip_content_identical(self, spark, tmp_path):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.layout import (
+            write_clustered,
+        )
+
+        df = spark.range(5000).selectExpr("id % 97 AS k", "id AS v")
+        p = str(tmp_path / "t")
+        write_clustered(df, p, ["k", "v"], n_files=4)
+        back = spark.read.parquet(p)
+        assert back.count() == 5000
+        assert sorted((r.k, r.v) for r in back.collect()) == sorted(
+            (r.k, r.v) for r in df.collect()
+        )
