@@ -148,3 +148,81 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Data
             yield pd.DataFrame(rows, columns=["media_id", "frame_offset_ms", "frame_md5"])
 
     return df.mapInPandas(op, schema="media_id long, frame_offset_ms long, frame_md5 string")
+
+
+def resize_images(
+    df: DataFrame, max_side: int = 224, fake: bool = True
+) -> DataFrame:
+    """Image resize -> (media_id, width, height, content) with the longer
+    side capped at ``max_side`` (aspect preserved, the standard
+    pre-embedding normalization). STUB: dimensions come from the fake
+    decoder and the resized payload is a deterministic md5-derived
+    stand-in sized ~width*height/64; a real deployment swaps the body
+    for PIL's ``thumbnail`` inside the same mapInPandas shape. Output
+    payloads stay Arrow binary columns — same bounded-memory batching as
+    the decode path."""
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("no image decoder in this environment")
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                h = int(hashlib.md5(b).hexdigest()[:4], 16)
+                w0, h0 = 64 + h % 193, 64 + (h // 193) % 193
+                scale = min(1.0, max_side / max(w0, h0))
+                w1, h1 = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+                seed = hashlib.md5(b + b"|resized").digest()
+                out = (seed * (w1 * h1 // 64 // len(seed) + 1))[: max(1, w1 * h1 // 64)]
+                rows.append((mid, w1, h1, out))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
+
+    return df.mapInPandas(
+        op, schema="media_id long, width int, height int, content binary"
+    )
+
+
+def audio_windows(
+    df: DataFrame, window_ms: int = 500, fake: bool = True, dim: int = 4
+) -> DataFrame:
+    """Audio windowing -> one row per fixed-length window with per-window
+    features (the framing step before any audio encoder; UDTF shape like
+    frame_sample). STUB: duration is the fake 1-byte~1-ms mapping and
+    features are md5-derived from (payload, window index); a real
+    deployment decodes PCM and computes e.g. log-mel stats in the same
+    loop."""
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("no audio decoder in this environment")
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                duration = len(b)
+                for i, start in enumerate(range(0, duration, window_ms)):
+                    end = min(start + window_ms, duration)
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            start,
+                            end,
+                            _fake_features(b + b"#%d" % i, dim),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "window_idx", "start_ms", "end_ms", "feat"],
+            )
+
+    return df.mapInPandas(
+        op,
+        schema="media_id long, window_idx int, start_ms long, end_ms long,"
+        " feat array<float>",
+    )

@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.multimodal import (
     decode_images,
     extract_features,
+    audio_windows,
     frame_sample,
+    resize_images,
     text_as_media,
 )
 
@@ -64,3 +66,40 @@ def test_frame_sample_udtf_shape(media):
         F.col("media_id") == 1
     ).collect()
     assert [f["frame_offset_ms"] for f in sorted(frames, key=lambda r: r["frame_offset_ms"])] == [0, 1000, 2000]
+
+
+def test_resize_caps_longer_side_and_preserves_aspect(media):
+    out = {r["media_id"]: r for r in resize_images(media, max_side=100, fake=True).collect()}
+    dec = {r["media_id"]: r for r in decode_images(media, fake=True).collect()}
+    for mid, r in out.items():
+        w0, h0 = dec[mid]["width"], dec[mid]["height"]
+        assert max(r["width"], r["height"]) <= 100
+        if max(w0, h0) <= 100:  # already small: untouched dims
+            assert (r["width"], r["height"]) == (w0, h0)
+        else:  # aspect preserved within integer truncation
+            assert abs(r["width"] * h0 - r["height"] * w0) <= max(w0, h0)
+        assert r["content"] is not None and len(r["content"]) >= 1
+    # deterministic across runs
+    again = {r["media_id"]: bytes(r["content"]) for r in resize_images(media, max_side=100, fake=True).collect()}
+    assert {m: bytes(r["content"]) for m, r in out.items()} == again
+
+
+def test_audio_windows_tile_duration(media):
+    rows = audio_windows(media, window_ms=1000, fake=True).filter(
+        F.col("media_id") == 1
+    ).collect()
+    rows.sort(key=lambda r: r["window_idx"])
+    # 2500-'ms' payload -> windows [0,1000) [1000,2000) [2000,2500)
+    assert [(r["start_ms"], r["end_ms"]) for r in rows] == [
+        (0, 1000), (1000, 2000), (2000, 2500),
+    ]
+    assert all(len(r["feat"]) == 4 for r in rows)
+    # distinct windows get distinct features (salted by index)
+    assert rows[0]["feat"] != rows[1]["feat"]
+
+
+def test_resize_and_audio_real_paths_unimplemented(media):
+    with pytest.raises(Exception):
+        resize_images(media, fake=False).collect()
+    with pytest.raises(Exception):
+        audio_windows(media, fake=False).collect()
