@@ -271,3 +271,37 @@ class TestScd2:
                 assert prev.valid_to == nxt.valid_from
                 assert not prev.is_current
             assert rows_k[-1].is_current and rows_k[-1].valid_to is None
+
+
+class TestSketchArtifacts:
+    def test_daily_artifact_roundtrip(self, spark, tmp_path):
+        """The 100 TB workflow: persist one tiny register table per day,
+        reload any subset later, merge, estimate — without rescanning
+        facts. Round-tripping through parquet must not change a bit."""
+        day1 = spark.range(0, 3000).selectExpr("id AS v")
+        day2 = spark.range(2000, 6000).selectExpr("id AS v")
+        r1, r2 = hll_registers(day1, "v"), hll_registers(day2, "v")
+        p1, p2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+        r1.write.parquet(p1)
+        r2.write.parquet(p2)
+        merged = merge_registers(
+            spark.read.parquet(p1), spark.read.parquet(p2)
+        )
+        direct = hll_registers(day1.union(day2), "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        est = hll_estimate(merged)
+        assert abs(est - 6000) / 6000 < 0.20
+
+    def test_cms_artifact_roundtrip(self, spark, tmp_path):
+        a = spark.range(0, 2000).selectExpr("concat('t', id % 61) AS v")
+        b = spark.range(0, 3000).selectExpr("concat('t', id % 47) AS v")
+        pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+        cms_sketch(a, "v").write.parquet(pa)
+        cms_sketch(b, "v").write.parquet(pb)
+        merged = merge_cms(spark.read.parquet(pa), spark.read.parquet(pb))
+        direct = cms_sketch(a.union(b), "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
