@@ -3732,8 +3732,12 @@ def e_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type_domain": ~F.col("event_type").isin(
             "click", "error", "purchase", "signup", "view"
         ),
-        "props_parse": F.col("props").isNotNull()
-        & F.get_json_object(F.col("props"), "$").isNull(),
+        # string-shape check, NOT a JSON parse: Spark get_json_object and
+        # DuckDB json_valid disagree on edge inputs ('null', bare
+        # scalars), so the rule uses an expression with identical
+        # semantics in both engines
+        "props_shape": F.col("props").isNotNull()
+        & ~(F.col("props").like("{%") | F.col("props").like("[%")),
     }
     report = dq_report(ev, rules).unionByName(
         dq_unique_report(ev, ["event_id"])
@@ -3752,7 +3756,8 @@ wide AS (
          count(*) FILTER (WHERE event_type NOT IN
              ('click','error','purchase','signup','view')) AS event_type_domain,
          count(*) FILTER (WHERE props IS NOT NULL
-                            AND NOT json_valid(props)) AS props_parse
+                            AND NOT (props LIKE '{%' OR props LIKE '[%'))
+             AS props_shape
   FROM base),
 uniq AS (
   SELECT CAST(sum(c - 1) AS BIGINT) AS n_violations,
@@ -3763,7 +3768,7 @@ SELECT rule, n_violations, n_rows FROM (
   UNION ALL SELECT 'value_positive', CAST(value_positive AS BIGINT), CAST(n_rows AS BIGINT) FROM wide
   UNION ALL SELECT 'ts_in_window', CAST(ts_in_window AS BIGINT), CAST(n_rows AS BIGINT) FROM wide
   UNION ALL SELECT 'event_type_domain', CAST(event_type_domain AS BIGINT), CAST(n_rows AS BIGINT) FROM wide
-  UNION ALL SELECT 'props_parse', CAST(props_parse AS BIGINT), CAST(n_rows AS BIGINT) FROM wide
+  UNION ALL SELECT 'props_shape', CAST(props_shape AS BIGINT), CAST(n_rows AS BIGINT) FROM wide
   UNION ALL SELECT 'unique_event_id', n_violations, n_rows FROM uniq)
 ORDER BY rule
 """
