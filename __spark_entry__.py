@@ -4047,6 +4047,12 @@ def oracle_sql() -> dict[str, str]:
 #: Queries bench.py times at sf0.1 — excludes only d_jaccard_pairs, the
 #: intentionally-O(n^2) oracle baseline the LSH variants exist to avoid
 #: (d_simhash_pairs and emb_cosine_neardup run bucketed and are timed).
+#: Budget classes vs BASELINE.md: analytics-class queries target <= 2x of
+#: the reference's 2-5 s Lambda figure; d_curation_pipeline and
+#: etl_bronze_silver_500sym are PIPELINE-class (full multi-stage runs,
+#: the reference's 5-10 s ETL budget) — the curation composite's stages
+#: (d_dup_components, d_decontaminate, d_quality_score, d_hash_split)
+#: are also timed individually.
 HEADLINE_QUERIES = [
     "q01_pricing_summary",
     "q03_top_order_revenue",
