@@ -3835,6 +3835,43 @@ FROM terms GROUP BY event_type ORDER BY event_type
 """
 
 
+def d_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixture composition (operators/sampling.mixture_sample):
+    fixed per-source quotas filled by deterministic md5-hash rank — the
+    'N docs of web, M of code' step of assembling a training mixture.
+    One shuffle on the source key; the oracle replays the ranked pick
+    exactly."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    quotas = {"src0": 12, "src1": 8, "src2": 5, "src3": 2}
+    out = mixture_sample(docs.select("doc_id", "source"), "source", "doc_id", quotas)
+    return out.select("doc_id", "source", "pick_rank").orderBy(
+        "source", "pick_rank"
+    )
+
+
+_D_MIXTURE_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5('mix-v1' || '|' || CAST(doc_id AS VARCHAR)),
+                             1, 12) AS BIGINT) AS hk
+  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
+             AS pick_rank
+  FROM h)
+SELECT doc_id, source, pick_rank
+FROM r
+WHERE pick_rank <= CASE source WHEN 'src0' THEN 12 WHEN 'src1' THEN 8
+                               WHEN 'src2' THEN 5 ELSE 2 END
+ORDER BY source, pick_rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -3941,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroids": emb_label_centroids,
         "e_dq_report": e_dq_report,
         "e_drift_psi": e_drift_psi,
+        "d_mixture_sample": d_mixture_sample,
     }
 
 
@@ -4041,6 +4079,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_centroids": _EMB_CENTROIDS_SQL,
         "e_dq_report": _E_DQ_SQL,
         "e_drift_psi": _E_DRIFT_SQL,
+        "d_mixture_sample": _D_MIXTURE_SQL,
     }
 
 
@@ -4148,4 +4187,5 @@ HEADLINE_QUERIES = [
     "emb_label_centroids",
     "e_dq_report",
     "e_drift_psi",
+    "d_mixture_sample",
 ]

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -88,3 +88,47 @@ def stratified_sample(
             rate
         )
     return df.filter(hash_permyriad(id_col) < rate)
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    quotas: dict[str, int],
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Dataset mixture composition: take exactly ``quotas[source]`` rows
+    per source (or all of a source when it has fewer) — the "30% web,
+    50% code, 20% papers" step that turns curated pools into a training
+    mixture. Selection within a source is by md5-hash rank, so the
+    sample is a deterministic function of (salt, id): re-runs, engine
+    swaps, and cluster resizes pick the same rows.
+
+    One window per source partition (rank by (hash, id) — the id
+    tiebreak makes the order total even on hash collisions) and a
+    literal CASE for the quota: single shuffle on the source key, no
+    driver-side loops. Sources not in ``quotas`` are dropped.
+
+    Output: input columns + ``pick_rank`` (1-based rank within source).
+    """
+    sources = sorted(quotas)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    quota: Column = F.lit(0)
+    for s in sources:
+        quota = F.when(F.col(source_col) == s, F.lit(int(quotas[s]))).otherwise(
+            quota
+        )
+    w = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    return (
+        df.filter(F.col(source_col).isin(sources))
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= quota)
+    )

@@ -89,3 +89,31 @@ def test_interval_join_equals_theta_join(spark):
         .collect()
     }
     assert fast == slow and fast
+
+
+def test_mixture_sample_quotas_and_determinism(spark):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(90)], "rid long, src string"
+    )
+    out = mixture_sample(df, "src", "rid", {"s0": 10, "s1": 25, "s2": 100})
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    # exact quota where available, everything when quota exceeds the pool
+    assert {s: len(v) for s, v in by_src.items()} == {"s0": 10, "s1": 25, "s2": 30}
+    # ranks are 1..n dense per source
+    for v in by_src.values():
+        assert sorted(r.pick_rank for r in v) == list(range(1, len(v) + 1))
+    # deterministic under repartitioning
+    again = mixture_sample(
+        df.repartition(13), "src", "rid", {"s0": 10, "s1": 25, "s2": 100}
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # sources without a quota are dropped
+    extra = mixture_sample(df, "src", "rid", {"s0": 5})
+    assert {r.src for r in extra.collect()} == {"s0"}
