@@ -3133,13 +3133,17 @@ WHERE rank <= 5 ORDER BY query_id, rank
 
 
 def x_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Worst peak-to-trough drawdown per user (value as price series):
-    running-max window + total-ordered trough pick, one shuffle for both
-    windows (operators/finance.max_drawdown). Extends the reference's
-    indicator analytics (examples/README.md:100-104) with the
-    portfolio-risk stat its users compute downstream."""
+    """Worst peak-to-trough drawdown per user (value as price series).
+    Registers the SKEW-ROBUST chunked form (operators/finance.
+    max_drawdown_chunked: running max decomposed over (user, day) chunks
+    with a prefix-max carry, trough picked by a map-side-combinable
+    min(struct)) — output bit-identical to the plain two-window form
+    (pinned by tests/property tests), so the oracle is the plain
+    running-max SQL. Extends the reference's indicator analytics
+    (examples/README.md:100-104) with the portfolio-risk stat its users
+    compute downstream."""
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
-        max_drawdown,
+        max_drawdown_chunked,
     )
 
     ev = _t(spark, sf_dir, "events").select(
@@ -3148,8 +3152,9 @@ def x_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("timestamp_unix"),
         "value",
     )
-    return max_drawdown(
-        ev, ["user_id"], "timestamp_unix", "event_id", "value"
+    return max_drawdown_chunked(
+        ev, ["user_id"], "timestamp_unix", "event_id", "value",
+        chunk_width=86_400_000_000,
     ).orderBy("user_id")
 
 
