@@ -3106,7 +3106,8 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     regenerates identical planes/buckets/candidates."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_knn(
-        emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=4, n_tables=8
+        emb, emb, k=5, n_planes=4, n_tables=8,
+        query_filter=F.col("vec_id") < 10,
     ).orderBy("query_id", "rank")
 
 
@@ -3887,7 +3888,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering matters: the driver's correctness gate compares the FIRST 50
+    # entries against the DuckDB oracle each round.  Round 2's gate covered the
+    # first 50 (all green, CORRECTNESS_r02.json); this round front-loads the 46
+    # entries the driver has not yet hashed so every operator class gets a hard
+    # driver-oracle row across rounds 2+3.  The previously-checked 50 follow and
+    # retain local verify coverage (scripts/verify_local.py).
     return {
+        # --- round-3 gate window: driver-unchecked as of r2 ---
+        "j_semi_active_customers": j_semi_active_customers,
+        "j_anti_inactive_customers": j_anti_inactive_customers,
+        "u_union_mixed_schema": u_union_mixed_schema,
+        "e_rsi14": e_rsi14,
+        "o_bronze_roundtrip": o_bronze_roundtrip,
+        "sql_passthrough_daily": sql_passthrough_daily,
+        "m_binary_features": m_binary_features,
+        "x_pivot_event_matrix": x_pivot_event_matrix,
+        "x_cube_rollup": x_cube_rollup,
+        "e_sessionize": e_sessionize,
+        "e_distinct_daily_users": e_distinct_daily_users,
+        "e_percentiles": e_percentiles,
+        "q17_small_quantity_avg": q17_small_quantity_avg,
+        "s_stream_hourly": s_stream_hourly,
+        "s_stateful_vwap": s_stateful_vwap,
+        "x_bollinger_bands": x_bollinger_bands,
+        "d_stratified_sample": d_stratified_sample,
+        "d_doc_chunks": d_doc_chunks,
+        "j_interval_clicks": j_interval_clicks,
+        "d_dup_components": d_dup_components,
+        "s_stream_sessions": s_stream_sessions,
+        "s_stream_join": s_stream_join,
+        "x_ema_macd": x_ema_macd,
+        "x_rolling_30m": x_rolling_30m,
+        "e_zscore_anomaly": e_zscore_anomaly,
+        "e_props_json": e_props_json,
+        "e_percentiles_hist": e_percentiles_hist,
+        "d_redact_pii": d_redact_pii,
+        "d_hash_split": d_hash_split,
+        "d_repetition": d_repetition,
+        "d_top_bigrams": d_top_bigrams,
+        "d_tfidf_topk": d_tfidf_topk,
+        "d_decontaminate": d_decontaminate,
+        "x_max_drawdown": x_max_drawdown,
+        "x_beta_market": x_beta_market,
+        "d_hll_users": d_hll_users,
+        "x_scd2_history": x_scd2_history,
+        "j_scd2_lookup": j_scd2_lookup,
+        "d_curation_pipeline": d_curation_pipeline,
+        "d_cms_tokens": d_cms_tokens,
+        "s_stream_hll": s_stream_hll,
+        "d_pack_sequences": d_pack_sequences,
+        "emb_label_centroids": emb_label_centroids,
+        "e_dq_report": e_dq_report,
+        "e_drift_psi": e_drift_psi,
+        "d_mixture_sample": d_mixture_sample,
+        # --- driver-checked green in r2 (CORRECTNESS_r02.json) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_order_revenue": q03_top_order_revenue,
         "q05_nation_revenue": q05_nation_revenue,
@@ -3938,52 +3993,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_kgram_fingerprint": d_kgram_fingerprint,
         "emb_ivf_ann": emb_ivf_ann,
         "j_asof_orders": j_asof_orders,
-        "j_semi_active_customers": j_semi_active_customers,
-        "j_anti_inactive_customers": j_anti_inactive_customers,
-        "u_union_mixed_schema": u_union_mixed_schema,
-        "e_rsi14": e_rsi14,
-        "o_bronze_roundtrip": o_bronze_roundtrip,
-        "sql_passthrough_daily": sql_passthrough_daily,
-        "m_binary_features": m_binary_features,
-        "x_pivot_event_matrix": x_pivot_event_matrix,
-        "x_cube_rollup": x_cube_rollup,
-        "e_sessionize": e_sessionize,
-        "e_distinct_daily_users": e_distinct_daily_users,
-        "e_percentiles": e_percentiles,
-        "q17_small_quantity_avg": q17_small_quantity_avg,
-        "s_stream_hourly": s_stream_hourly,
-        "s_stateful_vwap": s_stateful_vwap,
-        "x_bollinger_bands": x_bollinger_bands,
-        "d_stratified_sample": d_stratified_sample,
-        "d_doc_chunks": d_doc_chunks,
-        "j_interval_clicks": j_interval_clicks,
-        "d_dup_components": d_dup_components,
-        "s_stream_sessions": s_stream_sessions,
-        "s_stream_join": s_stream_join,
-        "x_ema_macd": x_ema_macd,
-        "x_rolling_30m": x_rolling_30m,
-        "e_zscore_anomaly": e_zscore_anomaly,
-        "e_props_json": e_props_json,
-        "e_percentiles_hist": e_percentiles_hist,
-        "d_redact_pii": d_redact_pii,
-        "d_hash_split": d_hash_split,
-        "d_repetition": d_repetition,
-        "d_top_bigrams": d_top_bigrams,
-        "d_tfidf_topk": d_tfidf_topk,
-        "d_decontaminate": d_decontaminate,
-        "x_max_drawdown": x_max_drawdown,
-        "x_beta_market": x_beta_market,
-        "d_hll_users": d_hll_users,
-        "x_scd2_history": x_scd2_history,
-        "j_scd2_lookup": j_scd2_lookup,
-        "d_curation_pipeline": d_curation_pipeline,
-        "d_cms_tokens": d_cms_tokens,
-        "s_stream_hll": s_stream_hll,
-        "d_pack_sequences": d_pack_sequences,
-        "emb_label_centroids": emb_label_centroids,
-        "e_dq_report": e_dq_report,
-        "e_drift_psi": e_drift_psi,
-        "d_mixture_sample": d_mixture_sample,
     }
 
 

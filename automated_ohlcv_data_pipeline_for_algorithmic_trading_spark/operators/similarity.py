@@ -386,14 +386,22 @@ def hyperplane_buckets(
     table + two hash aggregations — every step whole-stage-codegen'd. (A
     per-row higher-order-function fold over literal plane arrays is ~2000
     interpreted lambda steps per vector — measured ~4x slower even at
-    bench scale, and it is the per-row cost that multiplies at 100 TB.)
+    bench scale, and it is the per-row cost that multiplies at 100 TB.
+    A pivoted single-aggregate variant — (pos, ws array) weights, one
+    groupBy(id) with n_total sum(ival * element_at(ws, p)) columns, no
+    join blowup — was also measured ~1.6x SLOWER than this shape at
+    sf0.1: 32 independent agg buffers with per-update array indexing cost
+    more than the extra 32x-row map side of plain long sums, which
+    partial aggregation collapses before the shuffle anyway.)
+
     The per-plane dot runs in EXACT INTEGER arithmetic: components
-    quantize to micro-units (round(val * 1e6) as BIGINT) and weights are
-    the integer numerators from hyperplane_weights, so the sign test
-    `dot > 0` is a BIGINT comparison — order-independent by construction,
-    bit-identical on any engine/partitioning, and ~2x cheaper than the
-    decimal-sum route it replaces (max |term| ~1e6 * 1e4 * dim stays far
-    under 2^63).
+    quantize to micro-units (round(val * 1e6) as BIGINT — hoisted to the
+    exploded projection so the quantization runs once per (row, dim), not
+    once per joined plane row) and weights are the integer numerators
+    from hyperplane_weights, so the sign test `dot > 0` is a BIGINT
+    comparison — order-independent by construction, bit-identical on any
+    engine/partitioning (max |term| ~1e6 * 1e4 * dim stays far under
+    2^63).
 
     Similar vectors collide in one table with probability
     (1 - theta/pi)^planes; OR-amplification over ``n_tables`` tables
@@ -406,15 +414,13 @@ def hyperplane_buckets(
     # (rows x dim x planes) map side would otherwise run on one core
     el = df.repartition(spark.sparkContext.defaultParallelism).select(
         F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val")
+    ).select(
+        id_col, "pos", F.round(F.col("val") * 1e6).cast("long").alias("ival")
     )
     dots = (
         el.join(F.broadcast(wdf), "pos")
         .groupBy(id_col, "plane")
-        .agg(
-            F.sum(
-                F.round(F.col("val") * 1e6).cast("long") * F.col("w")
-            ).alias("dot")
-        )
+        .agg(F.sum(F.col("ival") * F.col("w")).alias("dot"))
     )
     contrib = F.when(
         F.col("dot") > 0,
@@ -440,16 +446,36 @@ def lsh_knn(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_filter: Column | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates are the union over ``n_tables`` LSH
     tables of same-bucket vectors, exact cosine ranking within candidates.
-    Recall vs brute_force_knn is validated in tests."""
-    qb = hyperplane_buckets(
-        queries.select(id_col, vec_col), n_planes, dim, vec_col, n_tables, id_col
-    ).select(F.col(id_col).alias("query_id"), "bucket")
-    cb = hyperplane_buckets(
-        corpus.select(id_col, vec_col), n_planes, dim, vec_col, n_tables, id_col
-    ).select(F.col(id_col).alias("neighbor_id"), "bucket")
+    Recall vs brute_force_knn is validated in tests.
+
+    ``query_filter``: when the query set IS a filtered subset of
+    ``corpus`` (self-kNN — the common production shape: "nearest
+    neighbors of these N docs within the corpus"), pass the predicate
+    here (``queries`` is then ignored): both sides of the candidate join
+    filter the SAME corpus bucket plan, so Spark's ReuseExchange computes
+    the bucket shuffle once and the query side is a re-read of it — one
+    bucket job instead of two, no materialization barrier, bit-identical
+    buckets by construction."""
+    if query_filter is not None:
+        cb_all = hyperplane_buckets(
+            corpus.select(id_col, vec_col), n_planes, dim, vec_col, n_tables, id_col
+        )
+        qb = cb_all.filter(query_filter).select(
+            F.col(id_col).alias("query_id"), "bucket"
+        )
+        cb = cb_all.select(F.col(id_col).alias("neighbor_id"), "bucket")
+        queries = corpus.filter(query_filter)
+    else:
+        qb = hyperplane_buckets(
+            queries.select(id_col, vec_col), n_planes, dim, vec_col, n_tables, id_col
+        ).select(F.col(id_col).alias("query_id"), "bucket")
+        cb = hyperplane_buckets(
+            corpus.select(id_col, vec_col), n_planes, dim, vec_col, n_tables, id_col
+        ).select(F.col(id_col).alias("neighbor_id"), "bucket")
     # candidate ids via bucket equi-join (dedup across tables), then fetch
     # vectors once per candidate pair
     cand = (
