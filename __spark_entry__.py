@@ -94,6 +94,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(tune(spark), sf_dir, name)
 
 
+def _scratch_ckpt():
+    """Context manager: a temp streaming-checkpoint dir removed when the
+    stream has drained. availableNow + memory/foreachBatch sinks never
+    re-read the checkpoint after awaitTermination, so repeated
+    bench/verify runs must not accumulate orphaned checkpoint state."""
+    import contextlib
+    import shutil
+    import tempfile
+
+    @contextlib.contextmanager
+    def _cm():
+        d = tempfile.mkdtemp(prefix="ckpt_")
+        try:
+            yield d
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    return _cm()
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped relational queries (scan / filter / agg / join / top-k)
 # ---------------------------------------------------------------------------
@@ -1578,7 +1598,6 @@ def s_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     per event_type, driven to completion with availableNow into a memory
     sink — then compared against the equivalent batch SQL. Decimal-routed
     sums keep the streamed result bit-identical to the batch oracle."""
-    import tempfile
     import uuid
 
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
@@ -1593,15 +1612,16 @@ def s_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     with stateful_partitions(spark):
         agg = events_stream_demo(spark, sf_dir, minutes=60)
         name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        with _scratch_ckpt() as ckpt:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
     return spark.table(name).orderBy("event_type", "bucket_start")
 
 
@@ -1626,7 +1646,6 @@ def s_stateful_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed result is bit-identical to the batch windowed-SQL replay —
     an oracle most engines can't offer for stateful streaming at all.
     Synthetic per-event volume = event_id % 100 + 1 (SQL-replayable)."""
-    import tempfile
     import uuid
 
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
@@ -1650,16 +1669,17 @@ def s_stateful_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("event_id % 100 + 1").cast("long").alias("volume"),
         )
         name = f"stateful_vwap_{uuid.uuid4().hex[:8]}"
-        q = (
-            streaming_vwap_exact(ev)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        with _scratch_ckpt() as ckpt:
+            q = (
+                streaming_vwap_exact(ev)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
     return spark.table(name).orderBy("symbol_clean", "timestamp_unix", "event_id")
 
 
@@ -1930,7 +1950,6 @@ def s_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (availableNow -> memory sink). Output avoids the gap-extended
     window end (session bounds = min/max event ts) so the batch SQL
     oracle replays it exactly."""
-    import tempfile
     import uuid
 
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
@@ -1955,15 +1974,16 @@ def s_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "session_start", "session_end", "n_events")
         )
         name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        with _scratch_ckpt() as ckpt:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
     return spark.table(name).orderBy("user_id", "session_start")
 
 
@@ -2002,7 +2022,6 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the stream length. availableNow drives it to completion and the
     batch SQL interval join replays it exactly (inner joins emit on
     match, so the result set is watermark-invariant for in-order data)."""
-    import tempfile
     import uuid
 
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
@@ -2056,15 +2075,16 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lag_us"),
         )
         name = f"stream_join_{uuid.uuid4().hex[:8]}"
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        with _scratch_ckpt() as ckpt:
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
     return spark.table(name).orderBy("user_id", "view_id", "purchase_id")
 
 
@@ -2252,6 +2272,32 @@ def sql_passthrough_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact same ANSI text the oracle runs."""
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_SQL_SHARED_DAILY)
+
+
+#: Second declared-SQL pin: the VOLATILITY_STATS dispersion shape
+#: (plans/sql_views.py:74-83, reference sql/athena_parquet_tables.sql
+#: dispersion query) as ONE ANSI text both engines execute verbatim —
+#: stddev routed through the exact decimal formula (functions/exact.py)
+#: so the shared text is bit-deterministic in Spark AND DuckDB.
+_SQL_SHARED_VOLATILITY = f"""
+SELECT user_id AS symbol_key,
+       {sql_davg('value')} AS avg_volatility,
+       {sql_dstddev('value')} AS stddev_change,
+       max(value) AS max_gain,
+       min(value) AS min_loss,
+       count(*) AS record_count
+FROM events
+GROUP BY user_id
+ORDER BY avg_volatility DESC, symbol_key
+"""
+
+
+def sql_passthrough_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SS3.3 — dispersion-stats SQL passthrough: the same ANSI text as
+    the oracle, verbatim, over the registered events view (the reference's
+    VOLATILITY_STATS query shape: avg/stddev/extremes per group)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SQL_SHARED_VOLATILITY)
 
 
 def m_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3604,36 +3650,47 @@ def s_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_registers,
     )
 
+    import shutil
+
     tune(spark)
+    # both dirs are scratch for this invocation only; the final sketch is
+    # localCheckpoint'ed, so everything on disk can go as soon as the
+    # stream drains (repeated bench/verify runs must not accumulate
+    # orphaned source copies + checkpoints)
     src_dir = tempfile.mkdtemp(prefix="hll_stream_src_")
-    _t(spark, sf_dir, "events").select("user_id").repartition(8).write.mode(
-        "overwrite"
-    ).parquet(src_dir)
-    stream = (
-        spark.readStream.schema("user_id long")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir)
-    )
-    state: dict[str, DataFrame] = {}
-
-    def _merge_batch(batch_df: DataFrame, _bid: int) -> None:
-        regs = hll_registers(batch_df, "user_id", p=8)
-        merged = (
-            regs if "r" not in state else merge_registers(state["r"], regs)
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        _t(spark, sf_dir, "events").select("user_id").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+        stream = (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
         )
-        # checkpoint the (<=256-row) running sketch so lineage never
-        # chains across micro-batches
-        state["r"] = merged.localCheckpoint()
+        state: dict[str, DataFrame] = {}
 
-    with stateful_partitions(spark):
-        q = (
-            stream.writeStream.foreachBatch(_merge_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return state["r"].orderBy("bucket")
+        def _merge_batch(batch_df: DataFrame, _bid: int) -> None:
+            regs = hll_registers(batch_df, "user_id", p=8)
+            merged = (
+                regs if "r" not in state else merge_registers(state["r"], regs)
+            )
+            # checkpoint the (<=256-row) running sketch so lineage never
+            # chains across micro-batches
+            state["r"] = merged.localCheckpoint()
+
+        with stateful_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(_merge_batch)
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        return state["r"].orderBy("bucket")
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
 def d_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3902,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_rsi14": e_rsi14,
         "o_bronze_roundtrip": o_bronze_roundtrip,
         "sql_passthrough_daily": sql_passthrough_daily,
+        "sql_passthrough_volatility": sql_passthrough_volatility,
         "m_binary_features": m_binary_features,
         "x_pivot_event_matrix": x_pivot_event_matrix,
         "x_cube_rollup": x_cube_rollup,
@@ -4054,6 +4112,7 @@ def oracle_sql() -> dict[str, str]:
         "e_rsi14": _E_RSI_SQL,
         "o_bronze_roundtrip": _O_ROUNDTRIP_SQL,
         "sql_passthrough_daily": _SQL_SHARED_DAILY,
+        "sql_passthrough_volatility": _SQL_SHARED_VOLATILITY,
         "m_binary_features": _M_BINARY_SQL,
         "x_pivot_event_matrix": _X_PIVOT_SQL,
         "x_cube_rollup": _X_CUBE_SQL,
@@ -4162,6 +4221,7 @@ HEADLINE_QUERIES = [
     "e_rsi14",
     "o_bronze_roundtrip",
     "sql_passthrough_daily",
+    "sql_passthrough_volatility",
     "m_binary_features",
     "x_pivot_event_matrix",
     "x_cube_rollup",

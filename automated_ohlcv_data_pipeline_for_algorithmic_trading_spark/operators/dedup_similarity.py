@@ -463,6 +463,9 @@ def near_dup_components(
     rounds: int = 3,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    extend_until_converged: bool = False,
+    max_rounds: int = 20,
+    broadcast_max_labels: int = 1_000_000,
 ) -> DataFrame:
     """Canonical-keeper selection over the near-dup pair graph: every doc
     appearing in ``pairs`` gets a ``keeper_id`` — the minimum doc id
@@ -478,6 +481,14 @@ def near_dup_components(
     computation replays as unrolled SQL — see ``_components_sql`` in
     __spark_entry__ (most engines cannot oracle-check iterative graph
     algorithms at all). Output: (doc_id, keeper_id).
+
+    Convergence guard: every round records whether any label still
+    changed.  With ``extend_until_converged=True`` the iteration keeps
+    going past ``rounds`` (bounded by ``max_rounds``) until a round
+    changes nothing — the exact-components mode for graphs with long
+    chains.  In fixed-round mode (the SQL-replayable registry variant) a
+    still-changing final round raises a ``RuntimeWarning`` instead of
+    silently splitting components.
     """
     # The pair set is tiny (near-dup edges) but its lineage is the whole
     # LSH pipeline; verts/edges/rounds reference it 4+ times, so cut the
@@ -495,7 +506,10 @@ def near_dup_components(
     pairs = pairs.repartition(n_part)
     va = pairs.select(F.col(id_a).alias("v"))
     vb = pairs.select(F.col(id_b).alias("v"))
-    verts = va.union(vb).distinct()
+    # checkpoint verts too: the broadcast-strategy count below and the
+    # label init both consume it, and each would otherwise re-run the
+    # union+distinct job against the pair checkpoint
+    verts = va.union(vb).distinct().localCheckpoint()
     edges = pairs.select(F.col(id_a).alias("v"), F.col(id_b).alias("n")).union(
         pairs.select(F.col(id_b).alias("v"), F.col(id_a).alias("n"))
     ).localCheckpoint()
@@ -505,28 +519,59 @@ def near_dup_components(
     # broadcast, ship labels to the edges instead of shuffling the edge
     # set every round: each iteration becomes broadcast-join +
     # map-side-combined min, no wide exchange (measured ~40% off the
-    # propagation at sf0.1). Above the threshold fall back to the
-    # shuffle join, which scales to any vertex count.
-    bcast = verts.count() <= 5_000_000
+    # propagation at sf0.1). Above the threshold (default 1M labels
+    # ~ tens of MB — two explicit broadcasts per round must fit the
+    # driver comfortably) fall back to the shuffle join, which scales to
+    # any vertex count.
+    bcast = verts.count() <= broadcast_max_labels
+
+    def _one_round(labels: DataFrame) -> DataFrame:
+        lab_n = labels.select(F.col("v").alias("n"), F.col("label").alias("nl"))
+        if bcast:
+            lab_n = F.broadcast(lab_n)
+        nbr_min = edges.join(lab_n, "n").groupBy("v").agg(F.min("nl").alias("nm"))
+        if bcast:
+            nbr_min = F.broadcast(nbr_min)
+        return (
+            labels.join(nbr_min, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nm"), F.col("label"))
+                ).alias("label"),
+                # did this round improve the label? (null nm -> no edge
+                # row -> unchanged); drives the convergence guard below
+                F.coalesce(F.col("nm") < F.col("label"), F.lit(False)).alias(
+                    "_chg"
+                ),
+            )
+            .localCheckpoint()
+        )
+
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        done = 0
         for _ in range(rounds):
-            lab_n = labels.select(F.col("v").alias("n"), F.col("label").alias("nl"))
-            if bcast:
-                lab_n = F.broadcast(lab_n)
-            nbr_min = edges.join(lab_n, "n").groupBy("v").agg(F.min("nl").alias("nm"))
-            if bcast:
-                nbr_min = F.broadcast(nbr_min)
-            labels = (
-                labels.join(nbr_min, "v", "left")
-                .select(
-                    "v",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nm"), F.col("label"))
-                    ).alias("label"),
-                )
-                .localCheckpoint()
+            labels = _one_round(labels)
+            done += 1
+        if extend_until_converged:
+            while (
+                done < max_rounds
+                and labels.filter(F.col("_chg")).limit(1).count() > 0
+            ):
+                labels = _one_round(labels)
+                done += 1
+        elif labels.filter(F.col("_chg")).limit(1).count() > 0:
+            import warnings
+
+            warnings.warn(
+                f"near_dup_components: labels still changing after "
+                f"{rounds} rounds — a component's diameter exceeds the "
+                f"round budget and it will be SPLIT into several keepers. "
+                f"Pass extend_until_converged=True for exact components.",
+                RuntimeWarning,
+                stacklevel=2,
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)

@@ -36,6 +36,15 @@ from pyspark.sql import functions as F
 from ..operators.dedup import dedup_by_key
 
 
+#: Above this many touched partition tuples the plan switches from a
+#: literal OR-chain filter (statically pruned at planning time) to a
+#: broadcast tuple semi-join (runtime dynamic partition pruning): the
+#: OR-chain's plan size grows linearly with touched partitions, so a
+#: backfill touching thousands of (symbol, day) tuples would bloat
+#: planning/codegen while the semi-join plan stays constant-size.
+MERGE_PARTITION_LITERAL_MAX = 64
+
+
 def merge_into_parquet(
     spark: SparkSession,
     target_path: str,
@@ -44,6 +53,7 @@ def merge_into_parquet(
     partition_cols: Sequence[str],
     order_col: str | Sequence[str] | None = None,
     write_parallelism: int | None = None,
+    literal_partition_max: int = MERGE_PARTITION_LITERAL_MAX,
 ) -> None:
     """Upsert ``updates`` into the partitioned parquet table at
     ``target_path``: rows whose ``keys`` match an existing row replace it,
@@ -56,7 +66,11 @@ def merge_into_parquet(
     """
     keys = list(keys)
     partition_cols = list(partition_cols)
-    touched = updates.select(*partition_cols).distinct().collect()
+    touched_df = updates.select(*partition_cols).distinct()
+    # collect at most threshold+1 tuples: enough to know which pruning
+    # strategy applies without ever pulling an unbounded backfill's
+    # partition list onto the driver
+    touched = touched_df.limit(literal_partition_max + 1).collect()
     if order_col is not None:
         updates = dedup_by_key(updates, keys, order_col, keep="last")
 
@@ -65,13 +79,26 @@ def merge_into_parquet(
     except Exception:
         target = None  # first load: plain insert
     if target is not None and touched:
-        part_filter = F.lit(False)
-        for row in touched:
-            clause = F.lit(True)
+        if len(touched) <= literal_partition_max:
+            part_filter = F.lit(False)
+            for row in touched:
+                clause = F.lit(True)
+                for c in partition_cols:
+                    clause = clause & (F.col(c) == F.lit(row[c]))
+                part_filter = part_filter | clause
+            existing = target.filter(part_filter)
+        else:
+            # many-partition batch: broadcast semi-join on the partition
+            # tuple — constant-size plan; the join is on the scan's raw
+            # partition columns (build side cast to the target's inferred
+            # types) so dynamic partition pruning still skips untouched
+            # directories at runtime
+            build = touched_df
             for c in partition_cols:
-                clause = clause & (F.col(c) == F.lit(row[c]))
-            part_filter = part_filter | clause
-        existing = target.filter(part_filter)
+                build = build.withColumn(
+                    c, F.col(c).cast(target.schema[c].dataType)
+                )
+            existing = target.join(F.broadcast(build), partition_cols, "left_semi")
         # partition-column type inference may read dt=2024-01-01 back as
         # DATE; align to the update batch's declared types so the union
         # and the rewritten files stay schema-stable

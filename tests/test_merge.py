@@ -86,3 +86,47 @@ def test_merge_idempotent_replay_and_batch_last_wins(spark, tmp_path):
         )
         assert _read(spark, path) == {("A", "2024-01-01", 1): 7.0}
         assert spark.read.parquet(path).count() == 1
+
+
+def test_merge_many_touched_partitions_semi_join_path(spark, tmp_path):
+    """A backfill touching more partitions than the literal threshold
+    takes the broadcast tuple-semi-join path: same row-level result, plan
+    size constant in the number of touched partitions."""
+    path = str(tmp_path / "tbl")
+    base = _rows(
+        spark,
+        [("S%03d" % i, "2024-01-01", 1, float(i), 0) for i in range(120)],
+    )
+    merge_into_parquet(spark, path, base, ["sym", "dt", "t"], ["sym", "dt"])
+
+    # backfill touches all 120 (sym, dt) partitions -> above the default
+    # 64-literal cap -> semi-join path; updates half the keys, inserts a
+    # new t per partition
+    batch = _rows(
+        spark,
+        [("S%03d" % i, "2024-01-01", 1, float(i) + 0.5, 1) for i in range(0, 120, 2)]
+        + [("S%03d" % i, "2024-01-01", 2, 1000.0 + i, 1) for i in range(120)],
+    )
+    merge_into_parquet(spark, path, batch, ["sym", "dt", "t"], ["sym", "dt"])
+
+    got = _read(spark, path)
+    assert len(got) == 240
+    for i in range(120):
+        expect_v1 = float(i) + (0.5 if i % 2 == 0 else 0.0)
+        assert got[("S%03d" % i, "2024-01-01", 1)] == expect_v1
+        assert got[("S%03d" % i, "2024-01-01", 2)] == 1000.0 + i
+
+    # forcing the literal path on the same shape agrees (strategy is an
+    # optimization, never a semantics change)
+    batch2 = _rows(
+        spark,
+        [("S%03d" % i, "2024-01-01", 3, -1.0 * i, 2) for i in range(120)],
+    )
+    merge_into_parquet(
+        spark, path, batch2, ["sym", "dt", "t"], ["sym", "dt"],
+        literal_partition_max=1000,
+    )
+    got2 = _read(spark, path)
+    assert len(got2) == 360
+    assert got2[("S000", "2024-01-01", 3)] == 0.0
+    assert got2[("S119", "2024-01-01", 3)] == -119.0

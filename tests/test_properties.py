@@ -204,9 +204,10 @@ def test_scd2_reconstructs_changelog_states(rows):
             h for h in versions
             if h.valid_from <= row.t
             and (h.valid_to is None or row.t < h.valid_to or (
-                # boundary events: an event AT a change instant may be the
-                # closing event of the old version when tied on ts
-                row.t == h.valid_from))
+                # boundary events: same-ts changes (ordered by rid) close
+                # the old version AT the event's ts, so an event at a
+                # change instant may belong to the version it closes
+                row.t == h.valid_to))
         ]
         assert any(h.attr == row.attr for h in covering)
     # exactly one current version per key, intervals tile

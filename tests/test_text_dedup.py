@@ -299,3 +299,44 @@ def test_knn_brute_force_and_lsh_recall(spark, sf_dir):
     )
     recall = hits / 25
     assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+
+
+def test_near_dup_components_convergence_guard(spark):
+    """A chain whose diameter exceeds the round budget: fixed-round mode
+    warns that components will split; extend_until_converged iterates to
+    the true fixed point (bounded by max_rounds)."""
+    import warnings as w
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        near_dup_components,
+    )
+
+    # chain 1-2-3-4-5-6-7-8: diameter 7, far beyond rounds=3
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        out = {
+            r["doc_id"]: r["keeper_id"]
+            for r in near_dup_components(pairs, rounds=3).collect()
+        }
+    assert any("still changing" in str(c.message) for c in caught)
+    assert len(set(out.values())) > 1  # the split the warning promises
+
+    out_full = {
+        r["doc_id"]: r["keeper_id"]
+        for r in near_dup_components(
+            pairs, rounds=3, extend_until_converged=True
+        ).collect()
+    }
+    assert all(out_full[v] == 1 for v in range(1, 9))
+
+    # a converged graph must NOT warn in fixed-round mode
+    clique = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        near_dup_components(clique, rounds=3).collect()
+    assert not any("still changing" in str(c.message) for c in caught)

@@ -265,3 +265,39 @@ class TestClusteredLayout:
         assert sorted((r.k, r.v) for r in back.collect()) == sorted(
             (r.k, r.v) for r in df.collect()
         )
+
+
+def test_merge_commit_schema_mismatch_is_clear_error(spark, tmp_path):
+    """An update batch whose post-drop schema diverges from the stored
+    snapshot fails fast with a ValueError naming the columns — not a
+    mid-job unionByName failure (and the order column never leaks into
+    the stored schema)."""
+    import pytest
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.versioned import (
+        merge_commit,
+        read_version,
+    )
+
+    table = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a", 0)], "k long, v string, seq long")
+    # first commit via merge_commit WITH order_col: seq must be dropped
+    merge_commit(spark, base, table, ["k"], order_col="seq")
+    assert read_version(spark, table).columns == ["k", "v"]
+
+    # matching updates merge fine
+    up = spark.createDataFrame([(1, "b", 1)], "k long, v string, seq long")
+    merge_commit(spark, up, table, ["k"], order_col="seq")
+    assert {(r["k"], r["v"]) for r in read_version(spark, table).collect()} == {
+        (1, "b")
+    }
+
+    # a batch with an extra column errors with the column named
+    bad = spark.createDataFrame([(2, "c", "oops")], "k long, v string, extra string")
+    with pytest.raises(ValueError, match="extra=\\['extra'\\]"):
+        merge_commit(spark, bad, table, ["k"])
+
+    # a batch missing a column errors too
+    bad2 = spark.createDataFrame([(2,)], "k long")
+    with pytest.raises(ValueError, match="missing=\\['v'\\]"):
+        merge_commit(spark, bad2, table, ["k"])
