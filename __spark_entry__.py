@@ -2527,6 +2527,70 @@ FROM verified WHERE j >= 0.95 ORDER BY doc_a, doc_b
 """
 
 
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the continuous-ingestion shape: 90% of the
+    documents table plays the already-indexed corpus (minhash_index: one
+    persistable row per doc), the other 10% plays the landing batch
+    probed against it (dedup_against_index: band join at distinct-set
+    level, broadcast batch, exact-Jaccard verify). The corpus is never
+    re-hashed per batch; tests pin probe == batch-run cross pairs and
+    index update == row append."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    index = minhash_index(corpus, threshold=0.9)
+    return dedup_against_index(new, index, threshold=0.9).orderBy(
+        "new_id", "index_id"
+    )
+
+
+def _incremental_dedup_sql(threshold: float = 0.9) -> str:
+    """DuckDB replay of the batch-vs-index probe: per-doc minhash over
+    all documents, band join restricted to (new x corpus), exact Jaccard
+    — same md5 scheme, same banding as lsh_banding_for(threshold)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        _uhash_coeffs,
+        lsh_banding_for,
+    )
+
+    k, bands, rows = lsh_banding_for(threshold)
+    coeffs = _uhash_coeffs(k)
+    base = r"CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 2147483647"
+    sigs = ",\n         ".join(
+        f"list_min(list_transform(mh, m -> ({a} * m + {b}) % 2147483647)) AS sig{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', '{b}', {cols}))".format(
+            b=b, cols=", ".join(f"sig{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKSET} AS ts FROM documents),
+tm AS (SELECT doc_id, list_transform(ts, t -> {base}) AS mh FROM t),
+sig AS (SELECT doc_id,
+         {sigs}
+        FROM tm),
+bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+         FROM bands a JOIN bands b ON a.band = b.band
+         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+verified AS (
+  SELECT new_id, index_id,
+         CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+         / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) AS j
+  FROM cand JOIN t ta ON ta.doc_id = new_id JOIN t tb ON tb.doc_id = index_id)
+SELECT new_id, index_id, round(j, 6) AS jaccard
+FROM verified WHERE j >= {threshold} ORDER BY new_id, index_id
+"""
+
+
 def d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair graph -> dedup DECISIONS: connected components via
     fixed-round min-label propagation (iterative DataFrame joins with
@@ -3960,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_bronze_roundtrip": o_bronze_roundtrip,
         "sql_passthrough_daily": sql_passthrough_daily,
         "sql_passthrough_volatility": sql_passthrough_volatility,
+        "d_incremental_dedup": d_incremental_dedup,
         "m_binary_features": m_binary_features,
         "x_pivot_event_matrix": x_pivot_event_matrix,
         "x_cube_rollup": x_cube_rollup,
@@ -4113,6 +4178,7 @@ def oracle_sql() -> dict[str, str]:
         "o_bronze_roundtrip": _O_ROUNDTRIP_SQL,
         "sql_passthrough_daily": _SQL_SHARED_DAILY,
         "sql_passthrough_volatility": _SQL_SHARED_VOLATILITY,
+        "d_incremental_dedup": _incremental_dedup_sql(),
         "m_binary_features": _M_BINARY_SQL,
         "x_pivot_event_matrix": _X_PIVOT_SQL,
         "x_cube_rollup": _X_CUBE_SQL,
@@ -4222,6 +4288,7 @@ HEADLINE_QUERIES = [
     "o_bronze_roundtrip",
     "sql_passthrough_daily",
     "sql_passthrough_volatility",
+    "d_incremental_dedup",
     "m_binary_features",
     "x_pivot_event_matrix",
     "x_cube_rollup",

@@ -578,3 +578,164 @@ def near_dup_components(
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("keeper_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a persistable LSH index + batch-vs-index probe
+# ---------------------------------------------------------------------------
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    k: int | None = None,
+    bands: int | None = None,
+    rows: int | None = None,
+) -> DataFrame:
+    """The persistable MinHash-LSH index: ONE row per document —
+    (doc_id, gid, sz, hset, bands) — written once and probed by every
+    subsequent ingest batch via :func:`dedup_against_index`.
+
+    This is the 100 TB shape for CONTINUOUS ingestion:
+    ``minhash_near_dup_pairs`` re-hashes the whole corpus per run, which
+    is right for a one-shot curation pass but quadratic-in-runs for a
+    pipeline landing a daily batch. The index costs the same one pass,
+    is plain parquet (or a versioned-table commit), and a new batch's
+    index rows ARE its update — ``index.unionByName(minhash_index(new))``
+    (append-mode ``commit_version`` for time travel), because every
+    column is a pure per-document function of the text.
+
+    Columns: ``gid`` = min doc id among docs with an IDENTICAL token set
+    (the distinct-set collapse carried into the artifact — probes join at
+    gid level so a thousand copies of one page cost one signature);
+    ``sz`` = distinct-token count (drives the in-join size bound);
+    ``hset`` = sorted 48-bit token hashes (verification set; ~4x smaller
+    than the tokens); ``bands`` = the LSH band keys (array, exploded at
+    probe time, so the stored row stays one-per-doc).
+
+    (k, bands, rows) default from ``lsh_banding_for(threshold)`` and
+    MUST match between index build and probe."""
+    if k is None or bands is None or rows is None:
+        auto_k, auto_b, auto_r = lsh_banding_for(threshold)
+        k = auto_k if k is None else k
+        bands = auto_b if bands is None else bands
+        rows = auto_r if rows is None else rows
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = with_token_set(
+        df.select(id_col, text_col).repartition(par, id_col), text_col
+    )
+    hset = F.array_sort(
+        F.transform(
+            F.col("token_set"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+        )
+    )
+    hashed = (
+        toks.select(F.col(id_col).alias("doc_id"), hset.alias("hset"))
+        .withColumn("_sk", F.md5(F.array_join("hset", ",")))
+        .localCheckpoint()
+    )
+    grp = hashed.groupBy("_sk").agg(F.min("doc_id").alias("gid"))
+    withg = hashed.join(grp, "_sk")
+    reps = withg.filter(F.col("doc_id") == F.col("gid")).select("gid", "hset")
+    coeffs = _uhash_coeffs(k)
+    m = F.col("_h") % MINHASH_P
+    sigs = (
+        reps.select("gid", F.explode("hset").alias("_h"))
+        .groupBy("gid")
+        .agg(*[F.min(_perm_hash_int(m, i, coeffs)).alias(f"sig{i}") for i in range(k)])
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"sig{b * rows + r}") for r in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    gid_bands = sigs.select("gid", band_keys.alias("bands"))
+    return (
+        withg.select("doc_id", "gid", F.size("hset").alias("sz"), "hset")
+        .join(gid_bands, "gid")
+        .select("doc_id", "gid", "sz", "hset", "bands")
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    k: int | None = None,
+    bands: int | None = None,
+    rows: int | None = None,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between an ingest batch and an existing corpus
+    index: (new_id, index_id, jaccard) with jaccard >= threshold —
+    WITHOUT re-hashing the corpus.
+
+    Probe plan: build the batch's own index rows (same pure functions),
+    band-join at GID level (both sides' distinct-set representatives
+    only), prune with the Jaccard size bound inside the join, verify
+    exact Jaccard on the candidate gid pairs, then expand to doc pairs
+    through both membership tables. The corpus side streams: one explode
+    of stored band arrays + one equi-join, no shuffle of hsets (gid
+    verification rows join by key). With ``broadcast_new`` (a daily
+    batch vs a corpus: new << index) every corpus-side step is
+    broadcast-joined, so the probe never shuffles the index at all.
+
+    The SAME (threshold, k, bands, rows) as the index build is required;
+    mismatched banding silently misses pairs, so pass explicitly when
+    the index was built with explicit values."""
+    nb = minhash_index(
+        new_docs, text_col, id_col, threshold, k=k, bands=bands, rows=rows
+    ).localCheckpoint()
+    new_reps = nb.filter(F.col("doc_id") == F.col("gid")).select(
+        F.col("gid").alias("_ng"),
+        F.col("sz").alias("_nsz"),
+        F.col("hset").alias("_nset"),
+        "bands",
+    )
+    idx_reps = index.filter(F.col("doc_id") == F.col("gid")).select(
+        F.col("gid").alias("_ig"),
+        F.col("sz").alias("_isz"),
+        F.col("hset").alias("_iset"),
+        "bands",
+    )
+    nbands = new_reps.select(
+        "_ng", "_nsz", F.explode("bands").alias("band")
+    )
+    if broadcast_new:
+        nbands = F.broadcast(nbands)
+    ibands = idx_reps.select("_ig", "_isz", F.explode("bands").alias("band"))
+    cand = (
+        ibands.join(nbands, "band")
+        .filter(
+            F.least(F.col("_nsz"), F.col("_isz")).cast("double")
+            >= F.lit(threshold) * F.greatest(F.col("_nsz"), F.col("_isz"))
+        )
+        .select("_ng", "_ig")
+        .distinct()
+    )
+    nv = new_reps.select("_ng", "_nset")
+    pairs = (
+        cand.join(F.broadcast(nv) if broadcast_new else nv, "_ng")
+        .join(idx_reps.select("_ig", "_iset"), "_ig")
+        .withColumn("jaccard", jaccard(F.col("_nset"), F.col("_iset")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("_ng", "_ig", F.round("jaccard", 6).alias("jaccard"))
+    )
+    nm = nb.select(F.col("gid").alias("_ng"), F.col("doc_id").alias("new_id"))
+    im = index.select(F.col("gid").alias("_ig"), F.col("doc_id").alias("index_id"))
+    return (
+        pairs.join(F.broadcast(nm) if broadcast_new else nm, "_ng")
+        .join(im, "_ig")
+        .select("new_id", "index_id", "jaccard")
+    )

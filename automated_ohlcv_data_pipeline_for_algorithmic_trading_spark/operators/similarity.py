@@ -182,28 +182,29 @@ def seeded_centroids(
     )
 
 
-def ivf_knn(
-    queries: DataFrame,
+def ivf_index(
     corpus: DataFrame,
-    k: int = 5,
     n_lists: int = 16,
-    n_probe: int = 2,
+    n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
     fit: str = "seeded",
-    n_iter: int = 2,
-) -> DataFrame:
-    """IVF (inverted-file) approximate kNN: a coarse quantizer over the
-    corpus; each query scans only its ``n_probe`` nearest cells.
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable IVF index: ``(centroids, assignments)``.
 
-    ``fit="seeded"`` (default) uses :func:`seeded_centroids` — the
-    deterministic, oracle-replayable quantizer. ``fit="ml"`` uses
-    ``pyspark.ml`` KMeans (converged centroids, engine-dependent bits).
-    The centroid fit is a one-off (cheap, sampled at real scale); the
-    search is an equi-join on cell id — scanned candidates drop by
-    ~n_lists/n_probe. Output matches brute_force_knn's shape; recall is
-    validated against it in tests.
+    ``centroids``: (cell int, centroid array<double>) — tiny, broadcast
+    at probe time. ``assignments``: (vec_id, cell, vec, norm) — one row
+    per corpus vector with its cell id and pre-folded L2 norm.
+
+    This is the index LIFECYCLE split the at-scale deployment needs: the
+    k-means fit + corpus assignment is the expensive one-off pass; every
+    later query batch probes the stored tables via :func:`ivf_probe`
+    without re-fitting or re-assigning anything. Write ``assignments``
+    with ``partitionBy("cell")`` (or commit both as versioned tables):
+    the probe's cell equi-join against a broadcast probe set then prunes
+    unprobed cell partitions at the scan (dynamic partition pruning) —
+    each query batch physically reads ~n_probe/n_lists of the corpus.
     """
     if fit == "ml":
         cdf = _ml_kmeans_centroids(corpus, n_lists, id_col, vec_col, seed)
@@ -212,17 +213,38 @@ def ivf_knn(
     base = corpus.select(
         F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
     ).repartition(corpus.sparkSession.sparkContext.defaultParallelism, "_vid")
-    # per-vector norm folded once here, not per candidate pair below
-    corpus_cells = _assign_cells(base, cdf).select(
-        F.col("_vid").alias("neighbor_id"),
-        F.col("_x").alias("_cvec"),
-        "_cell",
-        l2_norm(F.col("_x")).alias("_cnorm"),
+    assignments = _assign_cells(base, cdf).select(
+        F.col("_vid").alias("vec_id"),
+        F.col("_cell").alias("cell"),
+        F.col("_x").alias("vec"),
+        l2_norm(F.col("_x")).alias("norm"),
+    )
+    return cdf, assignments
+
+
+def ivf_probe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a stored IVF index: each query ranks the ``n_probe``
+    nearest cells' members by exact cosine. Consumes the tables
+    :func:`ivf_index` builds (in memory or re-read from parquet —
+    bit-identical either way)."""
+    corpus_cells = assignments.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("_cvec"),
+        F.col("cell").alias("_cell"),
+        F.col("norm").alias("_cnorm"),
     )
     qbase = queries.select(
         F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
     )
-    jq = qbase.join(F.broadcast(cdf))
+    jq = qbase.join(F.broadcast(centroids))
     wq = Window.partitionBy("_vid").orderBy(F.col("_d2").asc(), F.col("cell").asc())
     probes = (
         jq.withColumn("_d2", _cell_dist2(F.col("_x"), F.col("centroid")))
@@ -247,6 +269,34 @@ def ivf_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rank")
     )
+
+
+def ivf_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit: str = "seeded",
+    n_iter: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN: a coarse quantizer over the
+    corpus; each query scans only its ``n_probe`` nearest cells.
+
+    ``fit="seeded"`` (default) uses :func:`seeded_centroids` — the
+    deterministic, oracle-replayable quantizer. ``fit="ml"`` uses
+    ``pyspark.ml`` KMeans (converged centroids, engine-dependent bits).
+    One-shot composition of :func:`ivf_index` + :func:`ivf_probe` —
+    persist the index parts for repeated query batches. Output matches
+    brute_force_knn's shape; recall is validated against it in tests.
+    """
+    cdf, assignments = ivf_index(
+        corpus, n_lists, n_iter, id_col, vec_col, fit=fit, seed=seed
+    )
+    return ivf_probe(queries, cdf, assignments, k, n_probe, id_col, vec_col)
 
 
 def _ml_kmeans_centroids(

@@ -91,3 +91,38 @@ def test_kgram_fingerprint_near_dup_overlap(spark):
     s0, s1, s2 = (set(out[i]["fingerprint_sketch"]) for i in (0, 1, 2))
     assert len(s0 & s1) > len(s0 & s2)  # near-dups share sketch entries
     assert out[4]["fingerprint_sketch"]  # degenerate doc still fingerprints
+
+
+def test_ivf_index_persist_probe_matches_direct(spark, sf_dir, tmp_path):
+    """The IVF index lifecycle: build once, persist (assignments
+    partitioned by cell), probe the STORED index — bit-identical to the
+    one-shot ivf_knn, and a second query batch reuses the same artifact."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        ivf_index,
+        ivf_knn,
+        ivf_probe,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q1 = emb.filter(F.col("vec_id") < 5)
+    q2 = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+
+    cents, assigns = ivf_index(emb, n_lists=8)
+    cdir, adir = str(tmp_path / "cents"), str(tmp_path / "assigns")
+    cents.write.parquet(cdir)
+    assigns.write.partitionBy("cell").parquet(adir)
+    cents_r = spark.read.parquet(cdir)
+    # partition-column readback: cell comes back from the directory name;
+    # restore the declared int type
+    assigns_r = spark.read.parquet(adir).withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+
+    for q in (q1, q2):
+        direct = ivf_knn(q, emb, k=3, n_lists=8).collect()
+        stored = ivf_probe(q, cents_r, assigns_r, k=3).collect()
+        assert sorted(map(tuple, stored)) == sorted(map(tuple, direct))
+        assert len(direct) > 0

@@ -340,3 +340,70 @@ def test_near_dup_components_convergence_guard(spark):
         w.simplefilter("always")
         near_dup_components(clique, rounds=3).collect()
     assert not any("still changing" in str(c.message) for c in caught)
+
+
+def test_minhash_index_probe_matches_batch_cross_pairs(spark, tmp_path):
+    """Incremental dedup == batch dedup on the cross pairs: probing a new
+    batch against the corpus index yields exactly the (new x corpus)
+    subset of minhash_near_dup_pairs over the union — after a parquet
+    round trip of the index artifact, and the index updates by pure
+    row append."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        dedup_against_index,
+        minhash_index,
+        minhash_near_dup_pairs,
+    )
+
+    base_words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, base_words),
+            (2, base_words + " lambda"),            # near dup of 1
+            (3, "one two three four five six"),
+            (4, "totally different content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base_words),                       # exact dup of 1
+            (102, base_words.replace("kappa", "mu")),  # near dup of 1
+            (103, "unrelated fresh text payload"),
+            (104, "one two three four five six"),    # exact dup of 3
+            (105, "one two three four five six"),    # dup within the batch too
+        ],
+        "doc_id long, text string",
+    )
+
+    # persist + reload the index artifact
+    idx_path = str(tmp_path / "minhash_index")
+    minhash_index(corpus, threshold=0.8).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    got = {
+        (r["new_id"], r["index_id"]): r["jaccard"]
+        for r in dedup_against_index(new, index, threshold=0.8).collect()
+    }
+
+    full = minhash_near_dup_pairs(corpus.unionByName(new), threshold=0.8)
+    want = {}
+    for r in full.collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if (a <= 100) != (b <= 100):  # cross pairs only
+            new_id, idx_id = (b, a) if a <= 100 else (a, b)
+            want[(new_id, idx_id)] = r["jaccard"]
+    assert got == want
+    assert got[(101, 1)] == 1.0 and got[(104, 3)] == 1.0
+    assert (105, 3) in got          # batch dup of an indexed doc still maps
+    assert (103, 4) not in got      # unrelated stays unrelated
+
+    # incremental update is row append: index(corpus ∪ new) == union of
+    # the two independently built indexes (pure per-doc functions)
+    both = minhash_index(corpus.unionByName(new), threshold=0.8)
+    unioned = index.unionByName(minhash_index(new, threshold=0.8))
+    # gid may differ across builds (min id within identical-set group
+    # spans batches in the combined build); compare the per-doc content
+    cols = ["doc_id", "sz", "hset", "bands"]
+    a = {tuple(map(str, (r[c] for c in cols))) for r in both.select(*cols).collect()}
+    b = {tuple(map(str, (r[c] for c in cols))) for r in unioned.select(*cols).collect()}
+    assert a == b
