@@ -185,3 +185,105 @@ def events_stream_demo(
         .select("event_type", F.col("w.start").alias("bucket_start"),
                 "num_events", "total_value")
     )
+
+
+def dedup_ingest_sink(
+    docs_stream: DataFrame,
+    index_dir: str,
+    survivors_dir: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous-ingestion dedup: each micro-batch of documents is probed
+    against the PERSISTED MinHash-LSH index (operators/dedup_similarity:
+    minhash_index / dedup_against_index), survivors land in
+    ``survivors_dir`` and the batch's own index rows append to
+    ``index_dir`` — so later batches see every earlier batch without any
+    corpus re-hash. Within a batch, near-dup groups keep the min doc id
+    (band-join of the batch's index rows against itself).
+
+    This is the streaming face of the incremental dedup operators: index
+    growth is one parquet append per batch (plus the probe, whose corpus
+    side never shuffles), and replays are idempotent at the file level —
+    foreachBatch appends are NOT transactional across the two sinks, so
+    point ``index_dir`` at a versioned table (plans/versioned.py
+    commit_version mode="append") when exactly-once index growth
+    matters.
+    """
+    from ..operators.dedup_similarity import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    spark = docs_stream.sparkSession
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.select(id_col, text_col).localCheckpoint()
+        bidx = minhash_index(
+            batch, text_col, id_col, threshold
+        ).localCheckpoint()
+        # duplicates of anything already indexed
+        try:
+            index = spark.read.parquet(index_dir)
+            dup_of_corpus = (
+                dedup_against_index(batch, index, text_col, id_col, threshold)
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+        except Exception:  # first batch: no index yet
+            dup_of_corpus = None
+        # within-batch keeper selection: any member of a batch near-dup
+        # group that is not its group's min id is a duplicate (gid covers
+        # identical sets; band-join the reps for near groups)
+        reps = bidx.filter(F.col("doc_id") == F.col("gid"))
+        rb = reps.select("gid", "sz", F.explode("bands").alias("band"))
+        near = (
+            rb.alias("a")
+            .join(rb.alias("b"), "band")
+            .filter(F.col("a.gid") < F.col("b.gid"))
+            .filter(
+                F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            )
+            .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+            .distinct()
+        )
+        hs = reps.select("gid", "hset")
+        from ..operators.dedup_similarity import jaccard as _jac
+
+        near_ok = (
+            near.join(hs.select(F.col("gid").alias("ga"), F.col("hset").alias("_sa")), "ga")
+            .join(hs.select(F.col("gid").alias("gb"), F.col("hset").alias("_sb")), "gb")
+            .filter(_jac(F.col("_sa"), F.col("_sb")) >= threshold)
+            .select(F.col("gb").alias("_loser"))
+            .distinct()
+        )
+        in_batch_dups = (
+            bidx.join(near_ok, bidx["gid"] == near_ok["_loser"], "left_semi")
+            .select("doc_id")
+            .union(bidx.filter(F.col("doc_id") != F.col("gid")).select("doc_id"))
+            .distinct()
+            .withColumnRenamed("doc_id", id_col)
+        )
+        losers = (
+            in_batch_dups
+            if dup_of_corpus is None
+            else in_batch_dups.union(dup_of_corpus).distinct()
+        )
+        survivors = batch.join(losers, id_col, "left_anti")
+        survivors.write.mode("append").parquet(survivors_dir)
+        # append the FULL batch's index rows (dups included: future
+        # batches should map their copies to the earliest occurrence)
+        bidx.write.mode("append").parquet(index_dir)
+
+    writer = docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -187,3 +187,57 @@ def test_events_stream_demo(spark):
     q.awaitTermination(120)
     rows = spark.sql("SELECT count(*) AS n, sum(num_events) AS total FROM ev_out").collect()[0]
     assert rows["n"] > 0 and rows["total"] == 1000  # sf0.001 events row count
+
+
+def test_dedup_ingest_stream_incremental_index(spark, tmp_path):
+    """Continuous-ingestion dedup: three micro-batches replayed through a
+    file-source stream; duplicates of EARLIER batches are dropped via the
+    persisted index (no corpus re-hash), within-batch dups keep the min
+    id, and the index grows by pure appends."""
+    import time as _time
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        dedup_ingest_sink,
+    )
+
+    words = [f"tok{i}" for i in range(20)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["other"])       # 19/21 jaccard ~ 0.905
+    other = " ".join(f"z{i}" for i in range(20))
+    batches = [
+        [(1, base), (2, near)],                   # 2 near-dups 1 in batch
+        [(3, base), (4, other)],                  # 3 dups 1 cross-batch
+        [(5, other), (6, "fresh unique text here today"),
+         (7, "fresh unique text here today")],    # 5 dups 4; 7 dups 6
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+        _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    q = dedup_ingest_sink(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        survivors_dir=str(tmp_path / "survivors"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.9,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    surv = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "survivors")).collect()
+    )
+    assert surv == [1, 4, 6]
+    # the index holds EVERY doc (dups map future copies to first seen)
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert sorted(r["doc_id"] for r in idx.collect()) == [1, 2, 3, 4, 5, 6, 7]
