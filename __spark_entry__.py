@@ -3290,6 +3290,114 @@ FROM r WHERE rn = 1 ORDER BY user_id
 """
 
 
+def x_atr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range over the per-user daily OHLC series — Wilder's
+    volatility indicator next to SMA/RSI/Bollinger. Ticks reduce to one
+    (user, day) bar (single shuffle, composite-key arg_max close), then
+    the lag and rolling-mean windows share ONE per-user exchange; the
+    rolling mean routes through exact decimal sums
+    (operators/finance.true_range / atr)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        atr,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("trade_date")
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))).alias(
+            "close"
+        ),
+    )
+    out = atr(daily, ["user_id"], "trade_date", n=14)
+    return out.select(
+        "user_id", "trade_date", F.round("tr", 6).alias("tr"), "atr"
+    ).orderBy("user_id", "trade_date")
+
+
+_X_ATR_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         max(value) AS high, min(value) AS low,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+tr AS (
+  SELECT user_id, trade_date,
+         CASE WHEN lag(close) OVER w IS NULL THEN high - low
+              ELSE greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) END AS tr
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY trade_date))
+SELECT user_id, trade_date, round(tr, 6) AS tr,
+       round(CAST(sum(CAST(tr AS DECIMAL(38,6))) OVER f AS DOUBLE)
+             / count(*) OVER f, 6) AS atr
+FROM tr
+WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, trade_date
+"""
+
+
+def x_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise daily-return correlation over a bounded universe — the
+    portfolio/risk correlation matrix. Daily mean price per user (exact
+    decimal), close-to-close returns, then ONE date-equi self-join and a
+    map-side-combinable decimal moment aggregate per pair
+    (operators/finance.pairwise_corr). The output is O(k^2) by nature,
+    so the universe is bounded upstream (user_id < 30 here)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        pairwise_corr,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("trade_date")
+    ).agg(davg("value", "px"))
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+    prev = F.lag("px").over(w)
+    rets = (
+        daily.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNotNull() & (F.col("_prev") != 0))
+        .select(
+            "user_id",
+            "trade_date",
+            ((F.col("px") - F.col("_prev")) / F.col("_prev")).alias("ret"),
+        )
+    )
+    return pairwise_corr(rets, "user_id").orderBy("key_a", "key_b")
+
+
+_X_CORR_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date, {sql_davg('value')} AS px
+  FROM events WHERE user_id < 30 GROUP BY user_id, CAST(ts AS DATE)),
+rets AS (
+  SELECT user_id, trade_date,
+         (px - lag(px) OVER w) / lag(px) OVER w AS ret
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+  QUALIFY lag(px) OVER w IS NOT NULL AND lag(px) OVER w <> 0),
+agg AS (
+  SELECT a.user_id AS key_a, b.user_id AS key_b,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(a.ret AS DECIMAL(38,6))) AS DOUBLE) AS sa,
+         CAST(sum(CAST(b.ret AS DECIMAL(38,6))) AS DOUBLE) AS sb,
+         CAST(sum(CAST((a.ret * b.ret) AS DECIMAL(38,6))) AS DOUBLE) AS sab,
+         CAST(sum(CAST((a.ret * a.ret) AS DECIMAL(38,6))) AS DOUBLE) AS saa,
+         CAST(sum(CAST((b.ret * b.ret) AS DECIMAL(38,6))) AS DOUBLE) AS sbb
+  FROM rets a JOIN rets b ON a.trade_date = b.trade_date
+  WHERE a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id)
+SELECT key_a, key_b, CAST(n AS BIGINT) AS n_days,
+       round((n * sab - sa * sb)
+             / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 6) AS corr
+FROM agg
+WHERE n >= 2 AND (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
+ORDER BY key_a, key_b
+"""
+
+
 def x_beta_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user beta / alpha / market correlation of daily close-to-close
     returns vs the equal-weight market factor. Ticks reduce to
@@ -4025,6 +4133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_passthrough_daily": sql_passthrough_daily,
         "sql_passthrough_volatility": sql_passthrough_volatility,
         "d_incremental_dedup": d_incremental_dedup,
+        "x_atr_daily": x_atr_daily,
+        "x_corr_pairs": x_corr_pairs,
         "m_binary_features": m_binary_features,
         "x_pivot_event_matrix": x_pivot_event_matrix,
         "x_cube_rollup": x_cube_rollup,
@@ -4179,6 +4289,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_passthrough_daily": _SQL_SHARED_DAILY,
         "sql_passthrough_volatility": _SQL_SHARED_VOLATILITY,
         "d_incremental_dedup": _incremental_dedup_sql(),
+        "x_atr_daily": _X_ATR_SQL,
+        "x_corr_pairs": _X_CORR_SQL,
         "m_binary_features": _M_BINARY_SQL,
         "x_pivot_event_matrix": _X_PIVOT_SQL,
         "x_cube_rollup": _X_CUBE_SQL,
@@ -4289,6 +4401,8 @@ HEADLINE_QUERIES = [
     "sql_passthrough_daily",
     "sql_passthrough_volatility",
     "d_incremental_dedup",
+    "x_atr_daily",
+    "x_corr_pairs",
     "m_binary_features",
     "x_pivot_event_matrix",
     "x_cube_rollup",

@@ -266,3 +266,123 @@ def beta_vs_market(
             ),
         )
     )
+
+
+def true_range(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Append ``tr`` — Wilder's true range:
+    max(high-low, |high-prev_close|, |low-prev_close|), where prev_close
+    is the previous bar's close within the key (first bar: high-low).
+
+    One lag window per key partition — no shuffle beyond the single
+    per-key exchange the caller's ordering already implies."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    prev_close = F.lag(close).over(w)
+    tr = F.when(
+        prev_close.isNull(), F.col(high) - F.col(low)
+    ).otherwise(
+        F.greatest(
+            F.col(high) - F.col(low),
+            F.abs(F.col(high) - prev_close),
+            F.abs(F.col(low) - prev_close),
+        )
+    )
+    return df.withColumn("tr", tr)
+
+
+def atr(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 14,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Average True Range (simple-mean variant): rolling mean of the true
+    range over the last ``n`` bars per key — the volatility band the
+    reference's indicator surface implies next to SMA/RSI/Bollinger.
+
+    The rolling mean routes through exact decimal sums
+    (functions/exact.py), so ATR is bit-identical on any partitioning
+    and replays in plain window SQL; bars before the n-th average over
+    the bars seen so far (the standard warm-up convention, matching the
+    SQL twin's ROWS frame). Both windows share ONE per-key exchange.
+
+    Output: input columns + (tr, atr).
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    out = true_range(df, keys, order_col, high, low, close)
+    rolling_mean = (
+        F.sum(F.col("tr").cast(_DEC)).over(frame).cast("double")
+        / F.count(F.lit(1)).over(frame).cast("double")
+    )
+    return out.withColumn("atr", F.round(rolling_mean, 6))
+
+
+def pairwise_corr(
+    returns: DataFrame,
+    key_col: str,
+    date_col: str = "trade_date",
+    ret_col: str = "ret",
+    min_days: int = 2,
+) -> DataFrame:
+    """Pairwise Pearson correlation of daily-return series — the
+    correlation matrix a portfolio/risk layer computes over the
+    universe. Output: (key_a, key_b, n_days, corr) for key_a < key_b.
+
+    Shape at scale: the self-join is an equi-join ON THE DATE (dates are
+    few and dense, so this is k^2 pair rows per date, not a cartesian),
+    and the moment reduction is one map-side-combinable aggregate per
+    pair with every sum decimal-routed — partition-invariant, exact in
+    SQL. For a large universe bound the pair count upstream (filter the
+    key set) — the output itself is O(k^2); pairs with < ``min_days``
+    common observations or a zero-variance side are dropped (undefined
+    correlation).
+    """
+    a = returns.select(
+        F.col(key_col).alias("key_a"),
+        F.col(date_col).alias("_d"),
+        F.col(ret_col).alias("_ra"),
+    )
+    b = returns.select(
+        F.col(key_col).alias("key_b"),
+        F.col(date_col).alias("_d"),
+        F.col(ret_col).alias("_rb"),
+    )
+    ra, rb = F.col("_ra"), F.col("_rb")
+    agg = (
+        a.join(b, "_d")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(ra.cast(_DEC)).cast("double").alias("sa"),
+            F.sum(rb.cast(_DEC)).cast("double").alias("sb"),
+            F.sum((ra * rb).cast(_DEC)).cast("double").alias("sab"),
+            F.sum((ra * ra).cast(_DEC)).cast("double").alias("saa"),
+            F.sum((rb * rb).cast(_DEC)).cast("double").alias("sbb"),
+        )
+    )
+    n, sa, sb, sab, saa, sbb = (
+        F.col(c) for c in ("n", "sa", "sb", "sab", "saa", "sbb")
+    )
+    cov_n = n * sab - sa * sb
+    va_n = n * saa - sa * sa
+    vb_n = n * sbb - sb * sb
+    return (
+        agg.filter((n >= float(min_days)) & (va_n > 0) & (vb_n > 0))
+        .select(
+            "key_a",
+            "key_b",
+            n.cast("long").alias("n_days"),
+            F.round(cov_n / F.sqrt(va_n * vb_n), 6).alias("corr"),
+        )
+    )

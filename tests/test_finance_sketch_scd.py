@@ -305,3 +305,53 @@ class TestSketchArtifacts:
         assert sorted(map(tuple, merged.collect())) == sorted(
             map(tuple, direct.collect())
         )
+
+
+def test_true_range_and_atr_known_series(spark):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        atr,
+    )
+
+    # one symbol, 4 bars; hand-computed Wilder true ranges
+    rows = [
+        ("S", 1, 12.0, 10.0, 11.0),   # first bar: tr = high-low = 2
+        ("S", 2, 13.0, 11.5, 12.0),   # tr = max(1.5, |13-11|=2, |11.5-11|=.5) = 2
+        ("S", 3, 11.0, 9.0, 10.0),    # tr = max(2, |11-12|=1, |9-12|=3) = 3
+        ("S", 4, 10.5, 10.0, 10.2),   # tr = max(.5, .5, 0) = 0.5
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, t long, high double, low double, close double"
+    )
+    out = {
+        r["t"]: r
+        for r in atr(df, ["symbol"], "t", n=3).collect()
+    }
+    assert [out[t]["tr"] for t in (1, 2, 3, 4)] == [2.0, 2.0, 3.0, 0.5]
+    # warm-up mean over bars seen so far, then 3-bar rolling mean
+    assert out[1]["atr"] == 2.0
+    assert out[2]["atr"] == 2.0
+    assert round(out[3]["atr"], 6) == round(7.0 / 3, 6)
+    assert round(out[4]["atr"], 6) == round(5.5 / 3, 6)
+
+
+def test_pairwise_corr_perfect_and_anti(spark):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        pairwise_corr,
+    )
+
+    # A and B move together, C moves opposite, D is constant (dropped)
+    rows = []
+    series = {"A": [0.01, -0.02, 0.03, 0.01], "B": [0.02, -0.04, 0.06, 0.02],
+              "C": [-0.01, 0.02, -0.03, -0.01], "D": [0.0, 0.0, 0.0, 0.0]}
+    for k, vals in series.items():
+        for d, v in enumerate(vals):
+            rows.append((k, d, v))
+    df = spark.createDataFrame(rows, "sym string, trade_date long, ret double")
+    out = {
+        (r["key_a"], r["key_b"]): r["corr"]
+        for r in pairwise_corr(df, "sym").collect()
+    }
+    assert out[("A", "B")] == 1.0
+    assert out[("A", "C")] == -1.0
+    assert out[("B", "C")] == -1.0
+    assert not any("D" in k for k in out)  # zero variance -> dropped
