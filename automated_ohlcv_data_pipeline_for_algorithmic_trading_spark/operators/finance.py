@@ -347,6 +347,11 @@ def pairwise_corr(
     common observations or a zero-variance side are dropped (undefined
     correlation).
     """
+    # both self-join sides consume `returns`; cut the lineage once so the
+    # upstream tick->daily-return reduction doesn't execute per side (the
+    # checkpointed table is key-days — tiny next to the fact input; same
+    # discipline as beta_vs_market)
+    returns = returns.localCheckpoint()
     a = returns.select(
         F.col(key_col).alias("key_a"),
         F.col(date_col).alias("_d"),
