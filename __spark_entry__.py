@@ -1041,6 +1041,62 @@ ORDER BY event_type, bucket_start
 """
 
 
+def e_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 15-minute resample: the dense series a charting or
+    backtesting layer needs — empty buckets between each key's first and
+    last observation carry the previous close forward and are flagged.
+    Grid generated per key via sequence()+explode (no driver loop), one
+    ignore-nulls carry window (operators/resample.resample_gapfill)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.resample import (
+        resample_gapfill,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_gapfill(ev, 15, ["event_type"], "ts", "value", tiebreak="event_id")
+    return out.orderBy("event_type", "bucket_start")
+
+
+_E_GAPFILL_SQL = f"""
+WITH agg AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '15 minutes', ts, TIMESTAMP '2000-01-01 00:00:00') AS bucket_start,
+         arg_min(value, {_SQL_TS_EVENT_KEY}) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close,
+         {sql_dsum('value')} AS total_value,
+         count(*) AS num_records
+  FROM events
+  GROUP BY event_type, bucket_start),
+bounds AS (
+  SELECT event_type, min(bucket_start) AS lo, max(bucket_start) AS hi
+  FROM agg GROUP BY event_type),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket_start
+  FROM bounds),
+joined AS (
+  SELECT g.event_type, g.bucket_start, a.open, a.high, a.low, a.close,
+         a.total_value, a.num_records
+  FROM grid g LEFT JOIN agg a
+    ON a.event_type = g.event_type AND a.bucket_start = g.bucket_start)
+SELECT event_type, bucket_start,
+       coalesce(open, carry) AS open,
+       coalesce(high, carry) AS high,
+       coalesce(low, carry) AS low,
+       coalesce(close, carry) AS close,
+       coalesce(total_value, 0.0) AS total_value,
+       coalesce(num_records, 0) AS num_records,
+       close IS NULL AS filled
+FROM (
+  SELECT *, last_value(close IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+  FROM joined)
+ORDER BY event_type, bucket_start
+"""
+
+
 def e_dedup_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — last-wins dedup (api/api_handler.py:418-424): one event per
     (user_id, day, event_type), keeping the latest by (ts, event_id)."""
@@ -4135,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_incremental_dedup": d_incremental_dedup,
         "x_atr_daily": x_atr_daily,
         "x_corr_pairs": x_corr_pairs,
+        "e_resample_gapfill": e_resample_gapfill,
         "m_binary_features": m_binary_features,
         "x_pivot_event_matrix": x_pivot_event_matrix,
         "x_cube_rollup": x_cube_rollup,
@@ -4291,6 +4348,7 @@ def oracle_sql() -> dict[str, str]:
         "d_incremental_dedup": _incremental_dedup_sql(),
         "x_atr_daily": _X_ATR_SQL,
         "x_corr_pairs": _X_CORR_SQL,
+        "e_resample_gapfill": _E_GAPFILL_SQL,
         "m_binary_features": _M_BINARY_SQL,
         "x_pivot_event_matrix": _X_PIVOT_SQL,
         "x_cube_rollup": _X_CUBE_SQL,
@@ -4403,6 +4461,7 @@ HEADLINE_QUERIES = [
     "d_incremental_dedup",
     "x_atr_daily",
     "x_corr_pairs",
+    "e_resample_gapfill",
     "m_binary_features",
     "x_pivot_event_matrix",
     "x_cube_rollup",

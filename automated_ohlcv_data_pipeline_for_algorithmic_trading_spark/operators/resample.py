@@ -75,3 +75,65 @@ def resample_series(
         .withColumn("bucket_start", F.col("bucket.start"))
         .drop("bucket")
     )
+
+
+def resample_gapfill(
+    df: DataFrame,
+    minutes: int,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-filled resample: every N-minute bucket between each key's
+    first and last observation gets a row; buckets with no source rows
+    carry the previous close forward (open=high=low=close=prev close,
+    volume-ish fields 0, ``filled`` flag set) — the dense series
+    charting/backtesting layers require (a missing 5-minute bar must
+    not silently shrink a moving window).
+
+    Plan shape at scale: one resample aggregate (map-side combined),
+    then PER KEY a bucket grid via ``sequence()`` + explode — the grid
+    is generated from each key's own [min, max] bucket range, so its
+    row count is the output's, not (keys x global range) — a left join
+    back on (key, bucket) co-partitioned with the grid's shuffle, and
+    ONE last_value(ignoreNulls) window for the carry. No driver-side
+    loops; every step whole-stage-codegen'd.
+    """
+    from pyspark.sql import Window
+
+    agg = resample_series(df, minutes, keys, ts_col, value_col, tiebreak)
+    step = minutes * 60
+    kcols = [F.col(k) for k in keys]
+    bounds = agg.groupBy(*kcols).agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    grid = bounds.select(
+        *kcols,
+        F.explode(
+            F.sequence(
+                F.col("_lo").cast("timestamp"),
+                F.col("_hi").cast("timestamp"),
+                F.expr(f"INTERVAL {step} SECONDS"),
+            )
+        ).alias("bucket_start"),
+    )
+    joined = grid.join(agg, [*keys, "bucket_start"], "left")
+    w = (
+        Window.partitionBy(*kcols)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = F.last(F.col("close"), ignorenulls=True).over(w)
+    filled = F.col("close").isNull()
+    return joined.select(
+        *kcols,
+        "bucket_start",
+        F.coalesce("open", carry).alias("open"),
+        F.coalesce("high", carry).alias("high"),
+        F.coalesce("low", carry).alias("low"),
+        F.coalesce("close", carry).alias("close"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        F.coalesce("num_records", F.lit(0).cast("long")).alias("num_records"),
+        filled.alias("filled"),
+    )

@@ -277,3 +277,43 @@ def test_rolling_zscore_known_values_and_guards(spark):
     assert abs(by[("A", 9)] - expect) < 1e-9
     # zero-variance window -> NULL, never a division blow-up
     assert all(by[("B", t)] is None for t in range(12))
+
+
+def test_resample_gapfill_carries_close_and_flags(spark):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.resample import (
+        resample_gapfill,
+    )
+    from pyspark.sql import functions as F
+
+    # key A: ticks in minute-buckets 0 and 30 with a 15-min hole at 15;
+    # key B: single bucket (no holes, no fill rows)
+    rows = [
+        ("A", "2024-01-01 00:01:00", 10.0, 1),
+        ("A", "2024-01-01 00:05:00", 11.0, 2),
+        ("A", "2024-01-01 00:31:00", 12.0, 3),
+        ("B", "2024-01-01 00:02:00", 5.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, value double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["k"], str(r["bucket_start"])): r
+        for r in resample_gapfill(
+            df, 15, ["k"], "ts", "value", tiebreak="event_id"
+        ).collect()
+    }
+    assert len(out) == 4  # A: 3 buckets (1 filled), B: 1
+    real = out[("A", "2024-01-01 00:00:00")]
+    assert (real["open"], real["close"], real["num_records"], real["filled"]) == (
+        10.0, 11.0, 2, False
+    )
+    hole = out[("A", "2024-01-01 00:15:00")]
+    assert (hole["open"], hole["high"], hole["low"], hole["close"]) == (
+        11.0, 11.0, 11.0, 11.0
+    )  # previous close carried into all four prices
+    assert (hole["total_value"], hole["num_records"], hole["filled"]) == (
+        0.0, 0, True
+    )
+    last = out[("A", "2024-01-01 00:30:00")]
+    assert last["close"] == 12.0 and not last["filled"]
+    assert not out[("B", "2024-01-01 00:00:00")]["filled"]
