@@ -615,7 +615,12 @@ def minhash_index(
     probe time, so the stored row stays one-per-doc).
 
     (k, bands, rows) default from ``lsh_banding_for(threshold)`` and
-    MUST match between index build and probe."""
+    MUST match between index build and probe.
+
+    Documents whose token set is EMPTY yield no index row (explode drops
+    them before signatures) — correct for dedup, since Jaccard with an
+    empty set is undefined/0 and such docs can never be near-duplicates;
+    the same convention as minhash_near_dup_pairs."""
     if k is None or bands is None or rows is None:
         auto_k, auto_b, auto_r = lsh_banding_for(threshold)
         k = auto_k if k is None else k

@@ -202,8 +202,13 @@ def dedup_ingest_sink(
     minhash_index / dedup_against_index), survivors land in
     ``survivors_dir`` and the batch's own index rows append to
     ``index_dir`` — so later batches see every earlier batch without any
-    corpus re-hash. Within a batch, near-dup groups keep the min doc id
-    (band-join of the batch's index rows against itself).
+    corpus re-hash. Within a batch the keeper rule is GREEDY: a doc is
+    dropped iff some smaller-id doc in the same batch is its near-dup
+    (band-join of the batch's index rows against itself) — for a
+    transitive chain a<b<c with only a~b and b~c near, both b and c
+    drop; run the offline near_dup_components pass when exact
+    component-level keeper selection matters. Empty-token docs have no
+    index row and always survive (Jaccard undefined).
 
     This is the streaming face of the incremental dedup operators: index
     growth is one parquet append per batch (plus the probe, whose corpus
