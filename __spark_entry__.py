@@ -2599,7 +2599,11 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     new = docs.filter(F.col("doc_id") % 10 == 0)
-    index = minhash_index(corpus, threshold=0.9)
+    # materialize the index once — standing in for the parquet artifact a
+    # production probe reads; the probe consumes it on three sides
+    # (bands, verify, membership) and would otherwise recompute the
+    # corpus signatures per consumer (measured 7.7 -> 5.8 s at sf0.1)
+    index = minhash_index(corpus, threshold=0.9).localCheckpoint()
     return dedup_against_index(new, index, threshold=0.9).orderBy(
         "new_id", "index_id"
     )
