@@ -1097,6 +1097,46 @@ ORDER BY event_type, bucket_start
 """
 
 
+def o_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance driven end-to-end: the
+    daily rollup table is BOOTSTRAPPED from all days but the last, then a
+    second refresh lands the final day's batch (recomputing ONLY that
+    day, dynamic partition overwrite). The returned table is the
+    maintained artifact read back from parquet — and the oracle is the
+    plain from-scratch daily-rollup SQL, so the hash check IS the
+    maintenance invariant: incrementally-maintained == rebuilt
+    (plans/rollup_refresh.refresh_daily_rollup)."""
+    import shutil
+    import tempfile
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.rollup_refresh import (
+        read_daily_rollup,
+        refresh_daily_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").localCheckpoint()
+    last_day = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    path = tempfile.mkdtemp(prefix="rollup_refresh_")
+    try:
+        old = ev.filter(F.to_date("ts") < F.lit(last_day))
+        refresh_daily_rollup(
+            spark, old, path, ["user_id"], "ts", "value", tiebreak="event_id"
+        )
+        batch = ev.filter(F.to_date("ts") == F.lit(last_day))
+        refresh_daily_rollup(
+            spark, ev, path, ["user_id"], "ts", "value",
+            tiebreak="event_id", batch=batch,
+        )
+        out = (
+            read_daily_rollup(spark, path)
+            .orderBy("user_id", "trade_date")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def e_dedup_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — last-wins dedup (api/api_handler.py:418-424): one event per
     (user_id, day, event_type), keeping the latest by (ts, event_id)."""
@@ -4196,6 +4236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_atr_daily": x_atr_daily,
         "x_corr_pairs": x_corr_pairs,
         "e_resample_gapfill": e_resample_gapfill,
+        "o_rollup_refresh": o_rollup_refresh,
         "m_binary_features": m_binary_features,
         "x_pivot_event_matrix": x_pivot_event_matrix,
         "x_cube_rollup": x_cube_rollup,
@@ -4353,6 +4394,7 @@ def oracle_sql() -> dict[str, str]:
         "x_atr_daily": _X_ATR_SQL,
         "x_corr_pairs": _X_CORR_SQL,
         "e_resample_gapfill": _E_GAPFILL_SQL,
+        "o_rollup_refresh": _E_DAILY_ROLLUP_SQL,
         "m_binary_features": _M_BINARY_SQL,
         "x_pivot_event_matrix": _X_PIVOT_SQL,
         "x_cube_rollup": _X_CUBE_SQL,
@@ -4466,6 +4508,7 @@ HEADLINE_QUERIES = [
     "x_atr_daily",
     "x_corr_pairs",
     "e_resample_gapfill",
+    "o_rollup_refresh",
     "m_binary_features",
     "x_pivot_event_matrix",
     "x_cube_rollup",
