@@ -12,6 +12,8 @@ __spark_entry__.py — names in brackets):
 2. sequence packing    [d_pack_sequences]     greedy token-budget packing
 3. sketch artifacts    [d_hll_users, d_cms_tokens]  mergeable HLL + CMS
 4. versioned commit    [tests/test_versioned.py]    snapshot + time travel
+5. incremental dedup   [d_incremental_dedup]  persist the MinHash index,
+   probe the NEXT ingest batch against it without re-hashing the corpus
 """
 
 from __future__ import annotations
@@ -88,6 +90,29 @@ def main() -> None:
         )
         for h in history(table):
             print(f"  version {h['version']} ({h['mode']}): {h['note']}")
+
+    # 5. incremental dedup: index today's curated corpus once, probe the
+    #    next batch against the stored artifact (no corpus re-hash)
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (  # noqa: E402,E501
+        dedup_against_index,
+        minhash_index,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        idx_path = f"{td}/minhash_index"
+        minhash_index(kept, threshold=0.9).write.parquet(idx_path)
+        index = spark.read.parquet(idx_path)
+        # tomorrow's batch: some genuinely new docs + re-crawls of
+        # indexed ones (simulated by re-submitting a slice with new ids)
+        recrawl = kept.limit(20).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        pairs = dedup_against_index(recrawl, index, threshold=0.9)
+        n_dup = pairs.select("new_id").distinct().count()
+        print(f"incremental probe: {n_dup}/20 re-crawled docs matched the index")
+        # the batch's own index rows APPEND — tomorrow's index is ready
+        minhash_index(recrawl, threshold=0.9).write.mode("append").parquet(idx_path)
+        print(f"index now {spark.read.parquet(idx_path).count()} rows")
 
 
 if __name__ == "__main__":
