@@ -301,3 +301,33 @@ def test_merge_commit_schema_mismatch_is_clear_error(spark, tmp_path):
     bad2 = spark.createDataFrame([(2,)], "k long")
     with pytest.raises(ValueError, match="missing=\\['v'\\]"):
         merge_commit(spark, bad2, table, ["k"])
+
+
+def test_hadoop_io_route_full_lifecycle(spark, tmp_path, monkeypatch):
+    """The Hadoop FileSystem metadata route (used for non-local table
+    paths in cluster mode) exercised end-to-end against the local FS:
+    commit/append/read/history/rollback/vacuum through py4j I/O must
+    behave identically to the os fast path."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans import (
+        versioned as V,
+    )
+
+    monkeypatch.setattr(V, "_io", lambda table_dir: V._HadoopIO(table_dir))
+
+    table = str(tmp_path / "htbl")
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    v1 = V.commit_version(df1, table, note="first")
+    v2 = V.commit_version(df2, table, mode="append", note="second")
+    assert (v1, v2) == (1, 2)
+    assert V.latest_version(table) == 2
+    assert V.read_version(spark, table, 1).count() == 1
+    assert V.read_version(spark, table, 2).count() == 2
+    hist = V.history(table)
+    assert [h["version"] for h in hist] == [1, 2]
+    v3 = V.rollback(table, 1)
+    assert V.read_version(spark, table, v3).count() == 1
+    deleted = V.vacuum(table, keep_versions=1)
+    # v2's extra file became unreferenced after the rollback kept v1's
+    assert all(p.endswith(".parquet") for p in deleted)
+    assert V.read_version(spark, table).count() == 1
