@@ -168,6 +168,37 @@ def main() -> None:
         chunk_width=86_400,  # ts is epoch-seconds here
     ), results)
 
+    # round-3 additions: ATR over per-symbol daily bars, gap-filled
+    # resample, pairwise correlation on a bounded universe
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        atr,
+        pairwise_corr,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.resample import (
+        resample_gapfill,
+    )
+
+    daily_bars = base.groupBy(
+        "symbol", F.to_date("ts").alias("trade_date")
+    ).agg(
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", F.col("timestamp_unix")).alias("close"),
+    )
+    timed("daily bars + atr_14 (2000 symbols)", atr(
+        daily_bars, ["symbol"], "trade_date", n=14
+    ), results)
+    timed("resample_gapfill 15m (2000 symbols)", resample_gapfill(
+        base, 15, ["symbol"], "ts", "close", tiebreak="timestamp_unix"
+    ), results)
+    rets200 = daily_returns(
+        base_id.filter(F.col("symbol") < "NSE:S0200"),
+        ["symbol"], "ts", "rid", "close",
+    )
+    timed("pairwise_corr (200-symbol universe, ~20k pairs)", pairwise_corr(
+        rets200, "symbol"
+    ), results)
+
     lines = [
         "# Scale smoke results\n",
         f"\n{n:,} synthetic candle rows (2,000 symbols x 67 days, 20% dup refetch),",
@@ -193,12 +224,21 @@ def main() -> None:
         "and union, worth it only when one key dominates).\n"
         "\nRound-2 rows: max_drawdown runs its two windows on one\n"
         "(symbol) exchange; under a 95%-hot key it serializes like any\n"
-        "single-key window (the sma_chunked-style day-chunk carry is the\n"
-        "mitigation if a real corpus ever concentrates one instrument).\n"
+        "single-key window — max_drawdown_chunked is the skew-robust form\n"
+        "(running max decomposed over (key, day) chunks with a prefix-max\n"
+        "carry, trough picked by a map-side-combinable min(struct);\n"
+        "identical output, ~7x faster on the hot key).\n"
         "beta_vs_market reduces ticks to symbol-days before any wide\n"
         "operation, so skew in tick volume never reaches the regression;\n"
         "hll_registers collapses to <=2^p rows map-side regardless of\n"
         "input size.\n"
+        "\nRound-3 rows: atr shares one per-symbol exchange between its\n"
+        "lag and rolling-mean windows over pre-reduced daily bars;\n"
+        "resample_gapfill's grid is generated per key from its own range\n"
+        "(grid rows == output rows) and filled by one ignore-nulls carry\n"
+        "window; pairwise_corr is a date equi-join over a bounded\n"
+        "universe — output is O(k^2) by definition, so the universe\n"
+        "bound, not the engine, is the scale lever.\n"
     )
     with open("/root/repo/SCALE_RESULTS.md", "w") as f:
         f.write("".join(lines))

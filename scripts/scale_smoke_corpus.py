@@ -149,6 +149,31 @@ def main() -> None:
                 )
 
             timed(f"curation_pipeline ({variant})", curation(), results, n_docs)
+
+            # incremental lifecycle at scale: index the corpus once
+            # (persist), then probe a 1% landing batch against it —
+            # the per-batch cost a continuous pipeline actually pays
+            from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (  # noqa: E501
+                dedup_against_index,
+                minhash_index,
+            )
+
+            idx = minhash_index(docs, threshold=0.9)
+            t0 = time.perf_counter()
+            idx = idx.localCheckpoint()  # stands in for the parquet write
+            n_idx = idx.count()
+            dt = time.perf_counter() - t0
+            results.append((f"minhash_index build ({variant})", dt, n_docs, n_idx))
+            print(f"minhash_index build: {dt:.2f}s, {n_idx:,} rows", flush=True)
+            batch = synth_corpus(spark, n_docs // 100, hot=True).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+            )
+            timed(
+                f"dedup_against_index 1% batch ({variant})",
+                dedup_against_index(batch, idx, threshold=0.9),
+                results,
+                n_docs // 100,
+            )
         docs.unpersist()
 
     lines = [
