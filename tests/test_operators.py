@@ -317,3 +317,44 @@ def test_resample_gapfill_carries_close_and_flags(spark):
     last = out[("A", "2024-01-01 00:30:00")]
     assert last["close"] == 12.0 and not last["filled"]
     assert not out[("B", "2024-01-01 00:00:00")]["filled"]
+
+
+def test_resample_gapfill_consistent_with_plain_resample(spark):
+    """Non-filled gapfill rows must be EXACTLY the plain resample rows,
+    and per key the bucket count is (max-min)/width + 1."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.resample import (
+        resample_gapfill,
+        resample_series,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for k in ("X", "Y"):
+        for i in range(40):
+            if rng.random() < 0.5:  # sparse: ~half the slots have ticks
+                rows.append(
+                    (k, f"2024-01-01 {i // 4:02d}:{(i % 4) * 15 + 1:02d}:00",
+                     round(rng.uniform(1, 100), 2), i)
+                )
+    df = spark.createDataFrame(
+        rows, "k string, ts string, value double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    plain = {
+        (r["k"], str(r["bucket_start"])): (r["open"], r["close"], r["num_records"])
+        for r in resample_series(df, 15, ["k"], "ts", "value", tiebreak="event_id").collect()
+    }
+    gf = resample_gapfill(df, 15, ["k"], "ts", "value", tiebreak="event_id").collect()
+    real = {
+        (r["k"], str(r["bucket_start"])): (r["open"], r["close"], r["num_records"])
+        for r in gf if not r["filled"]
+    }
+    assert real == plain
+    for k in ("X", "Y"):
+        buckets = sorted(r["bucket_start"] for r in gf if r["k"] == k)
+        span = (buckets[-1] - buckets[0]).total_seconds()
+        assert len(buckets) == span / 900 + 1  # dense grid, no dup buckets

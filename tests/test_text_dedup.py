@@ -407,3 +407,29 @@ def test_minhash_index_probe_matches_batch_cross_pairs(spark, tmp_path):
     a = {tuple(map(str, (r[c] for c in cols))) for r in both.select(*cols).collect()}
     b = {tuple(map(str, (r[c] for c in cols))) for r in unioned.select(*cols).collect()}
     assert a == b
+
+
+def test_dedup_against_index_shuffle_path_matches_broadcast(spark):
+    """broadcast_new=False (the huge-batch shuffle path) produces the
+    same pairs as the broadcast path."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"shared tokens {' '.join(str(j) for j in range(12))} tail{i % 3}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"shared tokens {' '.join(str(j) for j in range(12))} tail{i % 3}")
+         for i in range(9)],
+        "doc_id long, text string",
+    )
+    index = minhash_index(corpus, threshold=0.8).localCheckpoint()
+    a = sorted(map(tuple, dedup_against_index(
+        new, index, threshold=0.8, broadcast_new=True).collect()))
+    b = sorted(map(tuple, dedup_against_index(
+        new, index, threshold=0.8, broadcast_new=False).collect()))
+    assert a == b and len(a) > 0
