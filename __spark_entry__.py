@@ -3557,6 +3557,299 @@ WHERE n >= 2.0 AND (n * smm - sm * sm) > 0
 ORDER BY user_id
 """
 
+#: Daily OHLCV bars from the tick stream — the shared CTE for the
+#: indicator oracles below. Volume is the same SQL-replayable synthetic
+#: as s_stateful_vwap (event_id % 100 + 1).
+_SQL_DAILY_OHLCV = f"""
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_min(value, {_SQL_TS_EVENT_KEY}) AS open,
+         max(value) AS high, min(value) AS low,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close,
+         CAST(sum(event_id % 100 + 1) AS BIGINT) AS volume
+  FROM events GROUP BY user_id, CAST(ts AS DATE)"""
+
+
+def _daily_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_DAILY_OHLCV: one composite-key shuffle reduces
+    ticks to (user, day) bars — min_by/max_by ordered first/last, exact
+    integer volume."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id", F.to_date("ts").alias("trade_date")).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.sum(F.expr("event_id % 100 + 1")).cast("long").alias("volume"),
+    )
+
+
+def x_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored intraday VWAP: cumulative price*volume / volume per
+    (user, trading day), resetting at the day boundary — the batch twin
+    of s_stateful_vwap with the day anchor a real execution desk uses.
+    The anchor splits each symbol's ticks into bounded chunks, so no
+    task ever sorts a symbol's full history (skew-robust by
+    construction); both cumulative sums share one exchange+sort
+    (operators/finance.anchored_vwap)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        anchored_vwap,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.to_date("ts").alias("trade_date"),
+        F.unix_micros(F.col("ts")).alias("timestamp_unix"),
+        F.col("value").alias("close"),
+        F.expr("event_id % 100 + 1").cast("long").alias("volume"),
+    )
+    out = anchored_vwap(
+        ev, ["user_id"], "trade_date", "timestamp_unix", "event_id",
+        price_col="close", volume_col="volume",
+    )
+    # vwap stays UNROUNDED: decimal sums are exact on both engines and
+    # IEEE division of identical operands is bit-identical — rounding a
+    # quotient can only ADD divergence (engine round() impls differ at
+    # 7th-decimal .5 boundaries).
+    return out.select(
+        "user_id", "trade_date", "event_id", "timestamp_unix", "close",
+        "volume", "vwap", "cum_volume",
+    ).orderBy("user_id", "timestamp_unix", "event_id")
+
+
+_X_VWAP_SQL = """
+WITH src AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date, event_id,
+         epoch_us(ts) AS timestamp_unix, value AS close,
+         event_id % 100 + 1 AS volume
+  FROM events)
+SELECT user_id, trade_date, event_id, timestamp_unix, close, volume,
+       CAST(sum(CAST(close * volume AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / CAST(sum(volume) OVER w AS BIGINT) AS vwap,
+       CAST(sum(volume) OVER w AS BIGINT) AS cum_volume
+FROM src
+WINDOW w AS (PARTITION BY user_id, trade_date
+             ORDER BY timestamp_unix, event_id
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY user_id, timestamp_unix, event_id
+"""
+
+
+def x_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K(14) / %D(3) over per-user daily OHLC bars
+    — the momentum indicator next to SMA/RSI/Bollinger/ATR. Ticks reduce
+    to bars first (single shuffle); all rolling frames then share ONE
+    per-user exchange+sort. %K is raw IEEE arithmetic and the %D sum is
+    an exact decimal, so both replay bit-identically as unrounded
+    doubles (operators/finance.stochastic_oscillator)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        stochastic_oscillator,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    out = stochastic_oscillator(daily, ["user_id"], "trade_date", n=14, d=3)
+    return out.select(
+        "user_id", "trade_date", "high", "low", "close", "pct_k", "pct_d"
+    ).orderBy("user_id", "trade_date")
+
+
+_X_STOCH_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+k AS (
+  SELECT user_id, trade_date, high, low, close,
+         CASE WHEN max(high) OVER f > min(low) OVER f
+              THEN (close - min(low) OVER f)
+                   / (max(high) OVER f - min(low) OVER f) * 100.0 END
+           AS pct_k
+  FROM daily
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, high, low, close, pct_k,
+       CAST(sum(CAST(floor(pct_k * 1000000.0 + 0.5) AS BIGINT)) OVER d
+            AS DOUBLE)
+             / count(pct_k) OVER d / 1000000.0 AS pct_d
+FROM k
+WINDOW d AS (PARTITION BY user_id ORDER BY trade_date
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, trade_date
+"""
+
+
+def x_obv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume over per-user daily bars: cumulative
+    sign(close - prev_close) * volume. All-integer ledger — no floating
+    point anywhere, exact on any engine/partitioning; the lag and the
+    running sum share one exchange+sort
+    (operators/finance.on_balance_volume)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        on_balance_volume,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    out = on_balance_volume(daily, ["user_id"], "trade_date")
+    return out.select(
+        "user_id", "trade_date", "close", "volume", "obv"
+    ).orderBy("user_id", "trade_date")
+
+
+_X_OBV_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+s AS (
+  SELECT user_id, trade_date, close, volume,
+         CASE WHEN lag(close) OVER w IS NULL THEN 0
+              WHEN close > lag(close) OVER w THEN volume
+              WHEN close < lag(close) OVER w THEN -volume
+              ELSE 0 END AS signed_vol
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date))
+SELECT user_id, trade_date, close, volume,
+       CAST(sum(signed_vol) OVER (PARTITION BY user_id ORDER BY trade_date
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+FROM s ORDER BY user_id, trade_date
+"""
+
+
+def x_returns_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily return ledger: simple return, log return, and
+    since-inception cumulative return. cum_ret divides by the series'
+    FIRST close (IEEE-exact, no accumulated rounding) rather than
+    exp(sum(log)); all three windows share one exchange+sort
+    (operators/finance.returns_ledger)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        returns_ledger,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    return returns_ledger(daily, ["user_id"], "trade_date").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_RETLEDGER_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV})
+SELECT user_id, trade_date, close,
+       lag(close) OVER w AS prev_close,
+       round(close / lag(close) OVER w - 1.0, 6) AS ret,
+       round(ln(close / lag(close) OVER w), 6) AS log_ret,
+       round(close / first_value(close) OVER (PARTITION BY user_id
+                 ORDER BY trade_date ROWS UNBOUNDED PRECEDING) - 1.0,
+             6) AS cum_ret
+FROM daily WHERE close > 0
+WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+ORDER BY user_id, trade_date
+"""
+
+
+def x_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day rolling Sharpe (rf=0) of per-user daily close-to-close
+    returns: rolling mean / rolling sample stddev from exact integer
+    micro-unit frame sums (shifted moments; quantization sidesteps the
+    engines' double->decimal tie-breaking divergence on dyadic
+    returns), sqrt correctly rounded — bit-stable across engines.
+    Ticks reduce to symbol-days before any window runs
+    (operators/finance.daily_returns + rolling_sharpe)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        daily_returns,
+        rolling_sharpe,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
+    out = rolling_sharpe(rets, ["user_id"], "trade_date", n=20)
+    return out.select(
+        "user_id", "trade_date", "ret", "sharpe"
+    ).orderBy("user_id", "trade_date")
+
+
+_X_SHARPE_SQL = f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE value > 0),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM src GROUP BY user_id, CAST(ts AS DATE)),
+rets AS (
+  SELECT user_id, trade_date,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily QUALIFY ret IS NOT NULL),
+q AS (
+  SELECT user_id, trade_date, ret,
+         CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS rq
+  FROM rets WHERE abs(ret) <= 10.0),
+m AS (
+  SELECT user_id, trade_date, ret,
+         CAST(count(ret) OVER f AS DOUBLE) AS n,
+         CAST(sum(rq) OVER f AS DOUBLE) AS s1,
+         CAST(sum(rq * rq) OVER f AS DOUBLE) AS s2
+  FROM q
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, ret,
+       CASE WHEN n >= 2.0 AND (s2 - s1 * s1 / n) / (n - 1.0) > 0
+            THEN (s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0)) END
+         AS sharpe
+FROM m ORDER BY user_id, trade_date
+"""
+
+
+def x_candle_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern flags (doji / hammer / shooting star /
+    bullish / bearish engulfing) over per-user daily bars — the
+    rule-based signal layer an algo-trading stack derives from OHLC.
+    Pure per-bar comparisons plus two lags on the single per-user
+    exchange — exact booleans in any engine
+    (operators/finance.candle_patterns)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        candle_patterns,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).drop("volume")
+    out = candle_patterns(daily, ["user_id"], "trade_date")
+    return out.filter(
+        F.col("is_doji")
+        | F.col("is_hammer")
+        | F.col("is_shooting_star")
+        | F.col("is_bullish_engulfing")
+        | F.col("is_bearish_engulfing")
+    ).orderBy("user_id", "trade_date")
+
+
+_X_CANDLE_SQL = f"""
+WITH daily AS (
+  SELECT user_id, trade_date, open, high, low, close
+  FROM ({_SQL_DAILY_OHLCV})),
+c AS (
+  SELECT user_id, trade_date, open, high, low, close,
+         abs(close - open) AS body, high - low AS rng,
+         high - greatest(open, close) AS upper,
+         least(open, close) - low AS lower,
+         lag(open) OVER w AS po, lag(close) OVER w AS pc
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+f AS (
+  SELECT user_id, trade_date, open, high, low, close,
+         (rng > 0 AND body <= 0.1 * rng) AS is_doji,
+         (body > 0 AND lower >= 2.0 * body AND upper <= body) AS is_hammer,
+         (body > 0 AND upper >= 2.0 * body AND lower <= body)
+           AS is_shooting_star,
+         coalesce(pc IS NOT NULL AND pc < po AND close > open
+                  AND open <= pc AND close >= po
+                  AND (open < pc OR close > po), FALSE)
+           AS is_bullish_engulfing,
+         coalesce(pc IS NOT NULL AND pc > po AND close < open
+                  AND open >= pc AND close <= po
+                  AND (open > pc OR close < po), FALSE)
+           AS is_bearish_engulfing
+  FROM c)
+SELECT * FROM f
+WHERE is_doji OR is_hammer OR is_shooting_star
+   OR is_bullish_engulfing OR is_bearish_engulfing
+ORDER BY user_id, trade_date
+"""
+
 
 def d_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog register table (p=8) over event user
@@ -4328,6 +4621,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_kgram_fingerprint": d_kgram_fingerprint,
         "emb_ivf_ann": emb_ivf_ann,
         "j_asof_orders": j_asof_orders,
+        # --- round-3 additions (appended AFTER the gate window; verified
+        # locally this round, rotated into the driver window next round) ---
+        "x_vwap_anchored": x_vwap_anchored,
+        "x_stochastic": x_stochastic,
+        "x_obv_daily": x_obv_daily,
+        "x_returns_ledger": x_returns_ledger,
+        "x_rolling_sharpe": x_rolling_sharpe,
+        "x_candle_flags": x_candle_flags,
     }
 
 
@@ -4435,6 +4736,12 @@ def oracle_sql() -> dict[str, str]:
         "e_dq_report": _E_DQ_SQL,
         "e_drift_psi": _E_DRIFT_SQL,
         "d_mixture_sample": _D_MIXTURE_SQL,
+        "x_vwap_anchored": _X_VWAP_SQL,
+        "x_stochastic": _X_STOCH_SQL,
+        "x_obv_daily": _X_OBV_SQL,
+        "x_returns_ledger": _X_RETLEDGER_SQL,
+        "x_rolling_sharpe": _X_SHARPE_SQL,
+        "x_candle_flags": _X_CANDLE_SQL,
     }
 
 
@@ -4549,4 +4856,10 @@ HEADLINE_QUERIES = [
     "e_dq_report",
     "e_drift_psi",
     "d_mixture_sample",
+    "x_vwap_anchored",
+    "x_stochastic",
+    "x_obv_daily",
+    "x_returns_ledger",
+    "x_rolling_sharpe",
+    "x_candle_flags",
 ]

@@ -35,6 +35,15 @@ __all__ = [
     "max_drawdown_chunked",
     "daily_returns",
     "beta_vs_market",
+    "true_range",
+    "atr",
+    "pairwise_corr",
+    "anchored_vwap",
+    "stochastic_oscillator",
+    "on_balance_volume",
+    "returns_ledger",
+    "rolling_sharpe",
+    "candle_patterns",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -390,4 +399,275 @@ def pairwise_corr(
             n.cast("long").alias("n_days"),
             F.round(cov_n / F.sqrt(va_n * vb_n), 6).alias("corr"),
         )
+    )
+
+
+def anchored_vwap(
+    df: DataFrame,
+    keys: Sequence[str],
+    anchor_col: str,
+    ts_col: str,
+    id_col: str,
+    price_col: str = "close",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Anchored (intraday) VWAP: cumulative sum(price*volume)/sum(volume)
+    within each (key, anchor) group ordered by (ts, id), resetting at the
+    anchor boundary — the execution-quality benchmark every trading stack
+    computes next to the close (the batch twin of
+    streaming/stateful.streaming_vwap_exact, same integer-micro-unit
+    fold, so batch and streamed VWAP agree bit-for-bit).
+
+    One window over the composite (keys, anchor) partition — the anchor
+    (typically the trading day) splits each symbol's history into bounded
+    chunks, so no task ever sorts a symbol's full tick history; this is
+    the same skew-robustness argument as max_drawdown_chunked, for free,
+    because VWAP's reset IS a chunk boundary. Both cumulative sums share
+    the ONE exchange+sort.
+
+    Output: input columns + (vwap, cum_volume).
+    """
+    w = (
+        Window.partitionBy(*keys, anchor_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = (F.col(price_col) * F.col(volume_col)).cast(_DEC)
+    cum_vol = F.sum(F.col(volume_col)).over(w).cast("long")
+    return df.withColumn(
+        "vwap",
+        F.sum(pv).over(w).cast("double") / cum_vol.cast("double"),
+    ).withColumn("cum_volume", cum_vol)
+
+
+def stochastic_oscillator(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 14,
+    d: int = 3,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Stochastic oscillator %K / %D over per-key bars.
+
+    %K = 100 * (close - min(low, n)) / (max(high, n) - min(low, n));
+    %D = simple mean of the last ``d`` %K values. Flat windows
+    (max == min) yield NULL %K, and %D averages only the non-NULL %K
+    values in its frame (both engines' AVG-ignores-NULL convention, so
+    the SQL twin replays exactly). Neither output is rounded: %K is
+    per-row IEEE arithmetic (bit-identical across engines at identical
+    operand order), and %D averages %K quantized to integer micro-units
+    (floor(k*1e6+0.5) — IEEE ops, no decimal-cast tie-breaking, which
+    engines disagree on exactly when %K is dyadic, e.g. a power-of-two
+    cent range; see rolling_sharpe) — partition-invariant BIGINT sums,
+    then one division and one 1e-6 rescale, both IEEE-exact-rounded.
+
+    Both rolling frames and the %D pass share ONE per-key exchange+sort
+    (same partition key, same ordering). Warm-up bars use the bars seen
+    so far (ROWS frame semantics), the standard convention.
+
+    Output: input columns + (pct_k, pct_d).
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    f_n = w.rowsBetween(-(n - 1), 0)
+    f_d = w.rowsBetween(-(d - 1), 0)
+    lo_n = F.min(F.col(low)).over(f_n)
+    hi_n = F.max(F.col(high)).over(f_n)
+    k_raw = F.when(
+        hi_n > lo_n, (F.col(close) - lo_n) / (hi_n - lo_n) * F.lit(100.0)
+    )
+    out = df.withColumn("pct_k", k_raw)
+    kq = F.floor(F.col("pct_k") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    pct_d = (
+        F.sum(kq).over(f_d).cast("double")
+        / F.count(F.col("pct_k")).over(f_d).cast("double")
+        / F.lit(1000000.0)
+    )
+    return out.withColumn("pct_d", pct_d)
+
+
+def on_balance_volume(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    close: str = "close",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """On-balance volume: cumulative sum of sign(close - prev_close) *
+    volume per key — the classic volume-flow confirmation indicator.
+    The first bar contributes 0 (no prior close), the standard
+    convention. With integer volumes the whole ledger is exact BIGINT
+    arithmetic — no floating point anywhere, bit-identical on any
+    engine and any partitioning.
+
+    The lag and the cumulative sum share ONE per-key exchange+sort.
+
+    Output: input columns + (obv,).
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(F.col(close)).over(w)
+    signed = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col(close) > prev, F.col(volume_col))
+        .when(F.col(close) < prev, -F.col(volume_col))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return df.withColumn("obv", F.sum(signed).over(cum))
+
+
+def returns_ledger(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    close: str = "close",
+) -> DataFrame:
+    """Per-key return ledger over an ordered close series: simple return,
+    log return, and since-inception cumulative return.
+
+    cum_ret is computed as close / first_close - 1 (one division against
+    the window's first value) rather than exp(sum(log)) — division is
+    IEEE-exact, so the cumulative ledger carries NO accumulated rounding
+    and replays bit-identically in SQL. log_ret uses ln() (correct to
+    <1 ulp in both engines) rounded to the repo's 1e-6 quantum.
+    Non-positive closes are excluded (returns are defined on prices).
+
+    All three windows share ONE per-key exchange+sort. First bar:
+    ret/log_ret NULL, cum_ret 0.
+
+    Output: keys, order_col, close, prev_close, ret, log_ret, cum_ret.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    first = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pos = df.filter(F.col(close) > 0)
+    prev = F.lag(F.col(close)).over(w)
+    first_close = F.first(F.col(close)).over(first)
+    return pos.select(
+        *keys,
+        F.col(order_col),
+        F.col(close),
+        prev.alias("prev_close"),
+        F.round(F.col(close) / prev - F.lit(1.0), 6).alias("ret"),
+        F.round(F.log(F.col(close) / prev), 6).alias("log_ret"),
+        F.round(F.col(close) / first_close - F.lit(1.0), 6).alias("cum_ret"),
+    )
+
+
+def rolling_sharpe(
+    returns: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    ret_col: str = "ret",
+    n: int = 20,
+    min_obs: int = 2,
+    ret_cap: float = 10.0,
+) -> DataFrame:
+    """Rolling Sharpe ratio (risk-free rate 0): rolling mean / rolling
+    sample stddev of the last ``n`` per-key returns. Windows with fewer
+    than ``min_obs`` returns or zero variance yield NULL.
+
+    Returns are quantized to integer MICRO-UNITS first
+    (floor(ret*1e6 + 0.5) — multiply/add/floor are plain IEEE ops,
+    bit-identical in every engine), and both frame moments are then
+    exact BIGINT sums. This deliberately avoids the double->decimal
+    cast used elsewhere: engines disagree on ties (Spark HALF_UP,
+    DuckDB half-even), and returns HIT exact 7th-decimal .5 ties
+    whenever the previous close is a power-of-two number of cents
+    (ret = k/2^a — e.g. prev 1.28 -> ret 37.5078125). Integer
+    micro-unit moments have no tie to break; the final mean/sqrt/divide
+    are IEEE correctly-rounded, so the unrounded double replays
+    bit-identically. (Micro-unit/micro²-unit scale factors cancel in
+    mean/stddev, so no rescale is needed.) Returns with
+    ``|ret| > ret_cap`` are winsorized out first — beta_vs_market's
+    convention: a >1000% daily move is a data error, and the cap keeps
+    q*q inside exact BIGINT/double range (q <= 1e7+ -> sum of n q² well
+    under 2^53). One exchange+sort per key; the input here is per-key
+    BARS, already reduced from ticks upstream.
+
+    Output: input columns (winsorized) + (sharpe,).
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    r = F.col(ret_col)
+    returns = returns.filter(F.abs(r) <= F.lit(ret_cap))
+    q = F.floor(r * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    cnt = F.count(r).over(frame).cast("double")
+    s1 = F.sum(q).over(frame).cast("double")
+    s2 = F.sum(q * q).over(frame).cast("double")
+    mean = s1 / cnt
+    var_n = (s2 - s1 * s1 / cnt) / (cnt - F.lit(1.0))
+    sharpe = F.when(
+        (cnt >= float(min_obs)) & (var_n > 0), mean / F.sqrt(var_n)
+    )
+    return returns.withColumn("sharpe", sharpe)
+
+
+def candle_patterns(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    open_col: str = "open",
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    doji_frac: float = 0.1,
+    shadow_mult: float = 2.0,
+) -> DataFrame:
+    """Classic candlestick pattern flags per bar: doji, hammer,
+    shooting star, bullish/bearish engulfing.
+
+    - doji: |close-open| <= doji_frac * (high-low), range > 0
+    - hammer: lower shadow >= shadow_mult * body, upper shadow <= body
+    - shooting star: the mirror (upper shadow >= mult*body, lower <= body)
+    - bullish engulfing: prev bar bearish, this bar bullish, and this
+      body strictly contains the prev body (prev close/open inside
+      [open, close])
+    - bearish engulfing: the mirror
+
+    Pure comparisons and one multiply on per-bar doubles — exact in any
+    engine — plus two lags sharing the single per-key exchange+sort.
+    Engulfing flags are false on the first bar (no prior candle).
+
+    Output: input columns + 5 boolean flags.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    o, h, l, c = (F.col(x) for x in (open_col, high, low, close))
+    body = F.abs(c - o)
+    rng = h - l
+    upper = h - F.greatest(o, c)
+    lower = F.least(o, c) - l
+    prev_o = F.lag(o).over(w)
+    prev_c = F.lag(c).over(w)
+    doji = (rng > 0) & (body <= F.lit(doji_frac) * rng)
+    hammer = (body > 0) & (lower >= F.lit(shadow_mult) * body) & (
+        upper <= body
+    )
+    shooting = (body > 0) & (upper >= F.lit(shadow_mult) * body) & (
+        lower <= body
+    )
+    bull_engulf = (
+        prev_c.isNotNull()
+        & (prev_c < prev_o)
+        & (c > o)
+        & (o <= prev_c)
+        & (c >= prev_o)
+        & ((o < prev_c) | (c > prev_o))
+    )
+    bear_engulf = (
+        prev_c.isNotNull()
+        & (prev_c > prev_o)
+        & (c < o)
+        & (o >= prev_c)
+        & (c <= prev_o)
+        & ((o > prev_c) | (c < prev_o))
+    )
+    return (
+        df.withColumn("is_doji", doji)
+        .withColumn("is_hammer", hammer)
+        .withColumn("is_shooting_star", shooting)
+        .withColumn("is_bullish_engulfing", F.coalesce(bull_engulf, F.lit(False)))
+        .withColumn("is_bearish_engulfing", F.coalesce(bear_engulf, F.lit(False)))
     )

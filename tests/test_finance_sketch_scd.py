@@ -355,3 +355,147 @@ def test_pairwise_corr_perfect_and_anti(spark):
     assert out[("A", "C")] == -1.0
     assert out[("B", "C")] == -1.0
     assert not any("D" in k for k in out)  # zero variance -> dropped
+
+
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (  # noqa: E402
+    anchored_vwap,
+    candle_patterns,
+    on_balance_volume,
+    returns_ledger,
+    rolling_sharpe,
+    stochastic_oscillator,
+)
+
+
+def _bars(spark, rows):
+    """rows: (sym, t, open, high, low, close[, volume])"""
+    out = []
+    for r in rows:
+        sym, t, o, h, lo, c = r[:6]
+        v = r[6] if len(r) > 6 else 10
+        out.append(
+            Row(sym=sym, t=t, open=float(o), high=float(h), low=float(lo),
+                close=float(c), volume=int(v))
+        )
+    return spark.createDataFrame(out)
+
+
+class TestAnchoredVwap:
+    def test_resets_at_anchor_boundary(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(sym="A", day=1, ts=1, i=1, close=10.0, volume=2),
+                Row(sym="A", day=1, ts=2, i=2, close=20.0, volume=2),
+                Row(sym="A", day=2, ts=3, i=3, close=100.0, volume=1),
+            ]
+        )
+        out = {
+            r.ts: (r.vwap, r.cum_volume)
+            for r in anchored_vwap(
+                df, ["sym"], "day", "ts", "i", "close", "volume"
+            ).collect()
+        }
+        assert out[1] == (10.0, 2)
+        assert out[2] == (15.0, 4)  # (20+40)/4
+        assert out[3] == (100.0, 1)  # day-2 anchor resets the fold
+
+
+class TestStochastic:
+    def test_flat_window_is_null_and_d_averages(self, spark):
+        df = _bars(
+            spark,
+            [
+                ("A", 1, 5, 5, 5, 5),       # flat: %K NULL
+                ("A", 2, 5, 10, 0, 10),     # %K = 100
+                ("A", 3, 5, 10, 0, 5),      # range [0,10] over window: %K = 50
+            ],
+        )
+        out = {r.t: r for r in stochastic_oscillator(df, ["sym"], "t", n=2, d=2).collect()}
+        assert out[1].pct_k is None
+        assert out[1].pct_d is None  # no non-null %K yet
+        assert out[2].pct_k == pytest.approx(100.0)
+        assert out[2].pct_d == pytest.approx(100.0)  # averages the one non-null
+        assert out[3].pct_k == pytest.approx(50.0)
+        assert out[3].pct_d == pytest.approx(75.0)
+
+
+class TestOBV:
+    def test_signed_cumulative_integer_ledger(self, spark):
+        df = _bars(
+            spark,
+            [
+                ("A", 1, 0, 0, 0, 10, 5),
+                ("A", 2, 0, 0, 0, 12, 3),   # up: +3
+                ("A", 3, 0, 0, 0, 11, 7),   # down: -7
+                ("A", 4, 0, 0, 0, 11, 9),   # flat: 0
+                ("B", 1, 0, 0, 0, 1, 4),    # other key independent
+            ],
+        )
+        out = {(r.sym, r.t): r.obv for r in on_balance_volume(df, ["sym"], "t").collect()}
+        assert out[("A", 1)] == 0
+        assert out[("A", 2)] == 3
+        assert out[("A", 3)] == -4
+        assert out[("A", 4)] == -4
+        assert out[("B", 1)] == 0
+
+
+class TestReturnsLedger:
+    def test_cum_ret_divides_by_first_close(self, spark):
+        df = _bars(spark, [("A", 1, 0, 0, 0, 10), ("A", 2, 0, 0, 0, 15), ("A", 3, 0, 0, 0, 12)])
+        out = {r.t: r for r in returns_ledger(df, ["sym"], "t").collect()}
+        assert out[1].ret is None and out[1].cum_ret == 0.0
+        assert out[2].ret == pytest.approx(0.5)
+        assert out[2].cum_ret == pytest.approx(0.5)
+        assert out[3].ret == pytest.approx(-0.2)
+        assert out[3].cum_ret == pytest.approx(0.2)  # 12/10 - 1
+
+    def test_non_positive_closes_excluded(self, spark):
+        df = _bars(spark, [("A", 1, 0, 0, 0, 10), ("A", 2, 0, 0, 0, -1)])
+        rows = returns_ledger(df, ["sym"], "t").collect()
+        assert [r.t for r in rows] == [1]
+
+
+class TestRollingSharpe:
+    def test_known_window_and_winsorize(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(sym="A", t=1, ret=0.1),
+                Row(sym="A", t=2, ret=0.3),
+                Row(sym="A", t=3, ret=50.0),  # winsorized out (cap 10)
+            ]
+        )
+        out = {r.t: r.sharpe for r in rolling_sharpe(df, ["sym"], "t", n=20).collect()}
+        assert 3 not in out  # capped row dropped entirely
+        assert out[1] is None  # min_obs
+        # mean 0.2, sample std of (0.1, 0.3) = sqrt(0.02) -> sharpe = 0.2/sqrt(0.02)
+        assert out[2] == pytest.approx(0.2 / (0.02 ** 0.5))
+
+    def test_zero_variance_is_null(self, spark):
+        df = spark.createDataFrame(
+            [Row(sym="A", t=1, ret=0.1), Row(sym="A", t=2, ret=0.1)]
+        )
+        out = rolling_sharpe(df, ["sym"], "t", n=20).collect()
+        assert all(r.sharpe is None for r in out)
+
+
+class TestCandlePatterns:
+    def test_flags(self, spark):
+        df = _bars(
+            spark,
+            [
+                # doji: body 0.1 <= 0.1 * range(2.0)
+                ("A", 1, 10.0, 11.0, 9.0, 10.1),
+                # bearish bar then bullish engulfing of it
+                ("B", 1, 10.0, 10.2, 9.4, 9.5),
+                ("B", 2, 9.4, 10.6, 9.3, 10.5),
+                # hammer: open 10, close 10.2, low 9 (lower 1.0 >= 2*0.2), high 10.25
+                ("C", 1, 10.0, 10.25, 9.0, 10.2),
+            ],
+        )
+        out = {(r.sym, r.t): r for r in candle_patterns(df, ["sym"], "t").collect()}
+        assert out[("A", 1)].is_doji
+        assert not out[("B", 1)].is_bullish_engulfing  # first bar: no prior
+        assert out[("B", 2)].is_bullish_engulfing
+        assert not out[("B", 2)].is_bearish_engulfing
+        assert out[("C", 1)].is_hammer
+        assert not out[("C", 1)].is_shooting_star
