@@ -71,6 +71,7 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.simil
     embedding_near_dup_pairs,
     ivf_knn,
     lsh_knn,
+    sq8_knn,
 )
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.joins import (
     asof_join,
@@ -3309,6 +3310,56 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def emb_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization ANN: approximate cosine over per-vector
+    symmetric int8 codes (4x smaller scan, integer dots), top-20
+    shortlist per query, EXACT cosine rescore to top-5. Quantization is
+    floor(x/max|x|*127+0.5) — pure IEEE ops, so even the approximate
+    stage replays exactly in SQL (operators/similarity.sq8_knn). The
+    corpus quantization plan is shared with the query side via
+    query_filter (ReuseExchange)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_knn(
+        emb, emb, k=5, rerank=20, query_filter=F.col("vec_id") < 10
+    ).orderBy("query_id", "rank")
+
+
+_EMB_SQ8_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+s AS (SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) AS mx FROM e),
+qz AS (SELECT vec_id, emb,
+              CASE WHEN mx > 0
+                   THEN list_transform(emb, x -> floor(x / mx * 127.0 + 0.5))
+                   ELSE list_transform(emb, x -> CAST(0.0 AS DOUBLE)) END AS q
+       FROM s),
+nz AS (SELECT vec_id, emb, q, sqrt(list_dot_product(q, q)) AS qn FROM qz),
+approx AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.q, b.q) / (a.qn * b.qn) AS acos_
+  FROM nz a JOIN nz b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 10),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY acos_ DESC, neighbor_id ASC) AS r
+    FROM approx) WHERE r <= 20),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
+  FROM short s
+  JOIN n q ON q.vec_id = s.query_id
+  JOIN n c ON c.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM exact)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN via deterministic random-hyperplane LSH buckets —
     the 2^planes-cheaper scale path. The hyperplanes are md5-derived, so
@@ -4629,6 +4680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_returns_ledger": x_returns_ledger,
         "x_rolling_sharpe": x_rolling_sharpe,
         "x_candle_flags": x_candle_flags,
+        "emb_sq8_ann": emb_sq8_ann,
     }
 
 
@@ -4742,6 +4794,7 @@ def oracle_sql() -> dict[str, str]:
         "x_returns_ledger": _X_RETLEDGER_SQL,
         "x_rolling_sharpe": _X_SHARPE_SQL,
         "x_candle_flags": _X_CANDLE_SQL,
+        "emb_sq8_ann": _EMB_SQ8_SQL,
     }
 
 
@@ -4862,4 +4915,5 @@ HEADLINE_QUERIES = [
     "x_returns_ledger",
     "x_rolling_sharpe",
     "x_candle_flags",
+    "emb_sq8_ann",
 ]

@@ -126,3 +126,36 @@ def test_ivf_index_persist_probe_matches_direct(spark, sf_dir, tmp_path):
         stored = ivf_probe(q, cents_r, assigns_r, k=3).collect()
         assert sorted(map(tuple, stored)) == sorted(map(tuple, direct))
         assert len(direct) > 0
+
+
+def test_sq8_recall_and_quantize_contract(spark, sf_dir):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        sq8_knn,
+        sq8_quantize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {}
+    for r in brute_force_knn(queries, emb, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    ranks = {}
+    for r in sq8_knn(emb, emb, k=5, rerank=20,
+                     query_filter=F.col("vec_id") < 5).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    # int8 codes keep ~7 bits of per-dim signal; with a 4x rerank margin
+    # the top-5 should essentially match brute force
+    assert recall >= 0.8, f"SQ8 recall collapsed: {recall}"
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+        assert q not in approx[q]  # self excluded
+
+    # quantize contract: codes in [-127, 127], zero vector -> zero codes
+    qz = sq8_quantize(emb.limit(50)).collect()
+    for r in qz:
+        assert all(-127 <= v <= 127 for v in r["q"])
+        assert r["qn"] >= 0.0
