@@ -3310,6 +3310,86 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+#: Daily OHLCV bars from the tick stream — the shared CTE for the ORC
+#: round-trip and indicator oracles. Volume is the same SQL-replayable
+#: synthetic as s_stateful_vwap (event_id % 100 + 1).
+_SQL_DAILY_OHLCV = f"""
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_min(value, {_SQL_TS_EVENT_KEY}) AS open,
+         max(value) AS high, min(value) AS low,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close,
+         CAST(sum(event_id % 100 + 1) AS BIGINT) AS volume
+  FROM events GROUP BY user_id, CAST(ts AS DATE)"""
+
+
+def _daily_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_DAILY_OHLCV: one composite-key shuffle reduces
+    ticks to (user, day) bars — min_by/max_by ordered first/last, exact
+    integer volume."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id", F.to_date("ts").alias("trade_date")).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.sum(F.expr("event_id % 100 + 1")).cast("long").alias("volume"),
+    )
+
+
+def o_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip: the daily OHLCV rollup is written as
+    ORC (zstd, bloom filter on user_id), read back, filtered (predicate
+    pushes into ORC stripe indexes) and aggregated to a per-user monthly
+    summary. The oracle computes the same summary straight from events —
+    the hash equality proves the ORC write/read is lossless for every
+    type in the bar schema (bigint/date/double). Avro's external module
+    is not in this image (sources/orc.py docstring); ORC is the
+    built-in second columnar format."""
+    import shutil
+    import tempfile
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.orc import (
+        read_orc,
+        write_orc,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    try:
+        write_orc(daily, path, bloom_columns=["user_id"])
+        back = read_orc(spark, path).filter(F.col("close") > 0)
+        out = (
+            back.groupBy(
+                "user_id", F.trunc("trade_date", "month").alias("month")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_days"),
+                F.max("high").alias("max_high"),
+                F.min("low").alias("min_low"),
+                davg("close", "avg_close"),
+                F.sum("volume").cast("long").alias("total_volume"),
+            )
+            .orderBy("user_id", "month")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+_O_ORC_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV})
+SELECT user_id, date_trunc('month', trade_date) AS month,
+       count(*) AS n_days, max(high) AS max_high, min(low) AS min_low,
+       {sql_davg('close')} AS avg_close,
+       CAST(sum(volume) AS BIGINT) AS total_volume
+FROM daily WHERE close > 0
+GROUP BY user_id, date_trunc('month', trade_date)
+ORDER BY user_id, month
+"""
+
+
 def emb_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantization ANN: approximate cosine over per-vector
     symmetric int8 codes (4x smaller scan, integer dots), top-20
@@ -3607,33 +3687,6 @@ FROM agg
 WHERE n >= 2.0 AND (n * smm - sm * sm) > 0
 ORDER BY user_id
 """
-
-#: Daily OHLCV bars from the tick stream — the shared CTE for the
-#: indicator oracles below. Volume is the same SQL-replayable synthetic
-#: as s_stateful_vwap (event_id % 100 + 1).
-_SQL_DAILY_OHLCV = f"""
-  SELECT user_id, CAST(ts AS DATE) AS trade_date,
-         arg_min(value, {_SQL_TS_EVENT_KEY}) AS open,
-         max(value) AS high, min(value) AS low,
-         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close,
-         CAST(sum(event_id % 100 + 1) AS BIGINT) AS volume
-  FROM events GROUP BY user_id, CAST(ts AS DATE)"""
-
-
-def _daily_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _SQL_DAILY_OHLCV: one composite-key shuffle reduces
-    ticks to (user, day) bars — min_by/max_by ordered first/last, exact
-    integer volume."""
-    ev = _t(spark, sf_dir, "events")
-    key = F.struct(F.col("ts"), F.col("event_id"))
-    return ev.groupBy("user_id", F.to_date("ts").alias("trade_date")).agg(
-        F.min_by("value", key).alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        F.max_by("value", key).alias("close"),
-        F.sum(F.expr("event_id % 100 + 1")).cast("long").alias("volume"),
-    )
-
 
 def x_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchored intraday VWAP: cumulative price*volume / volume per
@@ -4681,6 +4734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rolling_sharpe": x_rolling_sharpe,
         "x_candle_flags": x_candle_flags,
         "emb_sq8_ann": emb_sq8_ann,
+        "o_orc_roundtrip": o_orc_roundtrip,
     }
 
 
@@ -4795,6 +4849,7 @@ def oracle_sql() -> dict[str, str]:
         "x_rolling_sharpe": _X_SHARPE_SQL,
         "x_candle_flags": _X_CANDLE_SQL,
         "emb_sq8_ann": _EMB_SQ8_SQL,
+        "o_orc_roundtrip": _O_ORC_SQL,
     }
 
 
@@ -4916,4 +4971,5 @@ HEADLINE_QUERIES = [
     "x_rolling_sharpe",
     "x_candle_flags",
     "emb_sq8_ann",
+    "o_orc_roundtrip",
 ]

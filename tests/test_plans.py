@@ -130,3 +130,43 @@ def test_merge_semi_join_path_plan_is_bounded(spark, tmp_path):
     # literal branch's OR chain is exercised by the other merge tests
     merge_into_parquet(spark, path, df, ["sym", "dt", "t"], ["sym", "dt"])
     assert spark.read.parquet(path).count() == 100
+
+
+class TestOrcSourceSink:
+    def test_roundtrip_preserves_types_and_values(self, spark, tmp_path):
+        from pyspark.sql import Row
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.orc import (
+            read_orc,
+            write_orc,
+        )
+        import datetime
+
+        df = spark.createDataFrame(
+            [
+                Row(user_id=1, trade_date=datetime.date(2024, 1, 1),
+                    close=1.25, volume=10),
+                Row(user_id=2, trade_date=datetime.date(2024, 1, 2),
+                    close=-0.5, volume=0),
+            ]
+        )
+        p = str(tmp_path / "orc_rt")
+        write_orc(df, p, bloom_columns=["user_id"])
+        back = read_orc(spark, p)
+        assert dict(back.dtypes) == dict(df.dtypes)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    def test_partitioned_write_prunes(self, spark, tmp_path):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.orc import (
+            read_orc,
+            write_orc,
+        )
+
+        df = spark.range(100).selectExpr("id", "id % 4 as part")
+        p = str(tmp_path / "orc_part")
+        write_orc(df, p, partition_by=["part"])
+        back = read_orc(spark, p).filter("part = 2")
+        assert back.count() == 25
+        # partition pruning: only the part=2 directory is scanned
+        plan = back.queryExecution().executedPlan().toString() if False else \
+            back._jdf.queryExecution().executedPlan().toString()
+        assert "part=2" in plan or "PartitionFilters" in plan
