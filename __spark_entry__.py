@@ -3310,6 +3310,149 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user advances a stage
+    only with an event STRICTLY AFTER their previous-stage entry (the
+    standard product-analytics funnel, not mere set intersection).
+
+    Shape at scale: each stage is filter -> partial-aggregable min per
+    user, then an equi-join on user_id against the (already reduced,
+    one-row-per-user) previous stage — the joins carry only (user, ts)
+    pairs, never raw events, and each stage's input shrinks
+    monotonically. Final counts are three tiny one-row aggregates
+    cross-joined; rates are IEEE divisions of exact counts."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).alias("n_view"))
+    n2 = c.agg(F.count(F.lit(1)).alias("n_click"))
+    n3 = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    out = n1.crossJoin(n2).crossJoin(n3)
+    return out.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        (F.col("n_click").cast("double") / F.col("n_view").cast("double")).alias(
+            "view_to_click"
+        ),
+        (
+            F.col("n_purchase").cast("double") / F.col("n_click").cast("double")
+        ).alias("click_to_purchase"),
+        (
+            F.col("n_purchase").cast("double") / F.col("n_view").cast("double")
+        ).alias("overall_conversion"),
+    )
+
+
+_E_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       CAST((SELECT count(*) FROM c) AS DOUBLE)
+         / CAST((SELECT count(*) FROM v) AS DOUBLE) AS view_to_click,
+       CAST((SELECT count(*) FROM p) AS DOUBLE)
+         / CAST((SELECT count(*) FROM c) AS DOUBLE) AS click_to_purchase,
+       CAST((SELECT count(*) FROM p) AS DOUBLE)
+         / CAST((SELECT count(*) FROM v) AS DOUBLE) AS overall_conversion
+"""
+
+
+def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention by signup cohort: users grouped by their
+    first-seen date; for offsets 0..7, the fraction of the cohort
+    active again on cohort_date + offset.
+
+    Shape at scale: activity first collapses to DISTINCT (user, day) —
+    one partial-aggregable shuffle that takes the fact table out of
+    play — then joins the one-row-per-user cohort map (equi-join on
+    user_id), aggregates to (cohort, offset) cells, and broadcasts the
+    tiny per-cohort size table back for the rate."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("activity_date")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(
+        F.min("activity_date").alias("cohort_date")
+    )
+    joined = days.join(cohort, "user_id").withColumn(
+        "day_offset", F.datediff("activity_date", "cohort_date")
+    )
+    cells = (
+        joined.filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_date")
+        .select(
+            "cohort_date",
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+_E_RETENTION_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS activity_date FROM events),
+cohort AS (
+  SELECT user_id, min(activity_date) AS cohort_date
+  FROM days GROUP BY user_id),
+cells AS (
+  SELECT c.cohort_date,
+         CAST(datediff('day', c.cohort_date, d.activity_date) AS BIGINT)
+           AS day_offset,
+         count(*) AS n_active
+  FROM days d JOIN cohort c USING (user_id)
+  WHERE datediff('day', c.cohort_date, d.activity_date) BETWEEN 0 AND 7
+  GROUP BY 1, 2),
+sizes AS (
+  SELECT cohort_date, count(*) AS cohort_size
+  FROM cohort GROUP BY cohort_date)
+SELECT cohort_date, day_offset, n_active, cohort_size,
+       CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+FROM cells JOIN sizes USING (cohort_date)
+ORDER BY cohort_date, day_offset
+"""
+
+
 #: Daily OHLCV bars from the tick stream — the shared CTE for the ORC
 #: round-trip and indicator oracles. Volume is the same SQL-replayable
 #: synthetic as s_stateful_vwap (event_id % 100 + 1).
@@ -4735,6 +4878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_candle_flags": x_candle_flags,
         "emb_sq8_ann": emb_sq8_ann,
         "o_orc_roundtrip": o_orc_roundtrip,
+        "e_funnel_conversion": e_funnel_conversion,
+        "e_retention_cohorts": e_retention_cohorts,
     }
 
 
@@ -4850,6 +4995,8 @@ def oracle_sql() -> dict[str, str]:
         "x_candle_flags": _X_CANDLE_SQL,
         "emb_sq8_ann": _EMB_SQ8_SQL,
         "o_orc_roundtrip": _O_ORC_SQL,
+        "e_funnel_conversion": _E_FUNNEL_SQL,
+        "e_retention_cohorts": _E_RETENTION_SQL,
     }
 
 
@@ -4972,4 +5119,6 @@ HEADLINE_QUERIES = [
     "x_candle_flags",
     "emb_sq8_ann",
     "o_orc_roundtrip",
+    "e_funnel_conversion",
+    "e_retention_cohorts",
 ]
