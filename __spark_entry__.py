@@ -3119,6 +3119,38 @@ ORDER BY doc_id, tf DESC, df, term
 """
 
 
+def d_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy under the corpus's own unigram
+    LM — the perplexity-proxy quality filter (KenLM stand-in). Tokens
+    collapse to per-(doc, token) counts before anything wide; the only
+    wide join is token-keyed; the corpus total broadcasts
+    (operators/corpus.unigram_xent)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        unigram_xent,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_xent(docs).orderBy("doc_id")
+
+
+_D_XENT_SQL = rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+dt AS (SELECT doc_id, t AS tok, count(*) AS c
+       FROM (SELECT doc_id, unnest(ts) AS t FROM t) GROUP BY doc_id, tok),
+freq AS (SELECT tok, CAST(sum(c) AS BIGINT) AS f FROM dt GROUP BY tok),
+tot AS (SELECT CAST(sum(f) AS BIGINT) AS tt FROM freq),
+scored AS (
+  SELECT dt.doc_id, dt.c,
+         round(ln(CAST(freq.f AS DOUBLE) / CAST(tot.tt AS DOUBLE)), 6) AS lp
+  FROM dt JOIN freq USING (tok) CROSS JOIN tot)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       (-CAST(sum(CAST(CAST(c AS DOUBLE) * lp AS DECIMAL(38,6))) AS DOUBLE))
+         / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS xent
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing token 3-grams
     with a benchmark set (here: every 50th document). Benchmark shingles
@@ -4880,6 +4912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_orc_roundtrip": o_orc_roundtrip,
         "e_funnel_conversion": e_funnel_conversion,
         "e_retention_cohorts": e_retention_cohorts,
+        "d_unigram_xent": d_unigram_xent,
     }
 
 
@@ -4997,6 +5030,7 @@ def oracle_sql() -> dict[str, str]:
         "o_orc_roundtrip": _O_ORC_SQL,
         "e_funnel_conversion": _E_FUNNEL_SQL,
         "e_retention_cohorts": _E_RETENTION_SQL,
+        "d_unigram_xent": _D_XENT_SQL,
     }
 
 
@@ -5121,4 +5155,5 @@ HEADLINE_QUERIES = [
     "o_orc_roundtrip",
     "e_funnel_conversion",
     "e_retention_cohorts",
+    "d_unigram_xent",
 ]

@@ -202,3 +202,57 @@ def pack_sequences(
     return slim.groupBy("shard").applyInPandas(
         pack, schema="id long, shard long, seq_idx long, n_tokens long"
     )
+
+
+def unigram_xent(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram cross-entropy under the corpus's OWN unigram
+    LM — the classic perplexity-proxy quality filter (documents whose
+    token distribution is far from the corpus read as noise/boilerplate;
+    a cheap stand-in for the KenLM stage of production data pipelines).
+
+    xent(d) = -(1/|d|) * sum over token occurrences of ln p(tok),
+    p(tok) = corpus_count(tok) / corpus_total.
+
+    Shape at scale: tokens collapse to per-(doc, token) COUNTS before
+    anything wide (the explode never shuffles raw occurrences), corpus
+    frequencies partial-aggregate from those counts, and the only wide
+    join is (doc,token) x (token) — both sides hashed on the token key.
+    The corpus total is a one-row broadcast.
+
+    Exactness: ln is <1-ulp across engines; each per-token surprisal is
+    rounded to the 1e-6 quantum BEFORE the weighted decimal sum (c * lp
+    is then exact at scale 6), so the reduction is partition- and
+    engine-invariant; the final divide is IEEE-exact. Zero-token
+    documents are excluded (cross-entropy undefined).
+
+    Output: (id_col, n_tokens, xent).
+    """
+    dt = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # freq and the scoring join BOTH consume dt: cut the lineage so
+        # the tokenize+count stage runs once (same discipline as
+        # beta_vs_market)
+        .localCheckpoint()
+    )
+    freq = dt.groupBy("tok").agg(F.sum("c").cast("long").alias("f"))
+    total = freq.agg(F.sum("f").cast("long").alias("t"))
+    lp = F.round(
+        F.log(F.col("f").cast("double") / F.col("t").cast("double")), 6
+    )
+    scored = (
+        dt.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), F.col("c"), lp.alias("lp"))
+    )
+    s = F.sum((F.col("c").cast("double") * F.col("lp")).cast("decimal(38,6)"))
+    n = F.sum("c").cast("long")
+    return scored.groupBy(id_col).agg(
+        n.alias("n_tokens"),
+        ((-s.cast("double")) / n.cast("double")).alias("xent"),
+    )

@@ -3,6 +3,8 @@ top n-grams, TF-IDF ranking, and benchmark decontamination."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
@@ -181,3 +183,39 @@ def test_pack_sequences_caps_long_docs(spark):
     assert out[0].n_tokens == 10  # capped at budget
     assert out[0].seq_idx == 0
     assert out[4].seq_idx == 1  # would overflow the full sequence
+
+
+class TestUnigramXent:
+    def test_uniform_corpus_entropy_and_outlier(self, spark):
+        from pyspark.sql import Row
+        import math
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            unigram_xent,
+        )
+
+        # 4 docs over a 4-token uniform vocab -> xent = ln(4) everywhere
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(
+                ["a b", "c d", "a c", "b d"])]
+        )
+        out = {r.doc_id: r for r in unigram_xent(docs).collect()}
+        assert all(r.n_tokens == 2 for r in out.values())
+        for r in out.values():
+            assert r.xent == pytest.approx(math.log(4.0), abs=1e-5)
+
+    def test_rare_token_doc_scores_higher(self, spark):
+        from pyspark.sql import Row
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            unigram_xent,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="the the the the"),
+                Row(doc_id=1, text="zyzzyva qwerty"),
+                Row(doc_id=2, text=""),  # zero tokens: excluded
+            ]
+        )
+        out = {r.doc_id: r.xent for r in unigram_xent(docs).collect()}
+        assert set(out) == {0, 1}
+        assert out[1] > out[0]
