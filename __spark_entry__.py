@@ -3119,6 +3119,45 @@ ORDER BY doc_id, tf DESC, df, term
 """
 
 
+def d_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-level exact substring dedup (Lee et al. 2022): maximal
+    per-document spans of token 8-grams occurring >=2 times corpus-wide
+    — the cut-list a pipeline applies where doc-level dedup misses
+    shared boilerplate. Gram-hash counting replaces the paper's
+    suffix array: one partial-aggregable shuffle + semi-join + islands
+    merge (operators/dedup_similarity.duplicated_spans)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        duplicated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, width=8, min_count=2).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+_D_SPANS_SQL = rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+g0 AS (SELECT doc_id, ts,
+              unnest(generate_series(1, len(ts) - 7)) AS pos
+       FROM t WHERE len(ts) >= 8),
+g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             CAST('0x' || substr(md5(array_to_string(ts[pos:pos+7], ' ')),
+                                 1, 12) AS BIGINT) AS gh
+      FROM g0),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+i AS (SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS isl
+      FROM f)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM i GROUP BY doc_id, isl
+ORDER BY doc_id, span_start
+"""
+
+
 def d_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram cross-entropy under the corpus's own unigram
     LM — the perplexity-proxy quality filter (KenLM stand-in). Tokens
@@ -4913,6 +4952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_funnel_conversion": e_funnel_conversion,
         "e_retention_cohorts": e_retention_cohorts,
         "d_unigram_xent": d_unigram_xent,
+        "d_dup_spans": d_dup_spans,
     }
 
 
@@ -5031,6 +5071,7 @@ def oracle_sql() -> dict[str, str]:
         "e_funnel_conversion": _E_FUNNEL_SQL,
         "e_retention_cohorts": _E_RETENTION_SQL,
         "d_unigram_xent": _D_XENT_SQL,
+        "d_dup_spans": _D_SPANS_SQL,
     }
 
 
@@ -5156,4 +5197,5 @@ HEADLINE_QUERIES = [
     "e_funnel_conversion",
     "e_retention_cohorts",
     "d_unigram_xent",
+    "d_dup_spans",
 ]

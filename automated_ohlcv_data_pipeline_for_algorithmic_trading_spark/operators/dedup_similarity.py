@@ -744,3 +744,80 @@ def dedup_against_index(
         .join(im, "_ig")
         .select("new_id", "index_id", "jaccard")
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication spans — the position-level dedup from
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022; reimplemented from the paper's description on DataFrame
+    ops, not their suffix-array code): every token position covered by a
+    token ``width``-gram occurring >= ``min_count`` times corpus-wide,
+    merged into maximal contiguous per-document spans. Downstream, a
+    pipeline cuts these spans out of the training text (doc-level dedup
+    misses boilerplate shared across otherwise-distinct pages).
+
+    The suffix array of the paper is a single-machine construction; the
+    distributed equivalent is gram-hash counting: posexplode the token
+    ``width``-grams (48-bit md5 prefix, engine-portable), count per hash
+    (ONE partial-aggregable shuffle — the hot "all docs share this
+    header" gram collapses map-side), semi-join the duplicated hashes
+    back to positions, and merge runs with the islands trick
+    (pos - row_number is constant within a contiguous run). Documents
+    shorter than ``width`` tokens cannot carry a span and are filtered
+    before the explode.
+
+    Output: (id_col, span_start, span_end, n_dup_grams) — token
+    positions, 1-based inclusive; span_end = last covered token.
+    """
+    from pyspark.sql import Window
+
+    ts = tokens(text_col)
+    n = F.size("ts")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (width - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i, width)),
+    )
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10).cast("long")
+    # single small input file = ONE split: spread the per-row-heavy work
+    # (tokenize + 8-gram concat + md5 per position) across the cluster
+    # before the explode (performance playbook; 6.0 s -> 1.5 s at sf0.01)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pos = (
+        df.select(F.col(id_col), ts.alias("ts"))
+        .filter(n >= width)
+        .repartition(par)
+        .select(F.col(id_col), F.posexplode(grams).alias("_i", "gram"))
+        .select(
+            F.col(id_col),
+            (F.col("_i") + 1).cast("long").alias("pos"),
+            gh.alias("gh"),
+        )
+    )
+    # counting and the probe both consume the explode; cut the lineage so
+    # tokenization+hashing runs once
+    pos = pos.localCheckpoint()
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gh")
+    )
+    flagged = pos.join(dup, "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = (F.col("pos") - F.row_number().over(w)).alias("_isl")
+    return (
+        flagged.select(F.col(id_col), F.col("pos"), isl)
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(width - 1)).alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+        )
+        .drop("_isl")
+    )

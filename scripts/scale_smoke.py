@@ -199,6 +199,69 @@ def main() -> None:
         rets200, "symbol"
     ), results)
 
+    # round-3 (session 2) additions: anchored VWAP incl. the hot-key
+    # claim (the day anchor IS the skew chunk boundary), indicator
+    # windows over pre-reduced bars, SQ8 quantized ANN at corpus scale
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        anchored_vwap,
+        on_balance_volume,
+        stochastic_oscillator,
+    )
+
+    vwap_src = base_id.withColumn("d", F.to_date("ts"))
+    timed("anchored_vwap (per symbol-day, 2000 symbols)", anchored_vwap(
+        vwap_src, ["symbol"], "d", "timestamp_unix", "rid",
+        price_col="close", volume_col="volume",
+    ), results)
+    hot_vwap_src = hot_id.withColumn("d", F.to_date("ts"))
+    timed("anchored_vwap on 95%-skewed key (day anchor = chunk)",
+          anchored_vwap(
+              hot_vwap_src, ["symbol"], "d", "timestamp_unix", "rid",
+              price_col="close", volume_col="volume",
+          ), results)
+    bars_v = daily_bars.join(
+        base.groupBy("symbol", F.to_date("ts").alias("trade_date")).agg(
+            F.sum("volume").cast("long").alias("volume")
+        ),
+        ["symbol", "trade_date"],
+    )
+    timed("stochastic_14 + obv (daily bars, 2000 symbols)",
+          on_balance_volume(
+              stochastic_oscillator(bars_v, ["symbol"], "trade_date", n=14),
+              ["symbol"], "trade_date",
+          ), results)
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        sq8_knn,
+        sq8_quantize,
+    )
+
+    # 200k synthetic 64-dim vectors, md5-deterministic
+    vecs = (
+        spark.range(200_000)
+        .repartition(64)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), d -> "
+                "cast(conv(substr(md5(concat(cast(id as string), '_', "
+                "cast(d as string))), 1, 6), 16, 10) as double) / 16777215.0"
+                " - 0.5)"
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    nv = vecs.count()
+    t0 = time.perf_counter()
+    sq8_quantize(vecs).write.format("noop").mode("overwrite").save()
+    dtq = time.perf_counter() - t0
+    results.append((f"sq8_quantize ({nv:,} x 64-dim vectors)", dtq))
+    print(f"sq8_quantize: {dtq:.2f}s")
+    timed("sq8_knn 10 queries vs 200k corpus (int8 scan + rescore)",
+          sq8_knn(vecs, vecs, k=5, rerank=20,
+                  query_filter=F.col("vec_id") < 10), results)
+    vecs.unpersist()
+
     lines = [
         "# Scale smoke results\n",
         f"\n{n:,} synthetic candle rows (2,000 symbols x 67 days, 20% dup refetch),",
@@ -239,6 +302,16 @@ def main() -> None:
         "window; pairwise_corr is a date equi-join over a bounded\n"
         "universe — output is O(k^2) by definition, so the universe\n"
         "bound, not the engine, is the scale lever.\n"
+        "\nRound-3 session-2 rows: anchored_vwap partitions on\n"
+        "(symbol, day) BY DEFINITION (the anchor reset is the chunk\n"
+        "boundary), so the 95%-hot-key run stays near the uniform number\n"
+        "with no special skew form — the rare window operator that is\n"
+        "skew-robust for free. stochastic/obv share one per-symbol\n"
+        "exchange over pre-reduced daily bars. sq8_quantize is a pure\n"
+        "per-row projection (scan-rate); sq8_knn's scan stage reads int8\n"
+        "codes (4x fewer bytes than float32 at rest) with broadcast\n"
+        "queries, and the exact stage touches only queries x rerank\n"
+        "vectors.\n"
     )
     with open("/root/repo/SCALE_RESULTS.md", "w") as f:
         f.write("".join(lines))

@@ -433,3 +433,32 @@ def test_dedup_against_index_shuffle_path_matches_broadcast(spark):
     b = sorted(map(tuple, dedup_against_index(
         new, index, threshold=0.8, broadcast_new=False).collect()))
     assert a == b and len(a) > 0
+
+
+class TestDuplicatedSpans:
+    def test_shared_run_and_island_merge(self, spark):
+        from pyspark.sql import Row
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+            duplicated_spans,
+        )
+
+        shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # 10 tokens
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text=f"{shared} unique tail zero here now"),
+                Row(doc_id=1, text=f"other head one {shared}"),
+                Row(doc_id=2, text="totally different text with no dup "
+                                   "tokens at all in this one honest"),
+                Row(doc_id=3, text="short doc"),  # < width: excluded
+            ]
+        )
+        out = {}
+        for r in duplicated_spans(docs, width=8, min_count=2).collect():
+            out.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end, r.n_dup_grams)
+            )
+        # doc 0: shared block = positions 1..10, grams at pos 1,2,3 -> span 1..10
+        assert out[0] == [(1, 10, 3)]
+        # doc 1: shared block starts at token 4 -> grams 4,5,6 -> span 4..13
+        assert out[1] == [(4, 13, 3)]
+        assert 2 not in out and 3 not in out
