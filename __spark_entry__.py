@@ -3902,6 +3902,70 @@ WHERE n >= 2.0 AND (n * smm - sm * sm) > 0
 ORDER BY user_id
 """
 
+def x_sma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized SMA(5/20)-crossover backtest per user — signal,
+    next-bar position, clamped micro-unit arithmetic P&L, trade count
+    and hit rate, all in window functions on ONE per-user exchange; the
+    per-user reduction is exact BIGINT sums
+    (operators/finance.sma_crossover_backtest)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        sma_crossover_backtest,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    return sma_crossover_backtest(
+        daily, ["user_id"], "trade_date", fast=5, slow=20
+    ).orderBy("user_id")
+
+
+_X_BACKTEST_SQL = f"""
+WITH daily AS (
+  SELECT user_id, trade_date, close FROM ({_SQL_DAILY_OHLCV})),
+base AS (
+  SELECT user_id, trade_date, close,
+         CASE WHEN CAST(sum(CAST(close AS DECIMAL(38,6))) OVER f5 AS DOUBLE)
+                     / CAST(count(close) OVER f5 AS DOUBLE)
+                   > CAST(sum(CAST(close AS DECIMAL(38,6))) OVER f20 AS DOUBLE)
+                     / CAST(count(close) OVER f20 AS DOUBLE)
+              THEN 1 ELSE 0 END AS sig,
+         lag(close) OVER w AS prev
+  FROM daily WHERE close > 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date),
+         f5 AS (PARTITION BY user_id ORDER BY trade_date
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         f20 AS (PARTITION BY user_id ORDER BY trade_date
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+scored AS (
+  SELECT user_id, trade_date,
+         coalesce(lag(sig) OVER w, 0) AS pos,
+         CASE WHEN prev IS NOT NULL THEN
+           greatest(least(CAST(floor((close / prev - 1.0) * 1000000.0 + 0.5)
+                               AS BIGINT), 10000000), -10000000)
+         END AS rq,
+         CASE WHEN sig <> coalesce(lag(sig) OVER w, 0) THEN 1 ELSE 0 END
+           AS flip
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY trade_date))
+SELECT user_id,
+       CAST(count(rq) AS BIGINT) AS n_days,
+       CAST(sum(flip) AS BIGINT) AS n_trades,
+       CAST(sum(CASE WHEN rq IS NOT NULL THEN pos ELSE 0 END) AS BIGINT)
+         AS n_positioned,
+       CAST(sum(CASE WHEN rq IS NOT NULL AND pos = 1 AND rq > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_wins,
+       CAST(CAST(sum(CASE WHEN pos = 1 THEN rq ELSE 0 END) AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS total_return,
+       CASE WHEN sum(CASE WHEN rq IS NOT NULL THEN pos ELSE 0 END) > 0 THEN
+         CAST(sum(CASE WHEN rq IS NOT NULL AND pos = 1 AND rq > 0
+                       THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(CAST(sum(CASE WHEN rq IS NOT NULL THEN pos ELSE 0 END)
+                       AS BIGINT) AS DOUBLE)
+       END AS hit_rate
+FROM scored GROUP BY user_id ORDER BY user_id
+"""
+
+
 def x_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchored intraday VWAP: cumulative price*volume / volume per
     (user, trading day), resetting at the day boundary — the batch twin
@@ -4953,6 +5017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_retention_cohorts": e_retention_cohorts,
         "d_unigram_xent": d_unigram_xent,
         "d_dup_spans": d_dup_spans,
+        "x_sma_backtest": x_sma_backtest,
     }
 
 
@@ -5072,6 +5137,7 @@ def oracle_sql() -> dict[str, str]:
         "e_retention_cohorts": _E_RETENTION_SQL,
         "d_unigram_xent": _D_XENT_SQL,
         "d_dup_spans": _D_SPANS_SQL,
+        "x_sma_backtest": _X_BACKTEST_SQL,
     }
 
 
@@ -5198,4 +5264,5 @@ HEADLINE_QUERIES = [
     "e_retention_cohorts",
     "d_unigram_xent",
     "d_dup_spans",
+    "x_sma_backtest",
 ]

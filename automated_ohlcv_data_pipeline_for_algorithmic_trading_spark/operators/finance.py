@@ -44,6 +44,7 @@ __all__ = [
     "returns_ledger",
     "rolling_sharpe",
     "candle_patterns",
+    "sma_crossover_backtest",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -670,4 +671,93 @@ def candle_patterns(
         .withColumn("is_shooting_star", shooting)
         .withColumn("is_bullish_engulfing", F.coalesce(bull_engulf, F.lit(False)))
         .withColumn("is_bearish_engulfing", F.coalesce(bear_engulf, F.lit(False)))
+    )
+
+
+def sma_crossover_backtest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    close: str = "close",
+    fast: int = 5,
+    slow: int = 20,
+    ret_cap_micro: int = 10_000_000,
+) -> DataFrame:
+    """Vectorized SMA-crossover backtest — the canonical algorithmic-
+    trading strategy evaluated entirely in window functions (no
+    per-symbol loop): long when sma_fast > sma_slow, enter on the NEXT
+    bar (position = lag(signal) — no look-ahead), arithmetic (non-
+    compounded) P&L.
+
+    Per key, one ordered window partition carries everything: both SMAs
+    (exact decimal rolling means, warm-up = bars seen so far), the lag'd
+    position, the bar return quantized to integer micro-units
+    (floor(r*1e6+0.5), clamped to ±ret_cap_micro so a data-error bar
+    can't dominate — clamping keeps row alignment where winsorize-drop
+    would shift the windows), and the position-transition flag. The
+    final per-key reduction is all exact BIGINT sums — engine- and
+    partition-invariant; only the last divisions are floating point.
+
+    Output per key: n_days (bars with a defined return), n_trades
+    (position flips), n_positioned (bars held long), n_wins (held bars
+    with positive return), total_return (sum of held arithmetic returns),
+    hit_rate (wins / positioned, NULL when never positioned).
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    f_fast = w.rowsBetween(-(fast - 1), 0)
+    f_slow = w.rowsBetween(-(slow - 1), 0)
+    c = F.col(close)
+    sma_f = (
+        F.sum(c.cast(_DEC)).over(f_fast).cast("double")
+        / F.count(c).over(f_fast).cast("double")
+    )
+    sma_s = (
+        F.sum(c.cast(_DEC)).over(f_slow).cast("double")
+        / F.count(c).over(f_slow).cast("double")
+    )
+    base = df.filter(c > 0).select(
+        *keys, F.col(order_col), c,
+        (sma_f > sma_s).cast("int").alias("_sig"),
+        F.lag(c).over(w).alias("_prev"),
+    )
+    ret_q_raw = F.floor(
+        (c / F.col("_prev") - F.lit(1.0)) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    ret_q = F.greatest(
+        F.least(ret_q_raw, F.lit(ret_cap_micro)), F.lit(-ret_cap_micro)
+    )
+    w2 = Window.partitionBy(*keys).orderBy(order_col)
+    scored = base.select(
+        *keys,
+        F.col(order_col),
+        F.coalesce(F.lag("_sig").over(w2), F.lit(0)).alias("_pos"),
+        F.when(F.col("_prev").isNotNull(), ret_q).alias("_rq"),
+        (
+            F.col("_sig")
+            != F.coalesce(F.lag("_sig").over(w2), F.lit(0))
+        ).cast("long").alias("_flip"),
+    )
+    pos = F.col("_pos")
+    rq = F.col("_rq")
+    return scored.groupBy(*keys).agg(
+        F.count(rq).alias("n_days"),
+        F.sum("_flip").cast("long").alias("n_trades"),
+        F.sum(F.when(rq.isNotNull(), pos).otherwise(0).cast("long"))
+        .cast("long")
+        .alias("n_positioned"),
+        F.sum(F.when(rq.isNotNull() & (pos == 1) & (rq > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_wins"),
+        (
+            F.sum(F.when(pos == 1, rq).otherwise(F.lit(0).cast("long")))
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("total_return"),
+        F.when(
+            F.sum(F.when(rq.isNotNull(), pos).otherwise(0)) > 0,
+            F.sum(
+                F.when(rq.isNotNull() & (pos == 1) & (rq > 0), 1).otherwise(0)
+            ).cast("double")
+            / F.sum(F.when(rq.isNotNull(), pos).otherwise(0)).cast("double"),
+        ).alias("hit_rate"),
     )

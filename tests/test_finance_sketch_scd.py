@@ -499,3 +499,38 @@ class TestCandlePatterns:
         assert not out[("B", 2)].is_bearish_engulfing
         assert out[("C", 1)].is_hammer
         assert not out[("C", 1)].is_shooting_star
+
+
+class TestSmaCrossoverBacktest:
+    def test_hand_built_crossover(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            sma_crossover_backtest,
+        )
+
+        closes = [10.0, 10.0, 10.0, 40.0, 40.0, 80.0]
+        df = spark.createDataFrame(
+            [Row(sym="A", t=i + 1, close=c) for i, c in enumerate(closes)]
+        )
+        r = sma_crossover_backtest(
+            df, ["sym"], "t", fast=2, slow=3
+        ).collect()[0]
+        # sig turns 1 at t=4 (sma2=25 > sma3=20); position from t=5
+        assert r.n_days == 5          # returns defined t2..t6
+        assert r.n_trades == 1        # one 0->1 flip
+        assert r.n_positioned == 2    # held t5, t6
+        assert r.n_wins == 1          # t6 doubled; t5 flat
+        assert r.total_return == pytest.approx(1.0)  # +100% on t6, 0% on t5
+        assert r.hit_rate == pytest.approx(0.5)
+
+    def test_never_positioned_null_hit_rate(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            sma_crossover_backtest,
+        )
+
+        # monotonically falling: fast sma never exceeds slow sma
+        df = spark.createDataFrame(
+            [Row(sym="A", t=i + 1, close=100.0 - 10 * i) for i in range(6)]
+        )
+        r = sma_crossover_backtest(df, ["sym"], "t", fast=2, slow=3).collect()[0]
+        assert r.n_positioned == 0 and r.hit_rate is None
+        assert r.total_return == 0.0
