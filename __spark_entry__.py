@@ -3902,6 +3902,128 @@ WHERE n >= 2.0 AND (n * smm - sm * sm) > 0
 ORDER BY user_id
 """
 
+def x_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel (20-bar rolling extremes) + breakout flag: close
+    crossing above the PREVIOUS bar's upper channel — the turtle-trader
+    entry signal. Rolling max/min/lag all share one per-user
+    exchange+sort; mid = (upper+lower)/2 is IEEE-exact; flags are pure
+    comparisons. Warm-up bars use the bars seen so far (ROWS frame)."""
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+    f = w.rowsBetween(-19, 0)
+    upper = F.max("high").over(f)
+    lower = F.min("low").over(f)
+    out = (
+        daily.withColumn("upper", upper)
+        .withColumn("lower", lower)
+        .withColumn("mid", (F.col("upper") + F.col("lower")) / F.lit(2.0))
+        .withColumn("prev_upper", F.lag("upper").over(w))
+        .withColumn(
+            "breakout",
+            F.coalesce(F.col("close") > F.col("prev_upper"), F.lit(False)),
+        )
+    )
+    return out.select(
+        "user_id", "trade_date", "close", "upper", "lower", "mid", "breakout"
+    ).orderBy("user_id", "trade_date")
+
+
+_X_DONCHIAN_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+c AS (
+  SELECT user_id, trade_date, close,
+         max(high) OVER f AS upper, min(low) OVER f AS lower
+  FROM daily
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, close, upper, lower,
+       (upper + lower) / 2.0 AS mid,
+       coalesce(close > lag(upper) OVER w, FALSE) AS breakout
+FROM c WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+ORDER BY user_id, trade_date
+"""
+
+
+def x_underwater_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest underwater streak per user: the maximum run of
+    consecutive TRADING days with close strictly below the running peak
+    — drawdown DURATION, the risk stat next to max_drawdown's depth.
+    Running max, day index, and the islands merge (idx - rank is
+    constant within a run) all ride one per-user exchange; the longest
+    run is picked by a map-side-combinable max_by(struct) with a
+    (length, earliest-start) total order."""
+    daily = _daily_ohlcv(spark, sf_dir).filter(F.col("close") > 0)
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+    run_max = F.max("close").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    idx = F.row_number().over(w)
+    flagged = daily.select(
+        "user_id",
+        "trade_date",
+        idx.alias("_idx"),
+        (F.col("close") < run_max).alias("_uw"),
+    ).filter(F.col("_uw"))
+    w2 = Window.partitionBy("user_id").orderBy("_idx")
+    isl = (F.col("_idx") - F.row_number().over(w2)).alias("_isl")
+    runs = (
+        flagged.select("user_id", "trade_date", "_idx", isl)
+        .groupBy("user_id", "_isl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("streak_days"),
+            F.min("trade_date").alias("streak_start"),
+            F.max("trade_date").alias("streak_end"),
+        )
+    )
+    # longest streak, earliest start on ties: max_by over a struct whose
+    # ordering is (length asc, date desc) inverted via negated datediff
+    pick = F.max_by(
+        F.struct("streak_days", "streak_start", "streak_end"),
+        F.struct(
+            F.col("streak_days"),
+            -F.datediff("streak_start", F.lit("1970-01-01").cast("date")),
+        ),
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(pick.alias("_s"))
+        .select(
+            "user_id",
+            F.col("_s.streak_days").alias("streak_days"),
+            F.col("_s.streak_start").alias("streak_start"),
+            F.col("_s.streak_end").alias("streak_end"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_X_UNDERWATER_SQL = f"""
+WITH daily AS (
+  SELECT user_id, trade_date, close FROM ({_SQL_DAILY_OHLCV})
+  WHERE close > 0),
+m AS (
+  SELECT user_id, trade_date,
+         row_number() OVER w AS idx,
+         close < max(close) OVER (PARTITION BY user_id ORDER BY trade_date
+                                  ROWS UNBOUNDED PRECEDING) AS uw
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+f AS (SELECT user_id, trade_date, idx FROM m WHERE uw),
+i AS (SELECT user_id, trade_date, idx,
+             idx - row_number() OVER (PARTITION BY user_id ORDER BY idx)
+               AS isl
+      FROM f),
+runs AS (
+  SELECT user_id, isl, CAST(count(*) AS BIGINT) AS streak_days,
+         min(trade_date) AS streak_start, max(trade_date) AS streak_end
+  FROM i GROUP BY user_id, isl),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY streak_days DESC, streak_start ASC) AS rn
+      FROM runs)
+SELECT user_id, streak_days, streak_start, streak_end
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def x_sma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized SMA(5/20)-crossover backtest per user — signal,
     next-bar position, clamped micro-unit arithmetic P&L, trade count
@@ -5018,6 +5140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_unigram_xent": d_unigram_xent,
         "d_dup_spans": d_dup_spans,
         "x_sma_backtest": x_sma_backtest,
+        "x_donchian": x_donchian,
+        "x_underwater_streak": x_underwater_streak,
     }
 
 
@@ -5138,6 +5262,8 @@ def oracle_sql() -> dict[str, str]:
         "d_unigram_xent": _D_XENT_SQL,
         "d_dup_spans": _D_SPANS_SQL,
         "x_sma_backtest": _X_BACKTEST_SQL,
+        "x_donchian": _X_DONCHIAN_SQL,
+        "x_underwater_streak": _X_UNDERWATER_SQL,
     }
 
 
@@ -5265,4 +5391,6 @@ HEADLINE_QUERIES = [
     "d_unigram_xent",
     "d_dup_spans",
     "x_sma_backtest",
+    "x_donchian",
+    "x_underwater_streak",
 ]
