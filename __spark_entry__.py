@@ -3158,6 +3158,51 @@ ORDER BY doc_id, span_start
 """
 
 
+def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate MEDIA detection: perceptual hash per binary
+    payload (Arrow mapInPandas; deterministic md5 stand-in here, PIL
+    aHash on real images) into the SAME 4-chunk pigeonhole hamming join
+    as text simhash (dedup_similarity.hamming_near_dup_pairs) — one
+    bucketed shuffle, exactly the all-pairs answer, so the oracle is
+    the plain all-pairs SQL. Every 100th document is replayed as a
+    re-ingested copy (id + 1e7) so the corpus contains byte-identical
+    payloads — the scenario the detector exists for."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        hamming_near_dup_pairs,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.multimodal import (
+        media_phash,
+        text_as_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    replay = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    ph = media_phash(
+        text_as_media(docs.unionByName(replay)), fake=True
+    ).localCheckpoint()
+    return hamming_near_dup_pairs(
+        ph, id_col="media_id", hash_col="phash", bits=60
+    ).orderBy("doc_a", "doc_b")
+
+
+_M_PHASH_SQL = """
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 100 = 0),
+h AS (SELECT doc_id,
+             CAST('0x' || substr(md5(text || '#ph'), 1, 15) AS BIGINT) AS ph
+      FROM src)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 def d_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram cross-entropy under the corpus's own unigram
     LM — the perplexity-proxy quality filter (KenLM stand-in). Tokens
@@ -5142,6 +5187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sma_backtest": x_sma_backtest,
         "x_donchian": x_donchian,
         "x_underwater_streak": x_underwater_streak,
+        "m_phash_neardup": m_phash_neardup,
     }
 
 
@@ -5264,6 +5310,7 @@ def oracle_sql() -> dict[str, str]:
         "x_sma_backtest": _X_BACKTEST_SQL,
         "x_donchian": _X_DONCHIAN_SQL,
         "x_underwater_streak": _X_UNDERWATER_SQL,
+        "m_phash_neardup": _M_PHASH_SQL,
     }
 
 
@@ -5393,4 +5440,5 @@ HEADLINE_QUERIES = [
     "x_sma_backtest",
     "x_donchian",
     "x_underwater_streak",
+    "m_phash_neardup",
 ]

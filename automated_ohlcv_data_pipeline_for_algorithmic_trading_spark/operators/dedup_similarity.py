@@ -422,15 +422,47 @@ def simhash_near_dup_pairs(
         )
     if max_hamming > 3:
         raise ValueError("bucketed simhash join supports max_hamming <= 3")
+    return hamming_near_dup_pairs(
+        sk, id_col=id_col, hash_col="simhash", bits=bits,
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_near_dup_pairs(
+    sk: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bits: int = 60,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic 4-chunk pigeonhole hamming pair join over any
+    ``bits``-wide integer sketch column — the shared engine behind
+    simhash text near-dup AND media perceptual-hash near-dup
+    (multimodal.media_phash). hamming <= 3 means at least one of the 4
+    equal-width chunks is EQUAL, so candidates come from equi-joins on
+    (chunk_index, chunk_value): one shuffle over 4n rows, output exactly
+    the all-pairs answer. Each colliding pair is emitted from its FIRST
+    matching chunk via a codegen'd predicate (no distinct shuffle).
+
+    Caller contract: ``sk`` should already be materialized
+    (localCheckpoint) if its lineage is expensive — both self-join sides
+    consume it. Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    if max_hamming > 3:
+        raise ValueError("4-chunk pigeonhole join supports max_hamming <= 3")
+    if bits % 4 != 0:
+        raise ValueError("bits must be divisible by 4")
+    cw = bits // 4
+    cmask = (1 << cw) - 1
     chunk = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c")
-    ch = sk.select(id_col, "simhash", chunk).withColumn(
-        "ckey", F.expr(f"shiftrightunsigned(simhash, c * {cw}) & {cmask}")
+    ch = sk.select(id_col, hash_col, chunk).withColumn(
+        "ckey", F.expr(f"shiftrightunsigned({hash_col}, c * {cw}) & {cmask}")
     )
     a = ch.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sk_a"), "c", "ckey"
+        F.col(id_col).alias("doc_a"), F.col(hash_col).alias("sk_a"), "c", "ckey"
     )
     b = ch.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sk_b"), "c", "ckey"
+        F.col(id_col).alias("doc_b"), F.col(hash_col).alias("sk_b"), "c", "ckey"
     )
     # each pair may collide in up to 4 chunks; emit it only from the FIRST
     # matching chunk (a codegen'd predicate on the sketches already in the

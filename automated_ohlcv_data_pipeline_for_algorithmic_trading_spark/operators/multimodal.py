@@ -352,3 +352,57 @@ def audio_windows(
         schema="media_id long, window_idx int, start_ms long, end_ms long,"
         " feat array<float>",
     )
+
+
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def media_phash(df: DataFrame, fake: bool = True, bits: int = 60) -> DataFrame:
+    """Perceptual hash per media payload — the image twin of text
+    SimHash, feeding the same 4-chunk pigeonhole pair join
+    (dedup_similarity.hamming_near_dup_pairs) for near-duplicate image
+    detection at corpus scale.
+
+    ``fake=False`` computes an average-hash (aHash) with PIL: downscale
+    to 8x8 grayscale, bit i = pixel_i > mean — nearly-identical images
+    (recompressed, slightly cropped) land within a few bits. The 64-bit
+    aHash is right-shifted to ``bits`` (60 keeps the 15-bit chunks of
+    the shared pair join). ``fake=True`` derives a deterministic
+    md5-prefix hash of the payload (identical payloads collide at
+    hamming 0; others are ~uniform), so the distributed plumbing and
+    the pair join are oracle-checkable in this image. Lazy executor
+    import + NotImplementedError contract as the other decoders.
+    """
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        if fake:
+            def ph(b: bytes) -> int:
+                h = hashlib.md5(bytes(b) + b"#ph").hexdigest()
+                return int(h[: bits // 4], 16)
+        else:
+            pil = _require("PIL.Image", "perceptual hashing")
+
+            def ph(b: bytes) -> int:
+                import io
+
+                img = pil.open(io.BytesIO(bytes(b)))
+                small = img.convert("L").resize((8, 8))
+                px = list(small.getdata())
+                mean = sum(px) / 64.0
+                h64 = 0
+                for i, p in enumerate(px):
+                    if p > mean:
+                        h64 |= 1 << i
+                return h64 >> (64 - bits)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["content"].map(ph).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(op, schema=PHASH_SCHEMA)

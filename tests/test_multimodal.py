@@ -179,3 +179,48 @@ def test_missing_decoder_error_names_dependency(media):
     with pytest.raises(Exception) as exc:
         decode_images(media, fake=False).collect()
     assert "PIL.Image" in str(exc.value)
+
+
+class TestMediaPhash:
+    def test_fake_phash_pairs_exact_dups_only(self, spark):
+        from pyspark.sql import Row
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+            hamming_near_dup_pairs,
+        )
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.multimodal import (
+            media_phash,
+            text_as_media,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="same payload body"),
+                Row(doc_id=2, text="same payload body"),
+                Row(doc_id=3, text="a different payload"),
+            ]
+        )
+        ph = media_phash(text_as_media(docs), fake=True)
+        rows = {r.media_id: r.phash for r in ph.collect()}
+        assert rows[1] == rows[2] != rows[3]
+        assert all(0 <= v < (1 << 60) for v in rows.values())
+        pairs = hamming_near_dup_pairs(
+            ph.localCheckpoint(), id_col="media_id", hash_col="phash", bits=60
+        ).collect()
+        assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+    def test_real_phash_requires_pil(self, spark):
+        from pyspark.sql import Row
+        import pytest as _pytest
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.multimodal import (
+            _optional,
+            media_phash,
+            text_as_media,
+        )
+
+        docs = spark.createDataFrame([Row(doc_id=1, text="x")])
+        out = media_phash(text_as_media(docs), fake=False)
+        if _optional("PIL.Image") is None:
+            with _pytest.raises(Exception):  # NotImplementedError via Py4J
+                out.collect()
+        else:  # pragma: no cover - image lib present in some envs
+            _pytest.skip("PIL present; real decode covered elsewhere")
