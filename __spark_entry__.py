@@ -5065,6 +5065,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries the driver has not yet hashed so every operator class gets a hard
     # driver-oracle row across rounds 2+3.  The previously-checked 50 follow and
     # retain local verify coverage (scripts/verify_local.py).
+    #
+    # ROUND-4 ROTATION TODO: front-load the entries that have never had a
+    # driver row after r3 — the two r3 spillovers (e_drift_psi,
+    # d_mixture_sample) plus everything appended after j_asof_orders this
+    # session (x_vwap_anchored .. m_phash_neardup, 16 entries) — and back-fill
+    # the window with r2-checked entries.
     return {
         # --- round-3 gate window: driver-unchecked as of r2 ---
         "j_semi_active_customers": j_semi_active_customers,

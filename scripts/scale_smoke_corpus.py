@@ -108,6 +108,28 @@ def main() -> None:
             results,
             n_docs,
         )
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            unigram_xent,
+        )
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (  # noqa: E501
+            duplicated_spans,
+        )
+
+        timed(
+            f"unigram_xent ({variant})",
+            unigram_xent(docs),
+            results,
+            n_docs,
+        )
+        # hot variant is the stress: every gram of a 50-copy exact-dup
+        # group is corpus-duplicated, so flagged positions cover whole
+        # documents and the islands merge does maximal work
+        timed(
+            f"duplicated_spans w=8 ({variant})",
+            duplicated_spans(docs),
+            results,
+            n_docs,
+        )
         if variant == "hot":
             # the full curation composition on the duplicate-heavy corpus:
             # pairs -> components -> decontam vs a 2% bench split ->
@@ -173,6 +195,28 @@ def main() -> None:
                 dedup_against_index(batch, idx, threshold=0.9),
                 results,
                 n_docs // 100,
+            )
+            # media perceptual-hash near-dup: exact-dup payloads collide
+            # at hamming 0, so the 50-copy groups exercise the pigeonhole
+            # join's hot buckets; output stays pair-proportional
+            from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (  # noqa: E501
+                hamming_near_dup_pairs,
+            )
+            from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.multimodal import (  # noqa: E501
+                media_phash,
+                text_as_media,
+            )
+
+            ph = media_phash(
+                text_as_media(docs), fake=True
+            ).localCheckpoint()
+            timed(
+                f"media_phash + hamming pairs ({variant})",
+                hamming_near_dup_pairs(
+                    ph, id_col="media_id", hash_col="phash", bits=60
+                ),
+                results,
+                n_docs,
             )
         docs.unpersist()
 

@@ -216,3 +216,55 @@ def test_scd2_reconstructs_changelog_states(rows):
         assert sum(1 for h in versions if h.is_current) == 1
         for a, b in zip(versions, versions[1:]):
             assert a.valid_to == b.valid_from
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(candle_lists)
+def test_indicator_properties(rows):
+    """Stochastic %K bounds + OBV telescoping + VWAP bounds on arbitrary
+    bar series."""
+    spark = _spark()
+    from pyspark.sql import functions as F
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        anchored_vwap,
+        on_balance_volume,
+        stochastic_oscillator,
+    )
+
+    bars = spark.createDataFrame(
+        [
+            (f"S{s}", t, round(v, 2), round(v * 1.1, 2), round(v * 0.9, 2), q + 1)
+            for s, t, v, q in rows
+        ],
+        "symbol string, t long, close double, high double, low double, volume long",
+    ).dropDuplicates(["symbol", "t"])
+
+    st_out = stochastic_oscillator(bars, ["symbol"], "t", n=5, d=3).collect()
+    for r in st_out:
+        if r["pct_k"] is not None:
+            assert -1e-9 <= r["pct_k"] <= 100 + 1e-9
+        if r["pct_d"] is not None:
+            assert -1e-9 <= r["pct_d"] <= 100 + 1e-9
+
+    obv_out = on_balance_volume(bars, ["symbol"], "t").collect()
+    # |OBV| can never exceed the total traded volume per key
+    tot = {}
+    for r in obv_out:
+        tot.setdefault(r["symbol"], 0)
+        tot[r["symbol"]] += r["volume"]
+    last = {}
+    for r in sorted(obv_out, key=lambda r: (r["symbol"], r["t"])):
+        assert abs(r["obv"]) <= tot[r["symbol"]]
+        last[r["symbol"]] = r["obv"]
+
+    vw = anchored_vwap(
+        bars.withColumn("anchor", F.lit(1)), ["symbol"], "anchor", "t", "t",
+        price_col="close", volume_col="volume",
+    ).collect()
+    # VWAP always lies within [min close, max close] seen so far per key
+    seen: dict = {}
+    for r in sorted(vw, key=lambda r: (r["symbol"], r["t"])):
+        lo, hi = seen.get(r["symbol"], (r["close"], r["close"]))
+        lo, hi = min(lo, r["close"]), max(hi, r["close"])
+        seen[r["symbol"]] = (lo, hi)
+        assert lo - 1e-6 <= r["vwap"] <= hi + 1e-6
