@@ -3158,6 +3158,47 @@ ORDER BY doc_id, span_start
 """
 
 
+def d_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis reservoir, md5-derived uniforms): top-20
+    documents per source with inclusion probability proportional to
+    length — the weighted-mixture construction step next to the
+    Bernoulli/stratified/mixture samplers. One window per stratum; the
+    float key is ln-based so it stays INTERNAL (selection is robust,
+    the value itself is last-ulp-engine-dependent)
+    (operators/sampling.weighted_sample)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs.select("source", "doc_id", "n_chars"),
+        "doc_id", "n_chars", k=20, strata="source",
+    )
+    return out.select("source", "doc_id", "n_chars", "ws_rank").orderBy(
+        "source", "ws_rank"
+    )
+
+
+_D_WSAMPLE_SQL = """
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+         ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws-v1'),
+                                 1, 12) AS BIGINT) + 1.0)
+            / 281474976710657.0)
+           / greatest(CAST(n_chars AS DOUBLE), 1.0) AS ws_key
+  FROM documents),
+r AS (SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ws_key DESC, doc_id ASC) AS ws_rank
+      FROM s)
+SELECT source, doc_id, n_chars, CAST(ws_rank AS BIGINT) AS ws_rank
+FROM r WHERE ws_rank <= 20
+ORDER BY source, ws_rank
+"""
+
+
 def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate MEDIA detection: perceptual hash per binary
     payload (Arrow mapInPandas; deterministic md5 stand-in here, PIL
@@ -5194,6 +5235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_donchian": x_donchian,
         "x_underwater_streak": x_underwater_streak,
         "m_phash_neardup": m_phash_neardup,
+        "d_weighted_sample": d_weighted_sample,
     }
 
 
@@ -5317,6 +5359,7 @@ def oracle_sql() -> dict[str, str]:
         "x_donchian": _X_DONCHIAN_SQL,
         "x_underwater_streak": _X_UNDERWATER_SQL,
         "m_phash_neardup": _M_PHASH_SQL,
+        "d_weighted_sample": _D_WSAMPLE_SQL,
     }
 
 
@@ -5447,4 +5490,5 @@ HEADLINE_QUERIES = [
     "x_donchian",
     "x_underwater_streak",
     "m_phash_neardup",
+    "d_weighted_sample",
 ]

@@ -132,3 +132,58 @@ def mixture_sample(
         .withColumn("pick_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("pick_rank") <= quota)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    strata: str | None = None,
+    salt: str = "ws-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis one-pass reservoir (keep the k largest
+    u^(1/w), here as the k largest ln(u)/w), with the uniform u derived
+    from md5(id || salt) instead of RNG state. Inclusion probability is
+    proportional to weight, the SAME rows are selected on any cluster
+    size, and the DuckDB oracle replays the formula verbatim — the
+    reproducibility contract of the other samplers, extended to
+    weighted mixture construction (sample documents ∝ length, domains
+    ∝ quality mass, ...).
+
+    Per ``strata`` (optional) the top-k ranking is one window over the
+    stratum key; weights are clamped to >= 1 so zero/negative weights
+    degrade to uniform rather than dividing by zero. Ranking ties on
+    the float key are broken by id — and the md5-derived keys make
+    exact ties impossible, so the selection is total-ordered.
+
+    Output: input columns + (ws_key, ws_rank) for the k selected rows.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit("#" + salt)
+                    ).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**12 + 1))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key = F.log(u) / w
+    part = [strata] if strata else []
+    win = Window.partitionBy(*part).orderBy(
+        F.col("ws_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("ws_key", key)
+        .withColumn("ws_rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("ws_rank") <= k)
+    )

@@ -26,7 +26,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_clustered", "file_stats"]
+__all__ = ["write_clustered", "file_stats", "zorder_value", "write_zordered"]
 
 
 def write_clustered(
@@ -69,3 +69,80 @@ def file_stats(path: str, column: str) -> list[tuple[str, object, object]]:
                     hi = s.max if hi is None else max(hi, s.max)
         out.append((name, lo, hi))
     return out
+
+
+def zorder_value(cols: Sequence[str], bits: int = 16):
+    """Interleaved (Morton / Z-order) value over two numeric rank
+    columns — multi-dimensional clustering with NO engine support
+    needed: compute the Z-value, then range-cluster on it. Wins over
+    lexicographic `cluster_by` exactly when scans filter on the
+    SECOND dimension alone (lexicographic files span that column's
+    full range; Z-ordered files cover bounded rectangles in BOTH).
+
+    ``cols`` are 0..2^bits-1 integer ranks (quantize upstream — see
+    ``write_zordered``). Bit spreading uses the classic mask-multiply
+    ladder (4 shift/mask ops per column), not a 2*bits-term unrolled
+    expression — codegen-friendly at any width (NOTES.md: wide unrolls
+    blow past JIT limits).
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError("zorder_value interleaves exactly 2 columns")
+    if bits > 16:
+        raise ValueError("bits <= 16 (interleaved result must fit a long)")
+
+    def spread_col(name: str) -> Column:
+        x = F.col(name).cast("long")
+        x = (F.shiftleft(x, 8).bitwiseOR(x)).bitwiseAND(F.lit(0x00FF00FF))
+        x = (F.shiftleft(x, 4).bitwiseOR(x)).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = (F.shiftleft(x, 2).bitwiseOR(x)).bitwiseAND(F.lit(0x33333333))
+        x = (F.shiftleft(x, 1).bitwiseOR(x)).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    a, b = cols
+    return spread_col(a).bitwiseOR(F.shiftleft(spread_col(b), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered parquet write over two numeric columns: rank
+    each column to 0..2^bits-1 (min/max scaling from one tiny agg pass
+    — the same two-pass shape as any OPTIMIZE job), interleave into a
+    Z-value, range-partition + sort on it, drop it before writing.
+    Every output file then covers a bounded RECTANGLE in (colA, colB)
+    space, so parquet min/max stats skip files for predicates on either
+    column or both."""
+    from pyspark.sql import functions as F
+
+    a, b = list(cols)
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(a), F.max(a), F.min(b), F.max(b)
+    ).collect()[0]
+    span_a = max(1e-12, float(hi_a) - float(lo_a))
+    span_b = max(1e-12, float(hi_b) - float(lo_b))
+    mx = (1 << bits) - 1
+
+    def rank(col: str, lo: float, span: float):
+        return F.least(
+            F.lit(mx),
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(span) * F.lit(mx)),
+        ).cast("long")
+
+    ranked = df.withColumn("_ra", rank(a, float(lo_a), span_a)).withColumn(
+        "_rb", rank(b, float(lo_b), span_b)
+    )
+    z = ranked.withColumn("_z", zorder_value(["_ra", "_rb"], bits))
+    (
+        z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_ra", "_rb", "_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

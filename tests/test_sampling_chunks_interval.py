@@ -117,3 +117,44 @@ def test_mixture_sample_quotas_and_determinism(spark):
     # sources without a quota are dropped
     extra = mixture_sample(df, "src", "rid", {"s0": 5})
     assert {r.src for r in extra.collect()} == {"s0"}
+
+
+class TestWeightedSample:
+    def test_weight_proportional_and_deterministic(self, spark):
+        from pyspark.sql import Row
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        # 200 light docs (w=1) + 200 heavy docs (w=100): a 50-doc sample
+        # should be dominated by heavy docs
+        rows = [Row(doc_id=i, w=1) for i in range(200)] + [
+            Row(doc_id=1000 + i, w=100) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows)
+        out1 = weighted_sample(df, "doc_id", "w", k=50).collect()
+        heavy = sum(1 for r in out1 if r.doc_id >= 1000)
+        assert heavy >= 40  # E[heavy] ~ 49.5 under w=100:1
+        assert len(out1) == 50
+        assert sorted(r.ws_rank for r in out1) == list(range(1, 51))
+        # determinism: identical selection on a different partitioning
+        out2 = weighted_sample(df.repartition(13), "doc_id", "w", k=50).collect()
+        assert sorted(r.doc_id for r in out1) == sorted(r.doc_id for r in out2)
+
+    def test_strata_independent_reservoirs(self, spark):
+        from pyspark.sql import Row
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        rows = [
+            Row(doc_id=i, src="a" if i % 2 == 0 else "b", w=i + 1)
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows)
+        out = weighted_sample(df, "doc_id", "w", k=10, strata="src").collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.src, []).append(r.ws_rank)
+        assert sorted(by_src["a"]) == list(range(1, 11))
+        assert sorted(by_src["b"]) == list(range(1, 11))

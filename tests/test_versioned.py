@@ -331,3 +331,63 @@ def test_hadoop_io_route_full_lifecycle(spark, tmp_path, monkeypatch):
     # v2's extra file became unreferenced after the rollback kept v1's
     assert all(p.endswith(".parquet") for p in deleted)
     assert V.read_version(spark, table).count() == 1
+
+
+class TestZOrderLayout:
+    def test_zorder_files_bound_both_dimensions(self, spark, tmp_path):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.layout import (
+            file_stats,
+            write_zordered,
+            write_clustered,
+        )
+
+        # 2D uniform grid: x and y independent
+        df = spark.range(65_536).selectExpr(
+            "CAST(id % 256 AS BIGINT) AS x",
+            "CAST(CAST(id / 256 AS BIGINT) % 256 AS BIGINT) AS y",
+            "id AS payload",
+        )
+        zpath = str(tmp_path / "zorder")
+        lpath = str(tmp_path / "lex")
+        write_zordered(df, zpath, ["x", "y"], n_files=16)
+        write_clustered(df, lpath, ["x", "y"], n_files=16)
+
+        def spans(path, col):
+            return [
+                (hi - lo)
+                for _, lo, hi in file_stats(path, col)
+                if lo is not None
+            ]
+
+        # lexicographic: x is clustered, y spans ~the whole domain per file
+        # z-order: BOTH dimensions bounded per file
+        z_y = spans(zpath, "y")
+        l_y = spans(lpath, "y")
+        assert sum(z_y) / len(z_y) < 0.6 * (sum(l_y) / len(l_y))
+
+        # a y-only box predicate overlaps fewer z-ordered files
+        def hits(path, col, lo_p, hi_p):
+            return sum(
+                1
+                for _, lo, hi in file_stats(path, col)
+                if lo is not None and not (hi < lo_p or lo > hi_p)
+            )
+
+        z_hits = hits(zpath, "y", 10, 20)
+        l_hits = hits(lpath, "y", 10, 20)
+        assert z_hits < l_hits
+
+    def test_zorder_roundtrip_content(self, spark, tmp_path):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.layout import (
+            write_zordered,
+        )
+
+        df = spark.range(1000).selectExpr(
+            "CAST(id % 37 AS BIGINT) x", "CAST(id % 53 AS BIGINT) y", "id p"
+        )
+        path = str(tmp_path / "z")
+        write_zordered(df, path, ["x", "y"], n_files=4)
+        back = spark.read.parquet(path)
+        assert sorted(back.columns) == ["p", "x", "y"]
+        assert back.count() == 1000
+        assert back.selectExpr("sum(p)").collect()[0][0] == 999 * 1000 // 2
