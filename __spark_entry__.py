@@ -4110,6 +4110,118 @@ FROM r WHERE rn = 1 ORDER BY user_id
 """
 
 
+def x_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku lines over per-user daily bars: tenkan (9-bar midpoint),
+    kijun (26), senkou B (52) shifted forward 26, chikou (close shifted
+    back 26). Rolling extremes + lead/lag all share ONE per-user
+    exchange; midpoints divide by 2.0 (IEEE-exact), so every line
+    replays bit-identically unrounded."""
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+
+    def midpoint(n: int):
+        f = w.rowsBetween(-(n - 1), 0)
+        return (F.max("high").over(f) + F.min("low").over(f)) / F.lit(2.0)
+
+    out = (
+        daily.withColumn("tenkan", midpoint(9))
+        .withColumn("kijun", midpoint(26))
+        .withColumn(
+            "senkou_a_raw", (F.col("tenkan") + F.col("kijun")) / F.lit(2.0)
+        )
+        .withColumn("senkou_a", F.lag("senkou_a_raw", 26).over(w))
+        .withColumn("senkou_b", F.lag(midpoint(52), 26).over(w))
+        .withColumn("chikou", F.lead("close", 26).over(w))
+    )
+    return out.select(
+        "user_id", "trade_date", "close", "tenkan", "kijun",
+        "senkou_a", "senkou_b", "chikou",
+    ).orderBy("user_id", "trade_date")
+
+
+_X_ICHIMOKU_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+c AS (
+  SELECT user_id, trade_date, close,
+         (max(high) OVER f9 + min(low) OVER f9) / 2.0 AS tenkan,
+         (max(high) OVER f26 + min(low) OVER f26) / 2.0 AS kijun,
+         (max(high) OVER f52 + min(low) OVER f52) / 2.0 AS mid52
+  FROM daily
+  WINDOW f9 AS (PARTITION BY user_id ORDER BY trade_date
+                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+         f26 AS (PARTITION BY user_id ORDER BY trade_date
+                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+         f52 AS (PARTITION BY user_id ORDER BY trade_date
+                 ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, close, tenkan, kijun,
+       lag((tenkan + kijun) / 2.0, 26) OVER w AS senkou_a,
+       lag(mid52, 26) OVER w AS senkou_b,
+       lead(close, 26) OVER w AS chikou
+FROM c WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+ORDER BY user_id, trade_date
+"""
+
+
+def x_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume profile: traded volume histogrammed into 20 equal price
+    buckets per user — where the volume actually traded, the
+    market-structure view behind support/resistance levels. Per-user
+    price bounds come from the daily-bar reduction (tiny) joined back;
+    bucket index is exact integer arithmetic on micro-unit prices so
+    bucket edges are engine-invariant (no float width_bucket)."""
+    daily = _daily_ohlcv(spark, sf_dir)
+    bounds = daily.groupBy("user_id").agg(
+        F.min("low").alias("p_lo"), F.max("high").alias("p_hi")
+    )
+    j = daily.join(F.broadcast(bounds), "user_id")
+    # micro-unit integer bucketing: floor((close-lo)*1e6) * 20 div
+    # ((hi-lo)*1e6) clamped to 19 — all INTEGER ops after the one float
+    # subtraction (identical IEEE on both engines). True integer
+    # division (`div`) on both sides — double `/`+floor can land one
+    # bucket off when the quotient is exact.
+    micro = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    j = j.withColumn("_span", micro(F.col("p_hi") - F.col("p_lo"))).withColumn(
+        "_off", micro(F.col("close") - F.col("p_lo"))
+    )
+    bucket = F.least(
+        F.lit(19).cast("long"),
+        F.when(
+            F.col("_span") > 0, F.expr("(_off * 20) div _span")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return (
+        j.withColumn("bucket", bucket)
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.sum("volume").cast("long").alias("volume"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+        .orderBy("user_id", "bucket")
+    )
+
+
+_X_VOLPROFILE_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+bounds AS (
+  SELECT user_id, min(low) AS p_lo, max(high) AS p_hi
+  FROM daily GROUP BY user_id),
+b AS (
+  SELECT d.user_id, d.volume,
+         least(19, CASE WHEN CAST(floor((p_hi - p_lo) * 1000000.0 + 0.5)
+                                  AS BIGINT) > 0
+               THEN CAST(CAST(floor((close - p_lo) * 1000000.0 + 0.5)
+                              AS BIGINT) * 20
+                    // CAST(floor((p_hi - p_lo) * 1000000.0 + 0.5) AS BIGINT)
+                    AS BIGINT)
+               ELSE 0 END) AS bucket
+  FROM daily d JOIN bounds USING (user_id))
+SELECT user_id, bucket, CAST(sum(volume) AS BIGINT) AS volume,
+       count(*) AS n_bars
+FROM b GROUP BY user_id, bucket
+ORDER BY user_id, bucket
+"""
+
+
 def x_sma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized SMA(5/20)-crossover backtest per user — signal,
     next-bar position, clamped micro-unit arithmetic P&L, trade count
@@ -5236,6 +5348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_underwater_streak": x_underwater_streak,
         "m_phash_neardup": m_phash_neardup,
         "d_weighted_sample": d_weighted_sample,
+        "x_ichimoku": x_ichimoku,
+        "x_volume_profile": x_volume_profile,
     }
 
 
@@ -5360,6 +5474,8 @@ def oracle_sql() -> dict[str, str]:
         "x_underwater_streak": _X_UNDERWATER_SQL,
         "m_phash_neardup": _M_PHASH_SQL,
         "d_weighted_sample": _D_WSAMPLE_SQL,
+        "x_ichimoku": _X_ICHIMOKU_SQL,
+        "x_volume_profile": _X_VOLPROFILE_SQL,
     }
 
 
@@ -5491,4 +5607,6 @@ HEADLINE_QUERIES = [
     "x_underwater_streak",
     "m_phash_neardup",
     "d_weighted_sample",
+    "x_ichimoku",
+    "x_volume_profile",
 ]
