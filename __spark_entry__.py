@@ -4110,6 +4110,96 @@ FROM r WHERE rn = 1 ORDER BY user_id
 """
 
 
+def x_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 60-day beta per user vs the equal-weight market factor —
+    the time-varying version of x_beta_market. Returns and the market
+    factor are quantized to integer micro-units (floor(x*1e6+0.5) — no
+    decimal-cast tie-breaking; returns ARE dyadic, see NOTES #10), so
+    all four frame moments are exact BIGINT sums; the final moment
+    ratio is IEEE-exact double (micro² scales cancel in beta). Ticks
+    reduce to symbol-days first; the per-day factor broadcasts; windows
+    share one per-user exchange. Frames with < 10 days or zero market
+    variance yield NULL."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        daily_returns,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value").filter(
+        F.abs(F.col("ret")) <= 10.0
+    )
+    q = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    rets = rets.withColumn("rq", q(F.col("ret"))).localCheckpoint()
+    # market factor in MICRO-UNITS from the already-quantized returns —
+    # exact BIGINT sum, then one IEEE divide + floor; no decimal cast
+    # anywhere (dyadic rets would hit its cross-engine tie-breaking)
+    market = rets.groupBy("trade_date").agg(
+        F.floor(
+            F.sum("rq").cast("double") / F.count("rq").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mq")
+    )
+    j = rets.join(F.broadcast(market), "trade_date")
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+    f = w.rowsBetween(-59, 0)
+    n = F.count("rq").over(f).cast("double")
+    sr = F.sum("rq").over(f).cast("double")
+    sm = F.sum("mq").over(f).cast("double")
+    srm = F.sum(F.col("rq") * F.col("mq")).over(f).cast("double")
+    smm = F.sum(F.col("mq") * F.col("mq")).over(f).cast("double")
+    var_m = n * smm - sm * sm
+    beta = F.when((n >= 10.0) & (var_m > 0), (n * srm - sr * sm) / var_m)
+    return (
+        j.withColumn("n_days", n.cast("long"))
+        .withColumn("beta_60d", beta)
+        .select("user_id", "trade_date", "n_days", "beta_60d")
+        .orderBy("user_id", "trade_date")
+    )
+
+
+_X_ROLLBETA_SQL = f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE value > 0),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM src GROUP BY user_id, CAST(ts AS DATE)),
+rets AS (
+  SELECT user_id, trade_date,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily QUALIFY ret IS NOT NULL AND abs(ret) <= 10.0),
+rq AS (
+  SELECT user_id, trade_date,
+         CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS rq
+  FROM rets),
+mkt AS (
+  SELECT trade_date,
+         CAST(floor(CAST(sum(rq) AS DOUBLE) / CAST(count(rq) AS DOUBLE)
+                    + 0.5) AS BIGINT) AS mq
+  FROM rq GROUP BY trade_date),
+j AS (
+  SELECT r.user_id, r.trade_date, r.rq, m.mq
+  FROM rq r JOIN mkt m USING (trade_date)),
+m AS (
+  SELECT user_id, trade_date,
+         CAST(count(rq) OVER f AS DOUBLE) AS n,
+         CAST(sum(rq) OVER f AS DOUBLE) AS sr,
+         CAST(sum(mq) OVER f AS DOUBLE) AS sm,
+         CAST(sum(rq * mq) OVER f AS DOUBLE) AS srm,
+         CAST(sum(mq * mq) OVER f AS DOUBLE) AS smm
+  FROM j
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 59 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n >= 10.0 AND (n * smm - sm * sm) > 0
+            THEN (n * srm - sr * sm) / (n * smm - sm * sm) END AS beta_60d
+FROM m ORDER BY user_id, trade_date
+"""
+
+
 def x_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ichimoku lines over per-user daily bars: tenkan (9-bar midpoint),
     kijun (26), senkou B (52) shifted forward 26, chikou (close shifted
@@ -5350,6 +5440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_weighted_sample": d_weighted_sample,
         "x_ichimoku": x_ichimoku,
         "x_volume_profile": x_volume_profile,
+        "x_rolling_beta": x_rolling_beta,
     }
 
 
@@ -5476,6 +5567,7 @@ def oracle_sql() -> dict[str, str]:
         "d_weighted_sample": _D_WSAMPLE_SQL,
         "x_ichimoku": _X_ICHIMOKU_SQL,
         "x_volume_profile": _X_VOLPROFILE_SQL,
+        "x_rolling_beta": _X_ROLLBETA_SQL,
     }
 
 
@@ -5609,4 +5701,5 @@ HEADLINE_QUERIES = [
     "d_weighted_sample",
     "x_ichimoku",
     "x_volume_profile",
+    "x_rolling_beta",
 ]
