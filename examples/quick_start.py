@@ -87,6 +87,34 @@ def main() -> None:
     print("== SQL: window_daily_summary ==")
     run_declared_query(spark, "window_daily_summary").show(8)
 
+    # 6. Indicator + strategy layer over daily bars (finance operators)
+    from pyspark.sql import functions as F
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        anchored_vwap,
+        sma_crossover_backtest,
+        stochastic_oscillator,
+    )
+
+    daily = silver.groupBy("symbol_clean", F.col("dt").alias("trade_date")).agg(
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", F.col("timestamp_unix")).alias("close"),
+        F.sum("volume").cast("long").alias("volume"),
+    )
+    print("== stochastic %K/%D ==")
+    stochastic_oscillator(daily, ["symbol_clean"], "trade_date").select(
+        "symbol_clean", "trade_date", "pct_k", "pct_d"
+    ).show(6)
+    print("== intraday anchored VWAP ==")
+    anchored_vwap(
+        silver,
+        ["symbol_clean"], "dt", "timestamp_unix", "timestamp_unix",
+        price_col="close", volume_col="volume",
+    ).select("symbol_clean", "timestamp_iso", "close", "vwap").show(6)
+    print("== SMA(5/20) crossover backtest ==")
+    sma_crossover_backtest(daily, ["symbol_clean"], "trade_date").show()
+
     spark.stop()
 
 
