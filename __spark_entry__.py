@@ -4676,6 +4676,127 @@ FROM rk GROUP BY bucket ORDER BY bucket
 """
 
 
+#: alpha(256) * 256^2 * 2^53 — the HLL raw-estimate numerator constant,
+#: one shared float literal on both engines (NOTES #9: inline the SAME
+#: repr; per-engine arithmetic on sub-constants could differ in the ulp).
+_HLL_WAU_C = "4.2399330249068963e+20"
+
+
+def e_rolling_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users via HLL register ALGEBRA — the sketch
+    capability that matters at 100 TB: persist one <=2^p-row register
+    set per day, then answer any sliding-window distinct count by
+    merging registers (explode-to-target-days + max), never rescanning
+    facts. The estimate's harmonic sum is an EXACT BIGINT numerator
+    (hll_estimate_cols), so even this approximate sketch replays
+    bit-identically; the exact WAU is computed alongside (tiny
+    day x (day,user) range join) so the output shows sketch vs truth
+    (operators/sketch.hll_daily_registers / hll_rolling_merge)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+        hll_daily_registers,
+        hll_estimate_cols,
+        hll_rolling_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    daily = hll_daily_registers(pairs, "user_id", "day", p=8)
+    merged = hll_rolling_merge(daily, window_days=7)
+    est = merged.groupBy("day").agg(*hll_estimate_cols(p=8))
+    m = 256
+    z_total = (
+        F.col("z_num")
+        + (F.lit(m).cast("long") - F.col("n_present"))
+        * F.shiftleft(F.lit(1).cast("long"), 53)
+    ).cast("double")
+    raw = F.expr(_HLL_WAU_C) / z_total
+    zeros = (F.lit(m).cast("long") - F.col("n_present")).cast("double")
+    wau_hll = F.round(
+        F.when(
+            (zeros > 0) & (raw <= F.lit(2.5 * m)),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+        ).otherwise(raw),
+        6,
+    )
+    sketch = est.select("day", wau_hll.alias("wau_hll"))
+    days = pairs.select("day").distinct().withColumnRenamed("day", "d")
+    exact = (
+        days.join(
+            pairs,
+            (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+        .withColumnRenamed("d", "day")
+    )
+    return (
+        exact.join(sketch, "day")
+        .select("day", "wau_exact", "wau_hll")
+        .orderBy("day")
+    )
+
+
+_E_ROLLING_HLL_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT (CAST(ts AS DATE) - DATE '1970-01-01') AS day, user_id
+  FROM events WHERE user_id IS NOT NULL),
+h AS (
+  SELECT day,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS h
+  FROM pairs),
+rk AS (
+  SELECT day, h // {1 << 52} AS bucket,
+         CASE WHEN h % {1 << 52} = 0 THEN 53
+              ELSE 52 - length(bin(h % {1 << 52})) + 1 END AS r
+  FROM h),
+daily AS (
+  SELECT day, bucket, max(r) AS r FROM rk GROUP BY day, bucket),
+mx AS (SELECT max(day) AS mx FROM daily),
+spread AS (
+  SELECT unnest(generate_series(day, least(day + 6, mx))) AS day,
+         bucket, r
+  FROM daily, mx),
+merged AS (
+  SELECT day, bucket, max(r) AS r FROM spread GROUP BY day, bucket),
+est AS (
+  SELECT day, count(*) AS n_present,
+         sum(CAST(1 AS BIGINT) << (53 - r)) AS z_num
+  FROM merged GROUP BY day),
+sk AS (
+  SELECT day,
+         round(CASE WHEN (256 - n_present) > 0
+                     AND {_HLL_WAU_C}
+                         / CAST(z_num + (256 - n_present)
+                                * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+                         <= 640.0
+               THEN 256.0 * ln(256.0 / CAST(256 - n_present AS DOUBLE))
+               ELSE {_HLL_WAU_C}
+                    / CAST(z_num + (256 - n_present)
+                           * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+               END, 6) AS wau_hll
+  FROM est),
+days AS (SELECT DISTINCT day AS d FROM pairs),
+exact AS (
+  SELECT d AS day, count(DISTINCT p.user_id) AS wau_exact
+  FROM days JOIN pairs p ON p.day BETWEEN d - 6 AND d
+  GROUP BY d)
+SELECT e.day, CAST(e.wau_exact AS BIGINT) AS wau_exact, s.wau_hll
+FROM exact e JOIN sk s USING (day)
+ORDER BY day
+"""
+
+
 def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build: collapse the event changelog into versioned
     (valid_from, valid_to, is_current) rows per user, tracking
@@ -5441,6 +5562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ichimoku": x_ichimoku,
         "x_volume_profile": x_volume_profile,
         "x_rolling_beta": x_rolling_beta,
+        "e_rolling_hll_wau": e_rolling_hll_wau,
     }
 
 
@@ -5568,6 +5690,7 @@ def oracle_sql() -> dict[str, str]:
         "x_ichimoku": _X_ICHIMOKU_SQL,
         "x_volume_profile": _X_VOLPROFILE_SQL,
         "x_rolling_beta": _X_ROLLBETA_SQL,
+        "e_rolling_hll_wau": _E_ROLLING_HLL_SQL,
     }
 
 
@@ -5702,4 +5825,5 @@ HEADLINE_QUERIES = [
     "x_ichimoku",
     "x_volume_profile",
     "x_rolling_beta",
+    "e_rolling_hll_wau",
 ]

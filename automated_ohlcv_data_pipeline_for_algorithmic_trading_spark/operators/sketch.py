@@ -195,3 +195,76 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> float:
         if zeros:
             return m * math.log(m / zeros)
     return est
+
+
+def hll_daily_registers(
+    df: DataFrame, col: Column | str, day_col: Column | str, p: int = 8
+) -> DataFrame:
+    """Per-day HLL register table: (day, bucket, r) — one tiny sketch
+    row set (<= 2^p rows) per calendar day, the artifact a pipeline
+    persists to answer distinct-count questions over ANY date range
+    later without rescanning facts. Same md5 hash/rank scheme as
+    ``hll_registers`` (engine-portable, exactly replayable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = F.col(day_col) if isinstance(day_col, str) else day_col
+    width = _HASH_BITS - p
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, _HEX_CHARS), 16, 10).cast(
+        "long"
+    )
+    hashed = df.filter(c.isNotNull()).select(d.alias("day"), h.alias("_h"))
+    bucket = F.expr(f"_h div {1 << width}").cast("long")
+    rem = (F.col("_h") % F.lit(1 << width)).cast("long")
+    rank = F.when(rem == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(rem)) + 1
+    )
+    return (
+        hashed.select("day", bucket.alias("bucket"), rank.cast("int").alias("r"))
+        .groupBy("day", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_rolling_merge(
+    daily: DataFrame, window_days: int = 7, day_num_col: str = "day"
+) -> DataFrame:
+    """Sliding-window register merge: each day's registers contribute to
+    the next ``window_days`` target days (explode-to-targets + max —
+    the merge law applied along time). ``day_num_col`` must be an
+    integer day ordinal. Contribution rows are days x buckets x window
+    — sketch-sized, never fact-sized; target days past the observed max
+    are trimmed so every output window is fully covered by data days.
+
+    Output: (day, bucket, r) where r is the register over
+    [day - window_days + 1, day].
+    """
+    d = F.col(day_num_col)
+    hi = daily.agg(F.max(d)).collect()[0][0]
+    targets = F.explode(
+        F.sequence(d, F.least(d + F.lit(window_days - 1), F.lit(hi)))
+    )
+    return (
+        daily.select(targets.alias("day"), "bucket", "r")
+        .groupBy("day", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate_cols(p: int = 8):
+    """Aggregate EXPRESSIONS for a grouped HLL estimate (one group = one
+    sketch): returns (n_present, z_num) columns over (bucket, r) rows.
+
+    The harmonic sum z = sum 2^-r is computed as an EXACT BIGINT
+    numerator over the common denominator 2^(width+1):
+    z_num = sum(1 << (width+1-r)) + (m - n_present) << (width+1)
+    (max rank is width+1, so every shift is >= 0; at p=8/width=52 the
+    numerator tops out near 2^61 — inside BIGINT). The raw estimate
+    alpha*m^2 * 2^(width+1) / z_num is then ONE IEEE division of exact
+    integers — bit-identical on any engine, no pow(), no float
+    accumulation."""
+    n_present = F.count(F.lit(1))
+    # SQL-expr shiftleft: the DataFrame-API helper only takes a literal
+    # shift amount, the SQL function accepts a column
+    z_num = F.sum(
+        F.expr(f"shiftleft(cast(1 as bigint), {_HASH_BITS - p + 1} - r)")
+    ).cast("long")
+    return n_present.alias("n_present"), z_num.alias("z_num")

@@ -534,3 +534,60 @@ class TestSmaCrossoverBacktest:
         r = sma_crossover_backtest(df, ["sym"], "t", fast=2, slow=3).collect()[0]
         assert r.n_positioned == 0 and r.hit_rate is None
         assert r.total_return == 0.0
+
+
+class TestRollingHll:
+    def test_rolling_merge_equals_direct_window_sketch(self, spark):
+        """Merge law along time: exploding daily registers to target days
+        and taking max == building the sketch over each window's raw
+        values directly."""
+        from pyspark.sql import functions as F
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+            hll_daily_registers,
+            hll_registers,
+            hll_rolling_merge,
+        )
+
+        df = spark.createDataFrame(
+            [(d, f"u{(d * 7 + i) % 23}") for d in range(10) for i in range(5)],
+            "day long, user string",
+        )
+        daily = hll_daily_registers(df, "user", "day", p=4)
+        rolled = {
+            (r["day"], r["bucket"]): r["r"]
+            for r in hll_rolling_merge(daily, window_days=3).collect()
+        }
+        for target in range(10):
+            window = df.filter(
+                (F.col("day") >= target - 2) & (F.col("day") <= target)
+            )
+            direct = {
+                r["bucket"]: r["r"]
+                for r in hll_registers(window, "user", p=4).collect()
+            }
+            got = {b: r for (d, b), r in rolled.items() if d == target}
+            assert got == direct, f"day {target}"
+
+    def test_estimate_cols_accuracy(self, spark):
+        from pyspark.sql import functions as F
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+            hll_estimate,
+            hll_estimate_cols,
+            hll_registers,
+        )
+
+        df = spark.createDataFrame(
+            [(f"user_{i}",) for i in range(500)], "u string"
+        )
+        regs = hll_registers(df, "u", p=8)
+        n_present, z_num = (
+            regs.agg(*hll_estimate_cols(p=8)).collect()[0]
+        )
+        # exact-integer z reproduces the driver-side float estimator
+        m = 256
+        z = z_num / float(1 << 53) + (m - n_present) * 1.0
+        raw = (0.7213 / (1 + 1.079 / m)) * m * m / z
+        est = hll_estimate(regs, p=8)
+        if raw > 2.5 * m:  # outside linear-counting range: must agree
+            assert abs(raw - est) / est < 1e-9
+        assert abs(est - 500) / 500 < 0.15
