@@ -238,6 +238,9 @@ def hll_rolling_merge(
     [day - window_days + 1, day].
     """
     d = F.col(day_num_col)
+    # the max-day probe and the explode BOTH consume `daily`: cut the
+    # lineage once (sketch-sized table) so the register build runs once
+    daily = daily.localCheckpoint()
     hi = daily.agg(F.max(d)).collect()[0][0]
     targets = F.explode(
         F.sequence(d, F.least(d + F.lit(window_days - 1), F.lit(hi)))
