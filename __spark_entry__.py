@@ -3143,14 +3143,19 @@ g0 AS (SELECT doc_id, ts,
        FROM t WHERE len(ts) >= 8),
 g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
              CAST('0x' || substr(md5(array_to_string(ts[pos:pos+7], ' ')),
-                                 1, 12) AS BIGINT) AS gh
+                                 1, 15) AS BIGINT) AS gh
       FROM g0),
 dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
 f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+gaps AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+               OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS new_span
+  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
 i AS (SELECT doc_id, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-               AS isl
-      FROM f)
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+      FROM gaps)
 SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
        CAST(count(*) AS BIGINT) AS n_dup_grams
 FROM i GROUP BY doc_id, isl
@@ -3187,7 +3192,8 @@ WITH s AS (
          ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws-v1'),
                                  1, 12) AS BIGINT) + 1.0)
             / 281474976710657.0)
-           / greatest(CAST(n_chars AS DOUBLE), 1.0) AS ws_key
+           / greatest(CAST(n_chars AS DOUBLE), CAST(1e-9 AS DOUBLE))
+             AS ws_key
   FROM documents),
 r AS (SELECT source, doc_id, n_chars,
              row_number() OVER (PARTITION BY source
@@ -3714,7 +3720,8 @@ qz AS (SELECT vec_id, emb,
                    THEN list_transform(emb, x -> floor(x / mx * 127.0 + 0.5))
                    ELSE list_transform(emb, x -> CAST(0.0 AS DOUBLE)) END AS q
        FROM s),
-nz AS (SELECT vec_id, emb, q, sqrt(list_dot_product(q, q)) AS qn FROM qz),
+nz0 AS (SELECT vec_id, emb, q, sqrt(list_dot_product(q, q)) AS qn FROM qz),
+nz AS (SELECT * FROM nz0 WHERE qn > 0),
 approx AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          list_dot_product(a.q, b.q) / (a.qn * b.qn) AS acos_
@@ -4354,8 +4361,9 @@ scored AS (
            greatest(least(CAST(floor((close / prev - 1.0) * 1000000.0 + 0.5)
                                AS BIGINT), 10000000), -10000000)
          END AS rq,
-         CASE WHEN sig <> coalesce(lag(sig) OVER w, 0) THEN 1 ELSE 0 END
-           AS flip
+         CASE WHEN coalesce(lag(sig) OVER w, 0)
+                   <> coalesce(lag(sig, 2) OVER w, 0)
+              THEN 1 ELSE 0 END AS flip
   FROM base WINDOW w AS (PARTITION BY user_id ORDER BY trade_date))
 SELECT user_id,
        CAST(count(rq) AS BIGINT) AS n_days,

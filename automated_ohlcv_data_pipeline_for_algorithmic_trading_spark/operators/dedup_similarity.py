@@ -785,24 +785,26 @@ def duplicated_spans(
     width: int = 8,
     min_count: int = 2,
 ) -> DataFrame:
-    """Exact substring-duplication spans — the position-level dedup from
+    """Substring-duplication spans — the position-level dedup from
     "Deduplicating Training Data Makes Language Models Better" (Lee et
     al. 2022; reimplemented from the paper's description on DataFrame
     ops, not their suffix-array code): every token position covered by a
     token ``width``-gram occurring >= ``min_count`` times corpus-wide,
-    merged into maximal contiguous per-document spans. Downstream, a
-    pipeline cuts these spans out of the training text (doc-level dedup
-    misses boilerplate shared across otherwise-distinct pages).
+    merged into maximal NON-OVERLAPPING per-document spans (flagged
+    grams whose starts are within ``width`` of each other overlap in
+    coverage and merge). Downstream, a pipeline cuts these spans out of
+    the training text (doc-level dedup misses boilerplate shared across
+    otherwise-distinct pages).
 
     The suffix array of the paper is a single-machine construction; the
     distributed equivalent is gram-hash counting: posexplode the token
-    ``width``-grams (48-bit md5 prefix, engine-portable), count per hash
-    (ONE partial-aggregable shuffle — the hot "all docs share this
+    ``width``-grams (60-bit md5 prefix — collision-flag probability
+    negligible below ~1e9 corpus grams, see inline note), count per
+    hash (ONE partial-aggregable shuffle — the hot "all docs share this
     header" gram collapses map-side), semi-join the duplicated hashes
-    back to positions, and merge runs with the islands trick
-    (pos - row_number is constant within a contiguous run). Documents
-    shorter than ``width`` tokens cannot carry a span and are filtered
-    before the explode.
+    back to positions, and merge coverage-overlapping runs with a
+    gap-count islands pass. Documents shorter than ``width`` tokens
+    cannot carry a span and are filtered before the explode.
 
     Output: (id_col, span_start, span_end, n_dup_grams) — token
     positions, 1-based inclusive; span_end = last covered token.
@@ -815,7 +817,11 @@ def duplicated_spans(
         F.sequence(F.lit(1), n - (width - 1)),
         lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i, width)),
     )
-    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10).cast("long")
+    # 60-bit prefix (15 hex): at ~1e9 corpus grams the expected number of
+    # colliding gram pairs is n^2/2^61 ~ 0.2 — false-positive flags stay
+    # negligible at the repo's target scale (48 bits would yield
+    # thousands there)
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
     # single small input file = ONE split: spread the per-row-heavy work
     # (tokenize + 8-gram concat + md5 per position) across the cluster
     # before the explode (performance playbook; 6.0 s -> 1.5 s at sf0.01)
@@ -841,10 +847,23 @@ def duplicated_spans(
         .select("gh")
     )
     flagged = pos.join(dup, "gh").select(id_col, "pos")
+    # islands over gram COVERAGE, not start adjacency: a gram at pos
+    # covers tokens [pos, pos+width-1], so two flagged grams overlap (and
+    # must merge into one maximal span) whenever their starts differ by
+    # <= width — the island id is a running count of larger gaps
     w = Window.partitionBy(id_col).orderBy("pos")
-    isl = (F.col("pos") - F.row_number().over(w)).alias("_isl")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    with_flag = flagged.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.when(gap.isNull() | (gap > width), 1).otherwise(0).alias("_new"),
+    )
+    isl = F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ).alias("_isl")
     return (
-        flagged.select(F.col(id_col), F.col("pos"), isl)
+        with_flag.select(F.col(id_col), F.col("pos"), isl)
+        .drop("_new")
         .groupBy(id_col, "_isl")
         .agg(
             F.min("pos").alias("span_start"),

@@ -435,10 +435,13 @@ def anchored_vwap(
     )
     pv = (F.col(price_col) * F.col(volume_col)).cast(_DEC)
     cum_vol = F.sum(F.col(volume_col)).over(w).cast("long")
-    return df.withColumn(
-        "vwap",
-        F.sum(pv).over(w).cast("double") / cum_vol.cast("double"),
-    ).withColumn("cum_volume", cum_vol)
+    # guard cum_vol = 0 (legitimate no-trade bars before the first
+    # traded volume in an anchor group): 0/0 would be NaN, which Spark
+    # sorts above every real double — NULL is the defined-nowhere answer
+    vwap = F.when(
+        cum_vol > 0, F.sum(pv).over(w).cast("double") / cum_vol.cast("double")
+    )
+    return df.withColumn("vwap", vwap).withColumn("cum_volume", cum_vol)
 
 
 def stochastic_oscillator(
@@ -699,7 +702,9 @@ def sma_crossover_backtest(
     partition-invariant; only the last divisions are floating point.
 
     Output per key: n_days (bars with a defined return), n_trades
-    (position flips), n_positioned (bars held long), n_wins (held bars
+    (POSITION flips — a signal flip on the final bar never enters a
+    position and is not a trade), n_positioned (bars held long), n_wins
+    (held bars
     with positive return), total_return (sum of held arithmetic returns),
     hit_rate (wins / positioned, NULL when never positioned).
     """
@@ -732,9 +737,12 @@ def sma_crossover_backtest(
         F.col(order_col),
         F.coalesce(F.lag("_sig").over(w2), F.lit(0)).alias("_pos"),
         F.when(F.col("_prev").isNotNull(), ret_q).alias("_rq"),
+        # n_trades counts POSITION flips (pos_t = sig_{t-1}, so a flip is
+        # sig_{t-1} != sig_{t-2}) — a signal flip on a key's final bar
+        # never becomes a position and must not count as a trade
         (
-            F.col("_sig")
-            != F.coalesce(F.lag("_sig").over(w2), F.lit(0))
+            F.coalesce(F.lag("_sig").over(w2), F.lit(0))
+            != F.coalesce(F.lag("_sig", 2).over(w2), F.lit(0))
         ).cast("long").alias("_flip"),
     )
     pos = F.col("_pos")

@@ -153,10 +153,13 @@ def weighted_sample(
     ∝ quality mass, ...).
 
     Per ``strata`` (optional) the top-k ranking is one window over the
-    stratum key; weights are clamped to >= 1 so zero/negative weights
-    degrade to uniform rather than dividing by zero. Ranking ties on
-    the float key are broken by id — and the md5-derived keys make
-    exact ties impossible, so the selection is total-ordered.
+    stratum key; weights are clamped to >= 1e-9 so zero/negative
+    weights degrade to (effectively never sampled unless the stratum
+    runs out of positive-weight rows) rather than dividing by zero —
+    fractional weights like quality scores in (0, 1] keep their exact
+    proportional meaning. Ranking ties on the float key are broken by
+    id — and the md5-derived keys make exact ties impossible, so the
+    selection is total-ordered.
 
     Output: input columns + (ws_key, ws_rank) for the k selected rows.
     """
@@ -176,7 +179,7 @@ def weighted_sample(
         ).cast("double")
         + F.lit(1.0)
     ) / F.lit(float(16**12 + 1))
-    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-9))
     key = F.log(u) / w
     part = [strata] if strata else []
     win = Window.partitionBy(*part).orderBy(

@@ -689,25 +689,42 @@ def sq8_knn(
     — the corpus quantization plan is reused for the query side
     (ReuseExchange; same idea as lsh_knn).
     """
+    # zero vectors (qn = 0) have no defined cosine; excluding them BEFORE
+    # ranking matters because 0/0 = NaN and Spark sorts NaN ABOVE every
+    # real double — unguarded, zero-padding rows would flood the
+    # shortlist as rank-1 "neighbors"
     if query_filter is not None:
-        cq_all = sq8_quantize(corpus, id_col, vec_col)
+        cq_all = sq8_quantize(corpus, id_col, vec_col).filter(F.col("qn") > 0)
         qq = cq_all.filter(query_filter).select(
             F.col(id_col).alias("query_id"),
             F.col("q").alias("qa"),
             F.col("qn").alias("na"),
         )
         queries = corpus.filter(query_filter)
-    else:
-        qq = sq8_quantize(queries, id_col, vec_col).select(
-            F.col(id_col).alias("query_id"),
-            F.col("q").alias("qa"),
-            F.col("qn").alias("na"),
+        cq = cq_all.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("q").alias("qb"),
+            F.col("qn").alias("nb"),
         )
-    cq = sq8_quantize(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("q").alias("qb"),
-        F.col("qn").alias("nb"),
-    )
+    else:
+        qq = (
+            sq8_quantize(queries, id_col, vec_col)
+            .filter(F.col("qn") > 0)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col("q").alias("qa"),
+                F.col("qn").alias("na"),
+            )
+        )
+        cq = (
+            sq8_quantize(corpus, id_col, vec_col)
+            .filter(F.col("qn") > 0)
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("q").alias("qb"),
+                F.col("qn").alias("nb"),
+            )
+        )
     approx = (
         cq.join(F.broadcast(qq))
         .filter(F.col("neighbor_id") != F.col("query_id"))

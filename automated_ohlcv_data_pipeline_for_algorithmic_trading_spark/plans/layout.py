@@ -125,6 +125,11 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(a), F.max(a), F.min(b), F.max(b)
     ).collect()[0]
+    if lo_a is None or lo_b is None:
+        # empty input: nothing to rank — write the (empty) dataset with
+        # the original schema, like write_clustered would
+        df.write.mode("overwrite").parquet(path)
+        return
     span_a = max(1e-12, float(hi_a) - float(lo_a))
     span_b = max(1e-12, float(hi_b) - float(lo_b))
     mx = (1 << bits) - 1
