@@ -4425,8 +4425,9 @@ WITH src AS (
          event_id % 100 + 1 AS volume
   FROM events)
 SELECT user_id, trade_date, event_id, timestamp_unix, close, volume,
-       CAST(sum(CAST(close * volume AS DECIMAL(38,6))) OVER w AS DOUBLE)
-             / CAST(sum(volume) OVER w AS BIGINT) AS vwap,
+       CASE WHEN sum(volume) OVER w > 0 THEN
+         CAST(sum(CAST(close * volume AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               / CAST(sum(volume) OVER w AS BIGINT) END AS vwap,
        CAST(sum(volume) OVER w AS BIGINT) AS cum_volume
 FROM src
 WINDOW w AS (PARTITION BY user_id, trade_date
@@ -5432,72 +5433,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
-    # entries against the DuckDB oracle each round.  Round 2's gate covered the
-    # first 50 (all green, CORRECTNESS_r02.json); this round front-loads the 46
-    # entries the driver has not yet hashed so every operator class gets a hard
-    # driver-oracle row across rounds 2+3.  The previously-checked 50 follow and
-    # retain local verify coverage (scripts/verify_local.py).
-    #
-    # ROUND-4 ROTATION TODO: front-load the entries that have never had a
-    # driver row after r3 — the two r3 spillovers (e_drift_psi,
-    # d_mixture_sample) plus everything appended after j_asof_orders this
-    # session (x_vwap_anchored .. m_phash_neardup, 16 entries) — and back-fill
-    # the window with r2-checked entries.
+    # entries against the DuckDB oracle each round.  r2 covered its first 50
+    # (green, CORRECTNESS_r02.json); r3 covered its first 50 (green,
+    # CORRECTNESS_r03.json).  This round front-loads the 23 entries that have
+    # never had a driver row (the two r3 spillovers plus the 21 round-3
+    # late additions), then the round-4 additions, then back-fills the window
+    # with previously-checked entries.  After r4 every registered query has a
+    # driver-oracle row in some CORRECTNESS_r*.json.
     return {
-        # --- round-3 gate window: driver-unchecked as of r2 ---
-        "j_semi_active_customers": j_semi_active_customers,
-        "j_anti_inactive_customers": j_anti_inactive_customers,
-        "u_union_mixed_schema": u_union_mixed_schema,
-        "e_rsi14": e_rsi14,
-        "o_bronze_roundtrip": o_bronze_roundtrip,
-        "sql_passthrough_daily": sql_passthrough_daily,
-        "sql_passthrough_volatility": sql_passthrough_volatility,
-        "d_incremental_dedup": d_incremental_dedup,
-        "x_atr_daily": x_atr_daily,
-        "x_corr_pairs": x_corr_pairs,
-        "e_resample_gapfill": e_resample_gapfill,
-        "o_rollup_refresh": o_rollup_refresh,
-        "m_binary_features": m_binary_features,
-        "x_pivot_event_matrix": x_pivot_event_matrix,
-        "x_cube_rollup": x_cube_rollup,
-        "e_sessionize": e_sessionize,
-        "e_distinct_daily_users": e_distinct_daily_users,
-        "e_percentiles": e_percentiles,
-        "q17_small_quantity_avg": q17_small_quantity_avg,
-        "s_stream_hourly": s_stream_hourly,
-        "s_stateful_vwap": s_stateful_vwap,
-        "x_bollinger_bands": x_bollinger_bands,
-        "d_stratified_sample": d_stratified_sample,
-        "d_doc_chunks": d_doc_chunks,
-        "j_interval_clicks": j_interval_clicks,
-        "d_dup_components": d_dup_components,
-        "s_stream_sessions": s_stream_sessions,
-        "s_stream_join": s_stream_join,
-        "x_ema_macd": x_ema_macd,
-        "x_rolling_30m": x_rolling_30m,
-        "e_zscore_anomaly": e_zscore_anomaly,
-        "e_props_json": e_props_json,
-        "e_percentiles_hist": e_percentiles_hist,
-        "d_redact_pii": d_redact_pii,
-        "d_hash_split": d_hash_split,
-        "d_repetition": d_repetition,
-        "d_top_bigrams": d_top_bigrams,
-        "d_tfidf_topk": d_tfidf_topk,
-        "d_decontaminate": d_decontaminate,
-        "x_max_drawdown": x_max_drawdown,
-        "x_beta_market": x_beta_market,
-        "d_hll_users": d_hll_users,
-        "x_scd2_history": x_scd2_history,
-        "j_scd2_lookup": j_scd2_lookup,
-        "d_curation_pipeline": d_curation_pipeline,
-        "d_cms_tokens": d_cms_tokens,
-        "s_stream_hll": s_stream_hll,
-        "d_pack_sequences": d_pack_sequences,
-        "emb_label_centroids": emb_label_centroids,
-        "e_dq_report": e_dq_report,
+        # --- round-4 gate window part 1: never driver-checked before r4 ---
         "e_drift_psi": e_drift_psi,
         "d_mixture_sample": d_mixture_sample,
-        # --- driver-checked green in r2 (CORRECTNESS_r02.json) ---
+        "x_vwap_anchored": x_vwap_anchored,
+        "x_stochastic": x_stochastic,
+        "x_obv_daily": x_obv_daily,
+        "x_returns_ledger": x_returns_ledger,
+        "x_rolling_sharpe": x_rolling_sharpe,
+        "x_candle_flags": x_candle_flags,
+        "emb_sq8_ann": emb_sq8_ann,
+        "o_orc_roundtrip": o_orc_roundtrip,
+        "e_funnel_conversion": e_funnel_conversion,
+        "e_retention_cohorts": e_retention_cohorts,
+        "d_unigram_xent": d_unigram_xent,
+        "d_dup_spans": d_dup_spans,
+        "x_sma_backtest": x_sma_backtest,
+        "x_donchian": x_donchian,
+        "x_underwater_streak": x_underwater_streak,
+        "m_phash_neardup": m_phash_neardup,
+        "d_weighted_sample": d_weighted_sample,
+        "x_ichimoku": x_ichimoku,
+        "x_volume_profile": x_volume_profile,
+        "x_rolling_beta": x_rolling_beta,
+        "e_rolling_hll_wau": e_rolling_hll_wau,
+        # --- round-4 gate window part 2: round-4 additions (insert new
+        # queries HERE so they get a driver row the round they land) ---
+        # --- round-4 gate window part 3: back-fill with previously-checked
+        # entries (re-verification; green in r2/r3) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_order_revenue": q03_top_order_revenue,
         "q05_nation_revenue": q05_nation_revenue,
@@ -5548,29 +5519,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_kgram_fingerprint": d_kgram_fingerprint,
         "emb_ivf_ann": emb_ivf_ann,
         "j_asof_orders": j_asof_orders,
-        # --- round-3 additions (appended AFTER the gate window; verified
-        # locally this round, rotated into the driver window next round) ---
-        "x_vwap_anchored": x_vwap_anchored,
-        "x_stochastic": x_stochastic,
-        "x_obv_daily": x_obv_daily,
-        "x_returns_ledger": x_returns_ledger,
-        "x_rolling_sharpe": x_rolling_sharpe,
-        "x_candle_flags": x_candle_flags,
-        "emb_sq8_ann": emb_sq8_ann,
-        "o_orc_roundtrip": o_orc_roundtrip,
-        "e_funnel_conversion": e_funnel_conversion,
-        "e_retention_cohorts": e_retention_cohorts,
-        "d_unigram_xent": d_unigram_xent,
-        "d_dup_spans": d_dup_spans,
-        "x_sma_backtest": x_sma_backtest,
-        "x_donchian": x_donchian,
-        "x_underwater_streak": x_underwater_streak,
-        "m_phash_neardup": m_phash_neardup,
-        "d_weighted_sample": d_weighted_sample,
-        "x_ichimoku": x_ichimoku,
-        "x_volume_profile": x_volume_profile,
-        "x_rolling_beta": x_rolling_beta,
-        "e_rolling_hll_wau": e_rolling_hll_wau,
+        # --- driver-checked green in r3 (CORRECTNESS_r03.json) ---
+        "j_semi_active_customers": j_semi_active_customers,
+        "j_anti_inactive_customers": j_anti_inactive_customers,
+        "u_union_mixed_schema": u_union_mixed_schema,
+        "e_rsi14": e_rsi14,
+        "o_bronze_roundtrip": o_bronze_roundtrip,
+        "sql_passthrough_daily": sql_passthrough_daily,
+        "sql_passthrough_volatility": sql_passthrough_volatility,
+        "d_incremental_dedup": d_incremental_dedup,
+        "x_atr_daily": x_atr_daily,
+        "x_corr_pairs": x_corr_pairs,
+        "e_resample_gapfill": e_resample_gapfill,
+        "o_rollup_refresh": o_rollup_refresh,
+        "m_binary_features": m_binary_features,
+        "x_pivot_event_matrix": x_pivot_event_matrix,
+        "x_cube_rollup": x_cube_rollup,
+        "e_sessionize": e_sessionize,
+        "e_distinct_daily_users": e_distinct_daily_users,
+        "e_percentiles": e_percentiles,
+        "q17_small_quantity_avg": q17_small_quantity_avg,
+        "s_stream_hourly": s_stream_hourly,
+        "s_stateful_vwap": s_stateful_vwap,
+        "x_bollinger_bands": x_bollinger_bands,
+        "d_stratified_sample": d_stratified_sample,
+        "d_doc_chunks": d_doc_chunks,
+        "j_interval_clicks": j_interval_clicks,
+        "d_dup_components": d_dup_components,
+        "s_stream_sessions": s_stream_sessions,
+        "s_stream_join": s_stream_join,
+        "x_ema_macd": x_ema_macd,
+        "x_rolling_30m": x_rolling_30m,
+        "e_zscore_anomaly": e_zscore_anomaly,
+        "e_props_json": e_props_json,
+        "e_percentiles_hist": e_percentiles_hist,
+        "d_redact_pii": d_redact_pii,
+        "d_hash_split": d_hash_split,
+        "d_repetition": d_repetition,
+        "d_top_bigrams": d_top_bigrams,
+        "d_tfidf_topk": d_tfidf_topk,
+        "d_decontaminate": d_decontaminate,
+        "x_max_drawdown": x_max_drawdown,
+        "x_beta_market": x_beta_market,
+        "d_hll_users": d_hll_users,
+        "x_scd2_history": x_scd2_history,
+        "j_scd2_lookup": j_scd2_lookup,
+        "d_curation_pipeline": d_curation_pipeline,
+        "d_cms_tokens": d_cms_tokens,
+        "s_stream_hll": s_stream_hll,
+        "d_pack_sequences": d_pack_sequences,
+        "emb_label_centroids": emb_label_centroids,
+        "e_dq_report": e_dq_report,
     }
 
 

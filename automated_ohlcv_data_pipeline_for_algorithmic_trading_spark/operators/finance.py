@@ -434,7 +434,23 @@ def anchored_vwap(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pv = (F.col(price_col) * F.col(volume_col)).cast(_DEC)
-    cum_vol = F.sum(F.col(volume_col)).over(w).cast("long")
+    # cum_volume keeps the input column's numeric family: integral
+    # volumes (equities lots) stay exact BIGINT; fractional volumes
+    # (crypto/odd-lot feeds with double volume) must NOT be truncated
+    # to long — the truncation would also skew the vwap denominator.
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    vol_integral = isinstance(
+        df.schema[volume_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    cum_vol = F.sum(F.col(volume_col)).over(w)
+    cum_vol = cum_vol.cast("long") if vol_integral else cum_vol.cast("double")
     # guard cum_vol = 0 (legitimate no-trade bars before the first
     # traded volume in an anchor group): 0/0 would be NaN, which Spark
     # sorts above every real double — NULL is the defined-nowhere answer

@@ -183,15 +183,27 @@ def cms_estimate(
 
 
 def hll_estimate(registers: DataFrame, p: int = 8) -> float:
-    """Distinct-count estimate from a register table (driver-side: the
-    table has at most 2^p rows). Raw HLL estimator with the linear
-    counting correction for the small range."""
+    """Scalar distinct-count estimate from ONE register table.
+
+    Convenience finisher for interactive/driver use: delegates to the
+    grouped-aggregate algebra (:func:`hll_estimate_cols`) so the
+    harmonic sum reduces EXECUTOR-side as an exact BIGINT numerator —
+    the driver collects two scalars (n_present, z_num), never the
+    register rows, and there is no per-register Python loop anywhere.
+    For per-group estimates (the scale path: one sketch per day/key),
+    use ``groupBy(...).agg(*hll_estimate_cols(p))`` directly — calling
+    this function per group would launch one Spark job per group.
+    Applies the standard linear-counting correction in the small range.
+    """
     m = 1 << p
-    rows = {int(b): int(r) for b, r in registers.collect()}
-    z = sum(2.0 ** -rows.get(i, 0) for i in range(m))
+    n_present, z_num = registers.agg(*hll_estimate_cols(p=p)).collect()[0]
+    if n_present == 0:
+        return 0.0
+    denom = 1 << (_HASH_BITS - p + 1)
+    z = (int(z_num) + (m - int(n_present)) * denom) / float(denom)
     est = _alpha(m) * m * m / z
     if est <= 2.5 * m:
-        zeros = m - len([1 for r in rows.values() if r > 0])
+        zeros = m - int(n_present)
         if zeros:
             return m * math.log(m / zeros)
     return est

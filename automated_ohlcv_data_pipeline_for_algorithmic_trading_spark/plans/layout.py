@@ -82,8 +82,13 @@ def zorder_value(cols: Sequence[str], bits: int = 16):
     ``cols`` are 0..2^bits-1 integer ranks (quantize upstream — see
     ``write_zordered``). Bit spreading uses the classic mask-multiply
     ladder (4 shift/mask ops per column), not a 2*bits-term unrolled
-    expression — codegen-friendly at any width (NOTES.md: wide unrolls
-    blow past JIT limits).
+    expression, keeping the codegen'd expression small (NOTES.md: wide
+    unrolls blow past JIT limits). NOTE: the hardcoded ladder constants
+    (0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555) are correct
+    ONLY for ranks that fit 16 bits — the ``bits <= 16`` guard below is
+    load-bearing; widening the guard requires deriving wider masks from
+    ``bits`` (e.g. the 64-bit ladder starting at 0x0000FFFF0000FFFF),
+    or the interleave silently corrupts.
     """
     from pyspark.sql import Column
     from pyspark.sql import functions as F

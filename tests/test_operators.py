@@ -156,13 +156,66 @@ def test_sma_chunked_equals_global_window(spark):
     df = spark.createDataFrame(rows, "symbol string, ts timestamp, seq long, v double")
     plain = {
         (r["symbol"], r["seq"]): r["sma_20"]
-        for r in sma(df, ["symbol"], "ts", "v", n=20).collect()
+        for r in sma(df, ["symbol"], "ts", "v", n=20, skew_safe=False).collect()
     }
     chunked = {
         (r["symbol"], r["seq"]): r["sma_20"]
         for r in sma_chunked(df, ["symbol"], "ts", "v", n=20, tiebreak="seq").collect()
     }
     assert plain == chunked and len(plain) == 2 * 7 * 24  # bit-identical
+    # the DEFAULT call path (skew_safe="auto" on a timestamp ts) routes
+    # through the chunked form and must stay bit-identical too
+    routed = {
+        (r["symbol"], r["seq"]): r["sma_20"]
+        for r in sma(df, ["symbol"], "ts", "v", n=20, tiebreak="seq").collect()
+    }
+    assert plain == routed
+
+
+def test_sma_chunked_exact_on_thin_chunks(spark):
+    """Cascade carry: with ONE ROW PER CHUNK (daily bars chunked by day,
+    n=20), the trailing history of every row spans the previous 19
+    chunks — the next-chunk-only carry would truncate it; the n-1-chunk
+    fan-out must reconstruct the global frame exactly, including across
+    a 40-day gap."""
+    import datetime as dt
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators import (
+        sma,
+        sma_chunked,
+    )
+
+    rows = []
+    for sym in ("A", "B"):
+        for i in range(60):
+            day = dt.datetime(2024, 1, 1) + dt.timedelta(
+                days=i if i < 30 else i + 40
+            )
+            rows.append((sym, day, i, float((i * 53 + len(sym)) % 97) / 3))
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, seq long, v double")
+    plain = {
+        (r["symbol"], r["seq"]): r["sma_20"]
+        for r in sma(df, ["symbol"], "ts", "v", n=20, skew_safe=False).collect()
+    }
+    chunked = {
+        (r["symbol"], r["seq"]): r["sma_20"]
+        for r in sma_chunked(df, ["symbol"], "ts", "v", n=20, tiebreak="seq").collect()
+    }
+    assert plain == chunked and len(plain) == 2 * 60
+    # min_periods must follow the same reconstructed counts
+    p2 = {
+        (r["symbol"], r["seq"]): r["sma_20"]
+        for r in sma(
+            df, ["symbol"], "ts", "v", n=20, min_periods=20, skew_safe=False
+        ).collect()
+    }
+    c2 = {
+        (r["symbol"], r["seq"]): r["sma_20"]
+        for r in sma_chunked(
+            df, ["symbol"], "ts", "v", n=20, min_periods=20, tiebreak="seq"
+        ).collect()
+    }
+    assert p2 == c2 and sum(v is None for v in p2.values()) == 2 * 19
 
 
 def test_dedup_agg_form_equals_window_form(spark, sf_dir):

@@ -4,6 +4,8 @@ are the properties that make the operators survive a 100x scale-up."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -166,7 +168,9 @@ class TestOrcSourceSink:
         write_orc(df, p, partition_by=["part"])
         back = read_orc(spark, p).filter("part = 2")
         assert back.count() == 25
-        # partition pruning: only the part=2 directory is scanned
-        plan = back.queryExecution().executedPlan().toString() if False else \
-            back._jdf.queryExecution().executedPlan().toString()
-        assert "part=2" in plan or "PartitionFilters" in plan
+        # partition pruning: the scan's PartitionFilters must carry the
+        # part=2 predicate (not merely mention the word somewhere)
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m is not None, plan
+        assert "part" in m.group(1) and "2" in m.group(1), m.group(1)
