@@ -2694,22 +2694,29 @@ FROM verified WHERE j >= {threshold} ORDER BY new_id, index_id
 
 def d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair graph -> dedup DECISIONS: connected components via
-    fixed-round min-label propagation (iterative DataFrame joins with
-    checkpointing), keeper = min doc id within 3 hops. Pairs come from
-    the MinHash-LSH path; because the round count is fixed and the pair
-    generation is md5-deterministic, the ENTIRE iterative graph algorithm
-    replays as unrolled SQL — a value-hash oracle for a class of
-    computation that normally only gets rows-only checks."""
+    min-label propagation (iterative DataFrame joins with checkpointing)
+    run to CONVERGENCE (extend_until_converged — no fixed round budget
+    that a longer-chained corpus could silently outgrow), keeper = the
+    component-minimum doc id. Pairs come from the MinHash-LSH path; the
+    converged fixed point is round-count independent, so the oracle is a
+    WITH RECURSIVE reachability query (min label over each vertex's
+    reachable set) — exact for any component diameter."""
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
         near_dup_components,
     )
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(docs, threshold=0.95)
-    return near_dup_components(pairs, rounds=3).orderBy("doc_id")
+    return near_dup_components(
+        pairs, rounds=3, extend_until_converged=True
+    ).orderBy("doc_id")
 
 
-def _components_sql(rounds: int = 3) -> str:
+def _components_ctes() -> str:
+    """CTE chain (for a WITH RECURSIVE block): minhash pairs -> vertex /
+    edge lists -> recursive reachability -> ``comp(doc_id, keeper_id)``
+    where keeper is the exact component minimum. Shared by
+    ``_components_sql`` and ``_curation_sql``."""
     inner = _minhash_sql().strip().removeprefix("WITH").strip()
     order_clause = "ORDER BY doc_a, doc_b"
     assert inner.endswith(order_clause)
@@ -2725,18 +2732,20 @@ def _components_sql(rounds: int = 3) -> str:
   SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b AS v FROM pairs))""",
         """edges AS (SELECT doc_a AS v, doc_b AS n FROM pairs
            UNION ALL SELECT doc_b AS v, doc_a AS n FROM pairs)""",
-        "l0 AS (SELECT v, v AS label FROM verts)",
+        """reach(v, label) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.v, r.label FROM edges e JOIN reach r ON r.v = e.n)""",
+        """comp AS (
+  SELECT v AS doc_id, min(label) AS keeper_id FROM reach GROUP BY v)""",
     ]
-    for r in range(rounds):
-        ctes.append(f"""l{r + 1} AS (
-  SELECT l.v, least(l.label, coalesce(min(ln.label), l.label)) AS label
-  FROM l{r} l LEFT JOIN edges e ON e.v = l.v
-              LEFT JOIN l{r} ln ON ln.v = e.n
-  GROUP BY l.v, l.label)""")
-    with_block = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def _components_sql() -> str:
     return f"""
-WITH {with_block}
-SELECT v AS doc_id, label AS keeper_id FROM l{rounds} ORDER BY doc_id
+WITH RECURSIVE {_components_ctes()}
+SELECT doc_id, keeper_id FROM comp ORDER BY doc_id
 """
 
 
@@ -4969,7 +4978,9 @@ def d_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     comp = near_dup_components(
-        minhash_near_dup_pairs(docs, threshold=0.95), rounds=3
+        minhash_near_dup_pairs(docs, threshold=0.95),
+        rounds=3,
+        extend_until_converged=True,
     )
     q = quality_score(corpus).select("doc_id", "quality_score")
     cont = decontaminate(corpus, bench, ngram=3).select(
@@ -5001,13 +5012,9 @@ def d_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _curation_sql(rounds: int = 3, q_thresh: float = 0.15) -> str:
-    comp = _components_sql(rounds).strip()
-    tail = f"SELECT v AS doc_id, label AS keeper_id FROM l{rounds} ORDER BY doc_id"
-    assert comp.endswith(tail)
-    with_chain = comp[: -len(tail)].rstrip().rstrip(",")
-    return rf"""{with_chain},
-comp AS (SELECT v AS doc_id, label AS keeper_id FROM l{rounds}),
+def _curation_sql(q_thresh: float = 0.15) -> str:
+    return rf"""
+WITH RECURSIVE {_components_ctes()},
 corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
 qt AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM corpus),
 q AS (
