@@ -2712,11 +2712,29 @@ def d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _reach_ctes(pairs_cte: str = "pairs") -> list[str]:
+    """Recursive-reachability CTEs over a ``(doc_a, doc_b)`` pair CTE:
+    vertex/edge lists -> recursive reach -> ``comp(doc_id, keeper_id)``
+    where keeper is the exact component minimum (round-count
+    independent, any diameter). Requires a WITH RECURSIVE block."""
+    return [
+        f"""verts AS (SELECT DISTINCT v FROM (
+  SELECT doc_a AS v FROM {pairs_cte} UNION ALL SELECT doc_b AS v FROM {pairs_cte}))""",
+        f"""edges AS (SELECT doc_a AS v, doc_b AS n FROM {pairs_cte}
+           UNION ALL SELECT doc_b AS v, doc_a AS n FROM {pairs_cte})""",
+        """reach(v, label) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.v, r.label FROM edges e JOIN reach r ON r.v = e.n)""",
+        """comp AS (
+  SELECT v AS doc_id, min(label) AS keeper_id FROM reach GROUP BY v)""",
+    ]
+
+
 def _components_ctes() -> str:
-    """CTE chain (for a WITH RECURSIVE block): minhash pairs -> vertex /
-    edge lists -> recursive reachability -> ``comp(doc_id, keeper_id)``
-    where keeper is the exact component minimum. Shared by
-    ``_components_sql`` and ``_curation_sql``."""
+    """CTE chain (for a WITH RECURSIVE block): minhash pairs -> exact
+    component keepers via ``_reach_ctes``. Shared by ``_components_sql``
+    and ``_curation_sql``."""
     inner = _minhash_sql().strip().removeprefix("WITH").strip()
     order_clause = "ORDER BY doc_a, doc_b"
     assert inner.endswith(order_clause)
@@ -2728,16 +2746,7 @@ def _components_ctes() -> str:
     ctes = [
         prefix.rstrip().rstrip(","),
         "pairs AS (SELECT doc_a" + final_select + ")",
-        """verts AS (SELECT DISTINCT v FROM (
-  SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b AS v FROM pairs))""",
-        """edges AS (SELECT doc_a AS v, doc_b AS n FROM pairs
-           UNION ALL SELECT doc_b AS v, doc_a AS n FROM pairs)""",
-        """reach(v, label) AS (
-  SELECT v, v FROM verts
-  UNION
-  SELECT e.v, r.label FROM edges e JOIN reach r ON r.v = e.n)""",
-        """comp AS (
-  SELECT v AS doc_id, min(label) AS keeper_id FROM reach GROUP BY v)""",
+        *_reach_ctes("pairs"),
     ]
     return ",\n".join(ctes)
 
@@ -3382,12 +3391,15 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _ivf_ann_sql(
-    n_lists: int = 8, n_probe: int = 3, k: int = 5, n_iter: int = 2, dim: int = 64
-) -> str:
-    """DuckDB replay of the seeded-k-means IVF search: same md5-bottom-k
-    init, same unrolled Lloyd iterations with decimal-exact means, same
-    sequential-fold distances -> bit-identical centroids and results."""
+def _ivf_assign_ctes(
+    n_lists: int = 8, n_iter: int = 2, dim: int = 64
+) -> tuple[list[str], str]:
+    """DuckDB replay of the seeded-k-means corpus assignment: same
+    md5-bottom-k init, same unrolled Lloyd iterations with decimal-exact
+    means, same sequential-fold distances -> bit-identical centroids and
+    cell assignments. Returns ``(ctes, names)`` where the final CTEs are
+    ``af`` (vec_id, emb, cell) and the last centroid table name (for
+    probing). Shared by ``_ivf_ann_sql`` and ``_semdedup_sql``."""
     d2 = (
         "list_dot_product(s.emb, s.emb) + list_dot_product(c.centroid, c.centroid)"
         " - 2.0 * list_dot_product(s.emb, c.centroid)"
@@ -3426,6 +3438,19 @@ def _ivf_ann_sql(
         cur = f"c{i + 1}"
         ctes.append(f"{cur} AS {means(f'a{i}')}")
     ctes.append(f"af AS {assign('e', cur)}")
+    return ctes, cur
+
+
+def _ivf_ann_sql(
+    n_lists: int = 8, n_probe: int = 3, k: int = 5, n_iter: int = 2, dim: int = 64
+) -> str:
+    """DuckDB replay of the seeded-k-means IVF search (assignment chain
+    from ``_ivf_assign_ctes``)."""
+    d2 = (
+        "list_dot_product(s.emb, s.emb) + list_dot_product(c.centroid, c.centroid)"
+        " - 2.0 * list_dot_product(s.emb, c.centroid)"
+    )
+    ctes, cur = _ivf_assign_ctes(n_lists, n_iter, dim)
     ctes.append(f"""probes AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT s.vec_id, c.cell,
@@ -3452,6 +3477,45 @@ SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
                                ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored)
 WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (operators/similarity.semdedup): deterministic seeded-k-means
+    clustering, cosine >= 0.4 pairs WITHIN each cluster only (the
+    bucketing that bounds pairwise work to sum(|cell|^2) at 100 TB),
+    keeper = converged component-minimum id. The cluster fit, the
+    within-cell pair set, and the component search all replay exactly
+    in the oracle (_semdedup_sql: unrolled Lloyd iterations + WITH
+    RECURSIVE reachability), so even this doubly-approximate operator
+    gets a value-hash check."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        semdedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.4, n_lists=8, n_iter=2).orderBy("vec_id")
+
+
+def _semdedup_sql(
+    threshold: float = 0.5, n_lists: int = 8, n_iter: int = 2, dim: int = 64
+) -> str:
+    ctes, _ = _ivf_assign_ctes(n_lists, n_iter, dim)
+    ctes.append(
+        "n AS (SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb))"
+        " AS nrm FROM af)"
+    )
+    ctes.append(f"""pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {threshold})""")
+    ctes.extend(_reach_ctes("pairs"))
+    with_block = ",\n".join(ctes)
+    return f"""
+WITH RECURSIVE {with_block}
+SELECT doc_id AS vec_id, keeper_id, doc_id = keeper_id AS is_kept
+FROM comp ORDER BY vec_id
 """
 
 
@@ -5433,6 +5497,150 @@ ORDER BY source, pick_rank
 # Contract functions
 # ---------------------------------------------------------------------------
 
+def x_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channels over per-user daily bars: SMA(typical price, 20)
+    midline +/- 2 x SMA(true range, 10) — the range-driven volatility
+    envelope next to Bollinger (operators/finance.keltner_channels).
+    Typical price, TR lag, and both rolling frames share ONE per-user
+    exchange+sort; rolling means are exact decimal sums, so the
+    unrounded doubles replay bit-identically in window SQL."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        keltner_channels,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    out = keltner_channels(daily, ["user_id"], "trade_date", n=20, m=10, mult=2.0)
+    return out.select(
+        "user_id", "trade_date", "tp", "tr", "kc_mid", "kc_upper", "kc_lower"
+    ).orderBy("user_id", "trade_date")
+
+
+_X_KELTNER_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+t AS (
+  SELECT user_id, trade_date, high, low, close,
+         (high + low + close) / 3.0 AS tp,
+         CASE WHEN lag(close) OVER w IS NULL THEN high - low
+              ELSE greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) END AS tr
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date))
+SELECT user_id, trade_date, tp, tr,
+       CAST(sum(CAST(tp AS DECIMAL(38,6))) OVER f20 AS DOUBLE)
+           / CAST(count(*) OVER f20 AS DOUBLE) AS kc_mid,
+       CAST(sum(CAST(tp AS DECIMAL(38,6))) OVER f20 AS DOUBLE)
+           / CAST(count(*) OVER f20 AS DOUBLE)
+         + CAST(sum(CAST(tr AS DECIMAL(38,6))) OVER f10 AS DOUBLE)
+           / CAST(count(*) OVER f10 AS DOUBLE) * 2.0 AS kc_upper,
+       CAST(sum(CAST(tp AS DECIMAL(38,6))) OVER f20 AS DOUBLE)
+           / CAST(count(*) OVER f20 AS DOUBLE)
+         - CAST(sum(CAST(tr AS DECIMAL(38,6))) OVER f10 AS DOUBLE)
+           / CAST(count(*) OVER f10 AS DOUBLE) * 2.0 AS kc_lower
+FROM t
+WINDOW f20 AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       f10 AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, trade_date
+"""
+
+
+def x_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi candles per user-day: ha_open averages the PREVIOUS
+    HA candle, a true sequential recurrence no window expression can
+    express (operators/finance.heikin_ashi — Arrow grouped-map fold in
+    integer micro-units with floor halving, the ema_macd_exact
+    determinism scheme). The DuckDB twin replays the identical BIGINT
+    fold as a recursive CTE, so even this stateful transform gets a
+    value-hash oracle."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        heikin_ashi,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).drop("volume")
+    out = heikin_ashi(daily, ["user_id"], "trade_date")
+    return out.select(
+        "user_id", "trade_date", "open", "high", "low", "close",
+        "ha_open", "ha_high", "ha_low", "ha_close",
+    ).orderBy("user_id", "trade_date")
+
+
+_X_HEIKIN_SQL = f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date, open, high, low, close,
+         CAST(CAST(open  AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS ou,
+         CAST(CAST(high  AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS hu,
+         CAST(CAST(low   AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS lu,
+         CAST(CAST(close AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS cu,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+ha AS (
+  SELECT user_id, trade_date, open, high, low, close, hu, lu, rn,
+         CAST(floor((ou + cu) / 2.0) AS BIGINT) AS ho,
+         CAST(floor((ou + hu + lu + cu) / 4.0) AS BIGINT) AS hc
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.trade_date, s.open, s.high, s.low, s.close,
+         s.hu, s.lu, s.rn,
+         CAST(floor((h.ho + h.hc) / 2.0) AS BIGINT),
+         CAST(floor((s.ou + s.hu + s.lu + s.cu) / 4.0) AS BIGINT)
+  FROM b s JOIN ha h ON s.user_id = h.user_id AND s.rn = h.rn + 1)
+SELECT user_id, trade_date, open, high, low, close,
+       CAST(ho AS DOUBLE) / 1000000.0 AS ha_open,
+       CAST(greatest(hu, ho, hc) AS DOUBLE) / 1000000.0 AS ha_high,
+       CAST(least(lu, ho, hc) AS DOUBLE) / 1000000.0 AS ha_low,
+       CAST(hc AS DOUBLE) / 1000000.0 AS ha_close
+FROM ha ORDER BY user_id, trade_date
+"""
+
+
+def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix: lag the type over each
+    user's (ts, event_id) order, count (prev_type -> type) transitions
+    corpus-wide, and derive each row's conditional probability. One
+    per-user window + one global groupBy (map-side combinable); the
+    probability is an IEEE division of exact integer counts, so the
+    doubles replay bit-identically."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("prev_type")
+    return (
+        trans.withColumn(
+            "p",
+            F.col("n").cast("double")
+            / F.sum("n").over(w_tot).cast("double"),
+        )
+        .select("prev_type", "next_type", "n", "p")
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_E_MARKOV_SQL = """
+WITH t AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+c AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM t WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM c ORDER BY prev_type, next_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5474,6 +5682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_rolling_hll_wau": e_rolling_hll_wau,
         # --- round-4 gate window part 2: round-4 additions (insert new
         # queries HERE so they get a driver row the round they land) ---
+        "emb_semdedup": emb_semdedup,
+        "x_keltner": x_keltner,
+        "x_heikin_ashi": x_heikin_ashi,
+        "e_markov_transitions": e_markov_transitions,
         # --- round-4 gate window part 3: back-fill with previously-checked
         # entries (re-verification; green in r2/r3) ---
         "q01_pricing_summary": q01_pricing_summary,
@@ -5630,6 +5842,10 @@ def oracle_sql() -> dict[str, str]:
         "d_bpe_tokens": _D_BPE_SQL,
         "d_kgram_fingerprint": _D_KGRAM_SQL,
         "emb_ivf_ann": _ivf_ann_sql(),
+        "emb_semdedup": _semdedup_sql(threshold=0.4),
+        "x_keltner": _X_KELTNER_SQL,
+        "x_heikin_ashi": _X_HEIKIN_SQL,
+        "e_markov_transitions": _E_MARKOV_SQL,
         "emb_lsh_ann": _lsh_ann_sql(),
         "j_asof_orders": _J_ASOF_SQL,
         "j_semi_active_customers": _J_SEMI_SQL,

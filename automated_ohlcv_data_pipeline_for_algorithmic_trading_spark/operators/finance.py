@@ -45,6 +45,8 @@ __all__ = [
     "rolling_sharpe",
     "candle_patterns",
     "sma_crossover_backtest",
+    "keltner_channels",
+    "heikin_ashi",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -61,6 +63,8 @@ def max_drawdown(
     ts_col: str,
     id_col: str,
     value_col: str,
+    skew_safe: bool = True,
+    chunk_width: int = 86_400_000_000,
 ) -> DataFrame:
     """Worst peak-to-trough drawdown per key.
 
@@ -70,10 +74,24 @@ def max_drawdown(
     engine-independent. Rows with non-positive values are excluded
     (drawdown is defined on prices).
 
-    Both the running max and the ranking are windows over the SAME
-    partition key, so Spark plans one exchange and two sorts — no
-    extra shuffle for the final per-key row.
+    ``skew_safe`` (default True) routes through
+    :func:`max_drawdown_chunked` — bit-identical output (pinned by
+    tests/property tests) with no stage that sorts a whole key's
+    history in one task, so a 95%-hot key costs roughly what a uniform
+    one does (SCALE_RESULTS.md). ``chunk_width`` is interpreted in the
+    ts column's own unit for numeric ts (default: one day of
+    epoch-micros) and in MICROSECONDS for timestamp/date ts. Pass
+    ``skew_safe=False`` for the plain two-window form — same result,
+    marginally cheaper on small, evenly-keyed inputs.
+
+    Both the running max and the ranking (plain form) are windows over
+    the SAME partition key, so Spark plans one exchange and two sorts —
+    no extra shuffle for the final per-key row.
     """
+    if skew_safe:
+        return max_drawdown_chunked(
+            df, keys, ts_col, id_col, value_col, chunk_width=chunk_width
+        )
     pos = df.filter(F.col(value_col) > 0)
     w_run = (
         Window.partitionBy(*keys)
@@ -116,9 +134,10 @@ def max_drawdown_chunked(
     chunk_width: int = 86_400_000_000,
 ) -> DataFrame:
     """Skew-robust ``max_drawdown``: identical output, but no stage ever
-    sorts a whole key's history in one task. ``ts_col`` must be a
-    numeric epoch; ``chunk_width`` is one chunk in that unit (default:
-    one day of epoch-micros).
+    sorts a whole key's history in one task. ``ts_col`` is a numeric
+    epoch (``chunk_width`` in its own unit; default one day of
+    epoch-micros) or a timestamp/date column (chunked on its
+    epoch-microsecond value; ordering still uses the column itself).
 
     A 95%-hot key serializes the plain two-window form (measured 53 s vs
     5 s uniform on 12M rows) because both windows partition on the key
@@ -134,7 +153,13 @@ def max_drawdown_chunked(
     window form, and partial aggregation absorbs the hot key.
     """
     pos = df.filter(F.col(value_col) > 0)
-    chunk = F.expr(f"{ts_col} div {chunk_width}").alias("_chunk")
+    from pyspark.sql.types import DateType, TimestampType
+
+    if isinstance(df.schema[ts_col].dataType, (TimestampType, DateType)):
+        ts_num = f"unix_micros(cast({ts_col} as timestamp))"
+    else:
+        ts_num = ts_col
+    chunk = F.expr(f"{ts_num} div {chunk_width}").alias("_chunk")
     src = pos.select(
         *keys, F.col(ts_col), F.col(id_col), F.col(value_col), chunk
     )
@@ -785,3 +810,115 @@ def sma_crossover_backtest(
             / F.sum(F.when(rq.isNotNull(), pos).otherwise(0)).cast("double"),
         ).alias("hit_rate"),
     )
+
+
+def keltner_channels(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 20,
+    m: int = 10,
+    mult: float = 2.0,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Keltner channels (classic SMA form): midline = SMA of the typical
+    price (h+l+c)/3 over ``n`` bars, band = ``mult`` x the SMA of the
+    true range over ``m`` bars — the volatility envelope next to
+    Bollinger on every charting stack (Bollinger widens with price
+    DISPERSION, Keltner with RANGE; traders read the divergence).
+
+    Same determinism scheme as :func:`atr`: both rolling means are exact
+    decimal sums over one IEEE-per-row input expression, so the result
+    is partition-invariant and replays in plain window SQL. The typical
+    price, the TR lag, and both rolling frames all share ONE per-key
+    exchange+sort (``.explain``: a single Exchange under three Window
+    nodes), so the operator costs the same single shuffle as a lone SMA
+    at any scale.
+
+    Output: input columns + (tp, tr, kc_mid, kc_upper, kc_lower).
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    f_n = w.rowsBetween(-(n - 1), 0)
+    f_m = w.rowsBetween(-(m - 1), 0)
+    tp = (F.col(high) + F.col(low) + F.col(close)) / F.lit(3.0)
+    out = true_range(df, keys, order_col, high, low, close).withColumn("tp", tp)
+    mid = (
+        F.sum(F.col("tp").cast(_DEC)).over(f_n).cast("double")
+        / F.count(F.lit(1)).over(f_n).cast("double")
+    )
+    band = (
+        F.sum(F.col("tr").cast(_DEC)).over(f_m).cast("double")
+        / F.count(F.lit(1)).over(f_m).cast("double")
+    ) * F.lit(mult)
+    return (
+        out.withColumn("kc_mid", mid)
+        .withColumn("kc_upper", F.col("kc_mid") + band)
+        .withColumn("kc_lower", F.col("kc_mid") - band)
+    )
+
+
+def heikin_ashi(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    open_col: str = "open",
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Heikin-Ashi candles — the recursively-smoothed OHLC transform
+    (ha_open averages the PREVIOUS HA candle, so it is a true sequential
+    fold, not a window):
+
+    - ha_close_i = (o+h+l+c)/4
+    - ha_open_0 = (o+c)/2 ; ha_open_i = (ha_open_{i-1}+ha_close_{i-1})/2
+    - ha_high = max(h, ha_open, ha_close) ; ha_low = min(l, ...)
+
+    Like ema_macd_exact (operators/extension.py), the fold runs in
+    integer MICRO-UNITS with floor halving/quartering, so the per-group
+    pandas fold and a DuckDB recursive CTE compute identical BIGINT
+    states — an exact oracle for a recurrence no window expression can
+    express. Grouped-map per key (Arrow both ways): each group is one
+    instrument's bar history — bounded rows, embarrassingly parallel
+    across instruments; the shuffle is the single groupBy(keys).
+
+    Output: keys + order_col + o/h/l/c + ha_open/ha_high/ha_low/ha_close
+    (doubles, micro-unit exact).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    in_cols = [*key_list, order_col, open_col, high, low, close]
+    src = df.select(*in_cols)
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", ha_open double, ha_high double, ha_low double, ha_close double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        o = np.rint(pdf[open_col].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        h = np.rint(pdf[high].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        lo = np.rint(pdf[low].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        c = np.rint(pdf[close].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        ha_c = (o + h + lo + c) // 4
+        ha_o = np.empty(len(o), dtype=np.int64)
+        prev_o = prev_c = 0
+        for i in range(len(o)):
+            if i == 0:
+                ha_o[i] = (o[0] + c[0]) // 2
+            else:
+                ha_o[i] = (prev_o + prev_c) // 2
+            prev_o, prev_c = int(ha_o[i]), int(ha_c[i])
+        ha_h = np.maximum(h, np.maximum(ha_o, ha_c))
+        ha_l = np.minimum(lo, np.minimum(ha_o, ha_c))
+        return pdf.assign(
+            ha_open=ha_o / 1e6,
+            ha_high=ha_h / 1e6,
+            ha_low=ha_l / 1e6,
+            ha_close=ha_c / 1e6,
+        )
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)

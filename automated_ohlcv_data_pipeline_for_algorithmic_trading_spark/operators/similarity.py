@@ -769,3 +769,71 @@ def sq8_knn(
             "query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rank"
         )
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n_lists: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    cluster the embedding space with the deterministic seeded k-means
+    coarse quantizer, list cosine-near-duplicate pairs ONLY within each
+    cluster, and resolve the pair graph to one keeper per duplicate
+    group (component-minimum id, propagated to convergence).
+
+    This is the embedding twin of the MinHash corpus dedup: the cluster
+    bucketing bounds pairwise work to ``sum(|cell|^2)`` instead of
+    ``n^2`` — at 100 TB with n_lists scaled ~ n/10k, each cell is a few
+    thousand vectors and the within-cell join is embarrassingly
+    parallel (write assignments ``partitionBy(cell)`` and each cell's
+    pairs compute from one partition, no global shuffle). The
+    approximation is the SemDeDup contract itself: duplicates split
+    across clusters are missed, which the paper accepts in exchange for
+    the bound (near-identical embeddings land in the same cell for any
+    sane quantizer).
+
+    Determinism: centroids/assignments replay in SQL
+    (:func:`seeded_centroids`), cosine is the sequential-fold dot, and
+    the keeper is the converged component minimum — so the whole
+    operator has an exact DuckDB oracle (``_semdedup_sql`` in
+    __spark_entry__).
+
+    Output: (vec_id, keeper_id, is_kept) for every vector that appears
+    in at least one near-dup pair; vectors with no near-dup never leave
+    their cell join and are implicitly kept.
+    """
+    from .dedup_similarity import near_dup_components
+
+    _, assignments = ivf_index(
+        corpus, n_lists=n_lists, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    a = assignments.select(
+        F.col("vec_id").alias("_ida"),
+        F.col("cell"),
+        F.col("vec").alias("_va"),
+        F.col("norm").alias("_na"),
+    )
+    b = assignments.select(
+        F.col("vec_id").alias("_idb"),
+        F.col("cell"),
+        F.col("vec").alias("_vb"),
+        F.col("norm").alias("_nb"),
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
+    )
+    comp = near_dup_components(pairs, rounds=3, extend_until_converged=True)
+    return comp.select(
+        F.col("doc_id").alias("vec_id"),
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_kept"),
+    )

@@ -124,49 +124,60 @@ def sma_chunked(
     instead of sorting in a single task (measured 24.6s -> ~2s on a
     95%-hot key at 12M rows, SCALE_RESULTS.md).
 
-    Mechanics: each chunk's last ``n-1`` rows are copied into each of
-    the next ``n-1`` chunks WITH data for that key (gap-safe: the chunk
-    list is ranked, not calendar-incremented), flagged, used only as
-    trailing history, and dropped from the output. The ``n-1``-chunk
-    fan-out makes the reconstruction EXACT for arbitrarily thin chunks:
-    a row's trailing ``n-1`` global predecessors span at most the
-    ``n-1`` previous non-empty chunks (each holds >= 1 row), and a
-    carried row older than the frame simply falls out of the trailing
-    ROWS frame — so every row sees exactly the frame the global window
-    would give it, with no minimum-rows-per-chunk precondition.
-    ``chunk`` defaults to ``to_date(ts_col)`` and must be monotone in
-    ``ts_col``.
-
-    Carry volume is bounded by ``(n-1)^2`` rows per (key, chunk) —
-    negligible against a hot key's per-chunk row count; in the
-    degenerate all-chunks-thin regime (e.g. daily bars chunked by day)
-    it approaches an ``(n-1)x`` copy of a tiny input, still cheap.
+    Mechanics: a chunk's trailing rows are copied into LATER chunks
+    with data for that key (gap-safe: the chunk list is ranked, not
+    calendar-incremented), flagged, used only as trailing history, and
+    dropped from the output. Which rows go where is size-pruned to the
+    exact requirement: a source row with ``j-1`` rows after it in its
+    own chunk is needed by destination chunk ``d`` iff
+    ``j - 1 + (rows in the chunks between) <= n - 2`` — so each
+    (src, dst) hop carries ``needed = (n-1) - intervening_rows`` rows,
+    computed from per-chunk row counts + one cumulative sum over the
+    tiny ranked chunk list. Fat chunks therefore carry only their last
+    ``n-1`` rows one hop forward (intervening >= n-1 kills farther
+    hops); arbitrarily THIN chunks fan out across as many prior chunks
+    as it takes to reconstruct the full ``n-1``-row history — the
+    reconstruction is EXACT with no minimum-rows-per-chunk
+    precondition, and total carry volume is <= ``n-1`` rows per
+    DESTINATION chunk regardless of the size distribution. ``chunk``
+    defaults to ``to_date(ts_col)`` and must be monotone in ``ts_col``.
     """
     out_col = out_col or f"sma_{n}"
     base = df.withColumn(
         "_chunk", chunk if chunk is not None else F.to_date(F.col(ts_col))
     )
     order_cols = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
-    # destinations of carried rows: the next n-1 chunks WITH data
-    # (rank the distinct chunk list per key, self-join on rank distance)
-    chunks = base.select(*keys, "_chunk").distinct()
+    # ranked chunk list per key with per-chunk row counts and the
+    # cumulative row count up to & including each chunk (tiny table:
+    # one row per non-empty (key, chunk))
+    sizes = base.groupBy(*keys, "_chunk").agg(F.count(F.lit(1)).alias("_csize"))
     wn = Window.partitionBy(*keys).orderBy(F.col("_chunk"))
-    ranked = chunks.withColumn("_crank", F.row_number().over(wn))
+    ranked = sizes.withColumn("_crank", F.row_number().over(wn)).withColumn(
+        "_cum", F.sum("_csize").over(wn.rowsBetween(Window.unboundedPreceding, 0))
+    )
     src = ranked.select(
-        *keys, F.col("_chunk"), F.col("_crank").alias("_rank_src")
+        *keys,
+        F.col("_chunk"),
+        F.col("_crank").alias("_rank_src"),
+        F.col("_cum").alias("_cum_src"),
     )
     dst = ranked.select(
         *keys,
         F.col("_chunk").alias("_dst_chunk"),
         F.col("_crank").alias("_rank_dst"),
+        (F.col("_cum") - F.col("_csize")).alias("_cum_before_dst"),
     )
+    # rows in the chunks strictly between src and dst; a hop is kept
+    # only while dst still needs history from src
+    needed = F.lit(n - 1) - (F.col("_cum_before_dst") - F.col("_cum_src"))
     hops = (
         src.join(dst, list(keys))
         .filter(
             (F.col("_rank_dst") > F.col("_rank_src"))
             & (F.col("_rank_dst") <= F.col("_rank_src") + (n - 1))
+            & (needed >= 1)
         )
-        .select(*keys, "_chunk", "_dst_chunk")
+        .select(*keys, "_chunk", "_dst_chunk", needed.alias("_needed"))
     )
     wr = Window.partitionBy(*keys, "_chunk").orderBy(
         *[c.desc() for c in order_cols]
@@ -174,8 +185,9 @@ def sma_chunked(
     carry = (
         base.withColumn("_rdesc", F.row_number().over(wr))
         .filter(F.col("_rdesc") <= n - 1)
-        .drop("_rdesc")
         .join(hops, [*keys, "_chunk"])
+        .filter(F.col("_rdesc") <= F.col("_needed"))
+        .drop("_rdesc", "_needed")
         .withColumn("_chunk", F.col("_dst_chunk"))
         .drop("_dst_chunk")
         .withColumn("_carry", F.lit(1))

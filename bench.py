@@ -125,6 +125,46 @@ def main() -> None:
         timings[key] = min(timings.get(key, dt), dt)
     raw_shape.unpersist()
 
+    # Streaming queries pay a FIXED Structured Streaming startup cost
+    # (query start/stop, checkpoint dir, micro-batch scheduling) of
+    # ~1-3 s that dominates their wall time at bench scale and masks
+    # real query-cost regressions. Measure it with a null stream — the
+    # same file source + availableNow + memory-sink machinery over the
+    # tiny sf, minimal plan — and report net-of-startup numbers for the
+    # s_* queries ALONGSIDE the raw walls (raw stays the headline).
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        events_stream_source,
+    )
+
+    startup = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with _tf.TemporaryDirectory() as ckpt:
+            nm = f"null_stream_{_uuid.uuid4().hex[:8]}"
+            q = (
+                events_stream_source(spark, "/root/testdata/sf0.001")
+                .groupBy()
+                .count()
+                .writeStream.format("memory")
+                .queryName(nm)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            spark.table(nm).collect()
+        dt = round(time.perf_counter() - t0, 3)
+        startup = dt if startup is None else min(startup, dt)
+    stream_net = {
+        k: max(round(v - startup, 3), 0.0)
+        for k, v in timings.items()
+        if k.startswith("s_")
+    }
+
     total = round(sum(timings.values()), 3)
     query_only = {k: v for k, v in timings.items() if k != "etl_bronze_silver_500sym"}
     print(
@@ -142,6 +182,11 @@ def main() -> None:
                 "mean_query_sec": round(sum(query_only.values()) / len(query_only), 3),
                 "max_query_sec": round(max(query_only.values()), 3),
                 "etl_sec": timings.get("etl_bronze_silver_500sym"),
+                # fixed Structured Streaming startup (null availableNow
+                # stream, best of 3) and the s_* walls net of it — the
+                # number to watch for streaming query-cost regressions
+                "stream_startup_sec": startup,
+                "stream_net_of_startup": stream_net,
             }
         )
     )

@@ -63,7 +63,12 @@ class TestMaxDrawdown:
         ]
         df = _prices(spark, rows)
         plain = sorted(
-            map(tuple, max_drawdown(df, ["sym"], "ts", "pid", "px").collect())
+            map(
+                tuple,
+                max_drawdown(
+                    df, ["sym"], "ts", "pid", "px", skew_safe=False
+                ).collect(),
+            )
         )
         chunked = sorted(
             map(
@@ -74,6 +79,17 @@ class TestMaxDrawdown:
             )
         )
         assert plain == chunked
+        # the DEFAULT call path routes through the chunked form and must
+        # agree with both
+        routed = sorted(
+            map(
+                tuple,
+                max_drawdown(
+                    df, ["sym"], "ts", "pid", "px", chunk_width=10
+                ).collect(),
+            )
+        )
+        assert plain == routed
 
     def test_partition_count_invariant(self, spark):
         rows = [("S%d" % (i % 7), i, 50 + ((i * 37) % 100)) for i in range(400)]
@@ -591,3 +607,104 @@ class TestRollingHll:
         if raw > 2.5 * m:  # outside linear-counting range: must agree
             assert abs(raw - est) / est < 1e-9
         assert abs(est - 500) / 500 < 0.15
+
+
+class TestKeltnerChannels:
+    def test_mid_is_rolling_mean_of_typical_price(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            keltner_channels,
+        )
+
+        rows = [
+            ("A", d, 10.0 + d, 12.0 + d, 9.0 + d, 11.0 + d)
+            for d in range(1, 8)
+        ]
+        df = spark.createDataFrame(
+            rows, "sym string, d long, open double, high double, low double, close double"
+        )
+        out = {
+            r["d"]: r
+            for r in keltner_channels(df, ["sym"], "d", n=3, m=2, mult=2.0).collect()
+        }
+        # tp for bar d: (12+d + 9+d + 11+d)/3
+        tps = {d: (12.0 + d + 9.0 + d + 11.0 + d) / 3.0 for d in range(1, 8)}
+        assert out[1]["kc_mid"] == pytest.approx(tps[1])
+        assert out[4]["kc_mid"] == pytest.approx((tps[2] + tps[3] + tps[4]) / 3)
+        # band symmetry: upper - mid == mid - lower
+        for r in out.values():
+            assert (r["kc_upper"] - r["kc_mid"]) == pytest.approx(
+                r["kc_mid"] - r["kc_lower"]
+            )
+        # first bar TR = high - low = 3; second bar prev_close=12 ->
+        # TR = max(3, |13-12|, |10-12|) = 3 -> band = 2 * 3 = 6
+        assert out[2]["kc_upper"] - out[2]["kc_mid"] == pytest.approx(6.0)
+
+
+class TestHeikinAshi:
+    def test_recurrence_and_partition_invariance(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            heikin_ashi,
+        )
+
+        rows = [
+            ("A", 1, 10.0, 12.0, 9.0, 11.0),
+            ("A", 2, 11.0, 15.0, 10.0, 14.0),
+            ("A", 3, 14.0, 16.0, 13.0, 13.5),
+            ("B", 1, 100.0, 101.0, 99.0, 100.5),
+        ]
+        df = spark.createDataFrame(
+            rows, "sym string, d long, open double, high double, low double, close double"
+        )
+        out = {
+            (r["sym"], r["d"]): r
+            for r in heikin_ashi(df, ["sym"], "d").collect()
+        }
+        a1 = out[("A", 1)]
+        assert a1["ha_close"] == pytest.approx((10 + 12 + 9 + 11) / 4)
+        assert a1["ha_open"] == pytest.approx((10 + 11) / 2)
+        a2 = out[("A", 2)]
+        # ha_open_2 = (ha_open_1 + ha_close_1)/2 = (10.5 + 10.5)/2
+        assert a2["ha_open"] == pytest.approx(10.5)
+        assert a2["ha_close"] == pytest.approx((11 + 15 + 10 + 14) / 4)
+        assert a2["ha_high"] == pytest.approx(15.0)  # max(h, ha_o, ha_c)
+        a3 = out[("A", 3)]
+        assert a3["ha_open"] == pytest.approx((10.5 + 12.5) / 2)
+        # independent keys: B seeds fresh
+        assert out[("B", 1)]["ha_open"] == pytest.approx((100 + 100.5) / 2)
+        # partition invariance: the fold sees each group whole
+        again = {
+            (r["sym"], r["d"]): r["ha_open"]
+            for r in heikin_ashi(df.repartition(7), ["sym"], "d").collect()
+        }
+        assert {k: v["ha_open"] for k, v in out.items()} == again
+
+
+class TestSemDedup:
+    def test_within_cluster_duplicates_get_one_keeper(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            semdedup,
+        )
+
+        # two tight groups far apart + noise; exact duplicates inside
+        # each group must collapse onto the group-minimum id
+        import random
+
+        rng = random.Random(3)
+        rows = []
+        for i in range(8):  # group 1: near (1, 0, 0, ...)
+            base = [1.0, 0.0, 0.0, 0.0]
+            rows.append((i, [v + rng.uniform(-0.01, 0.01) for v in base]))
+        for i in range(8, 16):  # group 2: near (0, 1, 0, ...)
+            base = [0.0, 1.0, 0.0, 0.0]
+            rows.append((i, [v + rng.uniform(-0.01, 0.01) for v in base]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r["vec_id"]: r
+            for r in semdedup(df, threshold=0.99, n_lists=2, n_iter=2).collect()
+        }
+        assert out, "expected near-dup rows"
+        # every listed vector's keeper is the min id of its group side
+        for vid, r in out.items():
+            assert r["keeper_id"] <= vid
+            assert (vid < 8) == (r["keeper_id"] < 8)  # no cross-group merge
+            assert r["is_kept"] == (vid == r["keeper_id"])
