@@ -5596,6 +5596,60 @@ FROM ha ORDER BY user_id, trade_date
 """
 
 
+def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 through a REAL stream with a driver oracle: watermarked
+    dropDuplicates over (user, event_type, day) inside an availableNow
+    streaming query (the exactly-once dedup state the micro-batch
+    pipeline runs in streaming_silver), then counted per (user, day)
+    after the stream completes. Dedup state is bounded by the 1-day
+    watermark horizon; the batch twin is COUNT(DISTINCT event_type)."""
+    import uuid
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        events_stream_source,
+    )
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
+    )
+
+    tune(spark)
+    with stateful_partitions(spark):
+        ev = events_stream_source(spark, sf_dir)
+        deduped = (
+            ev.withColumn("day", F.to_date("ts"))
+            .withWatermark("ts", "1 day")
+            .dropDuplicates(["user_id", "event_type", "day"])
+            .select("user_id", "event_type", "day")
+        )
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        with _scratch_ckpt() as ckpt:
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .orderBy("user_id", "day")
+    )
+
+
+_S_DEDUP_SQL = """
+SELECT user_id, CAST(ts AS DATE) AS day,
+       count(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id, CAST(ts AS DATE)
+ORDER BY user_id, day
+"""
+
+
 def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition matrix: lag the type over each
     user's (ts, event_id) order, count (prev_type -> type) transitions
@@ -5686,6 +5740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_keltner": x_keltner,
         "x_heikin_ashi": x_heikin_ashi,
         "e_markov_transitions": e_markov_transitions,
+        "s_stream_dedup": s_stream_dedup,
         # --- round-4 gate window part 3: back-fill with previously-checked
         # entries (re-verification; green in r2/r3) ---
         "q01_pricing_summary": q01_pricing_summary,
@@ -5846,6 +5901,7 @@ def oracle_sql() -> dict[str, str]:
         "x_keltner": _X_KELTNER_SQL,
         "x_heikin_ashi": _X_HEIKIN_SQL,
         "e_markov_transitions": _E_MARKOV_SQL,
+        "s_stream_dedup": _S_DEDUP_SQL,
         "emb_lsh_ann": _lsh_ann_sql(),
         "j_asof_orders": _J_ASOF_SQL,
         "j_semi_active_customers": _J_SEMI_SQL,
@@ -6056,4 +6112,9 @@ HEADLINE_QUERIES = [
     "x_volume_profile",
     "x_rolling_beta",
     "e_rolling_hll_wau",
+    "emb_semdedup",
+    "x_keltner",
+    "x_heikin_ashi",
+    "e_markov_transitions",
+    "s_stream_dedup",
 ]

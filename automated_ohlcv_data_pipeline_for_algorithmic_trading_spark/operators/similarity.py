@@ -778,6 +778,7 @@ def semdedup(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "fold",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     cluster the embedding space with the deterministic seeded k-means
@@ -811,26 +812,53 @@ def semdedup(
     _, assignments = ivf_index(
         corpus, n_lists=n_lists, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
-    a = assignments.select(
-        F.col("vec_id").alias("_ida"),
-        F.col("cell"),
-        F.col("vec").alias("_va"),
-        F.col("norm").alias("_na"),
-    )
-    b = assignments.select(
-        F.col("vec_id").alias("_idb"),
-        F.col("cell"),
-        F.col("vec").alias("_vb"),
-        F.col("norm").alias("_nb"),
-    )
-    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .withColumn("_cos", cos)
-        .filter(F.col("_cos") >= threshold)
-        .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
-    )
+    if scorer == "blas":
+        # scale path: one numpy GEMM per cell instead of 64-term fold
+        # dots per pair (measured 83 s -> seconds at 200k x 64-dim,
+        # SCALE_RESULTS.md). BLAS pairwise summation is not the
+        # sequential fold, so borderline cosines a few ulp from the
+        # threshold may flip vs the SQL oracle — keep the default
+        # scorer="fold" for oracle-checked runs.
+        import numpy as np
+        import pandas as pd
+
+        thr = float(threshold)
+
+        def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = np.stack(pdf["vec"].to_numpy()[order]).astype(np.float64)
+            nrm = pdf["norm"].to_numpy(dtype=np.float64)[order]
+            g = (m @ m.T) / np.outer(nrm, nrm)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = g[ia, ib] >= thr
+            return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]]})
+
+        pairs = assignments.select("vec_id", "cell", "vec", "norm").groupBy(
+            "cell"
+        ).applyInPandas(cell_pairs, schema="doc_a long, doc_b long")
+    else:
+        a = assignments.select(
+            F.col("vec_id").alias("_ida"),
+            F.col("cell"),
+            F.col("vec").alias("_va"),
+            F.col("norm").alias("_na"),
+        )
+        b = assignments.select(
+            F.col("vec_id").alias("_idb"),
+            F.col("cell"),
+            F.col("vec").alias("_vb"),
+            F.col("norm").alias("_nb"),
+        )
+        cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        pairs = (
+            a.join(b, "cell")
+            .filter(F.col("_ida") < F.col("_idb"))
+            .withColumn("_cos", cos)
+            .filter(F.col("_cos") >= threshold)
+            .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
+        )
     comp = near_dup_components(pairs, rounds=3, extend_until_converged=True)
     return comp.select(
         F.col("doc_id").alias("vec_id"),

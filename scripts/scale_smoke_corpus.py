@@ -172,7 +172,18 @@ def main() -> None:
                     F.when(reason.isNull(), F.col("split")).alias("split"),
                 )
 
-            timed(f"curation_pipeline ({variant})", curation(), results, n_docs)
+            # construction is EAGER (the component search checkpoints
+            # per round), so time the whole call, not just the count
+            t0 = time.perf_counter()
+            cur_rows = curation().count()
+            dt = time.perf_counter() - t0
+            results.append(
+                (f"curation_pipeline end-to-end ({variant})", dt, n_docs, cur_rows)
+            )
+            print(
+                f"curation_pipeline end-to-end: {dt:.2f}s, {cur_rows:,} out rows",
+                flush=True,
+            )
 
             # incremental lifecycle at scale: index the corpus once
             # (persist), then probe a 1% landing batch against it —

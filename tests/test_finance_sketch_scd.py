@@ -708,3 +708,12 @@ class TestSemDedup:
             assert r["keeper_id"] <= vid
             assert (vid < 8) == (r["keeper_id"] < 8)  # no cross-group merge
             assert r["is_kept"] == (vid == r["keeper_id"])
+        # the BLAS per-cell GEMM scorer must agree with the fold scorer
+        # away from threshold boundaries
+        blas = {
+            r["vec_id"]: (r["keeper_id"], r["is_kept"])
+            for r in semdedup(
+                df, threshold=0.99, n_lists=2, n_iter=2, scorer="blas"
+            ).collect()
+        }
+        assert blas == {k: (r["keeper_id"], r["is_kept"]) for k, r in out.items()}
