@@ -5596,6 +5596,77 @@ FROM ha ORDER BY user_id, trade_date
 """
 
 
+def d_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (Sennrich et al. 2016) over the corpus:
+    6 merge-learning rounds, each = adjacent-symbol pair counts weighted
+    by word frequency -> deterministic argmax (freq DESC, lhs, rhs) ->
+    EXACT greedy merge application via island-parity window algebra
+    (operators/corpus.bpe_learn). The corpus reduces once to the word
+    table; every iteration is vocabulary-sized. All-integer counts and
+    string symbols, so the unrolled 6-round SQL replay hash-matches —
+    the third oracle-checked ITERATIVE algorithm after dup-components
+    and semdedup."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        bpe_learn,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_learn(docs, rounds=6).orderBy("round")
+
+
+def _bpe_sql(rounds: int = 6) -> str:
+    """Unrolled DuckDB replay of bpe_learn: per round, the pair-count /
+    argmax / island-parity merge CTEs — the same window algebra the
+    Spark operator runs, so the merge table matches bit-for-bit."""
+    ctes = [
+        f"w0 AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents)",
+        "words AS (SELECT w, count(*) AS cnt FROM w0 GROUP BY w)",
+        "seq0 AS MATERIALIZED (SELECT w, cnt, list_transform(range(1, length(w) + 1),"
+        " i -> substr(w, i, 1)) AS syms FROM words)",
+    ]
+    finals = []
+    for r in range(1, rounds + 1):
+        q = r - 1
+        ctes.append(f"""t{r} AS MATERIALIZED (
+  SELECT s.w, s.cnt, u.i + 1 AS p, s.syms[u.i + 1] AS sym,
+         lead(s.syms[u.i + 1]) OVER (PARTITION BY s.w ORDER BY u.i) AS nxt
+  FROM seq{q} s, unnest(range(len(s.syms))) u(i))""")
+        ctes.append(f"""pc{r} AS MATERIALIZED (
+  SELECT sym AS a, nxt AS b, sum(cnt) AS freq FROM t{r}
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt)""")
+        ctes.append(
+            f"best{r} AS MATERIALIZED (SELECT a, b, CAST(freq AS BIGINT) AS freq "
+            f"FROM pc{r} ORDER BY freq DESC, a, b LIMIT 1)"
+        )
+        ctes.append(f"""m{r} AS MATERIALIZED (
+  SELECT w, p FROM (
+    SELECT w, p, row_number() OVER (PARTITION BY w, p - rn ORDER BY p) AS krn
+    FROM (
+      SELECT t.w, t.p, row_number() OVER (PARTITION BY t.w ORDER BY t.p) AS rn
+      FROM t{r} t, best{r} x WHERE t.sym = x.a AND t.nxt = x.b))
+  WHERE krn % 2 = 1)""")
+        ctes.append(f"""seq{r} AS MATERIALIZED (
+  SELECT w, cnt, list(s2 ORDER BY p) AS syms FROM (
+    SELECT t.w, t.cnt, t.p,
+           CASE WHEN k.p IS NOT NULL THEN t.sym || x.b ELSE t.sym END AS s2
+    FROM t{r} t
+    CROSS JOIN best{r} x
+    LEFT JOIN m{r} k ON k.w = t.w AND k.p = t.p
+    LEFT JOIN m{r} c ON c.w = t.w AND c.p + 1 = t.p
+    WHERE c.p IS NULL)
+  GROUP BY w, cnt)""")
+        finals.append(
+            f"SELECT {r} AS round, a AS lhs, b AS rhs, freq FROM best{r}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\nORDER BY round"
+    )
+
+
 def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST3 through a REAL stream with a driver oracle: watermarked
     dropDuplicates over (user, event_type, day) inside an availableNow
@@ -5741,6 +5812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_heikin_ashi": x_heikin_ashi,
         "e_markov_transitions": e_markov_transitions,
         "s_stream_dedup": s_stream_dedup,
+        "d_bpe_learn": d_bpe_learn,
         # --- round-4 gate window part 3: back-fill with previously-checked
         # entries (re-verification; green in r2/r3) ---
         "q01_pricing_summary": q01_pricing_summary,
@@ -5902,6 +5974,7 @@ def oracle_sql() -> dict[str, str]:
         "x_heikin_ashi": _X_HEIKIN_SQL,
         "e_markov_transitions": _E_MARKOV_SQL,
         "s_stream_dedup": _S_DEDUP_SQL,
+        "d_bpe_learn": _bpe_sql(),
         "emb_lsh_ann": _lsh_ann_sql(),
         "j_asof_orders": _J_ASOF_SQL,
         "j_semi_active_customers": _J_SEMI_SQL,
@@ -6117,4 +6190,5 @@ HEADLINE_QUERIES = [
     "x_heikin_ashi",
     "e_markov_transitions",
     "s_stream_dedup",
+    "d_bpe_learn",
 ]

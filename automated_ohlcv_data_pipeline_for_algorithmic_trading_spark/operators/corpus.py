@@ -256,3 +256,128 @@ def unigram_xent(
         n.alias("n_tokens"),
         ((-s.cast("double")) / n.cast("double")).alias("xent"),
     )
+
+
+def _apply_bpe_merge(seq: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply ONE BPE merge rule (a, b) -> a||b to every symbol sequence,
+    with EXACT greedy left-to-right non-overlapping semantics.
+
+    The only overlap hazard is a == b (a match at p and p+1 requires
+    symbol p+1 to equal both b and a): runs of consecutive match
+    positions form islands, and greedy keeps the 1st, 3rd, ... match of
+    each island. That parity rule is pure window algebra — no sequential
+    fold — so the SAME statement runs on Spark and in the DuckDB oracle,
+    and the result is bit-identical to a per-word left-to-right scan.
+    ``seq``: (w, cnt, syms array<string>).
+    """
+    w_ord = Window.partitionBy("w").orderBy("p")
+    t = seq.select(
+        "w", "cnt", F.posexplode("syms").alias("p", "s")
+    ).withColumn("nxt", F.lead("s").over(w_ord))
+    t = t.withColumn("m", (F.col("s") == a) & (F.col("nxt") == b))
+    mt = (
+        t.filter("m")
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("island", F.col("p") - F.col("rn"))
+    )
+    w_isl = Window.partitionBy("w", "island").orderBy("p")
+    kept = (
+        mt.withColumn("krn", F.row_number().over(w_isl))
+        .filter(F.col("krn") % 2 == 1)
+        .select("w", "p")
+        .withColumn("is_m", F.lit(True))
+    )
+    consumed = kept.select("w", (F.col("p") + 1).alias("p")).withColumn(
+        "is_c", F.lit(True)
+    )
+    rebuilt = (
+        t.join(kept, ["w", "p"], "left")
+        .join(consumed, ["w", "p"], "left")
+        .filter(F.col("is_c").isNull())
+        .withColumn(
+            "s2",
+            F.when(F.col("is_m"), F.concat(F.col("s"), F.lit(b))).otherwise(
+                F.col("s")
+            ),
+        )
+    )
+    return rebuilt.groupBy("w", "cnt").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "s2"))), lambda x: x["s2"]
+        ).alias("syms")
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 6,
+) -> DataFrame:
+    """Learn ``rounds`` BPE merge rules over the corpus — the iterative
+    vocabulary-induction step of every modern tokenizer pipeline
+    (Sennrich et al. 2016), DataFrame-only.
+
+    The corpus reduces ONCE to the word-frequency table (the only
+    fact-sized shuffle — everything after operates on the vocabulary,
+    which is tiny relative to the corpus at any scale: ~10M words at
+    100 TB vs billions of documents). Each round: adjacent-symbol pair
+    counts weighted by word frequency (one partial-agg shuffle over the
+    vocab), the argmax pair picked deterministically by
+    (freq DESC, left, right), and the merge applied with exact greedy
+    semantics (:func:`_apply_bpe_merge`); sequences localCheckpoint per
+    round (standard iterative-algorithm discipline). The per-round
+    argmax is a 1-row collect — a scalar probe, not a fact collect.
+
+    Everything is integer counts and string symbols — no floats — so
+    the unrolled per-round SQL replay (``_bpe_sql`` in __spark_entry__)
+    hash-matches exactly.
+
+    Output: (round, lhs, rhs, freq) — the ordered merge table a
+    tokenizer would persist. Degenerate corpora that exhaust all pairs
+    before ``rounds`` stop early.
+    """
+    from .text import tokens
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seq = words.select(
+        "w",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    # the iteration runs over the vocabulary — far below one shuffle
+    # partition of work — so pin its shuffles to a handful of tasks
+    # instead of paying rounds x spark.sql.shuffle.partitions task waves
+    # (same discipline as near_dup_components)
+    n_part = max(2, min(8, spark.sparkContext.defaultParallelism // 4))
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        for r in range(1, rounds + 1):
+            w_ord = Window.partitionBy("w").orderBy("p")
+            t = seq.select(
+                "cnt", "w", F.posexplode("syms").alias("p", "s")
+            ).withColumn("nxt", F.lead("s").over(w_ord))
+            pc = (
+                t.filter(F.col("nxt").isNotNull())
+                .groupBy("s", "nxt")
+                .agg(F.sum("cnt").alias("freq"))
+            )
+            best = pc.orderBy(F.desc("freq"), "s", "nxt").limit(1).collect()
+            if not best:
+                break
+            a, b, freq = best[0]["s"], best[0]["nxt"], int(best[0]["freq"])
+            merges.append((r, a, b, freq))
+            seq = _apply_bpe_merge(seq, a, b).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, freq long"
+    )

@@ -462,3 +462,37 @@ class TestDuplicatedSpans:
         # doc 1: shared block starts at token 4 -> grams 4,5,6 -> span 4..13
         assert out[1] == [(4, 13, 3)]
         assert 2 not in out and 3 not in out
+
+
+def test_bpe_learn_merges_and_overlap_chains(spark):
+    """BPE merge learning: classic (lo, low) progression on the Sennrich
+    toy corpus, plus the a==b overlap chain where greedy left-to-right
+    keeps alternating matches (aaaa -> [aa, aa], not [aa, a, a])."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        bpe_learn,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer newest new low")],
+        "doc_id long, text string",
+    )
+    out = [tuple(r) for r in bpe_learn(docs, rounds=5).collect()]
+    assert out == [
+        (1, "l", "o", 6),
+        (2, "lo", "w", 6),
+        (3, "e", "w", 3),
+        (4, "n", "ew", 3),
+        (5, "e", "r", 2),
+    ]
+
+    # overlap chain: 'aaaa' x3 + 'ab'. round 1 merges (a, a) with
+    # greedy pairing: each 'aaaa' holds TWO non-overlapping 'aa' pairs
+    # (island parity), so freq = 3 words * 3 adjacent pairs = 9 counted,
+    # but the APPLIED result [aa, aa] drives round 2: (aa, aa) freq 3
+    # beats (a, b) freq 1
+    docs2 = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa ab")], "doc_id long, text string"
+    )
+    out2 = [tuple(r) for r in bpe_learn(docs2, rounds=2).collect()]
+    assert out2[0] == (1, "a", "a", 9)
+    assert out2[1] == (2, "aa", "aa", 3)
