@@ -5617,7 +5617,9 @@ def d_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_sql(rounds: int = 6) -> str:
     """Unrolled DuckDB replay of bpe_learn: per round, the pair-count /
     argmax / island-parity merge CTEs — the same window algebra the
-    Spark operator runs, so the merge table matches bit-for-bit."""
+    Spark operator runs, so the merge table matches bit-for-bit.
+    (CTEs are AS MATERIALIZED: DuckDB otherwise inlines each reference
+    and re-evaluates the whole prefix — a 3^rounds blowup.)"""
     ctes = [
         f"w0 AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents)",
         "words AS (SELECT w, count(*) AS cnt FROM w0 GROUP BY w)",
@@ -5665,6 +5667,39 @@ def _bpe_sql(rounds: int = 6) -> str:
         + "\nUNION ALL\n".join(finals)
         + "\nORDER BY round"
     )
+
+
+def _bpe_tokcount_sql(rounds: int = 6) -> str:
+    """Apply-side twin: per-doc word + subword counts from the fitted
+    seq{rounds} table of the same unrolled chain."""
+    chain = _bpe_sql(rounds)
+    # reuse the full CTE chain; swap the final merge-table select for
+    # the per-doc join against the fitted word segmentation
+    cut = chain.index("SELECT 1 AS round")
+    ctes = chain[:cut].rstrip().rstrip(",")
+    return f"""{ctes},
+d0 AS (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+FROM d0 JOIN seq{rounds} s USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def d_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY side of the learned BPE vocabulary: per-document word and
+    subword counts under the 6-merge segmentation — the token-budget
+    statistic a packing pipeline computes for every document. The
+    corpus is never re-segmented per merge: merges fold on the word
+    table during the fit and each document joins its words to the
+    broadcast per-word subword length (operators/corpus.
+    bpe_token_counts)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        bpe_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, rounds=6).orderBy("doc_id")
 
 
 def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5813,6 +5848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_markov_transitions": e_markov_transitions,
         "s_stream_dedup": s_stream_dedup,
         "d_bpe_learn": d_bpe_learn,
+        "d_bpe_token_counts": d_bpe_token_counts,
         # --- round-4 gate window part 3: back-fill with previously-checked
         # entries (re-verification; green in r2/r3) ---
         "q01_pricing_summary": q01_pricing_summary,
@@ -5975,6 +6011,7 @@ def oracle_sql() -> dict[str, str]:
         "e_markov_transitions": _E_MARKOV_SQL,
         "s_stream_dedup": _S_DEDUP_SQL,
         "d_bpe_learn": _bpe_sql(),
+        "d_bpe_token_counts": _bpe_tokcount_sql(),
         "emb_lsh_ann": _lsh_ann_sql(),
         "j_asof_orders": _J_ASOF_SQL,
         "j_semi_active_customers": _J_SEMI_SQL,
@@ -6191,4 +6228,5 @@ HEADLINE_QUERIES = [
     "e_markov_transitions",
     "s_stream_dedup",
     "d_bpe_learn",
+    "d_bpe_token_counts",
 ]

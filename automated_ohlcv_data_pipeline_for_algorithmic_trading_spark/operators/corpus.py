@@ -334,8 +334,52 @@ def bpe_learn(
 
     Output: (round, lhs, rhs, freq) — the ordered merge table a
     tokenizer would persist. Degenerate corpora that exhaust all pairs
-    before ``rounds`` stop early.
+    before ``rounds`` stop early. (:func:`bpe_token_counts` is the APPLY
+    side: it reuses the fitted word table, so the corpus is never
+    re-segmented per merge.)
     """
+    merges, _ = _bpe_fit(df, text_col, rounds)
+    return merges
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the learned BPE segmentation: per-document subword counts
+    under the ``rounds``-merge vocabulary — the `how many tokens will
+    this cost me` statistic every training-data pipeline computes before
+    packing.
+
+    The apply side never re-processes the corpus per merge: merges fold
+    on the WORD table during the fit, and each document then just joins
+    its words to the fitted per-word subword length (broadcast-sized
+    vocabulary at any corpus scale) — one explode + one join + one
+    partial-agg groupBy.
+
+    Output: (id_col, n_words, n_bpe_tokens).
+    """
+    from .text import tokens
+
+    _, seq = _bpe_fit(df, text_col, rounds)
+    wlen = seq.select("w", F.size("syms").alias("_n_sub"))
+    doc_words = df.select(id_col, F.explode(tokens(text_col)).alias("w"))
+    return (
+        doc_words.join(F.broadcast(wlen), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_fit(
+    df: DataFrame, text_col: str, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE fit: returns (merge table, final word-symbol table)."""
     from .text import tokens
 
     spark = df.sparkSession
@@ -378,6 +422,9 @@ def bpe_learn(
             seq = _apply_bpe_merge(seq, a, b).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-    return spark.createDataFrame(
-        merges, "round int, lhs string, rhs string, freq long"
+    return (
+        spark.createDataFrame(
+            merges, "round int, lhs string, rhs string, freq long"
+        ),
+        seq,
     )

@@ -496,3 +496,24 @@ def test_bpe_learn_merges_and_overlap_chains(spark):
     out2 = [tuple(r) for r in bpe_learn(docs2, rounds=2).collect()]
     assert out2[0] == (1, "a", "a", 9)
     assert out2[1] == (2, "aa", "aa", 3)
+
+
+def test_bpe_token_counts_apply_side(spark):
+    """Apply side: per-doc subword counts under the learned merges.
+    'low' after (l,o),(lo,w) merges is ONE token; unseen structure stays
+    at character granularity."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        bpe_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer newest new low")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_token_counts(docs, rounds=5).collect()}
+    assert out[1]["n_words"] == 5 and out[2]["n_words"] == 4
+    # after 5 merges (lo, low, ew, new, er): low=1 token [low];
+    # lower=[low,er]=2; lowest=[low,e,s,t]=4; newer=[new,er]=2;
+    # newest=[new,e,s,t]=4; new=[new]=1
+    assert out[1]["n_bpe_tokens"] == 1 + 2 + 4 + 1 + 1
+    assert out[2]["n_bpe_tokens"] == 2 + 4 + 1 + 1
