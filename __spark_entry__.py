@@ -1401,6 +1401,50 @@ ORDER BY event_id
 """
 
 
+def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness bound (pandas merge_asof
+    tolerance semantics): the latest order per customer, but only if it
+    is at most 30 days older than the event — staler matches yield
+    NULLs. Because the backward as-of match is always the NEWEST
+    candidate, tolerance-checking the single matched row is equivalent
+    to restricting the join — so the plan stays the one union+window
+    fill of asof_join plus a per-row comparison
+    (operators/joins.asof_join(tolerance=...))."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    out = asof_join(
+        ev, orders, ["user_id"], "ts", "o_orderdate",
+        tiebreak="o_orderkey", tolerance="30 days",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("o_orderkey_asof").alias("order_key_asof"),
+        F.col("o_totalprice_asof").alias("order_price_asof"),
+    ).orderBy("event_id")
+
+
+_J_ASOF_TOL_SQL = """
+SELECT event_id, user_id, ts, value,
+       o_orderkey AS order_key_asof,
+       o_totalprice AS order_price_asof
+FROM events e
+LEFT JOIN orders o ON o.o_custkey = e.user_id
+  AND o.o_orderdate <= e.ts
+  AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+QUALIFY row_number() OVER (
+    PARTITION BY event_id ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+ORDER BY event_id
+"""
+
+
 def j_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join — customers that have events (EXISTS)."""
     cust = _t(spark, sf_dir, "customer")
@@ -5849,6 +5893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_dedup": s_stream_dedup,
         "d_bpe_learn": d_bpe_learn,
         "d_bpe_token_counts": d_bpe_token_counts,
+        "j_asof_tolerance": j_asof_tolerance,
         # --- round-4 gate window part 3: back-fill with previously-checked
         # entries (re-verification; green in r2/r3) ---
         "q01_pricing_summary": q01_pricing_summary,
@@ -6012,6 +6057,7 @@ def oracle_sql() -> dict[str, str]:
         "s_stream_dedup": _S_DEDUP_SQL,
         "d_bpe_learn": _bpe_sql(),
         "d_bpe_token_counts": _bpe_tokcount_sql(),
+        "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "emb_lsh_ann": _lsh_ann_sql(),
         "j_asof_orders": _J_ASOF_SQL,
         "j_semi_active_customers": _J_SEMI_SQL,
@@ -6229,4 +6275,5 @@ HEADLINE_QUERIES = [
     "s_stream_dedup",
     "d_bpe_learn",
     "d_bpe_token_counts",
+    "j_asof_tolerance",
 ]

@@ -86,6 +86,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_asof",
     tiebreak: str | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the latest right row with
     ``right_ts <= left_ts`` (backward; forward = earliest >=) per key.
@@ -98,6 +99,15 @@ def asof_join(
     ``tiebreak``: a right-side column ordering equal-timestamp right rows
     (latest wins backward / earliest wins forward) — required for
     determinism when right timestamps are not unique per key.
+
+    ``tolerance``: max staleness as a SQL interval string (e.g.
+    ``"30 days"``, pandas ``merge_asof(tolerance=...)`` semantics): a
+    match older than ``left_ts - tolerance`` (backward; newer than
+    ``left_ts + tolerance`` forward) yields NULLs instead. Because the
+    as-of match is always the NEWEST candidate (backward), checking the
+    single matched row equals restricting the join to in-tolerance rows
+    — the plan stays one fill window plus a per-row comparison, no
+    second pass.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
@@ -110,6 +120,8 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         *[F.col(c).alias(c + suffix) for c in val_cols],
     ).withColumn("_src", F.lit(0))
+    if tolerance is not None:
+        rhs = rhs.withColumn("_rts", F.col("_ts"))
     if tiebreak:
         rhs = rhs.withColumn("_tb", F.col(tiebreak + suffix))
         lhs = lhs.withColumn("_tb", F.lit(None).cast(dict(rhs.dtypes)["_tb"]))
@@ -132,5 +144,19 @@ def asof_join(
     out = merged
     for c in val_cols:
         out = out.withColumn(c + suffix, F.last(F.col(c + suffix), ignorenulls=True).over(w))
+    if tolerance is not None:
+        out = out.withColumn(
+            "_rts", F.last(F.col("_rts"), ignorenulls=True).over(w)
+        )
+        iv = F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            in_tol = F.col("_rts") >= F.col("_ts") - iv
+        else:
+            in_tol = F.col("_rts") <= F.col("_ts") + iv
+        for c in val_cols:
+            out = out.withColumn(
+                c + suffix, F.when(in_tol, F.col(c + suffix))
+            )
+        out = out.drop("_rts")
     out = out.filter(F.col("_src") == 1).drop("_src", "_ts")
     return out.drop("_tb") if tiebreak else out

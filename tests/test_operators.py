@@ -411,3 +411,38 @@ def test_resample_gapfill_consistent_with_plain_resample(spark):
         buckets = sorted(r["bucket_start"] for r in gf if r["k"] == k)
         span = (buckets[-1] - buckets[0]).total_seconds()
         assert len(buckets) == span / 900 + 1  # dense grid, no dup buckets
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """merge_asof(tolerance=...) semantics: the latest match older than
+    the bound yields NULLs; an in-tolerance match passes through; a key
+    with no history stays NULL. Newest-candidate equivalence: since the
+    backward match IS the newest right row, tolerance-checking it equals
+    restricting the join."""
+    import datetime as dt
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.joins import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            ("A", dt.datetime(2024, 3, 1)),   # match 2024-02-25 (5d, in)
+            ("A", dt.datetime(2024, 6, 1)),   # latest 2024-02-25 (97d, stale)
+            ("B", dt.datetime(2024, 3, 1)),   # no history at all
+        ],
+        "k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", dt.date(2024, 2, 25), 42), ("A", dt.date(2024, 1, 1), 7)],
+        "k string, d date, v int",
+    )
+    out = {
+        (r["k"], str(r["ts"])): r["v_asof"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "d", tiebreak="v", tolerance="30 days"
+        ).collect()
+    }
+    assert out[("A", "2024-03-01 00:00:00")] == 42
+    assert out[("A", "2024-06-01 00:00:00")] is None  # stale -> NULL
+    assert out[("B", "2024-03-01 00:00:00")] is None

@@ -174,3 +174,15 @@ class TestOrcSourceSink:
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m is not None, plan
         assert "part" in m.group(1) and "2" in m.group(1), m.group(1)
+
+
+def test_keltner_windows_share_one_exchange(spark, sf_dir):
+    """keltner's TR lag + both rolling means partition identically —
+    Catalyst must plan ONE per-key window exchange (plus the rollup agg
+    and final sort), not one per window frame."""
+    import __spark_entry__ as E
+
+    df = E.queries()["x_keltner"](spark, sf_dir)
+    plan = physical(df)
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 2, plan[:4000]
