@@ -557,25 +557,49 @@ def near_dup_components(
     # any vertex count.
     bcast = verts.count() <= broadcast_max_labels
 
-    def _one_round(labels: DataFrame) -> DataFrame:
+    def _one_round(labels: DataFrame, jump: bool = False) -> DataFrame:
         lab_n = labels.select(F.col("v").alias("n"), F.col("label").alias("nl"))
         if bcast:
             lab_n = F.broadcast(lab_n)
         nbr_min = edges.join(lab_n, "n").groupBy("v").agg(F.min("nl").alias("nm"))
         if bcast:
             nbr_min = F.broadcast(nbr_min)
+        stepped = labels.join(nbr_min, "v", "left").select(
+            "v",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nm"), F.col("label"))
+            ).alias("label"),
+            # did this round improve the label? (null nm -> no edge
+            # row -> unchanged); drives the convergence guard below
+            F.coalesce(F.col("nm") < F.col("label"), F.lit(False)).alias(
+                "_chg"
+            ),
+        )
+        if not jump:
+            return stepped.localCheckpoint()
+        # pointer jumping (converged mode only — fixed-round mode keeps
+        # the plain one-hop-per-round semantics its unrolled SQL replay
+        # documents): label <- label(label). Labels are always vertex
+        # ids inside the component, so the hop stays within it and only
+        # accelerates — plain neighbor-min converges in DIAMETER rounds,
+        # with the shortcut in ~log2(diameter) (the chains a 100x corpus
+        # grows are exactly what this bounds)
+        lab_map = stepped.select(
+            F.col("v").alias("_lv"), F.col("label").alias("_ll")
+        )
+        if bcast:
+            lab_map = F.broadcast(lab_map)
         return (
-            labels.join(nbr_min, "v", "left")
+            stepped.join(lab_map, stepped["label"] == lab_map["_lv"], "left")
             .select(
                 "v",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nm"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
                 ).alias("label"),
-                # did this round improve the label? (null nm -> no edge
-                # row -> unchanged); drives the convergence guard below
-                F.coalesce(F.col("nm") < F.col("label"), F.lit(False)).alias(
-                    "_chg"
-                ),
+                (
+                    F.col("_chg")
+                    | F.coalesce(F.col("_ll") < F.col("label"), F.lit(False))
+                ).alias("_chg"),
             )
             .localCheckpoint()
         )
@@ -584,17 +608,26 @@ def near_dup_components(
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
         done = 0
-        for _ in range(rounds):
-            labels = _one_round(labels)
-            done += 1
         if extend_until_converged:
+            # a converged label table is a fixed point — further rounds
+            # are no-ops — so check after EVERY round and stop at the
+            # first unchanged one (quasi-clique graphs usually converge
+            # in 2 rounds; the fixed `rounds` budget is irrelevant here)
+            labels = _one_round(labels, jump=True)
+            done = 1
             while (
                 done < max_rounds
                 and labels.filter(F.col("_chg")).limit(1).count() > 0
             ):
-                labels = _one_round(labels)
+                labels = _one_round(labels, jump=True)
                 done += 1
-        elif labels.filter(F.col("_chg")).limit(1).count() > 0:
+            return labels.select(
+                F.col("v").alias("doc_id"), F.col("label").alias("keeper_id")
+            )
+        for _ in range(rounds):
+            labels = _one_round(labels)
+            done += 1
+        if labels.filter(F.col("_chg")).limit(1).count() > 0:
             import warnings
 
             warnings.warn(

@@ -893,6 +893,13 @@ def heikin_ashi(
     key_list = list(keys)
     in_cols = [*key_list, order_col, open_col, high, low, close]
     src = df.select(*in_cols)
+    # explicit hash partitioning on the group key: AQE coalesces the
+    # small pre-grouped-map shuffle to ONE partition by bytes, which
+    # serializes every group's Arrow round-trip into a single task
+    # (measured 7.4 s -> sub-second for 150 groups at bench scale)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
     schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
         ", ha_open double, ha_high double, ha_low double, ha_close double"
     )
