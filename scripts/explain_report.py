@@ -27,13 +27,18 @@ def main() -> None:
         f"Generated against `{sf_dir}`. Checks: pushed filters reach the\n"
         "parquet scan, projections prune columns, dims broadcast, top-k is\n"
         "TakeOrderedAndProject, core queries stay in WholeStageCodegen.\n",
-        "\nKnown-benign BroadcastNestedLoopJoins (each broadcasts a\n"
-        "deliberately tiny side — a scalar bound or a handful of rows —\n"
-        "never a fact table): e_period_lookback (scalar cutoff),\n"
-        "emb_ann_topk (10-row query set), emb_ivf_ann (centroid table),\n"
-        "emb_lsh_ann (plane-id expansion rows), d_tfidf_topk (one-row\n"
-        "corpus doc count), q11_important_parts / q22_idle_rich_customers\n"
-        "(one-row scalar-subquery cross joins, the TPC-H shapes).\n",
+        """
+Known-benign BroadcastNestedLoopJoins (each broadcasts a
+deliberately tiny side — a scalar bound or a handful of rows —
+never a fact table): e_period_lookback (scalar cutoff),
+emb_ann_topk (10-row query set), emb_ivf_ann (centroid table),
+emb_lsh_ann (plane-id expansion rows), emb_sq8_ann (10-row query
+set + scale constants), d_tfidf_topk / d_unigram_xent (one-row
+corpus totals), e_funnel_conversion (per-stage scalar mins),
+e_rolling_hll_wau (one-row max-day bound),
+q11_important_parts / q22_idle_rich_customers (one-row
+scalar-subquery cross joins, the TPC-H shapes).
+""",
     ]
     for name in E.HEADLINE_QUERIES:
         df = qs[name](spark, sf_dir)
