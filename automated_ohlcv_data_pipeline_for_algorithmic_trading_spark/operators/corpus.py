@@ -419,7 +419,13 @@ def _bpe_fit(
                 break
             a, b, freq = best[0]["s"], best[0]["nxt"], int(best[0]["freq"])
             merges.append((r, a, b, freq))
+            prev = seq
             seq = _apply_bpe_merge(seq, a, b).localCheckpoint()
+            # free the previous round's checkpoint blocks NOW — six
+            # rounds of retained (w, syms) snapshots otherwise pile up
+            # in the block manager for the session's lifetime (measured
+            # as GC pressure on everything that runs after)
+            prev.unpersist()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return (

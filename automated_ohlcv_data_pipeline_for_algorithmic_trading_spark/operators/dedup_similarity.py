@@ -613,19 +613,25 @@ def near_dup_components(
             # are no-ops — so check after EVERY round and stop at the
             # first unchanged one (quasi-clique graphs usually converge
             # in 2 rounds; the fixed `rounds` budget is irrelevant here)
+            prev = labels
             labels = _one_round(labels, jump=True)
             done = 1
             while (
                 done < max_rounds
                 and labels.filter(F.col("_chg")).limit(1).count() > 0
             ):
-                labels = _one_round(labels, jump=True)
+                nxt = _one_round(labels, jump=True)
+                labels.unpersist()  # free the superseded round's blocks
+                labels, prev = nxt, labels
                 done += 1
             return labels.select(
                 F.col("v").alias("doc_id"), F.col("label").alias("keeper_id")
             )
         for _ in range(rounds):
-            labels = _one_round(labels)
+            nxt = _one_round(labels)
+            if done > 0:
+                labels.unpersist()  # free the superseded round's blocks
+            labels = nxt
             done += 1
         if labels.filter(F.col("_chg")).limit(1).count() > 0:
             import warnings

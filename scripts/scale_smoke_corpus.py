@@ -130,6 +130,18 @@ def main() -> None:
             results,
             n_docs,
         )
+        # BPE fit: the fact-sized cost is the ONE word-frequency reduce
+        # over ~30M tokens; the 6 merge rounds run on the tiny vocab.
+        # Construction is eager (per-round collect), so wrap the clock.
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (  # noqa: E501
+            bpe_learn,
+        )
+
+        t0 = time.perf_counter()
+        n_merges = bpe_learn(docs, rounds=6).count()
+        dt = time.perf_counter() - t0
+        results.append((f"bpe_learn 6 rounds ({variant})", dt, n_docs, n_merges))
+        print(f"bpe_learn: {dt:.2f}s, {n_merges} merges", flush=True)
         if variant == "hot":
             # the full curation composition on the duplicate-heavy corpus:
             # pairs -> components -> decontam vs a 2% bench split ->
