@@ -268,3 +268,45 @@ def test_indicator_properties(rows):
         lo, hi = min(lo, r["close"]), max(hi, r["close"])
         seen[r["symbol"]] = (lo, hi)
         assert lo - 1e-6 <= r["vwap"] <= hi + 1e-6
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([("a", "b"), ("a", "a"), ("b", "c"), ("c", "c")]),
+)
+def test_apply_bpe_merge_matches_python_greedy_fold(words, rule):
+    """The island-parity window algebra must equal the per-word greedy
+    left-to-right scan for ANY symbol sequence and any rule, including
+    the a==b overlap chains."""
+    spark = _spark()
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        _apply_bpe_merge,
+    )
+
+    a, b = rule
+
+    def greedy(syms):
+        # reference semantics: left-to-right, non-overlapping, merge-once
+        res = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                res.append(a + b)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        return res
+
+    rows = [(f"w{i}", 1, list(w)) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "w string, cnt long, syms array<string>")
+    got = {
+        r["w"]: list(r["syms"]) for r in _apply_bpe_merge(df, a, b).collect()
+    }
+    want = {f"w{i}": greedy(list(w)) for i, w in enumerate(words)}
+    assert got == want
