@@ -244,6 +244,26 @@ def main() -> None:
               ["symbol"], "trade_date",
           ), results)
 
+    # round-4 indicators: keltner (3 windows, one exchange) over daily
+    # bars with an open column; heikin-ashi (grouped-map integer fold)
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        heikin_ashi,
+        keltner_channels,
+    )
+
+    bars_o = daily_bars.join(
+        base.groupBy("symbol", F.to_date("ts").alias("trade_date")).agg(
+            F.min_by("open", F.col("timestamp_unix")).alias("open")
+        ),
+        ["symbol", "trade_date"],
+    )
+    timed("keltner_channels (daily bars, 2000 symbols)", keltner_channels(
+        bars_o, ["symbol"], "trade_date", n=20, m=10
+    ), results)
+    timed("heikin_ashi (grouped-map fold, 2000 symbols)", heikin_ashi(
+        bars_o, ["symbol"], "trade_date"
+    ), results)
+
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
         sq8_knn,
         sq8_quantize,
