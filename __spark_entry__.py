@@ -5800,6 +5800,85 @@ ORDER BY user_id, day
 """
 
 
+def x_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supertrend bands + trend flips over per-user daily bars — the
+    CONDITIONALLY-stateful recurrence class (band ratchets and trend
+    flips compare against prior state; no closed form exists). Integer
+    micro-unit grouped-map fold (operators/finance.supertrend); the
+    oracle replays the identical BIGINT state machine as a recursive
+    CTE with the same CASE logic — the third recurrence family with an
+    exact oracle after EMA and Heikin-Ashi."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        supertrend,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).drop("volume", "open")
+    out = supertrend(daily, ["user_id"], "trade_date", n=10, mult=3)
+    # trend is cast DOUBLE: a nullable INTEGER materializes as float64
+    # on the DuckDB/pandas side only (see x_scd2_history's valid_to)
+    return out.select(
+        "user_id", "trade_date", "high", "low", "close",
+        "atr", "st_upper", "st_lower",
+        F.col("trend").cast("double").alias("trend"), "supertrend",
+    ).orderBy("user_id", "trade_date")
+
+
+def _supertrend_sql(n: int = 10, mult: int = 3) -> str:
+    """Recursive-CTE replay of the supertrend state machine: Wilder ATR
+    (integer floor recursion, nonnegative so DuckDB's truncating // IS
+    floor), band ratchets via exact floor(x/2.0) (power-of-two division
+    — exact for any sign), trend flips with the same CASE logic as the
+    pandas fold."""
+    atru2 = f"((p.atru * {n - 1} + c.tru) // {n})"
+    ub = f"(CAST(floor((c.hu + c.lu + {2 * mult} * {atru2}) / 2.0) AS BIGINT))"
+    lb = f"(CAST(floor((c.hu + c.lu - {2 * mult} * {atru2}) / 2.0) AS BIGINT))"
+    fu = f"(CASE WHEN {ub} < p.fub OR p.cu > p.fub THEN {ub} ELSE p.fub END)"
+    fl = f"(CASE WHEN {lb} > p.flb OR p.cu < p.flb THEN {lb} ELSE p.flb END)"
+    tr_ = (
+        f"(CASE WHEN p.trend = 1 AND c.cu < {fl} THEN -1 "
+        f"WHEN p.trend = -1 AND c.cu > {fu} THEN 1 ELSE p.trend END)"
+    )
+    ub0 = f"(CAST(floor((t.hu + t.lu + {2 * mult} * s.atr0) / 2.0) AS BIGINT))"
+    lb0 = f"(CAST(floor((t.hu + t.lu - {2 * mult} * s.atr0) / 2.0) AS BIGINT))"
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date, high, low, close,
+         CAST(CAST(high  AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS hu,
+         CAST(CAST(low   AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS lu,
+         CAST(CAST(close AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS cu,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+t AS MATERIALIZED (
+  SELECT *, CASE WHEN lag(cu) OVER w IS NULL THEN hu - lu
+       ELSE greatest(hu - lu, abs(hu - lag(cu) OVER w),
+                     abs(lu - lag(cu) OVER w)) END AS tru
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+seed AS MATERIALIZED (
+  SELECT user_id, sum(tru) // {n} AS atr0
+  FROM t WHERE rn <= {n} GROUP BY user_id HAVING count(*) = {n}),
+st AS (
+  SELECT t.user_id, t.rn, t.cu, s.atr0 AS atru,
+         {ub0} AS fub, {lb0} AS flb,
+         CASE WHEN t.cu > {ub0} THEN 1
+              WHEN t.cu < {lb0} THEN -1 ELSE 1 END AS trend
+  FROM t JOIN seed s USING (user_id) WHERE t.rn = {n}
+  UNION ALL
+  SELECT c.user_id, c.rn, c.cu, {atru2} AS atru,
+         {fu} AS fub, {fl} AS flb, {tr_} AS trend
+  FROM t c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1)
+SELECT b.user_id, b.trade_date, b.high, b.low, b.close,
+       CAST(st.atru AS DOUBLE) / 1000000.0 AS atr,
+       CAST(st.fub AS DOUBLE) / 1000000.0 AS st_upper,
+       CAST(st.flb AS DOUBLE) / 1000000.0 AS st_lower,
+       CAST(st.trend AS DOUBLE) AS trend,
+       CAST(CASE WHEN st.trend = 1 THEN st.flb ELSE st.fub END AS DOUBLE)
+           / 1000000.0 AS supertrend
+FROM b LEFT JOIN st ON b.user_id = st.user_id AND b.rn = st.rn
+ORDER BY b.user_id, b.trade_date
+"""
+
+
 def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition matrix: lag the type over each
     user's (ts, event_id) order, count (prev_type -> type) transitions
@@ -5894,6 +5973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_bpe_learn": d_bpe_learn,
         "d_bpe_token_counts": d_bpe_token_counts,
         "j_asof_tolerance": j_asof_tolerance,
+        "x_supertrend": x_supertrend,
         # --- round-4 gate window part 3: back-fill with previously-checked
         # entries (re-verification; green in r2/r3) ---
         "q01_pricing_summary": q01_pricing_summary,
@@ -6058,6 +6138,7 @@ def oracle_sql() -> dict[str, str]:
         "d_bpe_learn": _bpe_sql(),
         "d_bpe_token_counts": _bpe_tokcount_sql(),
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
+        "x_supertrend": _supertrend_sql(),
         "emb_lsh_ann": _lsh_ann_sql(),
         "j_asof_orders": _J_ASOF_SQL,
         "j_semi_active_customers": _J_SEMI_SQL,
@@ -6276,4 +6357,5 @@ HEADLINE_QUERIES = [
     "d_bpe_learn",
     "d_bpe_token_counts",
     "j_asof_tolerance",
+    "x_supertrend",
 ]

@@ -47,6 +47,7 @@ __all__ = [
     "sma_crossover_backtest",
     "keltner_channels",
     "heikin_ashi",
+    "supertrend",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -926,6 +927,115 @@ def heikin_ashi(
             ha_high=ha_h / 1e6,
             ha_low=ha_l / 1e6,
             ha_close=ha_c / 1e6,
+        )
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def supertrend(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 10,
+    mult: int = 3,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Supertrend indicator — the CONDITIONALLY-stateful recurrence class
+    (state updates depend on comparisons against prior state, so unlike
+    SMA/EMA it cannot even be expanded into a closed form):
+
+    - Wilder ATR: atr_t = floor((atr_{t-1} * (n-1) + tr_t) / n), seeded
+      with the plain mean of the first n true ranges;
+    - basic bands: (high+low)/2 +/- mult * atr;
+    - final bands ratchet: the upper band only moves DOWN while price
+      stays below it (resets on a close above), the lower band only
+      moves UP while price stays above;
+    - trend: flips up when close crosses the final upper band, down when
+      it crosses the final lower band; supertrend = the active band.
+
+    The whole fold runs in integer MICRO-UNITS (floor division — exact
+    BIGINT state), so the per-group pandas loop and a DuckDB recursive
+    CTE with the same CASE logic compute identical states — the third
+    recurrence family with an exact oracle after EMA and Heikin-Ashi.
+    Grouped-map per key with explicit repartitioning (the
+    one-task-AQE-coalesce fix all grouped-map operators here carry).
+
+    Output: keys + order_col + h/l/c + (atr, st_upper, st_lower, trend,
+    supertrend); rows before the ATR seed window emit NULL indicator
+    values (warm-up, the charting convention).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, high, low, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", atr double, st_upper double, st_lower double,"
+        " trend int, supertrend double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        h = np.rint(pdf[high].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        lo = np.rint(pdf[low].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        c = np.rint(pdf[close].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        m = len(h)
+        atr = np.full(m, -1, dtype=np.int64)
+        fub = np.zeros(m, dtype=np.int64)
+        flb = np.zeros(m, dtype=np.int64)
+        trend = np.zeros(m, dtype=np.int64)
+        # true range (integer): first bar = h-l
+        tr = np.empty(m, dtype=np.int64)
+        for i in range(m):
+            if i == 0:
+                tr[i] = h[i] - lo[i]
+            else:
+                tr[i] = max(h[i] - lo[i], abs(h[i] - c[i - 1]), abs(lo[i] - c[i - 1]))
+        if m >= n:
+            a = int(np.sum(tr[:n]) // n)  # seed: mean of first n TRs
+            atr[n - 1] = a
+            for i in range(n, m):
+                a = (a * (n - 1) + int(tr[i])) // n
+                atr[i] = a
+            # bands + trend from the seed bar on
+            pu = pl = 0
+            t = 1
+            for i in range(n - 1, m):
+                mid2 = int(h[i]) + int(lo[i])  # 2*mid in micro-units
+                ub = (mid2 + 2 * mult * int(atr[i])) // 2
+                lb = (mid2 - 2 * mult * int(atr[i])) // 2
+                if i == n - 1:
+                    fu, fl = ub, lb
+                    t = 1 if c[i] > fu else -1 if c[i] < fl else 1
+                else:
+                    fu = ub if (ub < pu or c[i - 1] > pu) else pu
+                    fl = lb if (lb > pl or c[i - 1] < pl) else pl
+                    if t == 1 and c[i] < fl:
+                        t = -1
+                    elif t == -1 and c[i] > fu:
+                        t = 1
+                fub[i], flb[i], trend[i] = fu, fl, t
+                pu, pl = fu, fl
+        valid = atr >= 0
+
+        def masked(x):
+            arr = pd.array(x / 1e6, dtype="Float64")
+            arr[~valid] = pd.NA  # warm-up rows are NULL (not NaN) like
+            return arr           # the SQL twin's LEFT JOIN misses
+
+        tarr = pd.array(trend, dtype="Int32")
+        tarr[~valid] = pd.NA
+        return pdf.assign(
+            atr=masked(atr),
+            st_upper=masked(fub),
+            st_lower=masked(flb),
+            trend=tarr,
+            supertrend=masked(np.where(trend == 1, flb, fub)),
         )
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)

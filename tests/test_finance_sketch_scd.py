@@ -717,3 +717,42 @@ class TestSemDedup:
             ).collect()
         }
         assert blas == {k: (r["keeper_id"], r["is_kept"]) for k, r in out.items()}
+
+
+class TestSupertrend:
+    def test_state_machine_and_warmup(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            supertrend,
+        )
+
+        # 20 bars: a steady rise then a sharp crash — the trend must
+        # flip down when close crosses the ratcheted lower band
+        rows = []
+        px = 100.0
+        for d in range(20):
+            px = px + 2 if d < 12 else px * 0.9
+            rows.append(("A", d, px + 1.0, px - 1.0, px))
+        df = spark.createDataFrame(
+            rows, "sym string, d long, high double, low double, close double"
+        )
+        out = {r["d"]: r for r in supertrend(df, ["sym"], "d", n=5, mult=3).collect()}
+        # warm-up: first n-1 bars have NULL indicator values
+        for d in range(4):
+            assert out[d]["atr"] is None and out[d]["trend"] is None
+        assert out[4]["atr"] is not None
+        # rising segment holds an uptrend; deep crash flips it down
+        assert out[10]["trend"] == 1
+        assert out[19]["trend"] == -1
+        # the active band is the reported supertrend line
+        for d in range(4, 20):
+            r = out[d]
+            band = r["st_lower"] if r["trend"] == 1 else r["st_upper"]
+            assert r["supertrend"] == band
+        # partition invariance: the fold sees each group whole
+        again = {
+            r["d"]: r["trend"]
+            for r in supertrend(
+                df.repartition(7), ["sym"], "d", n=5, mult=3
+            ).collect()
+        }
+        assert {d: r["trend"] for d, r in out.items()} == again
