@@ -115,6 +115,33 @@ def main() -> None:
     print("== SMA(5/20) crossover backtest ==")
     sma_crossover_backtest(daily, ["symbol_clean"], "trade_date").show()
 
+    # 7. Round-4 indicators: volatility envelope + the two
+    # recurrence-class transforms (grouped-map integer folds)
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        heikin_ashi,
+        keltner_channels,
+        supertrend,
+    )
+
+    daily_o = daily.join(
+        silver.groupBy(
+            "symbol_clean", F.col("dt").alias("trade_date")
+        ).agg(F.min_by("open", F.col("timestamp_unix")).alias("open")),
+        ["symbol_clean", "trade_date"],
+    )
+    print("== Keltner channels (SMA tp +/- 2 x SMA TR) ==")
+    keltner_channels(daily_o, ["symbol_clean"], "trade_date").select(
+        "symbol_clean", "trade_date", "kc_lower", "kc_mid", "kc_upper"
+    ).show(6)
+    print("== Heikin-Ashi candles ==")
+    heikin_ashi(daily_o, ["symbol_clean"], "trade_date").select(
+        "symbol_clean", "trade_date", "ha_open", "ha_close"
+    ).show(6)
+    print("== Supertrend (n=5) ==")
+    supertrend(daily_o, ["symbol_clean"], "trade_date", n=5).select(
+        "symbol_clean", "trade_date", "trend", "supertrend"
+    ).show(8)
+
     spark.stop()
 
 
