@@ -2530,10 +2530,10 @@ r AS (
          ELSE 0.0 END AS distinct_ratio
   FROM t)
 SELECT doc_id, n AS n_tokens,
-       round(stop_ratio, 6) AS stopword_ratio,
-       round(distinct_ratio, 6) AS distinct_ratio,
-       round(least(CAST(n AS DOUBLE) / 100.0, 1.0) * (1.0 - stop_ratio) * distinct_ratio, 6)
-           AS quality_score
+       floor(stop_ratio * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+       floor(distinct_ratio * 1e6 + 0.5) / 1e6 AS distinct_ratio,
+       floor(least(CAST(n AS DOUBLE) / 100.0, 1.0) * (1.0 - stop_ratio)
+             * distinct_ratio * 1e6 + 0.5) / 1e6 AS quality_score
 FROM r ORDER BY doc_id
 """
 
@@ -3116,13 +3116,13 @@ top AS (SELECT doc_id, max(c) AS top_c
         GROUP BY doc_id)
 SELECT t.doc_id,
        len(lines) AS n_lines,
-       round(CASE WHEN len(lines) > 0
+       floor((CASE WHEN len(lines) > 0
              THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
-             ELSE 0.0 END, 6) AS dup_line_frac,
+             ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS dup_line_frac,
        len(bg) AS n_bigrams,
-       round(CASE WHEN len(bg) > 0
+       floor((CASE WHEN len(bg) > 0
              THEN CAST(coalesce(top.top_c, 0) AS DOUBLE) / len(bg)
-             ELSE 0.0 END, 6) AS top_bigram_frac
+             ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS top_bigram_frac
 FROM t LEFT JOIN top ON t.doc_id = top.doc_id
 ORDER BY t.doc_id
 """
@@ -5127,14 +5127,14 @@ corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
 qt AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM corpus),
 q AS (
   SELECT doc_id,
-         round(least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0)
+         floor(least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0)
            * (1.0 - CASE WHEN len(ts) > 0 THEN
                 CAST(len(list_filter(ts, t -> list_contains(
                     ['the','a','of','and','to','in','is'], t))) AS DOUBLE)
                   / len(ts) ELSE 0.0 END)
            * CASE WHEN len(ts) > 0 THEN
                 CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
-             ELSE 0.0 END, 6) AS quality_score
+             ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS quality_score
   FROM qt),
 dt AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
 dg AS (SELECT doc_id, unnest(list_distinct({_SQL_TRIGRAMS})) AS gram FROM dt),

@@ -96,12 +96,21 @@ def quality_score(df: DataFrame, text_col: str = "text", id_cols=("doc_id",)) ->
     ).otherwise(F.lit(0.0))
     length_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
     score = length_score * (1.0 - stop_ratio) * distinct_ratio
+
+    def q6(x):
+        # quantize to 1e-6 via floor(x*1e6 + 0.5) — pure IEEE ops that
+        # replay bit-identically on any engine. round() half-up ties
+        # differ across engines exactly when the double is a
+        # representable .xxxxxx5 (first seen on d_quality_score at
+        # sf0.1; NOTES.md exactness recipe #10).
+        return F.floor(x * 1e6 + F.lit(0.5)) / 1e6
+
     return df.select(
         *id_cols,
         n.cast("long").alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        q6(stop_ratio).alias("stopword_ratio"),
+        q6(distinct_ratio).alias("distinct_ratio"),
+        q6(score).alias("quality_score"),
     )
 
 
@@ -244,7 +253,9 @@ def repetition_signals(
     (carrying them through the join shuffle measured 79 s at sf0.1).
 
     Output: (id, n_lines, dup_line_frac, n_bigrams, top_bigram_frac),
-    ratios rounded to 1e-6; both rounded identically in the DuckDB twin.
+    ratios quantized to 1e-6 via floor(x*1e6 + 0.5) (round() half-up
+    ties diverge across engines when x*1e6 is a representable
+    half-integer, e.g. odd/128 ratios — same fix as quality_score).
     """
     lines = F.filter(
         F.transform(
@@ -265,7 +276,9 @@ def repetition_signals(
     base = src.select(
         *id_cols,
         n_lines.cast("long").alias("n_lines"),
-        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        (F.floor(dup_line_frac * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "dup_line_frac"
+        ),
     )
     bi = (
         src.select(
@@ -288,7 +301,9 @@ def repetition_signals(
         "n_lines",
         "dup_line_frac",
         n_bi.alias("n_bigrams"),
-        F.round(top_frac, 6).alias("top_bigram_frac"),
+        (F.floor(top_frac * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "top_bigram_frac"
+        ),
     )
 
 
