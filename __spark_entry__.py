@@ -4082,27 +4082,29 @@ rets AS (
          close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
            - 1.0 AS ret
   FROM daily),
-r AS (SELECT user_id, trade_date, ret FROM rets
-      WHERE ret IS NOT NULL AND abs(ret) <= 10.0),
+r AS (SELECT user_id, trade_date,
+             CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS ru
+      FROM rets WHERE ret IS NOT NULL AND abs(ret) <= 10.0),
 mkt AS (
   SELECT trade_date,
-         CAST(sum(CAST(ret AS DECIMAL(38,6))) AS DOUBLE)
-           / CAST(count(*) AS DOUBLE) AS mkt_ret
+         CAST(floor(CAST(sum(ru) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    + 0.5) AS BIGINT) AS mu
   FROM r GROUP BY trade_date),
-j AS (SELECT r.user_id, r.ret, m.mkt_ret FROM r JOIN mkt m USING (trade_date)),
+j AS (SELECT r.user_id, r.ru, m.mu FROM r JOIN mkt m USING (trade_date)),
 agg AS (
   SELECT user_id,
          CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(CAST(ret AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(mkt_ret AS DECIMAL(38,6))) AS DOUBLE) AS sm,
-         CAST(sum(CAST(ret * mkt_ret AS DECIMAL(38,6))) AS DOUBLE) AS sxm,
-         CAST(sum(CAST(mkt_ret * mkt_ret AS DECIMAL(38,6))) AS DOUBLE) AS smm,
-         CAST(sum(CAST(ret * ret AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+         CAST(sum(ru) AS DOUBLE) AS sx,
+         CAST(sum(mu) AS DOUBLE) AS sm,
+         CAST(sum(ru * mu) AS DOUBLE) AS sxm,
+         CAST(sum(mu * mu) AS DOUBLE) AS smm,
+         CAST(sum(ru * ru) AS DOUBLE) AS sxx
   FROM j GROUP BY user_id)
 SELECT user_id,
        CAST(n AS BIGINT) AS n_days,
        (n * sxm - sx * sm) / (n * smm - sm * sm) AS beta,
-       (sx - ((n * sxm - sx * sm) / (n * smm - sm * sm)) * sm) / n AS alpha,
+       (sx - ((n * sxm - sx * sm) / (n * smm - sm * sm)) * sm) / n / 1e6
+           AS alpha,
        CASE WHEN (n * sxx - sx * sx) > 0
             THEN (n * sxm - sx * sm)
                    / sqrt((n * sxx - sx * sx) * (n * smm - sm * sm))

@@ -266,37 +266,55 @@ def beta_vs_market(
     # twice (once per join side — visible as two identical subtrees in
     # the physical plan). The checkpointed table is symbol-days, tiny
     # relative to the fact input.
-    returns = returns.filter(F.abs(r) <= F.lit(ret_cap)).localCheckpoint()
+    #
+    # Returns quantize to INTEGER MICRO-UNITS (floor(r*1e6 + 0.5)) and
+    # every regression moment is an exact BIGINT sum of integer
+    # products. The earlier decimal(38,6)-cast-of-products form
+    # tie-rounded differently across engines exactly when a product sat
+    # on a representable half-1e-6 (caught by the sf0.1 oracle sweep);
+    # integer moments have no rounding anywhere until the final scalar
+    # IEEE combination, which is fixed-order. ret_cap 10 bounds
+    # |micro| <= 1e7, so products <= 1e14 and BIGINT sums stay exact to
+    # ~9e18 summed rows x products — far beyond any per-key history.
+    ru = F.floor(r * 1e6 + F.lit(0.5)).cast("long")
+    returns = (
+        returns.filter(F.abs(r) <= F.lit(ret_cap))
+        .withColumn("_ru", ru)
+        .localCheckpoint()
+    )
     market = returns.groupBy(date_col).agg(
-        (
-            F.sum(r.cast(_DEC)).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("mkt_ret")
+        F.floor(
+            F.sum("_ru").cast("double") / F.count(F.lit(1)).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_mu")
     )
     joined = returns.join(F.broadcast(market), on=date_col)
-    m = F.col("mkt_ret")
+    x = F.col("_ru")
+    m = F.col("_mu")
     agg = joined.groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(r.cast(_DEC)).cast("double").alias("sx"),
-        F.sum(m.cast(_DEC)).cast("double").alias("sm"),
-        F.sum((r * m).cast(_DEC)).cast("double").alias("sxm"),
-        F.sum((m * m).cast(_DEC)).cast("double").alias("smm"),
-        F.sum((r * r).cast(_DEC)).cast("double").alias("sxx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(m).alias("sm"),
+        F.sum(x * m).alias("sxm"),
+        F.sum(m * m).alias("smm"),
+        F.sum(x * x).alias("sxx"),
     )
     n, sx, sm, sxm, smm, sxx = (
-        F.col(c) for c in ("n", "sx", "sm", "sxm", "smm", "sxx")
+        F.col(c).cast("double") for c in ("n", "sx", "sm", "sxm", "smm", "sxx")
     )
     cov_n = n * sxm - sx * sm
     var_m_n = n * smm - sm * sm
     var_x_n = n * sxx - sx * sx
     beta = cov_n / var_m_n
     return (
-        agg.filter((n >= float(min_days)) & (var_m_n > 0))
+        agg.filter((F.col("n") >= min_days) & (var_m_n > 0))
         .select(
             *keys,
-            n.cast("long").alias("n_days"),
+            F.col("n").alias("n_days"),
             beta.alias("beta"),
-            ((sx - beta * sm) / n).alias("alpha"),
+            ((sx - beta * sm) / n / F.lit(1e6)).alias("alpha"),
             F.when(var_x_n > 0, cov_n / F.sqrt(var_x_n * var_m_n)).alias(
                 "corr_mkt"
             ),
