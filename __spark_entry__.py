@@ -2607,8 +2607,9 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D_JACCARD_SQL = rf"""
 WITH t AS (SELECT doc_id, {_SQL_TOKSET} AS ts FROM documents)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
+       floor(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+             * 1e6 + 0.5) / 1e6 AS jaccard
 FROM t a JOIN t b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
       / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.95
@@ -2663,7 +2664,7 @@ verified AS (
          CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
          / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) AS j
   FROM cand JOIN t ta ON ta.doc_id = doc_a JOIN t tb ON tb.doc_id = doc_b)
-SELECT doc_a, doc_b, round(j, 6) AS jaccard
+SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
 FROM verified WHERE j >= 0.95 ORDER BY doc_a, doc_b
 """
 
@@ -2731,7 +2732,7 @@ verified AS (
          CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
          / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) AS j
   FROM cand JOIN t ta ON ta.doc_id = new_id JOIN t tb ON tb.doc_id = index_id)
-SELECT new_id, index_id, round(j, 6) AS jaccard
+SELECT new_id, index_id, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
 FROM verified WHERE j >= {threshold} ORDER BY new_id, index_id
 """
 

@@ -287,7 +287,7 @@ def minhash_near_dup_pairs(
         .join(F.broadcast(rb), "_gb")
         .withColumn("jaccard", jaccard(F.col("set_a"), F.col("set_b")))
         .filter(F.col("jaccard") >= threshold)
-        .select("_ga", "_gb", F.round("jaccard", 6).alias("jaccard"))
+        .select("_ga", "_gb", (F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"))
     )
     # Expansion. Within a set-group every member pair has Jaccard exactly
     # 1.0 (nonempty sets; empty sets define Jaccard 0 and never emit, just
@@ -330,7 +330,7 @@ def exact_jaccard_pairs(
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .withColumn("jaccard", jaccard(F.col("set_a"), F.col("set_b")))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", (F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"))
     )
 
 
@@ -806,7 +806,7 @@ def dedup_against_index(
         .join(idx_reps.select("_ig", "_iset"), "_ig")
         .withColumn("jaccard", jaccard(F.col("_nset"), F.col("_iset")))
         .filter(F.col("jaccard") >= threshold)
-        .select("_ng", "_ig", F.round("jaccard", 6).alias("jaccard"))
+        .select("_ng", "_ig", (F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"))
     )
     nm = nb.select(F.col("gid").alias("_ng"), F.col("doc_id").alias("new_id"))
     im = index.select(F.col("gid").alias("_ig"), F.col("doc_id").alias("index_id"))
