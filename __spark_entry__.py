@@ -31,9 +31,11 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.functions.exact
     davg,
     dstddev,
     dsum,
+    q6,
     sql_davg,
     sql_dstddev,
     sql_dsum,
+    sql_q6,
 )
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators import (
     dedup_by_key,
@@ -1192,7 +1194,7 @@ def e_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         summary.select(
             "user_id", "trade_date", "open", "close",
-            F.round("price_change_percent", 6).alias("price_change_percent"),
+            q6("price_change_percent", "price_change_percent"),
         )
         .orderBy(F.col("price_change_percent").desc(), "user_id", "trade_date")
         .limit(10)
@@ -1207,7 +1209,8 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 )
 SELECT user_id, trade_date, open, close,
-       round(CASE WHEN open <> 0 THEN (close - open) / open * 100 ELSE 0.0 END, 6)
+       floor(CASE WHEN open <> 0 THEN (close - open) / open * 100
+                  ELSE 0.0 END * 1e6 + 0.5) / 1e6
            AS price_change_percent
 FROM daily
 ORDER BY price_change_percent DESC, user_id, trade_date
@@ -1256,7 +1259,7 @@ def e_window_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id", "trade_date", "day_open", "day_close", "day_volume",
-        F.round("daily_return_percent", 6).alias("daily_return_percent"),
+        q6("daily_return_percent", "daily_return_percent"),
     ).orderBy("user_id", "trade_date")
 
 
@@ -1273,8 +1276,9 @@ WITH windowed AS (
   WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts)
 )
 SELECT user_id, trade_date, day_open, day_close, day_volume,
-       round(CASE WHEN day_open <> 0
-                  THEN (day_close - day_open) / day_open * 100 ELSE 0.0 END, 6)
+       floor(CASE WHEN day_open <> 0
+                  THEN (day_close - day_open) / day_open * 100
+                  ELSE 0.0 END * 1e6 + 0.5) / 1e6
            AS daily_return_percent
 FROM windowed
 ORDER BY user_id, trade_date
@@ -1528,7 +1532,7 @@ def e_rsi14(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rsi(ev, ["user_id"], "ts", "value", n=14)
     return out.select(
         "event_id", "user_id", "ts",
-        F.round("rsi_14", 6).alias("rsi_14"),
+        q6("rsi_14", "rsi_14"),
     ).orderBy("event_id")
 
 
@@ -1551,9 +1555,10 @@ g AS (
                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, user_id, ts,
-       round(CASE WHEN n_deltas < 14 THEN NULL
+       floor(CASE WHEN n_deltas < 14 THEN NULL
                   WHEN avg_loss = 0 THEN 100.0
-                  ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END, 6) AS rsi_14
+                  ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END
+             * 1e6 + 0.5) / 1e6 AS rsi_14
 FROM g ORDER BY event_id
 """
 
@@ -2350,9 +2355,9 @@ def e_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
-            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+            q6(F.percentile("value", F.lit(0.5)), "p50"),
+            q6(F.percentile("value", F.lit(0.9)), "p90"),
+            q6(F.percentile("value", F.lit(0.99)), "p99"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("event_type")
@@ -2361,9 +2366,9 @@ def e_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E_PERCENTILES_SQL = """
 SELECT event_type,
-       round(quantile_cont(value, 0.5), 6) AS p50,
-       round(quantile_cont(value, 0.9), 6) AS p90,
-       round(quantile_cont(value, 0.99), 6) AS p99,
+       floor(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+       floor(quantile_cont(value, 0.9) * 1e6 + 0.5) / 1e6 AS p90,
+       floor(quantile_cont(value, 0.99) * 1e6 + 0.5) / 1e6 AS p99,
        count(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -2452,7 +2457,9 @@ def m_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media, fake=True)
     return feats.select(
         "media_id", "n_bytes", "content_md5",
-        F.round(F.element_at("feat", 1), 6).alias("feat0"),
+        # feat0 is md5int / 2^32 — ALWAYS dyadic, so round() half-ties
+        # are guaranteed somewhere in a large corpus; q6 is tie-free.
+        q6(F.element_at("feat", 1), "feat0"),
     ).orderBy("media_id")
 
 
@@ -2460,8 +2467,8 @@ _M_BINARY_SQL = """
 SELECT doc_id AS media_id,
        octet_length(CAST(text AS BLOB)) AS n_bytes,
        md5(text) AS content_md5,
-       round(CAST(CAST('0x' || substr(md5(text || '#0'), 1, 8) AS BIGINT) AS DOUBLE)
-             / 4294967296.0, 6) AS feat0
+       floor(CAST(CAST('0x' || substr(md5(text || '#0'), 1, 8) AS BIGINT) AS DOUBLE)
+             / 4294967296.0 * 1e6 + 0.5) / 1e6 AS feat0
 FROM documents ORDER BY media_id
 """
 
@@ -2885,7 +2892,7 @@ lw AS (SELECT plane, pos,
 lel AS (SELECT vec_id, i - 1 AS pos, emb[i] AS val
         FROM e, generate_series(1, {dim}) t(i)),
 ld AS (SELECT vec_id, plane,
-              sum(CAST(round(val * 1e6) AS BIGINT) * w) AS dot
+              sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT) * w) AS dot
        FROM lel JOIN lw USING (pos) GROUP BY vec_id, plane),
 lb AS (SELECT vec_id,
               (plane // {n_planes}) * {2 ** n_planes}
@@ -2904,7 +2911,7 @@ cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
          FROM lb a JOIN lb b USING (bucket) WHERE a.vec_id < b.vec_id),
 n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
 SELECT doc_a, doc_b,
-       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine
+       floor(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) * 1e6 + 0.5) / 1e6 AS cosine
 FROM cand JOIN n a ON a.vec_id = doc_a JOIN n b ON b.vec_id = doc_b
 WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {threshold}
 ORDER BY doc_a, doc_b
@@ -3517,7 +3524,7 @@ def _ivf_ann_sql(
     with_block = ",\n".join(ctes)
     return f"""
 WITH {with_block}
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+SELECT query_id, neighbor_id, floor(cos * 1e6 + 0.5) / 1e6 AS cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored)
@@ -3582,7 +3589,7 @@ pairs AS (
          list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
   FROM n q JOIN n c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < 10)
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+SELECT query_id, neighbor_id, floor(cos * 1e6 + 0.5) / 1e6 AS cosine,
        rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -3857,7 +3864,7 @@ exact AS (
   FROM short s
   JOIN n q ON q.vec_id = s.query_id
   JOIN n c ON c.vec_id = s.neighbor_id)
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+SELECT query_id, neighbor_id, floor(cos * 1e6 + 0.5) / 1e6 AS cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM exact)
@@ -3891,7 +3898,7 @@ scored AS (
   SELECT query_id, neighbor_id,
          list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
   FROM cand JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id)
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+SELECT query_id, neighbor_id, floor(cos * 1e6 + 0.5) / 1e6 AS cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored)
@@ -3969,7 +3976,7 @@ def x_atr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = atr(daily, ["user_id"], "trade_date", n=14)
     return out.select(
-        "user_id", "trade_date", F.round("tr", 6).alias("tr"), "atr"
+        "user_id", "trade_date", q6("tr", "tr"), "atr"
     ).orderBy("user_id", "trade_date")
 
 
@@ -3986,9 +3993,9 @@ tr AS (
                             abs(high - lag(close) OVER w),
                             abs(low - lag(close) OVER w)) END AS tr
   FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY trade_date))
-SELECT user_id, trade_date, round(tr, 6) AS tr,
-       round(CAST(sum(CAST(tr AS DECIMAL(38,6))) OVER f AS DOUBLE)
-             / count(*) OVER f, 6) AS atr
+SELECT user_id, trade_date, floor(tr * 1e6 + 0.5) / 1e6 AS tr,
+       floor(CAST(sum(CAST(tr AS DECIMAL(38,6))) OVER f AS DOUBLE)
+             / count(*) OVER f * 1e6 + 0.5) / 1e6 AS atr
 FROM tr
 WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
@@ -4046,8 +4053,9 @@ agg AS (
   WHERE a.user_id < b.user_id
   GROUP BY a.user_id, b.user_id)
 SELECT key_a, key_b, CAST(n AS BIGINT) AS n_days,
-       round((n * sab - sa * sb)
-             / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 6) AS corr
+       floor((n * sab - sa * sb)
+             / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+             * 1e6 + 0.5) / 1e6 AS corr
 FROM agg
 WHERE n >= 2 AND (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
 ORDER BY key_a, key_b
@@ -4653,11 +4661,11 @@ _X_RETLEDGER_SQL = f"""
 WITH daily AS ({_SQL_DAILY_OHLCV})
 SELECT user_id, trade_date, close,
        lag(close) OVER w AS prev_close,
-       round(close / lag(close) OVER w - 1.0, 6) AS ret,
-       round(ln(close / lag(close) OVER w), 6) AS log_ret,
-       round(close / first_value(close) OVER (PARTITION BY user_id
-                 ORDER BY trade_date ROWS UNBOUNDED PRECEDING) - 1.0,
-             6) AS cum_ret
+       floor((close / lag(close) OVER w - 1.0) * 1e6 + 0.5) / 1e6 AS ret,
+       floor(ln(close / lag(close) OVER w) * 1e6 + 0.5) / 1e6 AS log_ret,
+       floor((close / first_value(close) OVER (PARTITION BY user_id
+                 ORDER BY trade_date ROWS UNBOUNDED PRECEDING) - 1.0)
+             * 1e6 + 0.5) / 1e6 AS cum_ret
 FROM daily WHERE close > 0
 WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
 ORDER BY user_id, trade_date

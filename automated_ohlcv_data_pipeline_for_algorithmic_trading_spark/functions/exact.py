@@ -83,6 +83,28 @@ def dstddev(col, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def q6(col, alias: str | None = None) -> Column:
+    """Tie-safe 6-decimal quantization: ``floor(x * 1e6 + 0.5) / 1e6``.
+
+    ``round(x, 6)`` breaks cross-engine parity on exact half-ties: Spark
+    rounds HALF_UP while DuckDB rounds half-even, and ratios of integers
+    (price returns, Jaccard, RSI gain/loss ratios) land on representable
+    ``.xxxxxx5`` boundaries deterministically — a return against a
+    2^k-cent close is exactly ``m/2^a`` and its 7th decimal is exactly 5.
+    floor/multiply/add are plain IEEE ops with no tie-break involved, so
+    this quantizer is bit-identical everywhere. Halves round toward +inf
+    (not away from zero): -2.5e-6 -> -2e-6. Pair with :func:`sql_q6`.
+    """
+    c = _c(col)
+    out = F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return out.alias(alias) if alias else out
+
+
+def sql_q6(expr: str) -> str:
+    """DuckDB/ANSI twin of :func:`q6` for oracle queries."""
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB/ANSI twin of :func:`dsum` for oracle queries."""
     return f"CAST(sum(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"

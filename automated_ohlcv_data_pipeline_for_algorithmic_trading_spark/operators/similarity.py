@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg
+from ..functions.exact import davg, q6
 
 
 def _as_double(vec: Column) -> Column:
@@ -76,7 +76,7 @@ def brute_force_knn(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("_cos", 6).alias("cosine"),
+            q6("_cos", "cosine"),
             "rank",
         )
     )
@@ -267,7 +267,7 @@ def ivf_probe(
         pairs.withColumn("_cos", cos)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rank")
+        .select("query_id", "neighbor_id", q6("_cos", "cosine"), "rank")
     )
 
 
@@ -376,7 +376,7 @@ def embedding_near_dup_pairs(
     return (
         pairs.withColumn("_cos", cos)
         .filter(F.col("_cos") >= threshold)
-        .select("doc_a", "doc_b", F.round("_cos", 6).alias("cosine"))
+        .select("doc_a", "doc_b", q6("_cos", "cosine"))
     )
 
 
@@ -465,7 +465,7 @@ def hyperplane_buckets(
     el = df.repartition(spark.sparkContext.defaultParallelism).select(
         F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val")
     ).select(
-        id_col, "pos", F.round(F.col("val") * 1e6).cast("long").alias("ival")
+        id_col, "pos", F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("long").alias("ival")
     )
     dots = (
         el.join(F.broadcast(wdf), "pos")
@@ -553,7 +553,7 @@ def lsh_knn(
         pairs.withColumn("_cos", cos)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rank")
+        .select("query_id", "neighbor_id", q6("_cos", "cosine"), "rank")
     )
 
 
@@ -766,7 +766,7 @@ def sq8_knn(
         .withColumn("rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rank"
+            "query_id", "neighbor_id", q6("_cos", "cosine"), "rank"
         )
     )
 
