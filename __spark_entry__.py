@@ -5935,6 +5935,340 @@ FROM c ORDER BY prev_type, next_type
 """
 
 
+def x_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R over per-user daily bars — the stochastic's inverted
+    twin, -100 * (HH - close) / (HH - LL) over 14 bars; NULL on flat
+    windows; unrounded IEEE quotient (operators/finance.williams_r)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        williams_r,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return williams_r(daily, ["user_id"], "trade_date", n=14).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_WILLIAMS_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV})
+SELECT user_id, trade_date, close,
+       max(high) OVER f AS hh, min(low) OVER f AS ll,
+       CASE WHEN max(high) OVER f > min(low) OVER f
+            THEN (max(high) OVER f - close)
+                 / (max(high) OVER f - min(low) OVER f) * -100.0 END
+           AS williams_r
+FROM daily
+WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, trade_date
+"""
+
+
+def x_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money Flow Index (volume-weighted RSI, 14 bars) per user.
+    Typical-price money flow is quantized to integer micro-units, so
+    the rolling positive/negative sums are partition-invariant BIGINT
+    reductions and MFI is one exact IEEE division — no rounding step
+    anywhere (operators/finance.money_flow_index)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        money_flow_index,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return money_flow_index(daily, ["user_id"], "trade_date", n=14).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_MFI_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+t AS (
+  SELECT user_id, trade_date, close, volume,
+         (high + low + close) / 3.0 AS tp FROM daily),
+c AS (
+  SELECT user_id, trade_date, close, volume, tp,
+         lag(tp) OVER (PARTITION BY user_id ORDER BY trade_date) AS ptp,
+         CAST(floor(tp * CAST(volume AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             AS imf
+  FROM t),
+s AS (
+  SELECT user_id, trade_date, close, volume,
+         sum(CASE WHEN ptp IS NOT NULL AND tp > ptp THEN imf ELSE 0 END)
+             OVER f AS sp,
+         sum(CASE WHEN ptp IS NOT NULL AND tp < ptp THEN imf ELSE 0 END)
+             OVER f AS sn
+  FROM c
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, close, volume,
+       CASE WHEN sp + sn > 0
+            THEN 100.0 * CAST(sp AS DOUBLE) / CAST(sp + sn AS DOUBLE) END
+           AS mfi
+FROM s ORDER BY user_id, trade_date
+"""
+
+
+def x_roc_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bar Rate of Change (q6-quantized — dyadic-return class) and
+    raw momentum close - close_10_ago (IEEE-exact subtraction) per user
+    (operators/finance.rate_of_change)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        rate_of_change,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return rate_of_change(daily, ["user_id"], "trade_date", n=10).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_ROC_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV})
+SELECT user_id, trade_date, close,
+       lag(close, 10) OVER w AS prior_close,
+       CASE WHEN lag(close, 10) OVER w <> 0 THEN
+           floor((close / lag(close, 10) OVER w - 1.0) * 100.0 * 1e6 + 0.5)
+           / 1e6 END AS roc,
+       close - lag(close, 10) OVER w AS momentum
+FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+ORDER BY user_id, trade_date
+"""
+
+
+def x_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic floor-trader pivot levels from the previous daily bar:
+    P/R1/S1/R2/S2. Fixed IEEE arithmetic chains on lagged values — no
+    rounding, no decimal casts (operators/finance.pivot_points)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        pivot_points,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return pivot_points(daily, ["user_id"], "trade_date").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_PIVOTPTS_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+l AS (
+  SELECT user_id, trade_date, close,
+         lag(high) OVER w AS ph, lag(low) OVER w AS pl,
+         lag(close) OVER w AS pc
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY trade_date))
+SELECT user_id, trade_date, close,
+       (ph + pl + pc) / 3.0 AS pivot,
+       2.0 * ((ph + pl + pc) / 3.0) - pl AS r1,
+       2.0 * ((ph + pl + pc) / 3.0) - ph AS s1,
+       (ph + pl + pc) / 3.0 + (ph - pl) AS r2,
+       (ph + pl + pc) / 3.0 - (ph - pl) AS s2
+FROM l ORDER BY user_id, trade_date
+"""
+
+
+def x_chaikin_ad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin A/D line (cumulative) + 20-bar Chaikin Money Flow per
+    user. The money-flow volume is quantized to integer micro-units
+    once; both outputs are fixed IEEE division chains over BIGINT sums
+    (operators/finance.chaikin_ad)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        chaikin_ad,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return chaikin_ad(daily, ["user_id"], "trade_date", n=20).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_CHAIKIN_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+m AS (
+  SELECT user_id, trade_date, close, volume,
+         CAST(floor(CASE WHEN high > low
+                         THEN ((close - low) - (high - close)) / (high - low)
+                         ELSE 0.0 END
+                    * CAST(volume AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             AS imfv
+  FROM daily)
+SELECT user_id, trade_date, close, volume,
+       CAST(sum(imfv) OVER c AS DOUBLE) / 1e6 AS ad,
+       CASE WHEN sum(volume) OVER f > 0
+            THEN CAST(sum(imfv) OVER f AS DOUBLE) / 1e6
+                 / CAST(sum(volume) OVER f AS DOUBLE) END AS cmf
+FROM m
+WINDOW c AS (PARTITION BY user_id ORDER BY trade_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       f AS (PARTITION BY user_id ORDER BY trade_date
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, trade_date
+"""
+
+
+def x_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon up/down/oscillator (25-bar) per user. Bars-since-extreme
+    is recovered from an all-integer packed argmax (micro-unit price *
+    2^21 + row number) so the rolling MAX is deterministic with
+    latest-bar tie-breaking in both engines; outputs are exact
+    integer-valued doubles (operators/finance.aroon)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        aroon,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return aroon(daily, ["user_id"], "trade_date", n=25).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_AROON_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+r AS (
+  SELECT user_id, trade_date,
+         row_number() OVER w AS rn,
+         CAST(floor(high * 1e6 + 0.5) AS BIGINT) AS ih,
+         CAST(floor(low * 1e6 + 0.5) AS BIGINT) AS il
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+e AS (
+  SELECT user_id, trade_date, rn,
+         max((1099511627776 + ih) * 2097152 + rn) OVER f % 2097152 AS rn_hh,
+         max((1099511627776 - il) * 2097152 + rn) OVER f % 2097152 AS rn_ll
+  FROM r
+  WINDOW f AS (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 25 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date,
+       CAST(25 - (rn - rn_hh) AS DOUBLE) * 4.0 AS aroon_up,
+       CAST(25 - (rn - rn_ll) AS DOUBLE) * 4.0 AS aroon_down,
+       CAST(25 - (rn - rn_hh) AS DOUBLE) * 4.0
+         - CAST(25 - (rn - rn_ll) AS DOUBLE) * 4.0 AS aroon_osc
+FROM e ORDER BY user_id, trade_date
+"""
+
+
+def x_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overnight gap ledger per user: open vs previous close (q6 —
+    dyadic-return class), direction sign, and whether the session
+    traded back through the prior close
+    (operators/finance.overnight_gaps)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        overnight_gaps,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return overnight_gaps(daily, ["user_id"], "trade_date").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_GAPS_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+l AS (
+  SELECT user_id, trade_date, open, high, low,
+         lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+             AS prev_close
+  FROM daily),
+g AS (
+  SELECT user_id, trade_date, prev_close, open,
+         floor((open / prev_close - 1.0) * 100.0 * 1e6 + 0.5) / 1e6
+             AS gap_pct,
+         high, low
+  FROM l WHERE prev_close > 0)
+SELECT user_id, trade_date, prev_close, open, gap_pct,
+       CAST(sign(gap_pct) AS INTEGER) AS direction,
+       low <= prev_close AND prev_close <= high AS filled
+FROM g ORDER BY user_id, trade_date
+"""
+
+
+def x_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder DMI/ADX over per-user daily bars — the TWO-LEVEL-seeded
+    recurrence class: three chained Wilder-smoothed integer sums
+    (+DM/-DM/TR) feed DX, and ADX is a second Wilder recurrence over
+    DX seeded by a running sum carried through the first recursion.
+    Exact BIGINT state in micro-units (operators/finance.adx); the
+    oracle replays the identical machine as a recursive CTE — the
+    fifth recurrence family with an exact oracle (EMA, Heikin-Ashi,
+    Supertrend, SMA-carry ... )."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        adx,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).drop("volume", "open")
+    out = adx(daily, ["user_id"], "trade_date", n=14)
+    return out.select(
+        "user_id", "trade_date", "close", "pdi", "mdi", "adx"
+    ).orderBy("user_id", "trade_date")
+
+
+def _adx_sql(n: int = 14) -> str:
+    """Recursive-CTE replay of the DMI/ADX state machine: nonnegative
+    BIGINT Wilder sums (DuckDB's truncating // IS floor there), DX
+    carried at 1e4 scale by integer floor division, the ADX seed sum
+    threaded through the recursion state."""
+    sp = f"(p.sp - p.sp // {n} + c.pdm)"
+    sn = f"(p.sn - p.sn // {n} + c.ndm)"
+    st = f"(p.st - p.st // {n} + c.tru)"
+    dx = (
+        f"(CASE WHEN {sp} + {sn} > 0"
+        f" THEN (1000000 * abs({sp} - {sn})) // ({sp} + {sn}) ELSE 0 END)"
+    )
+    dx0 = (
+        "(CASE WHEN sp0 + sn0 > 0"
+        " THEN (1000000 * abs(sp0 - sn0)) // (sp0 + sn0) ELSE 0 END)"
+    )
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date, close,
+         CAST(CAST(high  AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS hu,
+         CAST(CAST(low   AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS lu,
+         CAST(CAST(close AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS cu,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+t AS MATERIALIZED (
+  SELECT *,
+     CASE WHEN rn = 1 THEN 0
+          WHEN hu - lag(hu) OVER w > lag(lu) OVER w - lu
+               AND hu - lag(hu) OVER w > 0
+          THEN hu - lag(hu) OVER w ELSE 0 END AS pdm,
+     CASE WHEN rn = 1 THEN 0
+          WHEN lag(lu) OVER w - lu > hu - lag(hu) OVER w
+               AND lag(lu) OVER w - lu > 0
+          THEN lag(lu) OVER w - lu ELSE 0 END AS ndm,
+     CASE WHEN rn = 1 THEN 0
+          ELSE greatest(hu - lu, abs(hu - lag(cu) OVER w),
+                        abs(lu - lag(cu) OVER w)) END AS tru
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+seed AS MATERIALIZED (
+  SELECT user_id, sum(pdm) AS sp0, sum(ndm) AS sn0, sum(tru) AS st0
+  FROM t WHERE rn BETWEEN 2 AND {n + 1}
+  GROUP BY user_id HAVING count(*) = {n}),
+st AS (
+  SELECT t.user_id, t.rn, sp0 AS sp, sn0 AS sn, st0 AS st,
+         {dx0} AS dxsum,
+         CAST(NULL AS BIGINT) AS au
+  FROM t JOIN seed USING (user_id) WHERE t.rn = {n + 1}
+  UNION ALL
+  SELECT c.user_id, c.rn, {sp} AS sp, {sn} AS sn, {st} AS st,
+         CASE WHEN c.rn <= {2 * n} THEN p.dxsum + {dx}
+              ELSE p.dxsum END AS dxsum,
+         CASE WHEN c.rn = {2 * n} THEN (p.dxsum + {dx}) // {n}
+              WHEN c.rn > {2 * n} THEN (p.au * {n - 1} + {dx}) // {n}
+              ELSE NULL END AS au
+  FROM t c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1)
+SELECT b.user_id, b.trade_date, b.close,
+       CASE WHEN st.st > 0
+            THEN 100.0 * CAST(st.sp AS DOUBLE) / CAST(st.st AS DOUBLE) END
+           AS pdi,
+       CASE WHEN st.st > 0
+            THEN 100.0 * CAST(st.sn AS DOUBLE) / CAST(st.st AS DOUBLE) END
+           AS mdi,
+       CAST(st.au AS DOUBLE) / 10000.0 AS adx
+FROM b LEFT JOIN st ON b.user_id = st.user_id AND b.rn = st.rn
+ORDER BY b.user_id, b.trade_date
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5985,6 +6319,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_bpe_token_counts": d_bpe_token_counts,
         "j_asof_tolerance": j_asof_tolerance,
         "x_supertrend": x_supertrend,
+        "x_williams_r": x_williams_r,
+        "x_mfi": x_mfi,
+        "x_roc_momentum": x_roc_momentum,
+        "x_pivot_points": x_pivot_points,
+        "x_chaikin_ad": x_chaikin_ad,
+        "x_aroon": x_aroon,
+        "x_gaps": x_gaps,
+        "x_adx": x_adx,
         # --- round-4 gate window part 3: back-fill with previously-checked
         # entries (re-verification; green in r2/r3) ---
         "q01_pricing_summary": q01_pricing_summary,
@@ -6150,6 +6492,14 @@ def oracle_sql() -> dict[str, str]:
         "d_bpe_token_counts": _bpe_tokcount_sql(),
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
+        "x_williams_r": _X_WILLIAMS_SQL,
+        "x_mfi": _X_MFI_SQL,
+        "x_roc_momentum": _X_ROC_SQL,
+        "x_pivot_points": _X_PIVOTPTS_SQL,
+        "x_chaikin_ad": _X_CHAIKIN_SQL,
+        "x_aroon": _X_AROON_SQL,
+        "x_gaps": _X_GAPS_SQL,
+        "x_adx": _adx_sql(),
         "emb_lsh_ann": _lsh_ann_sql(),
         "j_asof_orders": _J_ASOF_SQL,
         "j_semi_active_customers": _J_SEMI_SQL,
@@ -6369,4 +6719,12 @@ HEADLINE_QUERIES = [
     "d_bpe_token_counts",
     "j_asof_tolerance",
     "x_supertrend",
+    "x_williams_r",
+    "x_mfi",
+    "x_roc_momentum",
+    "x_pivot_points",
+    "x_chaikin_ad",
+    "x_aroon",
+    "x_gaps",
+    "x_adx",
 ]

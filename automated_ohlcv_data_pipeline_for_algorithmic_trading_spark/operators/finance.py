@@ -30,6 +30,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import q6
+
 __all__ = [
     "max_drawdown",
     "max_drawdown_chunked",
@@ -48,6 +50,14 @@ __all__ = [
     "keltner_channels",
     "heikin_ashi",
     "supertrend",
+    "williams_r",
+    "money_flow_index",
+    "rate_of_change",
+    "pivot_points",
+    "chaikin_ad",
+    "aroon",
+    "overnight_gaps",
+    "adx",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -378,7 +388,10 @@ def atr(
         F.sum(F.col("tr").cast(_DEC)).over(frame).cast("double")
         / F.count(F.lit(1)).over(frame).cast("double")
     )
-    return out.withColumn("atr", F.round(rolling_mean, 6))
+    # q6, not round(): sum/count of cent-quantum true ranges is a ratio
+    # of integers and can land exactly on a .xxxxxx5 half-tie, where
+    # Spark (HALF_UP) and SQL engines (half-even) disagree.
+    return out.withColumn("atr", q6(rolling_mean))
 
 
 def pairwise_corr(
@@ -442,7 +455,7 @@ def pairwise_corr(
             "key_a",
             "key_b",
             n.cast("long").alias("n_days"),
-            F.round(cov_n / F.sqrt(va_n * vb_n), 6).alias("corr"),
+            q6(cov_n / F.sqrt(va_n * vb_n), "corr"),
         )
     )
 
@@ -614,9 +627,11 @@ def returns_ledger(
         F.col(order_col),
         F.col(close),
         prev.alias("prev_close"),
-        F.round(F.col(close) / prev - F.lit(1.0), 6).alias("ret"),
-        F.round(F.log(F.col(close) / prev), 6).alias("log_ret"),
-        F.round(F.col(close) / first_close - F.lit(1.0), 6).alias("cum_ret"),
+        # q6, not round(): a return against a 2^k-cent close is a dyadic
+        # rational whose 7th decimal is exactly 5 (NOTES.md recipe #10).
+        q6(F.col(close) / prev - F.lit(1.0), "ret"),
+        q6(F.log(F.col(close) / prev), "log_ret"),
+        q6(F.col(close) / first_close - F.lit(1.0), "cum_ret"),
     )
 
 
@@ -1055,5 +1070,423 @@ def supertrend(
             trend=tarr,
             supertrend=masked(np.where(trend == 1, flb, fub)),
         )
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def williams_r(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 14,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Williams %R over per-key bars: the stochastic oscillator's
+    inverted twin, ``-100 * (HH - close) / (HH - LL)`` over the last
+    ``n`` bars (0 at the high, -100 at the low of the range).
+
+    Flat windows (HH == LL) yield NULL, and the quotient is left
+    UNROUNDED: per-row IEEE division of identical operands is
+    bit-identical across engines (see stochastic_oscillator), while any
+    rounding would re-introduce the dyadic half-tie problem. Both
+    extremes share one per-key exchange+sort; warm-up bars use the bars
+    seen so far (ROWS frame).
+
+    Output: keys, order_col, close, hh, ll, williams_r.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    f = w.rowsBetween(-(n - 1), 0)
+    hh = F.max(F.col(high)).over(f)
+    ll = F.min(F.col(low)).over(f)
+    wr = F.when(hh > ll, (hh - F.col(close)) / (hh - ll) * F.lit(-100.0))
+    return df.select(
+        *keys,
+        F.col(order_col),
+        F.col(close),
+        hh.alias("hh"),
+        ll.alias("ll"),
+        wr.alias("williams_r"),
+    )
+
+
+def money_flow_index(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 14,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    volume: str = "volume",
+) -> DataFrame:
+    """Money Flow Index (volume-weighted RSI) over per-key bars.
+
+    Typical price tp = (h+l+c)/3; raw flow tp*volume is quantized to
+    integer micro-units (floor(x*1e6+0.5) — IEEE multiply/add/floor, no
+    decimal-cast tie-break) and classified positive/negative by tp vs
+    the previous tp, so the rolling sums are partition-invariant BIGINT
+    reductions and MFI = 100 * pos / (pos + neg) is ONE exact-operand
+    IEEE division — bit-identical cross-engine with no rounding step.
+    First bar of a series (no previous tp) contributes to neither sum;
+    MFI is NULL while pos + neg == 0 (all-flat warm-ups).
+
+    Everything rides one per-key exchange+sort.
+    Output: keys, order_col, close, volume, mfi.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    f = w.rowsBetween(-(n - 1), 0)
+    tp = (F.col(high) + F.col(low) + F.col(close)) / F.lit(3.0)
+    prev = F.lag(tp).over(w)
+    imf = F.floor(tp * F.col(volume).cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    pos = F.when(prev.isNotNull() & (tp > prev), imf).otherwise(F.lit(0))
+    neg = F.when(prev.isNotNull() & (tp < prev), imf).otherwise(F.lit(0))
+    sp = F.sum(pos).over(f)
+    sn = F.sum(neg).over(f)
+    mfi = F.when(
+        sp + sn > 0,
+        F.lit(100.0) * sp.cast("double") / (sp + sn).cast("double"),
+    )
+    return df.select(
+        *keys,
+        F.col(order_col),
+        F.col(close),
+        F.col(volume),
+        mfi.alias("mfi"),
+    )
+
+
+def rate_of_change(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 10,
+    close: str = "close",
+) -> DataFrame:
+    """n-bar Rate of Change and Momentum per key.
+
+    roc = (close / close_n_ago - 1) * 100, quantized via q6 (a return
+    against a 2^k-cent prior close is dyadic — round() half-ties
+    diverge cross-engine); momentum = close - close_n_ago is IEEE-exact
+    subtraction and stays raw. NULL during the first ``n`` bars, and
+    roc is NULL when the prior close is 0 (rate of change is undefined
+    there; ANSI mode would otherwise raise, and SQL engines would emit
+    inf).
+
+    Output: keys, order_col, close, prior_close, roc, momentum.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    prior = F.lag(F.col(close), n).over(w)
+    return df.select(
+        *keys,
+        F.col(order_col),
+        F.col(close),
+        prior.alias("prior_close"),
+        F.when(
+            prior != 0,
+            q6((F.col(close) / prior - F.lit(1.0)) * F.lit(100.0)),
+        ).alias("roc"),
+        (F.col(close) - prior).alias("momentum"),
+    )
+
+
+def pivot_points(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Classic floor-trader pivot levels from the PREVIOUS bar:
+    P = (prevH + prevL + prevC) / 3, R1/S1 = 2P - prevL / 2P - prevH,
+    R2/S2 = P +/- (prevH - prevL).
+
+    Every level is a fixed chain of IEEE +,-,*,/ on the previous bar's
+    values — bit-identical across engines with NO rounding or decimal
+    casts anywhere. One lag window, one exchange. First bar: all NULL.
+
+    Output: keys, order_col, close, pivot, r1, s1, r2, s2.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    ph = F.lag(F.col(high)).over(w)
+    pl = F.lag(F.col(low)).over(w)
+    pc = F.lag(F.col(close)).over(w)
+    p = (ph + pl + pc) / F.lit(3.0)
+    return df.select(
+        *keys,
+        F.col(order_col),
+        F.col(close),
+        p.alias("pivot"),
+        (F.lit(2.0) * p - pl).alias("r1"),
+        (F.lit(2.0) * p - ph).alias("s1"),
+        (p + (ph - pl)).alias("r2"),
+        (p - (ph - pl)).alias("s2"),
+    )
+
+
+def chaikin_ad(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 20,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    volume: str = "volume",
+) -> DataFrame:
+    """Chaikin Accumulation/Distribution line + Chaikin Money Flow.
+
+    Money-flow multiplier mfm = ((c-l) - (h-c)) / (h-l) (0 on flat
+    bars); money-flow volume mfm*volume is quantized to integer
+    micro-units once, so the cumulative A/D line and the n-bar CMF
+    numerator are partition-invariant BIGINT sums. ad = cum_sum/1e6 and
+    cmf = mfv_sum / 1e6 / vol_sum are fixed IEEE division chains
+    (mirrored op-for-op in the SQL twin) — no rounding, no decimal
+    casts. CMF is NULL while the n-bar volume sum is 0.
+
+    One per-key exchange+sort carries the lag-free cumulative frame and
+    the n-bar frame. Output: keys, order_col, close, volume, ad, cmf.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    f = w.rowsBetween(-(n - 1), 0)
+    h, l, c = F.col(high), F.col(low), F.col(close)
+    mfm = F.when(h > l, ((c - l) - (h - c)) / (h - l)).otherwise(F.lit(0.0))
+    imfv = F.floor(
+        mfm * F.col(volume).cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    vol_n = F.sum(F.col(volume)).over(f)
+    ad = F.sum(imfv).over(cum).cast("double") / F.lit(1e6)
+    cmf = F.when(
+        vol_n > 0,
+        F.sum(imfv).over(f).cast("double") / F.lit(1e6) / vol_n.cast("double"),
+    )
+    return df.select(
+        *keys,
+        F.col(order_col),
+        c,
+        F.col(volume),
+        ad.alias("ad"),
+        cmf.alias("cmf"),
+    )
+
+
+#: aroon() packs (micro-unit price rank, row number) into one BIGINT so
+#: the windowed max is a deterministic argmax: price dominates, row
+#: number breaks ties toward the LATEST bar (the standard Aroon
+#: convention). 2^21 rows per key is plenty for daily bars. The 2^40
+#: offset keeps the packed value POSITIVE even for the negated low side
+#: (and negative prices): Spark's and DuckDB's % both truncate toward
+#: zero, so decoding `enc % bits` is only the mathematical row number
+#: when enc >= 0. (2^40 + 1e12) * 2^21 stays under 2^62.
+_AROON_RN_BITS = 2097152
+_AROON_OFFSET = 1099511627776
+
+
+def aroon(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 25,
+    high: str = "high",
+    low: str = "low",
+) -> DataFrame:
+    """Aroon up/down/oscillator over per-key bars.
+
+    aroon_up = (n - bars_since_highest_high) / n * 100 over the last
+    n+1 bars (0..n bars since); aroon_down likewise on the lowest low.
+    "Bars since" is recovered from an integer argmax: prices are
+    quantized to micro-units and packed with the row number
+    (price * 2^21 + rn), so the rolling MAX is pure BIGINT arithmetic —
+    deterministic in both engines, ties resolved toward the latest bar
+    (Spark's max_by makes NO tie guarantee, so it is not used). With
+    the default n=25 the output is exactly (n-d)*4.0 — an integer-
+    valued double, no rounding involved.
+
+    Output: keys, order_col, aroon_up, aroon_down, aroon_osc.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    f = w.rowsBetween(-n, 0)
+    rn = F.row_number().over(w)
+    ih = F.floor(F.col(high) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    il = F.floor(F.col(low) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    bits = F.lit(_AROON_RN_BITS)
+    off = F.lit(_AROON_OFFSET)
+    src = df.withColumn("_rn", rn).withColumn(
+        "_he", (off + ih) * bits + F.col("_rn")
+    ).withColumn("_le", (off - il) * bits + F.col("_rn"))
+    w2 = Window.partitionBy(*keys).orderBy(order_col)
+    f2 = w2.rowsBetween(-n, 0)
+    rn_hh = F.max(F.col("_he")).over(f2) % bits
+    rn_ll = F.max(F.col("_le")).over(f2) % bits
+    scale = F.lit(100.0 / n)
+    up = (F.lit(n) - (F.col("_rn") - rn_hh)).cast("double") * scale
+    down = (F.lit(n) - (F.col("_rn") - rn_ll)).cast("double") * scale
+    return src.select(
+        *keys,
+        F.col(order_col),
+        up.alias("aroon_up"),
+        down.alias("aroon_down"),
+        (up - down).alias("aroon_osc"),
+    )
+
+
+def overnight_gaps(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    open_col: str = "open",
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Overnight gap ledger: open vs the previous close.
+
+    gap_pct = (open / prev_close - 1) * 100 via q6 (dyadic-return
+    class); direction is the sign; filled flags whether the session
+    traded back through the prior close (low <= prev_close <= high) —
+    pure comparisons. One lag window. First bar: no gap, not emitted;
+    like returns_ledger, gaps are defined on POSITIVE prior closes
+    (prev_close <= 0 rows are excluded, not NULL-padded).
+
+    Output: keys, order_col, prev_close, open, gap_pct, direction,
+    filled.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    pc = F.lag(F.col(close)).over(w)
+    src = df.select(
+        *keys,
+        F.col(order_col),
+        pc.alias("prev_close"),
+        F.col(open_col).alias("open"),
+        F.col(high),
+        F.col(low),
+    ).filter(F.col("prev_close") > 0)
+    gap = q6((F.col("open") / F.col("prev_close") - F.lit(1.0)) * F.lit(100.0))
+    return (
+        src.withColumn("gap_pct", gap)
+        .select(
+            *keys,
+            F.col(order_col),
+            "prev_close",
+            "open",
+            "gap_pct",
+            F.signum(F.col("gap_pct")).cast("int").alias("direction"),
+            (
+                (F.col(low) <= F.col("prev_close"))
+                & (F.col("prev_close") <= F.col(high))
+            ).alias("filled"),
+        )
+    )
+
+
+def adx(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 14,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Wilder's DMI/ADX — the TWO-LEVEL-seeded recurrence class: three
+    chained Wilder-smoothed sums (+DM, -DM, TR), then the ADX itself is
+    a second Wilder recurrence over the derived DX series, seeded by a
+    running sum carried through the first recursion.
+
+    Per bar (from the 2nd): up = h_t - h_{t-1}, dn = l_{t-1} - l_t;
+    +DM = up if up > dn and up > 0 else 0 (and symmetrically -DM); TR
+    as usual. Smoothed sums seed at bar n+1 with the plain sum of the
+    first n values and then follow S' = S - S//n + X (integer floor —
+    exact BIGINT state in micro-units). +DI/-DI = 100 * S_dm / S_tr is
+    one IEEE division of exact BIGINTs; DX collapses to
+    100 * |S+ - S-| / (S+ + S-) (the common S_tr cancels) and is
+    carried as an integer scaled by 1e4 via floor division, so the ADX
+    recurrence adx' = (adx*(n-1) + dx) // n is also exact BIGINT. ADX
+    seeds at bar 2n with the mean of the first n DX values.
+
+    The DuckDB twin replays the identical state machine as a recursive
+    CTE (all quantities nonnegative, so `//` truncation IS floor).
+    Magnitude precondition: |price| < ~1e6 keeps every intermediate
+    under 2^62 (micro-unit sums ~n*1e12, times the 1e6 DX scale).
+
+    Flat-market edges: +DI/-DI are NULL while S_tr == 0; DX is 0 while
+    S+ + S- == 0 (Wilder's convention). Warm-up bars emit NULL.
+
+    Grouped-map per key with explicit repartitioning (the
+    one-task-AQE-coalesce fix all grouped-map operators here carry).
+
+    Output: keys + order_col + (pdi, mdi, adx).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, high, low, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", pdi double, mdi double, adx double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        h = np.rint(pdf[high].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        lo = np.rint(pdf[low].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        c = np.rint(pdf[close].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        m = len(h)
+        pdi = np.full(m, np.nan)
+        mdi = np.full(m, np.nan)
+        adxv = np.full(m, np.nan)
+        if m >= n + 1:
+            pdm = np.zeros(m, dtype=np.int64)
+            ndm = np.zeros(m, dtype=np.int64)
+            tr = np.zeros(m, dtype=np.int64)
+            for i in range(1, m):
+                up = int(h[i]) - int(h[i - 1])
+                dn = int(lo[i - 1]) - int(lo[i])
+                if up > dn and up > 0:
+                    pdm[i] = up
+                if dn > up and dn > 0:
+                    ndm[i] = dn
+                tr[i] = max(
+                    int(h[i]) - int(lo[i]),
+                    abs(int(h[i]) - int(c[i - 1])),
+                    abs(int(lo[i]) - int(c[i - 1])),
+                )
+            # first-level seed at bar n+1 (index n): sums of bars 2..n+1
+            sp = int(np.sum(pdm[1 : n + 1]))
+            sn = int(np.sum(ndm[1 : n + 1]))
+            st = int(np.sum(tr[1 : n + 1]))
+            dxsum = 0
+            au = -1  # scaled ADX state; -1 = not yet seeded
+            for i in range(n, m):
+                if i > n:
+                    sp = sp - sp // n + int(pdm[i])
+                    sn = sn - sn // n + int(ndm[i])
+                    st = st - st // n + int(tr[i])
+                if st > 0:
+                    pdi[i] = 100.0 * sp / st
+                    mdi[i] = 100.0 * sn / st
+                dx = (1000000 * abs(sp - sn)) // (sp + sn) if sp + sn > 0 else 0
+                if i < 2 * n - 1:
+                    dxsum += dx
+                elif i == 2 * n - 1:
+                    dxsum += dx
+                    au = dxsum // n
+                    adxv[i] = au / 1e4
+                else:
+                    au = (au * (n - 1) + dx) // n
+                    adxv[i] = au / 1e4
+        def masked(x):
+            arr = pd.array(x, dtype="Float64")
+            arr[np.isnan(x)] = pd.NA  # warm-up rows are NULL like the
+            return arr                # SQL twin's LEFT JOIN misses
+        return pdf.assign(pdi=masked(pdi), mdi=masked(mdi), adx=masked(adxv))
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
