@@ -6269,6 +6269,127 @@ ORDER BY b.user_id, b.trade_date
 """
 
 
+def emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over the embeddings table
+    (operators/similarity.pq_index/pq_probe): per-subspace seeded-Lloyd
+    codebooks (4 x 16-dim, 8 codes), asymmetric-distance scan over the
+    compressed codes with an integer micro-unit LUT, exact cosine
+    rescore of a 4x shortlist. Completes the ANN family's compression
+    axis (brute -> LSH -> IVF -> SQ8 -> PQ); the oracle regenerates the
+    per-subspace Lloyd fits and replays the identical BIGINT ADC in
+    DuckDB, so even this doubly-approximate index has a value-hash
+    check."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        pq_index,
+        pq_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb, codes, vectors = pq_index(emb, m=4, k=8, n_iter=2, dim=64)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return pq_probe(
+        queries_df, cb, codes, vectors, k=5, shortlist_mult=4, m=4, dim=64
+    ).orderBy("query_id", "rank")
+
+
+def _pq_ann_sql(
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+    mult: int = 4,
+) -> str:
+    """DuckDB replay of the PQ pipeline: per-subspace md5-bottom-k
+    seeded Lloyd (decimal-exact means), micro-unit ADC LUT, BIGINT
+    candidate sums, exact cosine rescore — mirrors pq_index/pq_probe
+    op-for-op."""
+    d = dim // m
+    d2 = (
+        "list_dot_product(s.emb, s.emb) + list_dot_product(c.centroid, c.centroid)"
+        " - 2.0 * list_dot_product(s.emb, c.centroid)"
+    )
+
+    def assign(src: str, cents: str) -> str:
+        return f"""(
+  SELECT vec_id, emb, cell FROM (
+    SELECT s.vec_id, s.emb, c.cell,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM {src} s CROSS JOIN {cents} c)
+  WHERE rn = 1)"""
+
+    def means(assigned: str) -> str:
+        return f"""(
+  SELECT cell, list(mn ORDER BY pos) AS centroid FROM (
+    SELECT cell, i AS pos,
+           CAST(sum(CAST(emb[i] AS DECIMAL(38,6))) AS DOUBLE) / count(emb[i]) AS mn
+    FROM {assigned}, generate_series(1, {d}) t(i)
+    GROUP BY cell, i)
+  GROUP BY cell)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS emb FROM embeddings)"
+    ]
+    adc_parts = []
+    for j in range(m):
+        a, b = j * d + 1, (j + 1) * d
+        ctes.append(
+            f"s{j} AS (SELECT vec_id, emb[{a}:{b}] AS emb FROM e)"
+        )
+        ctes.append(f"""c{j}_0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS cell,
+         emb AS centroid
+  FROM s{j} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})""")
+        cur = f"c{j}_0"
+        for i in range(n_iter):
+            ctes.append(f"a{j}_{i} AS MATERIALIZED {assign(f's{j}', cur)}")
+            cur = f"c{j}_{i + 1}"
+            ctes.append(f"{cur} AS MATERIALIZED {means(f'a{j}_{i}')}")
+        ctes.append(f"af{j} AS MATERIALIZED {assign(f's{j}', cur)}")
+        ctes.append(f"""lut{j} AS (
+  SELECT s.vec_id AS query_id, c.cell,
+         CAST(floor(({d2}) * 1e6 + 0.5) AS BIGINT) AS id2
+  FROM s{j} s CROSS JOIN {cur} c WHERE s.vec_id < 10)""")
+        adc_parts.append(
+            f"SELECT l.query_id, a.vec_id AS neighbor_id, l.id2"
+            f" FROM af{j} a JOIN lut{j} l ON l.cell = a.cell"
+        )
+    union = " UNION ALL ".join(adc_parts)
+    ctes.append(f"""adc AS (
+  SELECT query_id, neighbor_id, sum(id2) AS iadc
+  FROM ({union}) WHERE neighbor_id <> query_id
+  GROUP BY query_id, neighbor_id)""")
+    ctes.append(f"""short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY iadc ASC, neighbor_id ASC) AS rn
+    FROM adc)
+  WHERE rn <= {mult * topk})""")
+    ctes.append(
+        "nv AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm"
+        " FROM e)"
+    )
+    with_block = ",\n".join(ctes)
+    return f"""
+WITH {with_block}
+SELECT query_id, neighbor_id, floor(cos * 1e6 + 0.5) / 1e6 AS cosine,
+       rank FROM (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY list_dot_product(q.emb, c.emb)
+                                     / (q.nrm * c.nrm) DESC,
+                                     s.neighbor_id ASC) AS rank
+  FROM short s
+  JOIN nv q ON q.vec_id = s.query_id
+  JOIN nv c ON c.vec_id = s.neighbor_id)
+WHERE rank <= {topk} ORDER BY query_id, rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6327,6 +6448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_aroon": x_aroon,
         "x_gaps": x_gaps,
         "x_adx": x_adx,
+        "emb_pq_ann": emb_pq_ann,
         # --- round-4 gate window part 3: back-fill with previously-checked
         # entries (re-verification; green in r2/r3) ---
         "q01_pricing_summary": q01_pricing_summary,
@@ -6500,6 +6622,7 @@ def oracle_sql() -> dict[str, str]:
         "x_aroon": _X_AROON_SQL,
         "x_gaps": _X_GAPS_SQL,
         "x_adx": _adx_sql(),
+        "emb_pq_ann": _pq_ann_sql(),
         "emb_lsh_ann": _lsh_ann_sql(),
         "j_asof_orders": _J_ASOF_SQL,
         "j_semi_active_customers": _J_SEMI_SQL,
@@ -6727,4 +6850,5 @@ HEADLINE_QUERIES = [
     "x_aroon",
     "x_gaps",
     "x_adx",
+    "emb_pq_ann",
 ]

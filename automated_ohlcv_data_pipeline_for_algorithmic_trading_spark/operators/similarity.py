@@ -865,3 +865,182 @@ def semdedup(
         "keeper_id",
         (F.col("doc_id") == F.col("keeper_id")).alias("is_kept"),
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: an independent deterministic
+    seeded-Lloyd k-means (see :func:`seeded_centroids`) per SUBSPACE —
+    the vector is split into ``m`` contiguous ``dim/m``-dim slices and
+    each slice gets its own ``k``-entry codebook. Same md5-bottom-k
+    seed rows in every subspace, so the whole fit replays in SQL.
+
+    Returns (sub int, cell int, centroid array<double>) — m*k tiny
+    rows, broadcast everywhere downstream.
+    """
+    d = dim // m
+    parts = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), j * d + 1, d).alias("embedding"),
+        )
+        cents = seeded_centroids(
+            sub, n_lists=k, n_iter=n_iter, id_col=id_col, vec_col="embedding"
+        )
+        parts.append(cents.select(F.lit(j).alias("sub"), "cell", "centroid"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_index(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the persistable PQ index: (codebooks, codes, vectors).
+
+    ``codes`` is long-form (vec_id, sub, cell) — one row per vector per
+    subspace, the natural shape for the ADC equi-join at probe time
+    (and for a ``partitionBy(sub, cell)`` layout at scale). ``vectors``
+    keeps (vec_id, vec, norm) for the exact rescore of the shortlist.
+
+    100 TB shape: codes are m small ints per vector — a 64-dim float
+    corpus compresses ~64x in the scan path; the fit is m tiny k-means
+    over a corpus SAMPLE in real deployments (here the full table —
+    it IS the sample at test scale); assignment is one broadcast join
+    with map-side min_by partial aggregation, no wide shuffle.
+    """
+    d = dim // m
+    cb = pq_codebooks(corpus, m, k, n_iter, dim, id_col, vec_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    base = corpus.select(
+        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
+    ).repartition(par, "_vid")
+    slices = F.array(*[F.slice(F.col("_x"), j * d + 1, d) for j in range(m)])
+    el = base.select(
+        "_vid", F.posexplode(slices).alias("sub", "_sx")
+    ).withColumn("_xx", dot(F.col("_sx"), F.col("_sx")))
+    cbb = cb.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))
+    scored = el.join(F.broadcast(cbb), "sub").withColumn(
+        "_d2",
+        F.col("_xx") + F.col("_cc")
+        - F.lit(2.0) * dot(F.col("_sx"), F.col("centroid")),
+    )
+    codes = (
+        scored.groupBy("_vid", "sub")
+        .agg(F.min_by(F.col("cell"), F.struct(F.col("_d2"), F.col("cell"))).alias("cell"))
+        .select(F.col("_vid").alias("vec_id"), "sub", "cell")
+    )
+    vectors = base.select(
+        F.col("_vid").alias("vec_id"),
+        F.col("_x").alias("vec"),
+        l2_norm(F.col("_x")).alias("norm"),
+    )
+    return cb, codes, vectors
+
+
+def pq_probe(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    shortlist_mult: int = 4,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a PQ index by asymmetric distance computation (ADC) with
+    exact rescoring.
+
+    Each query builds an m*k lookup table of squared distances from its
+    subvectors to every codebook entry, QUANTIZED to integer micro-units
+    (floor(d2*1e6+0.5) — the LUT is the only float math in the scan, so
+    the per-candidate ADC score is a partition-invariant BIGINT sum and
+    shortlist ranking is total-ordered on (iadc, neighbor_id) in any
+    engine). The top ``shortlist_mult*k`` candidates per query are
+    rescored with exact cosine over the full vectors; final rank is
+    (cosine desc, neighbor_id).
+
+    Scan shape at 100 TB: the LUT is broadcast (queries x m x k rows);
+    the ADC pass is one equi-join on (sub, cell) against the compressed
+    codes table with map-side partial SUM — the full-precision vectors
+    are touched only for shortlist_mult*k rows per query.
+
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    d = dim // m
+    qslices = F.array(*[
+        F.slice(_as_double(F.col(vec_col)), j * d + 1, d) for j in range(m)
+    ])
+    qel = queries.select(
+        F.col(id_col).alias("query_id"), F.posexplode(qslices).alias("sub", "_qx")
+    ).withColumn("_qq", dot(F.col("_qx"), F.col("_qx")))
+    cbb = codebooks.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))
+    lut = qel.join(F.broadcast(cbb), "sub").select(
+        "query_id",
+        "sub",
+        "cell",
+        F.floor(
+            (
+                F.col("_qq") + F.col("_cc")
+                - F.lit(2.0) * dot(F.col("_qx"), F.col("centroid"))
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("id2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("id2").alias("iadc"))
+    )
+    w = Window.partitionBy("query_id").orderBy("iadc", "neighbor_id")
+    short = adc.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= shortlist_mult * k
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("_qvec"),
+    ).withColumn("_qn", l2_norm(F.col("_qvec")))
+    res = (
+        short.join(qv, "query_id")
+        .join(
+            vectors.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("vec").alias("_cvec"),
+                F.col("norm").alias("_cn"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "_cos",
+            dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", q6("_cos", "cosine"), "rank")
+    )

@@ -159,3 +159,43 @@ def test_sq8_recall_and_quantize_contract(spark, sf_dir):
     for r in qz:
         assert all(-127 <= v <= 127 for v in r["q"])
         assert r["qn"] >= 0.0
+
+
+def test_pq_recall_and_code_contract(spark, sf_dir):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        pq_index,
+        pq_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {}
+    for r in brute_force_knn(queries, emb, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    cb, codes, vectors = pq_index(emb, m=4, k=8, n_iter=2, dim=64)
+    approx = {}
+    ranks = {}
+    for r in pq_probe(queries, cb, codes, vectors, k=5, shortlist_mult=4).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    # 4 subspaces x 8 codes is a coarse 64x compression; with a 4x
+    # shortlist + exact rescore the top-5 should still mostly agree
+    assert recall >= 0.4, f"PQ recall collapsed: {recall}"
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+        assert q not in approx[q]  # self excluded
+
+    # code contract: one code per (vector, subspace), cells in [0, 8)
+    n = emb.count()
+    assert codes.count() == n * 4
+    stats = codes.groupBy("sub").agg(
+        F.min("cell").alias("lo"), F.max("cell").alias("hi")
+    ).collect()
+    assert len(stats) == 4
+    for r in stats:
+        assert 0 <= r["lo"] and r["hi"] <= 7
+    # codebooks: 4 subspaces x <= 8 cells of 16-dim centroids
+    for r in cb.collect():
+        assert len(r["centroid"]) == 16
