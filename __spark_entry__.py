@@ -1836,7 +1836,8 @@ WITH src AS (
          event_id % 100 + 1 AS volume
   FROM events)
 SELECT symbol_clean, event_id, timestamp_unix, close, volume,
-       CAST(sum(CAST(close * volume AS DECIMAL(38,6))) OVER w AS DOUBLE)
+       CAST(sum(CAST(floor(close * volume * 1e6 + 0.5) AS BIGINT)) OVER w
+            AS DOUBLE) / 1e6
            / CAST(sum(volume) OVER w AS BIGINT) AS vwap,
        CAST(sum(volume) OVER w AS BIGINT) AS cum_volume
 FROM src
@@ -1884,8 +1885,10 @@ WITH src AS (
   FROM events),
 w AS (
   SELECT user_id, event_id, timestamp_unix, close,
-         CAST(sum(CAST(close AS DECIMAL(38,6))) OVER win AS DOUBLE) AS sx,
-         CAST(sum(CAST(close * close AS DECIMAL(38,6))) OVER win AS DOUBLE) AS sxx,
+         CAST(sum(CAST(floor(close * 1e6 + 0.5) AS BIGINT)) OVER win
+              AS DOUBLE) / 1e6 AS sx,
+         CAST(sum(CAST(floor(close * close * 1e6 + 0.5) AS BIGINT)) OVER win
+              AS DOUBLE) / 1e6 AS sxx,
          count(*) OVER win AS cnt
   FROM src
   WINDOW win AS (PARTITION BY user_id ORDER BY timestamp_unix, event_id
@@ -1939,7 +1942,7 @@ def x_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X_EMA_MACD_SQL = """
 WITH RECURSIVE src AS (
   SELECT user_id, event_id, epoch_us(ts) AS timestamp_unix, value AS close,
-         CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS v,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) AS rn
   FROM events),
@@ -5625,10 +5628,10 @@ _X_HEIKIN_SQL = f"""
 WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
 b AS (
   SELECT user_id, trade_date, open, high, low, close,
-         CAST(CAST(open  AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS ou,
-         CAST(CAST(high  AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS hu,
-         CAST(CAST(low   AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS lu,
-         CAST(CAST(close AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS cu,
+         CAST(floor(open * 1e6 + 0.5) AS BIGINT) AS ou,
+         CAST(floor(high * 1e6 + 0.5) AS BIGINT) AS hu,
+         CAST(floor(low * 1e6 + 0.5) AS BIGINT) AS lu,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS cu,
          row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
   FROM daily),
 ha AS (
@@ -5855,9 +5858,9 @@ def _supertrend_sql(n: int = 10, mult: int = 3) -> str:
 WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
 b AS (
   SELECT user_id, trade_date, high, low, close,
-         CAST(CAST(high  AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS hu,
-         CAST(CAST(low   AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS lu,
-         CAST(CAST(close AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS cu,
+         CAST(floor(high * 1e6 + 0.5) AS BIGINT) AS hu,
+         CAST(floor(low * 1e6 + 0.5) AS BIGINT) AS lu,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS cu,
          row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
   FROM daily),
 t AS MATERIALIZED (
@@ -6220,9 +6223,9 @@ def _adx_sql(n: int = 14) -> str:
 WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
 b AS (
   SELECT user_id, trade_date, close,
-         CAST(CAST(high  AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS hu,
-         CAST(CAST(low   AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS lu,
-         CAST(CAST(close AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS cu,
+         CAST(floor(high * 1e6 + 0.5) AS BIGINT) AS hu,
+         CAST(floor(low * 1e6 + 0.5) AS BIGINT) AS lu,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS cu,
          row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
   FROM daily),
 t AS MATERIALIZED (
@@ -6271,97 +6274,102 @@ ORDER BY b.user_id, b.trade_date
 
 def emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN over the embeddings table
-    (operators/similarity.pq_index/pq_probe): per-subspace seeded-Lloyd
-    codebooks (4 x 16-dim, 8 codes), asymmetric-distance scan over the
-    compressed codes with an integer micro-unit LUT, exact cosine
-    rescore of a 4x shortlist. Completes the ANN family's compression
-    axis (brute -> LSH -> IVF -> SQ8 -> PQ); the oracle regenerates the
-    per-subspace Lloyd fits and replays the identical BIGINT ADC in
-    DuckDB, so even this doubly-approximate index has a value-hash
-    check."""
+    (operators/similarity.pq_index/pq_probe): fused seeded-Lloyd
+    codebooks over unit-NORMALIZED vectors (16 x 4-dim subspaces, 16
+    codes each — on the unit sphere integer-ADC order tracks cosine
+    order, so the shortlist no longer drops true neighbors),
+    asymmetric-distance scan over the compressed codes with an integer
+    micro-unit LUT, exact cosine rescore of a 16x shortlist. Completes
+    the ANN family's compression axis (brute -> LSH -> IVF -> SQ8 ->
+    PQ); the oracle regenerates the fused Lloyd fit and replays the
+    identical BIGINT ADC in DuckDB, so even this doubly-approximate
+    index has a value-hash check. Recall contract:
+    tests/test_ivf_fingerprint.py (>=0.8 vs brute force at sf0.001 AND
+    sf0.01)."""
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
         pq_index,
         pq_probe,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb, codes, vectors = pq_index(emb, m=4, k=8, n_iter=2, dim=64)
+    cb, codes, vectors = pq_index(emb, m=16, k=16, n_iter=4, dim=64)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return pq_probe(
-        queries_df, cb, codes, vectors, k=5, shortlist_mult=4, m=4, dim=64
+        queries_df, cb, codes, vectors, k=5, shortlist_mult=16, m=16, dim=64
     ).orderBy("query_id", "rank")
 
 
 def _pq_ann_sql(
-    m: int = 4,
-    k: int = 8,
-    n_iter: int = 2,
+    m: int = 16,
+    k: int = 16,
+    n_iter: int = 4,
     dim: int = 64,
     topk: int = 5,
-    mult: int = 4,
+    mult: int = 16,
 ) -> str:
-    """DuckDB replay of the PQ pipeline: per-subspace md5-bottom-k
-    seeded Lloyd (decimal-exact means), micro-unit ADC LUT, BIGINT
-    candidate sums, exact cosine rescore — mirrors pq_index/pq_probe
-    op-for-op."""
+    """DuckDB replay of the PQ pipeline: unit normalization, FUSED
+    md5-bottom-k seeded Lloyd over all subspaces at once (decimal-exact
+    means, one CTE chain instead of m), micro-unit ADC LUT, BIGINT
+    candidate sums, exact cosine rescore on the raw vectors — mirrors
+    pq_index/pq_probe op-for-op."""
     d = dim // m
     d2 = (
-        "list_dot_product(s.emb, s.emb) + list_dot_product(c.centroid, c.centroid)"
-        " - 2.0 * list_dot_product(s.emb, c.centroid)"
+        "list_dot_product(s.semb, s.semb)"
+        " + list_dot_product(c.centroid, c.centroid)"
+        " - 2.0 * list_dot_product(s.semb, c.centroid)"
     )
 
     def assign(src: str, cents: str) -> str:
         return f"""(
-  SELECT vec_id, emb, cell FROM (
-    SELECT s.vec_id, s.emb, c.cell,
-           row_number() OVER (PARTITION BY s.vec_id
+  SELECT sub, vec_id, semb, cell FROM (
+    SELECT s.sub, s.vec_id, s.semb, c.cell,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
                               ORDER BY {d2} ASC, c.cell ASC) AS rn
-    FROM {src} s CROSS JOIN {cents} c)
+    FROM {src} s JOIN {cents} c ON c.sub = s.sub)
   WHERE rn = 1)"""
 
     def means(assigned: str) -> str:
         return f"""(
-  SELECT cell, list(mn ORDER BY pos) AS centroid FROM (
-    SELECT cell, i AS pos,
-           CAST(sum(CAST(emb[i] AS DECIMAL(38,6))) AS DOUBLE) / count(emb[i]) AS mn
+  SELECT sub, cell, list(mn ORDER BY pos) AS centroid FROM (
+    SELECT sub, cell, i AS pos,
+           CAST(sum(CAST(semb[i] AS DECIMAL(38,6))) AS DOUBLE) / count(semb[i]) AS mn
     FROM {assigned}, generate_series(1, {d}) t(i)
-    GROUP BY cell, i)
-  GROUP BY cell)"""
+    GROUP BY sub, cell, i)
+  GROUP BY sub, cell)"""
 
     ctes = [
         "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
-        " AS emb FROM embeddings)"
+        " AS raw FROM embeddings)",
+        "en AS (SELECT vec_id, raw, CASE WHEN nrm > 0.0"
+        " THEN list_transform(raw, x -> x / nrm) ELSE raw END AS emb"
+        " FROM (SELECT vec_id, raw, sqrt(list_dot_product(raw, raw)) AS nrm"
+        " FROM e))",
+        f"s AS (SELECT vec_id, j AS sub, emb[j*{d}+1 : j*{d}+{d}] AS semb"
+        f" FROM en, generate_series(0, {m - 1}) t(j))",
+        f"""seed AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS cell
+  FROM (SELECT vec_id FROM en
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}))""",
+        "c0 AS MATERIALIZED (SELECT s.sub, seed.cell, s.semb AS centroid"
+        " FROM s JOIN seed USING (vec_id))",
     ]
-    adc_parts = []
-    for j in range(m):
-        a, b = j * d + 1, (j + 1) * d
-        ctes.append(
-            f"s{j} AS (SELECT vec_id, emb[{a}:{b}] AS emb FROM e)"
-        )
-        ctes.append(f"""c{j}_0 AS (
-  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-             AS cell,
-         emb AS centroid
-  FROM s{j} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})""")
-        cur = f"c{j}_0"
-        for i in range(n_iter):
-            ctes.append(f"a{j}_{i} AS MATERIALIZED {assign(f's{j}', cur)}")
-            cur = f"c{j}_{i + 1}"
-            ctes.append(f"{cur} AS MATERIALIZED {means(f'a{j}_{i}')}")
-        ctes.append(f"af{j} AS MATERIALIZED {assign(f's{j}', cur)}")
-        ctes.append(f"""lut{j} AS (
-  SELECT s.vec_id AS query_id, c.cell,
+    cur = "c0"
+    for i in range(n_iter):
+        ctes.append(f"a{i} AS MATERIALIZED {assign('s', cur)}")
+        cur = f"c{i + 1}"
+        ctes.append(f"{cur} AS MATERIALIZED {means(f'a{i}')}")
+    ctes.append(f"af AS MATERIALIZED {assign('s', cur)}")
+    ctes.append(f"""lut AS (
+  SELECT s.vec_id AS query_id, s.sub, c.cell,
          CAST(floor(({d2}) * 1e6 + 0.5) AS BIGINT) AS id2
-  FROM s{j} s CROSS JOIN {cur} c WHERE s.vec_id < 10)""")
-        adc_parts.append(
-            f"SELECT l.query_id, a.vec_id AS neighbor_id, l.id2"
-            f" FROM af{j} a JOIN lut{j} l ON l.cell = a.cell"
-        )
-    union = " UNION ALL ".join(adc_parts)
-    ctes.append(f"""adc AS (
-  SELECT query_id, neighbor_id, sum(id2) AS iadc
-  FROM ({union}) WHERE neighbor_id <> query_id
-  GROUP BY query_id, neighbor_id)""")
+  FROM s JOIN {cur} c ON c.sub = s.sub WHERE s.vec_id < 10)""")
+    ctes.append("""adc AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.id2) AS iadc
+  FROM af a JOIN lut l ON l.sub = a.sub AND l.cell = a.cell
+  WHERE a.vec_id <> l.query_id
+  GROUP BY l.query_id, a.vec_id)""")
     ctes.append(f"""short AS (
   SELECT query_id, neighbor_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -6369,8 +6377,8 @@ def _pq_ann_sql(
     FROM adc)
   WHERE rn <= {mult * topk})""")
     ctes.append(
-        "nv AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm"
-        " FROM e)"
+        "nv AS (SELECT vec_id, raw AS emb, sqrt(list_dot_product(raw, raw))"
+        " AS nrm FROM e)"
     )
     with_block = ",\n".join(ctes)
     return f"""

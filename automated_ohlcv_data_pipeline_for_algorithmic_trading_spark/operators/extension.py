@@ -70,8 +70,9 @@ def ema_macd_exact(
     micro-units so a sequential SQL replay (DuckDB recursive CTE) is
     bit-identical to this pandas fold:
 
-    - quantize prices with round-half-even at 1e-6 (``np.rint(x * 1e6)``,
-      the same rounding a DECIMAL(38,6) cast applies),
+    - quantize prices to 1e-6 with the repo-wide tie-free rule
+      ``floor(x * 1e6 + 0.5)`` (plain IEEE ops, no tie-break — the SQL
+      twin applies the literal same expression, see functions/exact.q6),
     - step ``e_i = e_{i-1} + floor(2.0 * (v_i - e_{i-1}) / (n + 1.0))``
       with the floor over the DOUBLE quotient — all operands stay far
       below 2^53, so both engines compute the identical double and the
@@ -86,7 +87,7 @@ def ema_macd_exact(
     import numpy as np
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = np.rint(pdf[price_col].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        v = np.floor(pdf[price_col].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
         e_fast = np.empty(len(v), dtype=np.int64)
         e_slow = np.empty(len(v), dtype=np.int64)
         ef = es = 0
@@ -115,8 +116,9 @@ def bollinger_bands_exact(
     (functions/exact.py), so the grouped-map result is bit-identical to a
     windowed decimal(38,6) SQL replay on any engine/partitioning.
 
-    Prices and their squares quantize to 1e-6 with round-half-even (the
-    same rounding a DECIMAL(38,6) cast applies); rolling integer sums are
+    Prices and their squares quantize to 1e-6 with the tie-free
+    ``floor(x * 1e6 + 0.5)`` rule (identical IEEE ops in the SQL twin,
+    see functions/exact.q6); rolling integer sums are
     exact in float64 while window sums stay below 2^53 micro-units
     (~9e9 in price units — far above any real OHLCV window). n < 2 emits
     sd = 0 like :func:`bollinger_bands`. Oracle-checked in
@@ -125,8 +127,8 @@ def bollinger_bands_exact(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[price_col].to_numpy(dtype=float)
-        xu = np.rint(x * 1e6)
-        xxu = np.rint(x * x * 1e6)
+        xu = np.floor(x * 1e6 + 0.5)
+        xxu = np.floor(x * x * 1e6 + 0.5)
         s = pd.Series(xu).rolling(window, min_periods=1)
         ss = pd.Series(xxu).rolling(window, min_periods=1)
         n = s.count().to_numpy()

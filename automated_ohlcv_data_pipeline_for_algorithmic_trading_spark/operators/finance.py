@@ -940,10 +940,10 @@ def heikin_ashi(
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([*key_list, order_col])
-        o = np.rint(pdf[open_col].to_numpy(dtype=float) * 1e6).astype(np.int64)
-        h = np.rint(pdf[high].to_numpy(dtype=float) * 1e6).astype(np.int64)
-        lo = np.rint(pdf[low].to_numpy(dtype=float) * 1e6).astype(np.int64)
-        c = np.rint(pdf[close].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        o = np.floor(pdf[open_col].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        h = np.floor(pdf[high].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        lo = np.floor(pdf[low].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        c = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
         ha_c = (o + h + lo + c) // 4
         ha_o = np.empty(len(o), dtype=np.int64)
         prev_o = prev_c = 0
@@ -1014,9 +1014,9 @@ def supertrend(
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([*key_list, order_col])
-        h = np.rint(pdf[high].to_numpy(dtype=float) * 1e6).astype(np.int64)
-        lo = np.rint(pdf[low].to_numpy(dtype=float) * 1e6).astype(np.int64)
-        c = np.rint(pdf[close].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        h = np.floor(pdf[high].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        lo = np.floor(pdf[low].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        c = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
         m = len(h)
         atr = np.full(m, -1, dtype=np.int64)
         fub = np.zeros(m, dtype=np.int64)
@@ -1307,6 +1307,12 @@ def aroon(
     the default n=25 the output is exactly (n-d)*4.0 — an integer-
     valued double, no rounding involved.
 
+    Packing precondition, ENFORCED at runtime (``assert_true`` folded
+    into the packed value so it cannot be pruned): fewer than 2^21 bars
+    per key and |price| < 2^40 micro-units (~1.1e6 in price units) —
+    beyond either, the packed argmax would silently corrupt. A key that
+    trips the guard fails the job with a clear message instead.
+
     Output: keys, order_col, aroon_up, aroon_down, aroon_osc.
     """
     w = Window.partitionBy(*keys).orderBy(order_col)
@@ -1316,7 +1322,15 @@ def aroon(
     il = F.floor(F.col(low) * F.lit(1e6) + F.lit(0.5)).cast("long")
     bits = F.lit(_AROON_RN_BITS)
     off = F.lit(_AROON_OFFSET)
-    src = df.withColumn("_rn", rn).withColumn(
+    guard = F.assert_true(
+        (rn < bits) & (ih > -off) & (ih < off) & (il > -off) & (il < off),
+        F.lit(
+            "aroon packing overflow: needs rows-per-key < 2^21 and"
+            " |price| < ~1.1e6 (2^40 micro-units)"
+        ),
+    )
+    pad = F.coalesce(guard.cast("long"), F.lit(0))
+    src = df.withColumn("_rn", rn + pad).withColumn(
         "_he", (off + ih) * bits + F.col("_rn")
     ).withColumn("_le", (off - il) * bits + F.col("_rn"))
     w2 = Window.partitionBy(*keys).orderBy(order_col)
@@ -1436,9 +1450,9 @@ def adx(
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([*key_list, order_col])
-        h = np.rint(pdf[high].to_numpy(dtype=float) * 1e6).astype(np.int64)
-        lo = np.rint(pdf[low].to_numpy(dtype=float) * 1e6).astype(np.int64)
-        c = np.rint(pdf[close].to_numpy(dtype=float) * 1e6).astype(np.int64)
+        h = np.floor(pdf[high].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        lo = np.floor(pdf[low].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        c = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
         m = len(h)
         pdi = np.full(m, np.nan)
         mdi = np.full(m, np.nan)

@@ -867,73 +867,170 @@ def semdedup(
     )
 
 
+def unit_normalize(vec: Column) -> Column:
+    """L2-normalize an ``array<double>`` column (zero vectors pass
+    through unchanged so no NaN/Inf enters the plan). With unit-norm
+    inputs, squared-L2 order is exactly ``2 - 2*cos`` order — ADC
+    shortlists built on normalized subvectors rank by the SAME order the
+    exact cosine rescore uses, so PQ recall doesn't decay on
+    unnormalized corpora."""
+    n = l2_norm(vec)
+    return F.when(n > F.lit(0.0), F.transform(vec, lambda x: x / n)).otherwise(vec)
+
+
+def _pq_exploded(
+    corpus: DataFrame, m: int, dim: int, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ prep: ``base`` = (_vid, _raw raw-double vector,
+    _x unit-normalized vector), spread across cores; ``el`` = the
+    subspace-EXPLODED view (_vid, sub, _sx, _xx) — one row per vector
+    per subspace, ALL m subspaces in a single DataFrame so every
+    downstream pass (seeding, Lloyd updates, code assignment) is ONE
+    job over (sub, ...) keys instead of m sequential per-subspace job
+    chains (the round-4 shape, whose m*n_iter serial Lloyd fits were
+    the slowest non-pipeline query in BENCH_r04)."""
+    d = dim // m
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    base = (
+        corpus.select(
+            F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_raw")
+        )
+        .repartition(par, "_vid")
+        .withColumn("_n", l2_norm(F.col("_raw")))
+        .withColumn(
+            "_x",
+            F.when(
+                F.col("_n") > F.lit(0.0),
+                F.transform(F.col("_raw"), lambda x: x / F.col("_n")),
+            ).otherwise(F.col("_raw")),
+        )
+    )
+    slices = F.array(*[F.slice(F.col("_x"), j * d + 1, d) for j in range(m)])
+    el = base.select(
+        "_vid", F.posexplode(slices).alias("sub", "_sx")
+    ).withColumn("_xx", dot(F.col("_sx"), F.col("_sx")))
+    return base, el
+
+
+def _pq_fit(base: DataFrame, el: DataFrame, k: int, n_iter: int) -> DataFrame:
+    """Fused seeded-Lloyd PQ fit: every subspace's k-means advances in
+    the SAME job per round — assignment is one broadcast join against
+    the full (sub, cell) codebook with map-side min_by partial agg, and
+    the centroid update is one (sub, cell, pos) decimal-exact mean.
+    Each round collects the m*k tiny centroid rows (same driver-side
+    footprint as ``pyspark.ml`` ``clusterCenters()``), which keeps every
+    round a short independent job instead of an n_iter-deep lazy lineage.
+
+    Seeds are the k corpus vectors with smallest ``(md5(id), id)`` — the
+    SAME seed rows in every subspace (each contributes its slice), so
+    the whole fit replays row-for-row in the DuckDB oracle.
+    """
+    spark = base.sparkSession
+    seeded = base.withColumn(
+        "_h", F.md5(F.col("_vid").cast("string").cast("binary"))
+    )
+    seeds = seeded.orderBy("_h", "_vid").limit(k)
+    w0 = Window.orderBy("_h", "_vid")
+    seat = seeds.withColumn("cell", F.row_number().over(w0) - 1)
+    cents = (
+        el.join(seat.select("_vid", "cell"), "_vid")
+        .select("sub", "cell", F.col("_sx").alias("centroid"))
+    )
+
+    def _materialize(cdf: DataFrame) -> DataFrame:
+        rows = [(r["sub"], r["cell"], list(r["centroid"])) for r in cdf.collect()]
+        return spark.createDataFrame(rows, "sub int, cell int, centroid array<double>")
+
+    cents = _materialize(cents)
+    for _ in range(n_iter):
+        cbb = cents.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))
+        assigned = (
+            el.join(F.broadcast(cbb), "sub")
+            .withColumn(
+                "_d2",
+                F.col("_xx") + F.col("_cc")
+                - F.lit(2.0) * dot(F.col("_sx"), F.col("centroid")),
+            )
+            .groupBy("_vid", "sub")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("cell").alias("c"), F.col("_sx").alias("x")),
+                    F.struct(F.col("_d2"), F.col("cell")),
+                ).alias("_p")
+            )
+            .select("sub", F.col("_p.c").alias("cell"), F.col("_p.x").alias("_sx"))
+        )
+        dims = assigned.select(
+            "sub", "cell", F.posexplode("_sx").alias("_pos", "_val")
+        ).groupBy("sub", "cell", "_pos").agg(davg("_val", "_m"))
+        cents = _materialize(
+            dims.groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
+            .select(
+                "sub",
+                "cell",
+                F.transform("_pm", lambda s: s["_m"]).alias("centroid"),
+            )
+        )
+    return cents
+
+
 def pq_codebooks(
     corpus: DataFrame,
-    m: int = 4,
-    k: int = 8,
-    n_iter: int = 2,
+    m: int = 16,
+    k: int = 16,
+    n_iter: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Product-quantization codebooks: an independent deterministic
-    seeded-Lloyd k-means (see :func:`seeded_centroids`) per SUBSPACE —
-    the vector is split into ``m`` contiguous ``dim/m``-dim slices and
-    each slice gets its own ``k``-entry codebook. Same md5-bottom-k
-    seed rows in every subspace, so the whole fit replays in SQL.
+    """Product-quantization codebooks: a deterministic seeded-Lloyd
+    k-means per SUBSPACE — the unit-NORMALIZED vector is split into
+    ``m`` contiguous ``dim/m``-dim slices and each slice gets its own
+    ``k``-entry codebook; all m fits advance together in one fused job
+    per Lloyd round (see :func:`_pq_fit`). Same md5-bottom-k seed rows
+    in every subspace, so the whole fit replays in SQL.
 
     Returns (sub int, cell int, centroid array<double>) — m*k tiny
     rows, broadcast everywhere downstream.
     """
-    d = dim // m
-    parts = []
-    for j in range(m):
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(_as_double(F.col(vec_col)), j * d + 1, d).alias("embedding"),
-        )
-        cents = seeded_centroids(
-            sub, n_lists=k, n_iter=n_iter, id_col=id_col, vec_col="embedding"
-        )
-        parts.append(cents.select(F.lit(j).alias("sub"), "cell", "centroid"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    base, el = _pq_exploded(corpus, m, dim, id_col, vec_col)
+    return _pq_fit(base, el, k, n_iter)
 
 
 def pq_index(
     corpus: DataFrame,
-    m: int = 4,
-    k: int = 8,
-    n_iter: int = 2,
+    m: int = 16,
+    k: int = 16,
+    n_iter: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the persistable PQ index: (codebooks, codes, vectors).
 
+    Vectors are unit-normalized BEFORE subspace slicing (fit, codes,
+    and — in :func:`pq_probe` — the query LUT all see the same
+    normalized space), so integer-ADC shortlist order tracks the exact
+    cosine rescore order: on the unit sphere ``|q - x|^2 = 2 - 2*cos``.
+
     ``codes`` is long-form (vec_id, sub, cell) — one row per vector per
     subspace, the natural shape for the ADC equi-join at probe time
     (and for a ``partitionBy(sub, cell)`` layout at scale). ``vectors``
-    keeps (vec_id, vec, norm) for the exact rescore of the shortlist.
+    keeps the RAW (vec_id, vec, norm) for the exact rescore of the
+    shortlist — cosine is scale-invariant, so rescoring on raw vectors
+    is exact and keeps the output identical for already-normalized
+    corpora.
 
     100 TB shape: codes are m small ints per vector — a 64-dim float
-    corpus compresses ~64x in the scan path; the fit is m tiny k-means
-    over a corpus SAMPLE in real deployments (here the full table —
-    it IS the sample at test scale); assignment is one broadcast join
-    with map-side min_by partial aggregation, no wide shuffle.
+    corpus compresses ~16-64x in the scan path; the fit is one fused
+    Lloyd chain over a corpus SAMPLE in real deployments (here the full
+    table — it IS the sample at test scale); assignment is one
+    broadcast join with map-side min_by partial aggregation, no wide
+    shuffle.
     """
-    d = dim // m
-    cb = pq_codebooks(corpus, m, k, n_iter, dim, id_col, vec_col)
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    base = corpus.select(
-        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
-    ).repartition(par, "_vid")
-    slices = F.array(*[F.slice(F.col("_x"), j * d + 1, d) for j in range(m)])
-    el = base.select(
-        "_vid", F.posexplode(slices).alias("sub", "_sx")
-    ).withColumn("_xx", dot(F.col("_sx"), F.col("_sx")))
+    base, el = _pq_exploded(corpus, m, dim, id_col, vec_col)
+    cb = _pq_fit(base, el, k, n_iter)
     cbb = cb.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))
     scored = el.join(F.broadcast(cbb), "sub").withColumn(
         "_d2",
@@ -947,8 +1044,8 @@ def pq_index(
     )
     vectors = base.select(
         F.col("_vid").alias("vec_id"),
-        F.col("_x").alias("vec"),
-        l2_norm(F.col("_x")).alias("norm"),
+        F.col("_raw").alias("vec"),
+        F.col("_n").alias("norm"),
     )
     return cb, codes, vectors
 
@@ -959,8 +1056,8 @@ def pq_probe(
     codes: DataFrame,
     vectors: DataFrame,
     k: int = 5,
-    shortlist_mult: int = 4,
-    m: int = 4,
+    shortlist_mult: int = 16,
+    m: int = 16,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -968,13 +1065,17 @@ def pq_probe(
     """Probe a PQ index by asymmetric distance computation (ADC) with
     exact rescoring.
 
-    Each query builds an m*k lookup table of squared distances from its
-    subvectors to every codebook entry, QUANTIZED to integer micro-units
-    (floor(d2*1e6+0.5) — the LUT is the only float math in the scan, so
-    the per-candidate ADC score is a partition-invariant BIGINT sum and
-    shortlist ranking is total-ordered on (iadc, neighbor_id) in any
-    engine). The top ``shortlist_mult*k`` candidates per query are
-    rescored with exact cosine over the full vectors; final rank is
+    The query is unit-NORMALIZED before subspace slicing — the same
+    space the codebooks were fit in (:func:`pq_index`), so the ADC
+    shortlist ranks by ``2 - 2*cos`` order and agrees with the exact
+    cosine rescore. Each query builds an m*k lookup table of squared
+    distances from its subvectors to every codebook entry, QUANTIZED to
+    integer micro-units (floor(d2*1e6+0.5) — the LUT is the only float
+    math in the scan, so the per-candidate ADC score is a
+    partition-invariant BIGINT sum and shortlist ranking is
+    total-ordered on (iadc, neighbor_id) in any engine). The top
+    ``shortlist_mult*k`` candidates per query are rescored with exact
+    cosine over the full raw vectors; final rank is
     (cosine desc, neighbor_id).
 
     Scan shape at 100 TB: the LUT is broadcast (queries x m x k rows);
@@ -985,8 +1086,9 @@ def pq_probe(
     Output: (query_id, neighbor_id, cosine, rank).
     """
     d = dim // m
+    qnorm = unit_normalize(_as_double(F.col(vec_col)))
     qslices = F.array(*[
-        F.slice(_as_double(F.col(vec_col)), j * d + 1, d) for j in range(m)
+        F.slice(qnorm, j * d + 1, d) for j in range(m)
     ])
     qel = queries.select(
         F.col(id_col).alias("query_id"), F.posexplode(qslices).alias("sub", "_qx")

@@ -102,10 +102,12 @@ def _vwap_exact_fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
     )
     close = pdf["close"].to_numpy(np.float64)
     vol = pdf["volume"].to_numpy(np.int64)
-    # (close * volume) * 1e6 rounded half-even (np.rint == Python round):
-    # the same integer micro-units a per-row fold would accumulate, but
-    # vectorized — cumsum over int64 is exact, order fixed by the sort.
-    dpvu = np.rint(close * vol.astype(np.float64) * 1e6).astype(np.int64)
+    # (close * volume) * 1e6 quantized with the repo-wide tie-free rule
+    # floor(x * 1e6 + 0.5) (same IEEE ops as the SQL twin — no rounding
+    # tie-break): the same integer micro-units a per-row fold would
+    # accumulate, but vectorized — cumsum over int64 is exact, order
+    # fixed by the sort.
+    dpvu = np.floor(close * vol.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
     cum_pvu = pvu + np.cumsum(dpvu)
     cum_v = v + np.cumsum(vol)
     vwap = np.where(cum_v > 0, (cum_pvu / 1e6) / np.maximum(cum_v, 1), np.nan)

@@ -161,7 +161,7 @@ def test_sq8_recall_and_quantize_contract(spark, sf_dir):
         assert r["qn"] >= 0.0
 
 
-def test_pq_recall_and_code_contract(spark, sf_dir):
+def _pq_recall(spark, sf_dir):
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
         pq_index,
         pq_probe,
@@ -172,30 +172,47 @@ def test_pq_recall_and_code_contract(spark, sf_dir):
     exact = {}
     for r in brute_force_knn(queries, emb, k=5).collect():
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    cb, codes, vectors = pq_index(emb, m=4, k=8, n_iter=2, dim=64)
+    cb, codes, vectors = pq_index(emb, m=16, k=16, n_iter=4, dim=64)
     approx = {}
     ranks = {}
-    for r in pq_probe(queries, cb, codes, vectors, k=5, shortlist_mult=4).collect():
+    probed = pq_probe(
+        queries, cb, codes, vectors, k=5, shortlist_mult=16, m=16, dim=64
+    )
+    for r in probed.collect():
         approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         ranks.setdefault(r["query_id"], []).append(r["rank"])
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     recall = hits / sum(len(v) for v in exact.values())
-    # 4 subspaces x 8 codes is a coarse 64x compression; with a 4x
-    # shortlist + exact rescore the top-5 should still mostly agree
-    assert recall >= 0.4, f"PQ recall collapsed: {recall}"
+    return recall, cb, codes, approx, ranks, emb
+
+
+def test_pq_recall_and_code_contract(spark, sf_dir):
+    recall, cb, codes, approx, ranks, emb = _pq_recall(spark, sf_dir)
+    # 16 subspaces x 16 codes on unit-normalized vectors: integer-ADC
+    # order tracks cosine order, so with a 16x shortlist + exact rescore
+    # the top-5 should essentially match brute force (parity with the
+    # SQ8 contract; measured 1.0 at sf0.001, deterministic md5 seeding)
+    assert recall >= 0.8, f"PQ recall collapsed: {recall}"
     for q, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1))
         assert q not in approx[q]  # self excluded
 
-    # code contract: one code per (vector, subspace), cells in [0, 8)
+    # code contract: one code per (vector, subspace), cells in [0, 16)
     n = emb.count()
-    assert codes.count() == n * 4
+    assert codes.count() == n * 16
     stats = codes.groupBy("sub").agg(
         F.min("cell").alias("lo"), F.max("cell").alias("hi")
     ).collect()
-    assert len(stats) == 4
+    assert len(stats) == 16
     for r in stats:
-        assert 0 <= r["lo"] and r["hi"] <= 7
-    # codebooks: 4 subspaces x <= 8 cells of 16-dim centroids
+        assert 0 <= r["lo"] and r["hi"] <= 15
+    # codebooks: 16 subspaces x <= 16 cells of 4-dim centroids
     for r in cb.collect():
-        assert len(r["centroid"]) == 16
+        assert len(r["centroid"]) == 4
+
+
+def test_pq_recall_sf001(spark):
+    # same contract at the correctness-gate scale (sf0.01): measured
+    # 0.96, deterministic
+    recall, *_ = _pq_recall(spark, "/root/testdata/sf0.01")
+    assert recall >= 0.8, f"PQ recall collapsed at sf0.01: {recall}"
