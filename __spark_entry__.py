@@ -6405,69 +6405,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
-    # entries against the DuckDB oracle each round.  r2 covered its first 50
-    # (green, CORRECTNESS_r02.json); r3 covered its first 50 (green,
-    # CORRECTNESS_r03.json).  This round front-loads the 23 entries that have
-    # never had a driver row (the two r3 spillovers plus the 21 round-3
-    # late additions), then the round-4 additions, then back-fills the window
-    # with previously-checked entries.  After r4 every registered query has a
-    # driver-oracle row in some CORRECTNESS_r*.json.
+    # entries against the DuckDB oracle each round, so the window ROTATES on
+    # staleness (every query re-earns a driver row every ~2-3 rounds).
+    # r5 window: (1) the queries whose IMPLEMENTATION or oracle changed this
+    # round — PQ normalization/fused fit, the floor(x*1e6+0.5) tie-rule
+    # migration, the row-atomic as-of fill, beta's decimal(38,0) moments,
+    # the O(n^2) guards — their old green rows describe r4 code; then
+    # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
+    # QUERIES AT THE VERY TOP so they get a driver row the round they land.
+    # 15 changed + 38 r2-stale = 53: the last few spill to the r6 window,
+    # which should start with whatever this round's gate did not reach.
     return {
-        # --- round-4 gate window part 1: never driver-checked before r4 ---
-        "e_drift_psi": e_drift_psi,
-        "d_mixture_sample": d_mixture_sample,
-        "x_vwap_anchored": x_vwap_anchored,
-        "x_stochastic": x_stochastic,
-        "x_obv_daily": x_obv_daily,
-        "x_returns_ledger": x_returns_ledger,
-        "x_rolling_sharpe": x_rolling_sharpe,
-        "x_candle_flags": x_candle_flags,
-        "emb_sq8_ann": emb_sq8_ann,
-        "o_orc_roundtrip": o_orc_roundtrip,
-        "e_funnel_conversion": e_funnel_conversion,
-        "e_retention_cohorts": e_retention_cohorts,
-        "d_unigram_xent": d_unigram_xent,
-        "d_dup_spans": d_dup_spans,
-        "x_sma_backtest": x_sma_backtest,
-        "x_donchian": x_donchian,
-        "x_underwater_streak": x_underwater_streak,
-        "m_phash_neardup": m_phash_neardup,
-        "d_weighted_sample": d_weighted_sample,
-        "x_ichimoku": x_ichimoku,
-        "x_volume_profile": x_volume_profile,
-        "x_rolling_beta": x_rolling_beta,
-        "e_rolling_hll_wau": e_rolling_hll_wau,
-        # --- round-4 gate window part 2: round-4 additions (insert new
-        # queries HERE so they get a driver row the round they land) ---
-        "emb_semdedup": emb_semdedup,
-        "x_keltner": x_keltner,
-        "x_heikin_ashi": x_heikin_ashi,
-        "e_markov_transitions": e_markov_transitions,
-        "s_stream_dedup": s_stream_dedup,
-        "d_bpe_learn": d_bpe_learn,
-        "d_bpe_token_counts": d_bpe_token_counts,
-        "j_asof_tolerance": j_asof_tolerance,
-        "x_supertrend": x_supertrend,
-        "x_williams_r": x_williams_r,
-        "x_mfi": x_mfi,
-        "x_roc_momentum": x_roc_momentum,
-        "x_pivot_points": x_pivot_points,
-        "x_chaikin_ad": x_chaikin_ad,
-        "x_aroon": x_aroon,
-        "x_gaps": x_gaps,
-        "x_adx": x_adx,
+        # --- r5 part 1: implementation/oracle changed this round ---
         "emb_pq_ann": emb_pq_ann,
-        # --- round-4 gate window part 3: back-fill with previously-checked
-        # entries (re-verification; green in r2/r3) ---
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_top_order_revenue": q03_top_order_revenue,
-        "q05_nation_revenue": q05_nation_revenue,
-        "q02_min_unit_cost": q02_min_unit_cost,
-        "q04_priority_returns": q04_priority_returns,
-        "q06_revenue_band": q06_revenue_band,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q14_promo_share": q14_promo_share,
-        "q16_supplier_variety": q16_supplier_variety,
+        "x_heikin_ashi": x_heikin_ashi,
+        "x_supertrend": x_supertrend,
+        "x_adx": x_adx,
+        "x_ema_macd": x_ema_macd,
+        "x_bollinger_bands": x_bollinger_bands,
+        "s_stateful_vwap": s_stateful_vwap,
+        "x_aroon": x_aroon,
+        "x_beta_market": x_beta_market,
+        "x_rolling_beta": x_rolling_beta,
+        "j_asof_tolerance": j_asof_tolerance,
+        "j_asof_orders": j_asof_orders,
+        "emb_semdedup": emb_semdedup,
+        "d_jaccard_pairs": d_jaccard_pairs,
+        "emb_ann_topk": emb_ann_topk,
+        # --- r5 part 2: oldest driver rows (last checked r2) ---
         "q18_large_orders": q18_large_orders,
         "q22_idle_rich_customers": q22_idle_rich_customers,
         "q07_nation_trade": q07_nation_trade,
@@ -6498,18 +6463,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_language_guess": d_language_guess,
         "d_fingerprint": d_fingerprint,
         "d_exact_dedup": d_exact_dedup,
-        "d_jaccard_pairs": d_jaccard_pairs,
         "d_minhash_neardup": d_minhash_neardup,
         "d_simhash": d_simhash,
         "d_simhash_pairs": d_simhash_pairs,
-        "emb_ann_topk": emb_ann_topk,
         "emb_lsh_ann": emb_lsh_ann,
         "emb_cosine_neardup": emb_cosine_neardup,
         "d_bpe_tokens": d_bpe_tokens,
         "d_kgram_fingerprint": d_kgram_fingerprint,
         "emb_ivf_ann": emb_ivf_ann,
-        "j_asof_orders": j_asof_orders,
-        # --- driver-checked green in r3 (CORRECTNESS_r03.json) ---
+        # --- last checked r3 (r6 window starts here if r5 spills) ---
         "j_semi_active_customers": j_semi_active_customers,
         "j_anti_inactive_customers": j_anti_inactive_customers,
         "u_union_mixed_schema": u_union_mixed_schema,
@@ -6530,15 +6492,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_percentiles": e_percentiles,
         "q17_small_quantity_avg": q17_small_quantity_avg,
         "s_stream_hourly": s_stream_hourly,
-        "s_stateful_vwap": s_stateful_vwap,
-        "x_bollinger_bands": x_bollinger_bands,
         "d_stratified_sample": d_stratified_sample,
         "d_doc_chunks": d_doc_chunks,
         "j_interval_clicks": j_interval_clicks,
         "d_dup_components": d_dup_components,
         "s_stream_sessions": s_stream_sessions,
         "s_stream_join": s_stream_join,
-        "x_ema_macd": x_ema_macd,
         "x_rolling_30m": x_rolling_30m,
         "e_zscore_anomaly": e_zscore_anomaly,
         "e_props_json": e_props_json,
@@ -6550,7 +6509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_tfidf_topk": d_tfidf_topk,
         "d_decontaminate": d_decontaminate,
         "x_max_drawdown": x_max_drawdown,
-        "x_beta_market": x_beta_market,
         "d_hll_users": d_hll_users,
         "x_scd2_history": x_scd2_history,
         "j_scd2_lookup": j_scd2_lookup,
@@ -6560,6 +6518,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_pack_sequences": d_pack_sequences,
         "emb_label_centroids": emb_label_centroids,
         "e_dq_report": e_dq_report,
+        # --- last checked r4 (freshest) ---
+        "e_drift_psi": e_drift_psi,
+        "d_mixture_sample": d_mixture_sample,
+        "x_vwap_anchored": x_vwap_anchored,
+        "x_stochastic": x_stochastic,
+        "x_obv_daily": x_obv_daily,
+        "x_returns_ledger": x_returns_ledger,
+        "x_rolling_sharpe": x_rolling_sharpe,
+        "x_candle_flags": x_candle_flags,
+        "emb_sq8_ann": emb_sq8_ann,
+        "o_orc_roundtrip": o_orc_roundtrip,
+        "e_funnel_conversion": e_funnel_conversion,
+        "e_retention_cohorts": e_retention_cohorts,
+        "d_unigram_xent": d_unigram_xent,
+        "d_dup_spans": d_dup_spans,
+        "x_sma_backtest": x_sma_backtest,
+        "x_donchian": x_donchian,
+        "x_underwater_streak": x_underwater_streak,
+        "m_phash_neardup": m_phash_neardup,
+        "d_weighted_sample": d_weighted_sample,
+        "x_ichimoku": x_ichimoku,
+        "x_volume_profile": x_volume_profile,
+        "e_rolling_hll_wau": e_rolling_hll_wau,
+        "x_keltner": x_keltner,
+        "e_markov_transitions": e_markov_transitions,
+        "s_stream_dedup": s_stream_dedup,
+        "d_bpe_learn": d_bpe_learn,
+        "d_bpe_token_counts": d_bpe_token_counts,
+        "x_williams_r": x_williams_r,
+        "x_mfi": x_mfi,
+        "x_roc_momentum": x_roc_momentum,
+        "x_pivot_points": x_pivot_points,
+        "x_chaikin_ad": x_chaikin_ad,
+        "x_gaps": x_gaps,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_top_order_revenue": q03_top_order_revenue,
+        "q05_nation_revenue": q05_nation_revenue,
+        "q02_min_unit_cost": q02_min_unit_cost,
+        "q04_priority_returns": q04_priority_returns,
+        "q06_revenue_band": q06_revenue_band,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q14_promo_share": q14_promo_share,
+        "q16_supplier_variety": q16_supplier_variety,
     }
 
 

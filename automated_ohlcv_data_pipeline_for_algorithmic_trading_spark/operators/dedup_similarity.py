@@ -315,14 +315,36 @@ def minhash_near_dup_pairs(
     return intra.unionByName(cross)
 
 
+#: exact_jaccard_pairs is an O(n^2) BASELINE (the oracle twin of the
+#: banded-LSH scale path) — refuse corpora where all-pairs would melt
+#: down instead of silently launching a quadratic join.
+EXACT_PAIRS_MAX_ROWS = 20_000
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.9,
+    max_rows: int = EXACT_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Brute-force all-pairs n-gram/token Jaccard (the small-data oracle
-    twin of minhash_near_dup_pairs; O(n^2) — sample or LSH at scale)."""
+    twin of minhash_near_dup_pairs; O(n^2) BY DESIGN — use
+    :func:`minhash_near_dup_pairs` at scale).
+
+    Guarded: raises ``ValueError`` when the input exceeds ``max_rows``
+    (default 20k docs = ~200M candidate pairs, the sane ceiling for an
+    exact baseline) so this cannot be pointed at a real corpus by
+    accident. The check is a bounded ``limit(max_rows+1).count()`` probe,
+    not a full count. Pass a larger ``max_rows`` explicitly to override.
+    """
+    probe = df.select(id_col).limit(max_rows + 1).count()
+    if probe > max_rows:
+        raise ValueError(
+            f"exact_jaccard_pairs is an O(n^2) baseline: input exceeds"
+            f" max_rows={max_rows}; use minhash_near_dup_pairs (banded"
+            f" LSH) at scale or pass max_rows explicitly"
+        )
     toks = with_token_set(df.select(id_col, text_col), text_col)
     a = toks.select(F.col(id_col).alias("doc_a"), F.col("token_set").alias("set_a"))
     b = toks.select(F.col(id_col).alias("doc_b"), F.col("token_set").alias("set_b"))

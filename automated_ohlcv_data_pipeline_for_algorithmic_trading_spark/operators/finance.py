@@ -284,8 +284,14 @@ def beta_vs_market(
     # on a representable half-1e-6 (caught by the sf0.1 oracle sweep);
     # integer moments have no rounding anywhere until the final scalar
     # IEEE combination, which is fixed-order. ret_cap 10 bounds
-    # |micro| <= 1e7, so products <= 1e14 and BIGINT sums stay exact to
-    # ~9e18 summed rows x products — far beyond any per-key history.
+    # |micro| <= 1e7, so each PRODUCT is <= 1e14 — but a BIGINT sum of
+    # near-cap products would wrap silently past ~9.2e4 rows per key in
+    # non-ANSI Spark (DuckDB promotes sum(BIGINT) to HUGEINT and would
+    # NOT wrap, so overflow = cross-engine divergence, not just a wrong
+    # number). The second-moment sums therefore route through
+    # decimal(38,0): still exact integers, overflow-free to 1e38, and
+    # identical bits on both engines. The linear sums (sx, sm) stay
+    # BIGINT — their bound is 1e7 per row, ~9e11 rows per key.
     ru = F.floor(r * 1e6 + F.lit(0.5)).cast("long")
     returns = (
         returns.filter(F.abs(r) <= F.lit(ret_cap))
@@ -307,9 +313,9 @@ def beta_vs_market(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x).alias("sx"),
         F.sum(m).alias("sm"),
-        F.sum(x * m).alias("sxm"),
-        F.sum(m * m).alias("smm"),
-        F.sum(x * x).alias("sxx"),
+        F.sum((x * m).cast("decimal(38,0)")).alias("sxm"),
+        F.sum((m * m).cast("decimal(38,0)")).alias("smm"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
     )
     n, sx, sm, sxm, smm, sxx = (
         F.col(c).cast("double") for c in ("n", "sx", "sm", "sxm", "smm", "sxx")

@@ -108,6 +108,14 @@ def asof_join(
     single matched row equals restricting the join to in-tolerance rows
     — the plan stays one fill window plus a per-row comparison, no
     second pass.
+
+    The fill is ROW-ATOMIC: all right value columns (and the matched
+    timestamp the tolerance check reads) are packed into ONE struct and
+    last-non-null-filled together, so every output row's values come
+    from the single matched right row — a NULL inside a right value
+    column stays NULL (merge_asof semantics) instead of leaking an
+    older row's value past the tolerance window. One window expression
+    regardless of value-column count.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
@@ -120,12 +128,22 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         *[F.col(c).alias(c + suffix) for c in val_cols],
     ).withColumn("_src", F.lit(0))
-    if tolerance is not None:
-        rhs = rhs.withColumn("_rts", F.col("_ts"))
     if tiebreak:
         rhs = rhs.withColumn("_tb", F.col(tiebreak + suffix))
         lhs = lhs.withColumn("_tb", F.lit(None).cast(dict(rhs.dtypes)["_tb"]))
     merged = lhs.unionByName(rhs, allowMissingColumns=True)
+    # pack the matched row: non-null exactly on right rows, so a single
+    # last-non-null fill carries the WHOLE matched row (values + its ts)
+    merged = merged.withColumn(
+        "_rrow",
+        F.when(
+            F.col("_src") == 0,
+            F.struct(
+                F.col("_ts").alias("_rts"),
+                *[F.col(c + suffix) for c in val_cols],
+            ),
+        ),
+    )
 
     if direction == "backward":
         # right rows sort before left rows at the same ts -> inclusive
@@ -141,22 +159,19 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = merged
-    for c in val_cols:
-        out = out.withColumn(c + suffix, F.last(F.col(c + suffix), ignorenulls=True).over(w))
+    out = merged.withColumn(
+        "_rrow", F.last(F.col("_rrow"), ignorenulls=True).over(w)
+    )
     if tolerance is not None:
-        out = out.withColumn(
-            "_rts", F.last(F.col("_rts"), ignorenulls=True).over(w)
-        )
         iv = F.expr(f"INTERVAL {tolerance}")
         if direction == "backward":
-            in_tol = F.col("_rts") >= F.col("_ts") - iv
+            in_tol = F.col("_rrow._rts") >= F.col("_ts") - iv
         else:
-            in_tol = F.col("_rts") <= F.col("_ts") + iv
-        for c in val_cols:
-            out = out.withColumn(
-                c + suffix, F.when(in_tol, F.col(c + suffix))
-            )
-        out = out.drop("_rts")
-    out = out.filter(F.col("_src") == 1).drop("_src", "_ts")
+            in_tol = F.col("_rrow._rts") <= F.col("_ts") + iv
+        take = F.when(in_tol, F.col("_rrow"))
+    else:
+        take = F.col("_rrow")
+    for c in val_cols:
+        out = out.withColumn(c + suffix, take[c + suffix])
+    out = out.filter(F.col("_src") == 1).drop("_src", "_ts", "_rrow")
     return out.drop("_tb") if tiebreak else out

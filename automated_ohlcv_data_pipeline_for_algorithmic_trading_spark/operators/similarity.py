@@ -39,6 +39,12 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_emb", emb).withColumn("_norm", l2_norm(F.col("_emb")))
 
 
+#: brute_force_knn does |queries| x |corpus| exact work — linear in the
+#: corpus (the legitimate exact-scan plan) but quadratic if the "query"
+#: set is the corpus itself. Refuse oversized query sets.
+BRUTE_KNN_MAX_QUERIES = 10_000
+
+
 def brute_force_knn(
     queries: DataFrame,
     corpus: DataFrame,
@@ -46,12 +52,27 @@ def brute_force_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_queries: int = BRUTE_KNN_MAX_QUERIES,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries x corpus, rank per query.
+
+    Guarded: raises ``ValueError`` when the QUERY side exceeds
+    ``max_queries`` (default 10k) — one corpus scan per query batch is
+    the legitimate exact-kNN plan, but pointing the corpus at itself
+    turns it into an all-pairs O(n^2) job; that path belongs to the
+    bucketed indexes (LSH/IVF/SQ8/PQ). Bounded ``limit().count()``
+    probe; pass ``max_queries`` explicitly to override.
 
     Output: (query_id, neighbor_id, cosine, rank) with rank 1..k by
     cosine desc (ties broken by neighbor id for determinism).
     """
+    probe = queries.select(id_col).limit(max_queries + 1).count()
+    if probe > max_queries:
+        raise ValueError(
+            f"brute_force_knn query set exceeds max_queries={max_queries}:"
+            f" use an ANN index (ivf_probe/lsh/sq8/pq) for corpus-scale"
+            f" query sets or pass max_queries explicitly"
+        )
     q = with_norm(queries.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_emb").alias("q_emb"),
@@ -771,6 +792,72 @@ def sq8_knn(
     )
 
 
+def _split_hot_cells(
+    assignments: DataFrame, max_cell_size: int, dim: int = 64
+) -> DataFrame:
+    """Bound semdedup's within-cell pairwise work: any k-means cell with
+    more than ``max_cell_size`` members is deterministically SPLIT into
+    sub-cells by random-hyperplane sign bits of the member vectors
+    (ceil(log2(n/max)) bits per hot cell, the md5-seeded integer planes
+    from :func:`hyperplane_weights` — engine-independent, no RNG state).
+
+    Hyperplane bits are similarity-preserving: a pair at cosine >= 0.9
+    keeps the same bit with p ~ 0.86 per plane, so near-duplicate pairs
+    mostly survive the split, vs 1/k survival for random salting. The
+    residual misses are the SemDeDup cross-bucket contract the operator
+    already accepts at cell boundaries. Cold cells pass through with the
+    same re-keying (cell * 2^B) so keys stay disjoint.
+
+    Driver-side state is one row per CELL (n_lists rows), never per
+    vector; the hot-member bucket pass is the exact-integer
+    hyperplane_buckets join — O(hot members * bits), one shuffle.
+    """
+    import math
+
+    sizes = assignments.groupBy("cell").agg(F.count(F.lit(1)).alias("_n")).collect()
+    masks = {
+        int(r["cell"]): (1 << min(
+            max(1, math.ceil(math.log2(r["_n"] / max_cell_size))), 16
+        )) - 1
+        for r in sizes
+        if r["_n"] > max_cell_size
+    }
+    if not masks:
+        return assignments
+    bmax = max(m.bit_length() for m in masks.values())
+    spark = assignments.sparkSession
+    mask_df = spark.createDataFrame(
+        list(masks.items()), "cell int, _mask long"
+    )
+    hot = assignments.join(F.broadcast(mask_df), "cell")
+    cold = assignments.join(F.broadcast(mask_df), "cell", "left_anti")
+    buckets = hyperplane_buckets(
+        hot.select("vec_id", "vec"),
+        n_planes=bmax,
+        dim=dim,
+        vec_col="vec",
+        id_col="vec_id",
+        n_tables=1,
+    )
+    scale = F.lit(1 << bmax).cast("long")
+    hot2 = (
+        hot.join(buckets, "vec_id")
+        .withColumn(
+            "cell",
+            F.col("cell").cast("long") * scale
+            + F.col("bucket").bitwiseAND(F.col("_mask")),
+        )
+        .select("vec_id", "cell", "vec", "norm")
+    )
+    cold2 = cold.select(
+        "vec_id",
+        (F.col("cell").cast("long") * scale).alias("cell"),
+        "vec",
+        "norm",
+    )
+    return cold2.unionByName(hot2)
+
+
 def semdedup(
     corpus: DataFrame,
     threshold: float = 0.5,
@@ -779,6 +866,8 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scorer: str = "fold",
+    max_cell_size: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     cluster the embedding space with the deterministic seeded k-means
@@ -803,6 +892,12 @@ def semdedup(
     operator has an exact DuckDB oracle (``_semdedup_sql`` in
     __spark_entry__).
 
+    ``max_cell_size`` bounds the quadratic within-cell stage: hot cells
+    split into hyperplane-sign sub-cells (:func:`_split_hot_cells`) so
+    one mega-cell cannot melt the job down — set it on real corpora
+    (e.g. 4x the expected n/n_lists); left ``None`` for oracle-checked
+    runs because the split changes which boundary pairs are seen.
+
     Output: (vec_id, keeper_id, is_kept) for every vector that appears
     in at least one near-dup pair; vectors with no near-dup never leave
     their cell join and are implicitly kept.
@@ -812,6 +907,8 @@ def semdedup(
     _, assignments = ivf_index(
         corpus, n_lists=n_lists, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
+    if max_cell_size is not None:
+        assignments = _split_hot_cells(assignments, max_cell_size, dim=dim)
     if scorer == "blas":
         # scale path: one numpy GEMM per cell instead of 64-term fold
         # dots per pair (measured 83 s -> seconds at 200k x 64-dim,

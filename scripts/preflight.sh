@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Pre-snapshot gate: EVERYTHING that must be green before an
+# end-of-round commit. Round 4 shipped its only red test because the
+# final snapshot commit skipped the full suite — this script exists so
+# that cannot happen again. Run from the repo root:
+#
+#   bash scripts/preflight.sh            # full gate (~6-8 min)
+#   bash scripts/preflight.sh fast       # skip the sf0.01 oracle sweep
+#
+# Exits non-zero on the first failure.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== preflight: full pytest suite =="
+python -m pytest tests/ -q
+
+echo "== preflight: driver smoke (plain session, entry()) =="
+python - <<'EOF'
+import sys
+sys.path.insert(0, ".")
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+import __spark_entry__ as E
+n = len(E.entry(spark).collect())
+assert n > 0, "entry() returned no rows"
+qs, osql = E.queries(), E.oracle_sql()
+missing = [k for k in osql if k not in qs]
+assert not missing, f"oracle_sql keys without queries(): {missing}"
+print(f"entry OK ({n} rows); {len(qs)} queries, {len(osql)} oracles")
+spark.stop()
+EOF
+
+if [[ "${1:-}" != "fast" ]]; then
+  echo "== preflight: sf0.01 oracle sweep (driver t2 mirror) =="
+  python scripts/verify_local.py
+fi
+
+echo "== preflight: ALL GREEN =="

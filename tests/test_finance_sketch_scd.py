@@ -718,6 +718,45 @@ class TestSemDedup:
         }
         assert blas == {k: (r["keeper_id"], r["is_kept"]) for k, r in out.items()}
 
+    def test_hot_cell_split_guard_preserves_exact_dups(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            _split_hot_cells,
+            semdedup,
+        )
+
+        # ONE mega-cluster of exact duplicates (every vector identical up
+        # to a tiny unique perturbation in dim 3) — a single k-means cell
+        # swallows all of them. max_cell_size forces a hyperplane split;
+        # exact duplicates share hyperplane bits, so dedup still finds
+        # the whole group inside one sub-cell.
+        rows = [(i, [1.0, 0.5, 0.0, 0.0]) for i in range(40)]
+        rows += [(100 + i, [-1.0, 0.4 + i * 0.1, 0.3, 0.0]) for i in range(4)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r["vec_id"]: r
+            for r in semdedup(
+                df, threshold=0.999, n_lists=2, n_iter=1,
+                max_cell_size=10, dim=4,
+            ).collect()
+        }
+        dup_ids = {i for i in range(40)}
+        assert dup_ids <= set(out), "split guard dropped exact duplicates"
+        for vid in dup_ids:
+            assert out[vid]["keeper_id"] == 0
+        # and the split itself actually bounds cell populations for
+        # identical-direction vectors is impossible (same bits by
+        # construction), so assert the re-keying ran: cells must be
+        # re-scaled keys (multiples of 2^B), disjoint from raw ids
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            ivf_index,
+        )
+
+        _, asg = ivf_index(df, n_lists=2, n_iter=1)
+        split = _split_hot_cells(asg, max_cell_size=10, dim=4)
+        sizes = {r["cell"]: r["n"] for r in split.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert len(sizes) >= 2  # the hot cell was re-keyed into sub-cells
+
 
 class TestSupertrend:
     def test_state_machine_and_warmup(self, spark):

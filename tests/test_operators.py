@@ -446,3 +446,34 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     assert out[("A", "2024-03-01 00:00:00")] == 42
     assert out[("A", "2024-06-01 00:00:00")] is None  # stale -> NULL
     assert out[("B", "2024-03-01 00:00:00")] is None
+
+
+def test_asof_join_row_atomic_fill_with_null_value_columns(spark):
+    """The fill must be row-atomic: a NULL inside the matched right
+    row's value column stays NULL — it must NOT fall back to an older
+    (possibly out-of-tolerance) row's value while _rts tracks the newer
+    match."""
+    import datetime as dt
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.joins import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [("A", dt.datetime(2024, 3, 1))], "k string, ts timestamp"
+    )
+    # newest right row (in tolerance) has v=NULL; an old stale row has
+    # v=7 — the old value must not leak through the per-column fill
+    right = spark.createDataFrame(
+        [("A", dt.date(2024, 2, 25), None), ("A", dt.date(2023, 1, 1), 7)],
+        "k string, d date, v int",
+    )
+    row = asof_join(
+        left, right, ["k"], "ts", "d", tolerance="30 days"
+    ).collect()[0]
+    assert row["v_asof"] is None  # matched row's own NULL, not 7
+
+    # without tolerance the same row-atomicity holds (doc contract:
+    # "attach the latest right row", singular)
+    row2 = asof_join(left, right, ["k"], "ts", "d").collect()[0]
+    assert row2["v_asof"] is None

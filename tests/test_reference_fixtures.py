@@ -1,14 +1,14 @@
 """Parity replay on the reference's CAPTURED REAL OUTPUT fixtures
-(SURVEY.md SS5): test_sample.csv.gz (one clean RELIANCE day) and
-infra/reliance.csv.gz (the same day re-fetched — 459 duplicate timestamps
-of 489 rows, the live dedup test vector). Read-only inputs; skipped if the
-reference checkout is absent."""
+(SURVEY.md SS5): test_sample.csv.gz (one clean RELIANCE day, reference
+`test_sample.csv.gz`) and reliance.csv.gz (the same day re-fetched —
+459 duplicate timestamps of 489 rows, reference `infra/reliance.csv.gz`,
+the live dedup test vector). The two public data captures are VENDORED
+into tests/fixtures/ so the suite runs without a reference checkout."""
 
 from __future__ import annotations
 
 import os
 
-import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -26,13 +26,9 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.plans.etl impor
 )
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.schemas import SILVER_SCHEMA
 
-SAMPLE = "/root/reference/test_sample.csv.gz"
-RELIANCE = "/root/reference/infra/reliance.csv.gz"
-
-pytestmark = pytest.mark.skipif(
-    not (os.path.exists(SAMPLE) and os.path.exists(RELIANCE)),
-    reason="reference fixtures not present",
-)
+_FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+SAMPLE = os.path.join(_FIXTURES, "test_sample.csv.gz")
+RELIANCE = os.path.join(_FIXTURES, "reliance.csv.gz")
 
 # the flat silver files carry all 16 columns in-file (no partition dirs)
 _FLAT = T.StructType([f for f in SILVER_SCHEMA.fields])

@@ -83,6 +83,25 @@ def test_jaccard_and_minhash_agree(docs):
     assert set(lsh) <= set(exact)  # LSH never invents pairs (exact-verified)
 
 
+def test_quadratic_baseline_guards(docs, spark, sf_dir):
+    # exact_jaccard_pairs is an O(n^2) baseline: it must refuse inputs
+    # above max_rows instead of silently launching an all-pairs join
+    with pytest.raises(ValueError, match="O\\(n\\^2\\) baseline"):
+        exact_jaccard_pairs(docs, threshold=0.7, max_rows=3)
+    # ... and still run when the bound is respected
+    assert exact_jaccard_pairs(docs, threshold=0.7, max_rows=100).count() > 0
+
+    # brute_force_knn guards the QUERY side (corpus scans are the
+    # legitimate exact plan; corpus-sized query sets are O(n^2))
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        brute_force_knn(emb, emb, k=3, max_queries=10)
+    q = emb.filter(F.col("vec_id") < 3)
+    assert brute_force_knn(q, emb, k=3).count() == 9
+
+
 def test_minhash_set_collapse_matches_naive_per_doc_path(spark):
     """The distinct-token-set collapse inside minhash_near_dup_pairs must
     reproduce EXACTLY the naive per-doc LSH pipeline's output — including
