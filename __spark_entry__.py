@@ -6292,7 +6292,7 @@ def emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb, codes, vectors = pq_index(emb, m=16, k=16, n_iter=4, dim=64)
+    cb, codes, vectors = pq_index(emb, m=16, k=16, n_iter=2, dim=64)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return pq_probe(
         queries_df, cb, codes, vectors, k=5, shortlist_mult=16, m=16, dim=64
@@ -6302,7 +6302,7 @@ def emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_ann_sql(
     m: int = 16,
     k: int = 16,
-    n_iter: int = 4,
+    n_iter: int = 2,
     dim: int = 64,
     topk: int = 5,
     mult: int = 16,

@@ -1009,20 +1009,27 @@ def _pq_exploded(
     return base, el
 
 
-def _pq_fit(base: DataFrame, el: DataFrame, k: int, n_iter: int) -> DataFrame:
+def _pq_fit(base: DataFrame, el: DataFrame, k: int, n_iter: int, d: int) -> DataFrame:
     """Fused seeded-Lloyd PQ fit: every subspace's k-means advances in
     the SAME job per round — assignment is one broadcast join against
     the full (sub, cell) codebook with map-side min_by partial agg, and
-    the centroid update is one (sub, cell, pos) decimal-exact mean.
+    the centroid update is ONE (sub, cell) aggregation with ``d``
+    decimal-exact per-dim means (subspaces are short — 4-16 dims — so d
+    agg columns beat the explode + second shuffle the full-width
+    quantizer needs; see seeded_centroids for the 64-dim trade-off).
     Each round collects the m*k tiny centroid rows (same driver-side
     footprint as ``pyspark.ml`` ``clusterCenters()``), which keeps every
-    round a short independent job instead of an n_iter-deep lazy lineage.
+    round a short independent job instead of an n_iter-deep lazy
+    lineage. The fit input is localCheckpointed once — it is consumed
+    n_iter+1 times, and at 100 TB the fit runs on a corpus SAMPLE, so
+    the materialization is bounded by the sample, not the corpus.
 
     Seeds are the k corpus vectors with smallest ``(md5(id), id)`` — the
     SAME seed rows in every subspace (each contributes its slice), so
     the whole fit replays row-for-row in the DuckDB oracle.
     """
     spark = base.sparkSession
+    el = el.localCheckpoint(eager=True)
     seeded = base.withColumn(
         "_h", F.md5(F.col("_vid").cast("string").cast("binary"))
     )
@@ -1030,7 +1037,7 @@ def _pq_fit(base: DataFrame, el: DataFrame, k: int, n_iter: int) -> DataFrame:
     w0 = Window.orderBy("_h", "_vid")
     seat = seeds.withColumn("cell", F.row_number().over(w0) - 1)
     cents = (
-        el.join(seat.select("_vid", "cell"), "_vid")
+        el.join(F.broadcast(seat.select("_vid", "cell")), "_vid")
         .select("sub", "cell", F.col("_sx").alias("centroid"))
     )
 
@@ -1057,16 +1064,11 @@ def _pq_fit(base: DataFrame, el: DataFrame, k: int, n_iter: int) -> DataFrame:
             )
             .select("sub", F.col("_p.c").alias("cell"), F.col("_p.x").alias("_sx"))
         )
-        dims = assigned.select(
-            "sub", "cell", F.posexplode("_sx").alias("_pos", "_val")
-        ).groupBy("sub", "cell", "_pos").agg(davg("_val", "_m"))
         cents = _materialize(
-            dims.groupBy("sub", "cell")
-            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
-            .select(
-                "sub",
-                "cell",
-                F.transform("_pm", lambda s: s["_m"]).alias("centroid"),
+            assigned.groupBy("sub", "cell").agg(
+                F.array(
+                    *[davg(F.col("_sx")[i]) for i in range(d)]
+                ).alias("centroid")
             )
         )
     return cents
@@ -1076,7 +1078,7 @@ def pq_codebooks(
     corpus: DataFrame,
     m: int = 16,
     k: int = 16,
-    n_iter: int = 4,
+    n_iter: int = 2,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1092,14 +1094,14 @@ def pq_codebooks(
     rows, broadcast everywhere downstream.
     """
     base, el = _pq_exploded(corpus, m, dim, id_col, vec_col)
-    return _pq_fit(base, el, k, n_iter)
+    return _pq_fit(base, el, k, n_iter, dim // m)
 
 
 def pq_index(
     corpus: DataFrame,
     m: int = 16,
     k: int = 16,
-    n_iter: int = 4,
+    n_iter: int = 2,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1127,7 +1129,7 @@ def pq_index(
     shuffle.
     """
     base, el = _pq_exploded(corpus, m, dim, id_col, vec_col)
-    cb = _pq_fit(base, el, k, n_iter)
+    cb = _pq_fit(base, el, k, n_iter, dim // m)
     cbb = cb.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))
     scored = el.join(F.broadcast(cbb), "sub").withColumn(
         "_d2",

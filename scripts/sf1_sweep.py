@@ -1,0 +1,122 @@
+"""sf1 sweep for the recurrence/iterative operator family.
+
+The grouped-map folds (supertrend, heikin-ashi, EMA) and the iterative
+operators (BPE learn, dup-graph components) are the only places where
+DATA GROWTH changes the execution shape: per-key history LENGTH drives
+the pandas fold and the recursive oracle depth, and pair-graph density
+drives the convergence round count. This script builds a local sf1
+(10x sf0.1) by extending the TIME AXIS of events (same 1500 users, 10x
+rows per user -> 10x longer folds) and replicating documents 10x
+(exact-dup clusters of 10 -> denser pair graph, larger components).
+
+Two passes:
+
+1. ORACLE PARITY on a key-subset dir (.tmp_sf1_sub): the FULL 10x fold
+   length / replica density, but 100 of 1500 users and 1000 of 5000
+   base docs — the execution shape under growth is per-key, so this is
+   the divergence check; the full-population DuckDB recursive CTEs
+   (1M rows x ~670 recursion depth) would grind for tens of minutes
+   without testing anything additional.
+2. SPARK WALLS on the full sf1 dir (.tmp_sf1): noop-sink end-to-end
+   timings of all five queries at the full 10x population.
+
+Usage: python scripts/sf1_sweep.py   (prints a table for NOTES.md,
+exits non-zero on any divergence)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(REPO, ".tmp_sf1")
+SUB = os.path.join(REPO, ".tmp_sf1_sub")
+
+QUERIES = [
+    "x_supertrend",
+    "x_heikin_ashi",
+    "x_ema_macd",
+    "d_bpe_learn",
+    "d_dup_components",
+]
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def build() -> None:
+    con = duckdb.connect()
+    for dst, user_bound, doc_bound in ((DST, 10**9, 10**9), (SUB, 100, 1000)):
+        os.makedirs(dst, exist_ok=True)
+        # events: 10 time-shifted replicas -> same users, 10x history each
+        con.sql(
+            f"""
+            COPY (
+              SELECT event_id + i * 100000 AS event_id,
+                     ts + to_days(30 * i::INT) AS ts,
+                     user_id, event_type, value, props
+              FROM '{SRC}/events.parquet', generate_series(0, 9) t(i)
+              WHERE user_id < {user_bound}
+              ORDER BY event_id
+            ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+            """
+        )
+        # documents: 10 id-shifted replicas -> exact-dup clusters of 10
+        con.sql(
+            f"""
+            COPY (
+              SELECT doc_id + i * 5000 AS doc_id, text, lang, source, n_chars
+              FROM '{SRC}/documents.parquet', generate_series(0, 9) t(i)
+              WHERE doc_id < {doc_bound}
+              ORDER BY doc_id
+            ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+        for t in TABLES:
+            p = f"{dst}/{t}.parquet"
+            if not os.path.exists(p):
+                shutil.copyfile(f"{SRC}/{t}.parquet", p)
+
+
+def spark_walls() -> list[tuple[str, float]]:
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry_mod
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import get_spark
+
+    spark = get_spark("sf1-sweep")
+    qs = entry_mod.queries()
+    out = []
+    for name in QUERIES:
+        qs[name](spark, SRC).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        qs[name](spark, DST).write.format("noop").mode("overwrite").save()
+        out.append((name, time.perf_counter() - t0))
+        print(f"sf1 wall {name}: {out[-1][1]:.2f}s", flush=True)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    build()
+    walls = spark_walls()
+    print("\n| query | sf1 wall s |\n|---|---|")
+    for name, dt in walls:
+        print(f"| {name} | {dt:.2f} |")
+    print("\noracle parity at 10x fold length (key subset):", flush=True)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/verify_local.py"), SUB, *QUERIES],
+    )
+    sys.exit(r.returncode)
+
+
+if __name__ == "__main__":
+    main()

@@ -172,7 +172,7 @@ def _pq_recall(spark, sf_dir):
     exact = {}
     for r in brute_force_knn(queries, emb, k=5).collect():
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    cb, codes, vectors = pq_index(emb, m=16, k=16, n_iter=4, dim=64)
+    cb, codes, vectors = pq_index(emb, m=16, k=16, n_iter=2, dim=64)
     approx = {}
     ranks = {}
     probed = pq_probe(
