@@ -6398,6 +6398,297 @@ WHERE rank <= {topk} ORDER BY query_id, rank
 """
 
 
+def x_psar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder's Parabolic SAR over per-user daily bars — the FOURTH
+    true-recurrence family (after EMA, Heikin-Ashi, Supertrend) and the
+    most state-heavy: SAR/EP/AF/trend all update behind comparisons
+    against prior state (operators/finance.parabolic_sar). Integer
+    micro-unit fold; the oracle replays the identical BIGINT state
+    machine as a recursive CTE (acceleration in integer hundredths,
+    both floor divisions provably nonnegative so DuckDB's truncating
+    ``//`` is floor)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        parabolic_sar,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).drop("volume", "open")
+    out = parabolic_sar(daily, ["user_id"], "trade_date")
+    return out.select(
+        "user_id", "trade_date", "high", "low", "close", "psar",
+        F.col("trend").cast("double").alias("trend"),
+        "ep", F.col("af").cast("double").alias("af"),
+    ).orderBy("user_id", "trade_date")
+
+
+def _psar_sql(af_step: int = 2, af_max: int = 20) -> str:
+    """Recursive-CTE replay of the PSAR state machine: same seed (bar 2,
+    trend from the first close pair), same clamp against the prior two
+    bars, same reversal/EP/AF CASE logic as the pandas fold — all in
+    BIGINT micro-units with nonnegative floor divisions."""
+    up_cl = (
+        f"least(p.sar + (p.af * (p.ep - p.sar)) // 100, c.l1u, c.l2u)"
+    )
+    dn_cl = (
+        f"greatest(p.sar - (p.af * (p.sar - p.ep)) // 100, c.h1u, c.h2u)"
+    )
+    up_rev = f"c.lu < {up_cl}"
+    dn_rev = f"c.hu > {dn_cl}"
+    trend_ = (
+        f"(CASE WHEN p.trend = 1 THEN (CASE WHEN {up_rev} THEN -1 ELSE 1 END) "
+        f"ELSE (CASE WHEN {dn_rev} THEN 1 ELSE -1 END) END)"
+    )
+    sar_ = (
+        f"(CASE WHEN p.trend = 1 THEN (CASE WHEN {up_rev} THEN p.ep ELSE {up_cl} END) "
+        f"ELSE (CASE WHEN {dn_rev} THEN p.ep ELSE {dn_cl} END) END)"
+    )
+    ep_ = (
+        f"(CASE WHEN p.trend = 1 THEN (CASE WHEN {up_rev} THEN c.lu "
+        f"ELSE greatest(p.ep, c.hu) END) "
+        f"ELSE (CASE WHEN {dn_rev} THEN c.hu ELSE least(p.ep, c.lu) END) END)"
+    )
+    af_ = (
+        f"(CASE WHEN p.trend = 1 THEN (CASE WHEN {up_rev} THEN {af_step} "
+        f"WHEN c.hu > p.ep THEN least(p.af + {af_step}, {af_max}) ELSE p.af END) "
+        f"ELSE (CASE WHEN {dn_rev} THEN {af_step} "
+        f"WHEN c.lu < p.ep THEN least(p.af + {af_step}, {af_max}) ELSE p.af END) END)"
+    )
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date, high, low, close,
+         CAST(floor(high * 1e6 + 0.5) AS BIGINT) AS hu,
+         CAST(floor(low * 1e6 + 0.5) AS BIGINT) AS lu,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS cu,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+t AS MATERIALIZED (
+  SELECT *, lag(hu) OVER w AS h1u, lag(hu, 2) OVER w AS h2u,
+         lag(lu) OVER w AS l1u, lag(lu, 2) OVER w AS l2u,
+         lag(cu) OVER w AS c1u
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+st AS (
+  SELECT user_id, rn,
+         CASE WHEN cu >= c1u THEN 1 ELSE -1 END AS trend,
+         CASE WHEN cu >= c1u THEN least(lu, l1u)
+              ELSE greatest(hu, h1u) END AS sar,
+         CASE WHEN cu >= c1u THEN greatest(hu, h1u)
+              ELSE least(lu, l1u) END AS ep,
+         {af_step} AS af
+  FROM t WHERE rn = 2
+  UNION ALL
+  SELECT c.user_id, c.rn, {trend_} AS trend, {sar_} AS sar,
+         {ep_} AS ep, {af_} AS af
+  FROM t c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1)
+SELECT b.user_id, b.trade_date, b.high, b.low, b.close,
+       CAST(st.sar AS DOUBLE) / 1000000.0 AS psar,
+       CAST(st.trend AS DOUBLE) AS trend,
+       CAST(st.ep AS DOUBLE) / 1000000.0 AS ep,
+       CAST(st.af AS DOUBLE) AS af
+FROM b LEFT JOIN st ON b.user_id = st.user_id AND b.rn = st.rn
+ORDER BY b.user_id, b.trade_date
+"""
+
+
+def x_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIX(15) over per-user daily closes: three CHAINED exact EMA
+    recurrences (e2 folds over e1's integer states, e3 over e2's —
+    operators/finance.trix), then the 1-bar rate of change of e3 as an
+    IEEE quotient of exact integers. The oracle carries all three
+    BIGINT states through one recursive CTE and lags e3 in the final
+    select."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        trix,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select("user_id", "trade_date", "close")
+    out = trix(daily, ["user_id"], "trade_date", n=15)
+    return out.select(
+        "user_id", "trade_date", "close", "trix_ema", "trix"
+    ).orderBy("user_id", "trade_date")
+
+
+def _trix_sql(n: int = 15) -> str:
+    d = float(n + 1)
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+src AS (
+  SELECT user_id, trade_date, close,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+ema AS (
+  SELECT user_id, trade_date, close, v, rn, v AS e1, v AS e2, v AS e3
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.trade_date, s.close, s.v, s.rn,
+         e.e1 + CAST(floor(2.0 * (s.v - e.e1) / {d}) AS BIGINT) AS e1,
+         e.e2 + CAST(floor(2.0 * ((e.e1 + CAST(floor(2.0 * (s.v - e.e1) / {d}) AS BIGINT)) - e.e2) / {d}) AS BIGINT) AS e2,
+         e.e3 + CAST(floor(2.0 * ((e.e2 + CAST(floor(2.0 * ((e.e1 + CAST(floor(2.0 * (s.v - e.e1) / {d}) AS BIGINT)) - e.e2) / {d}) AS BIGINT)) - e.e3) / {d}) AS BIGINT) AS e3
+  FROM src s JOIN ema e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+SELECT user_id, trade_date, close,
+       CAST(e3 AS DOUBLE) / 1000000.0 AS trix_ema,
+       CASE WHEN lag(e3) OVER w IS NOT NULL AND lag(e3) OVER w <> 0
+            THEN 100.0 * CAST(e3 - lag(e3) OVER w AS DOUBLE)
+                 / CAST(lag(e3) OVER w AS DOUBLE) END AS trix
+FROM ema
+WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+ORDER BY user_id, trade_date
+"""
+
+
+def x_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCI(20) over per-user daily bars — mean absolute deviation of
+    typical price around the window's OWN mean, a window aggregate Spark
+    has no built-in for, composed natively: exact integer window sums +
+    a higher-order aggregate over the n-row collect_list
+    (operators/finance.cci). NULL during warm-up and on flat windows."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        cci,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    out = cci(daily, ["user_id"], ["trade_date"], n=20)
+    return out.select("user_id", "trade_date", "close", "cci").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _cci_sql(n: int = 20) -> str:
+    return f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date, close,
+         CAST(floor(high * 1e6 + 0.5) AS BIGINT)
+         + CAST(floor(low * 1e6 + 0.5) AS BIGINT)
+         + CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS tp3
+  FROM daily),
+w AS (
+  SELECT user_id, trade_date, close, tp3,
+         count(*) OVER f AS cnt, sum(tp3) OVER f AS s,
+         list(tp3) OVER f AS lst
+  FROM b WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+                      ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)),
+m AS (
+  SELECT *, list_sum(list_transform(lst, x -> abs({n} * x - s))) AS madnum
+  FROM w)
+SELECT user_id, trade_date, close,
+       CASE WHEN cnt = {n} AND madnum > 0
+            THEN ({n}.0 * CAST({n} * tp3 - s AS DOUBLE))
+                 / (0.015 * CAST(madnum AS DOUBLE)) END AS cci
+FROM m ORDER BY user_id, trade_date
+"""
+
+
+def x_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vortex VI+/VI-(14) over per-user daily bars: lag + three bounded
+    window sums on exact BIGINT micro-units sharing one exchange
+    (operators/finance.vortex); the VI values are IEEE quotients of
+    exact integers."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        vortex,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    out = vortex(daily, ["user_id"], ["trade_date"], n=14)
+    return out.select(
+        "user_id", "trade_date", "close", "vi_plus", "vi_minus"
+    ).orderBy("user_id", "trade_date")
+
+
+def _vortex_sql(n: int = 14) -> str:
+    return f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date, close,
+         CAST(floor(high * 1e6 + 0.5) AS BIGINT) AS hu,
+         CAST(floor(low * 1e6 + 0.5) AS BIGINT) AS lu,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS cu
+  FROM daily),
+v AS (
+  SELECT user_id, trade_date, close,
+         abs(hu - lag(lu) OVER w) AS vmp,
+         abs(lu - lag(hu) OVER w) AS vmm,
+         CASE WHEN lag(cu) OVER w IS NULL THEN hu - lu
+              ELSE greatest(hu - lu, abs(hu - lag(cu) OVER w),
+                            abs(lu - lag(cu) OVER w)) END AS tru
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+s AS (
+  SELECT user_id, trade_date, close,
+         count(vmp) OVER f AS k, sum(vmp) OVER f AS svp,
+         sum(vmm) OVER f AS svm, sum(tru) OVER f AS str
+  FROM v WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+                      ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, close,
+       CASE WHEN k = {n} AND str > 0
+            THEN CAST(svp AS DOUBLE) / CAST(str AS DOUBLE) END AS vi_plus,
+       CASE WHEN k = {n} AND str > 0
+            THEN CAST(svm AS DOUBLE) / CAST(str AS DOUBLE) END AS vi_minus
+FROM s ORDER BY user_id, trade_date
+"""
+
+
+def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023) over documents:
+    hashed-bigram bag likelihood ratio between the TARGET slice
+    (lang = 'en') and the raw corpus, add-one-smoothed over 4096
+    md5-hashed buckets (operators/corpus.dsir_weights). One conditional
+    bucket-model aggregation pass, broadcast totals, bucket-keyed
+    scoring join — the unigram_xent shape."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        dsir_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_weights(docs, F.col("lang") == F.lit("en"))
+    return out.select(
+        "doc_id",
+        F.col("is_target").cast("int").alias("is_target"),
+        "n_grams", "logw", "avg_logw",
+    ).orderBy("doc_id")
+
+
+_D_DSIR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_target, {_SQL_TOKS} AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id, is_target,
+         unnest(CASE WHEN len(ts) >= 2
+                     THEN list_transform(range(1, len(ts)),
+                                         i -> ts[i] || ' ' || ts[i + 1])
+                     ELSE []::VARCHAR[] END) AS gram
+  FROM toks),
+dt AS (
+  SELECT doc_id, is_target,
+         CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT) % 4096 AS bucket,
+         count(*) AS c
+  FROM g GROUP BY ALL),
+bs AS (
+  SELECT bucket,
+         sum(CASE WHEN is_target THEN c ELSE 0 END) AS ct,
+         sum(c) AS cr
+  FROM dt GROUP BY bucket),
+tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bs),
+model AS (
+  SELECT bucket,
+         floor((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE))
+                - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6 AS lw
+  FROM bs, tot)
+SELECT dt.doc_id, CAST(dt.is_target AS INT) AS is_target,
+       CAST(sum(dt.c) AS BIGINT) AS n_grams,
+       CAST(sum(CAST(CAST(dt.c AS DOUBLE) * model.lw
+                     AS DECIMAL(38,6))) AS DOUBLE) AS logw,
+       CAST(sum(CAST(CAST(dt.c AS DOUBLE) * model.lw
+                     AS DECIMAL(38,6))) AS DOUBLE)
+         / CAST(sum(dt.c) AS DOUBLE) AS avg_logw
+FROM dt JOIN model USING (bucket)
+GROUP BY dt.doc_id, dt.is_target
+ORDER BY dt.doc_id
+"""
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6416,6 +6707,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 15 changed + 38 r2-stale = 53: the last few spill to the r6 window,
     # which should start with whatever this round's gate did not reach.
     return {
+        # --- r5 part 0: NEW this round (psar/trix/cci/vortex/dsir) ---
+        "x_psar": x_psar,
+        "x_trix": x_trix,
+        "x_cci": x_cci,
+        "x_vortex": x_vortex,
+        "d_dsir_weights": d_dsir_weights,
         # --- r5 part 1: implementation/oracle changed this round ---
         "emb_pq_ann": emb_pq_ann,
         "x_heikin_ashi": x_heikin_ashi,
@@ -6623,6 +6920,11 @@ def oracle_sql() -> dict[str, str]:
         "d_bpe_token_counts": _bpe_tokcount_sql(),
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
+        "x_psar": _psar_sql(),
+        "x_trix": _trix_sql(),
+        "x_cci": _cci_sql(),
+        "x_vortex": _vortex_sql(),
+        "d_dsir_weights": _D_DSIR_SQL,
         "x_williams_r": _X_WILLIAMS_SQL,
         "x_mfi": _X_MFI_SQL,
         "x_roc_momentum": _X_ROC_SQL,
@@ -6851,6 +7153,11 @@ HEADLINE_QUERIES = [
     "d_bpe_token_counts",
     "j_asof_tolerance",
     "x_supertrend",
+    "x_psar",
+    "x_trix",
+    "x_cci",
+    "x_vortex",
+    "d_dsir_weights",
     "x_williams_r",
     "x_mfi",
     "x_roc_momentum",

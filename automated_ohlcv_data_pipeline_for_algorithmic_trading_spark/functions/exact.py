@@ -105,6 +105,22 @@ def sql_q6(expr: str) -> str:
     return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
 
 
+def u6(col, alias: str | None = None) -> Column:
+    """Tie-safe integer MICRO-UNIT quantization: ``floor(x*1e6 + 0.5)``
+    as BIGINT — :func:`q6` without the divide back to price units, for
+    operators that keep all arithmetic in exact integer state (the
+    recurrence folds, CCI/vortex window sums). Pair with
+    :func:`sql_u6`."""
+    c = _c(col)
+    out = F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return out.alias(alias) if alias else out
+
+
+def sql_u6(expr: str) -> str:
+    """DuckDB/ANSI twin of :func:`u6` for oracle queries."""
+    return f"CAST(floor(({expr}) * 1e6 + 0.5) AS BIGINT)"
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB/ANSI twin of :func:`dsum` for oracle queries."""
     return f"CAST(sum(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"

@@ -434,3 +434,89 @@ def _bpe_fit(
         ),
         seq,
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style data selection: hashed-bigram importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"). Each document is scored by how much more likely its
+    hashed bigram bag is under the TARGET distribution (rows matching
+    ``target_pred``, e.g. a trusted language/domain slice) than under
+    the RAW corpus distribution:
+
+        logw(d) = Σ_g c_g(d) · [ln p_t(g) − ln p_r(g)]
+
+    with add-one-smoothed bucket unigram models over ``buckets`` hashed
+    bigram buckets (p(g) = (count_g + 1) / (N + buckets)). High-logw
+    documents are the ones importance resampling keeps.
+
+    Shape at scale (the unigram_xent discipline): bigrams collapse to
+    per-(doc, bucket) COUNTS before anything wide, both bucket models
+    partial-aggregate from those counts in ONE pass (conditional sums —
+    the target model is not a second scan), totals are a one-row
+    broadcast, and the scoring join is (doc,bucket) × (bucket) hashed on
+    the bucket key. The hash is the repo-wide md5-48bit (deterministic
+    across engines, same idiom as MinHash); per-bucket log-ratios are
+    quantized with the tie-free micro-unit rule BEFORE the decimal
+    weighted sum, so the reduction is partition- and engine-invariant.
+
+    Documents with no bigram (< 2 tokens) are excluded (no evidence).
+    Output: (id_col, is_target, n_grams, logw, avg_logw).
+    """
+    from ..functions.exact import q6
+
+    grams = token_ngrams(tokens(text_col), 2)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10).cast("long")
+        % buckets
+    )
+    dt = (
+        df.select(
+            F.col(id_col),
+            target_pred.alias("is_target"),
+            F.explode(grams).alias("gram"),
+        )
+        .select(id_col, "is_target", bucket.alias("bucket"))
+        .groupBy(id_col, "is_target", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # bucket models and the scoring join BOTH consume dt: cut the
+        # lineage so tokenize+hash runs once (unigram_xent discipline)
+        .localCheckpoint()
+    )
+    bs = dt.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("ct"),
+        F.sum("c").cast("long").alias("cr"),
+    )
+    tot = bs.agg(
+        F.sum("ct").cast("long").alias("nt"), F.sum("cr").cast("long").alias("nr")
+    )
+    lw = q6(
+        F.log(
+            (F.col("ct") + 1).cast("double") / (F.col("nt") + buckets).cast("double")
+        )
+        - F.log(
+            (F.col("cr") + 1).cast("double") / (F.col("nr") + buckets).cast("double")
+        )
+    ).alias("lw")
+    model = bs.crossJoin(F.broadcast(tot)).select("bucket", lw)
+    s = F.sum((F.col("c").cast("double") * F.col("lw")).cast("decimal(38,6)"))
+    n = F.sum("c").cast("long")
+    return (
+        dt.join(model, "bucket")
+        .groupBy(id_col, "is_target")
+        .agg(
+            n.alias("n_grams"),
+            s.cast("double").alias("logw"),
+        )
+        .withColumn(
+            "avg_logw", F.col("logw") / F.col("n_grams").cast("double")
+        )
+    )

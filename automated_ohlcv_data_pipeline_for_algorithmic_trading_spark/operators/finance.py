@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import q6
+from ..functions.exact import q6, u6
 
 __all__ = [
     "max_drawdown",
@@ -58,6 +58,10 @@ __all__ = [
     "aroon",
     "overnight_gaps",
     "adx",
+    "parabolic_sar",
+    "trix",
+    "cci",
+    "vortex",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -1510,3 +1514,292 @@ def adx(
         return pdf.assign(pdi=masked(pdi), mdi=masked(mdi), adx=masked(adxv))
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def parabolic_sar(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    af_step: int = 2,
+    af_max: int = 20,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Wilder's Parabolic SAR — the fourth true-recurrence family after
+    EMA, Heikin-Ashi and Supertrend, and the most state-heavy one: four
+    mutually-dependent state variables (SAR, extreme point EP,
+    acceleration factor AF, trend) where every update branches on
+    comparisons against prior state. No closed form, no window
+    expression; grouped-map fold per key with a recursive-CTE oracle.
+
+    Recurrence (acceleration in integer HUNDREDTHS, af_step=2 ≡ 0.02):
+
+    - seed at bar 2: trend = sign(close₂ − close₁) (ties up); long seeds
+      SAR = min(low₁,low₂), EP = max(high₁,high₂); short mirrors.
+    - each bar: SAR' = SAR + AF·(EP − SAR)/100 (floor), clamped to not
+      enter the prior two bars' range (min of the two prior lows when
+      long, max of the two prior highs when short);
+    - reversal when price crosses SAR': SAR := prior EP, EP := the
+      crossing extreme, AF := af_step;
+    - otherwise a new extreme advances EP and steps AF by ``af_step``
+      up to ``af_max``.
+
+    All state is BIGINT micro-units. The invariant EP ≥ SAR (long) /
+    SAR ≥ EP (short) holds by construction — SAR is clamped at or below
+    prior lows while EP is a high — so both floor divisions operate on
+    nonnegative operands and DuckDB's truncating ``//`` IS floor, the
+    same trick supertrend's oracle leans on.
+
+    Output: keys + order + h/l/c + (psar, trend, ep, af); bar 1 emits
+    NULL indicator values (warm-up). Grouped-map per key with explicit
+    repartitioning (the one-task-AQE-coalesce fix all grouped-map
+    operators here carry).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, high, low, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", psar double, trend int, ep double, af int"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        h = np.floor(pdf[high].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        lo = np.floor(pdf[low].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        c = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        m = len(h)
+        sar_a = np.zeros(m, dtype=np.int64)
+        ep_a = np.zeros(m, dtype=np.int64)
+        af_a = np.zeros(m, dtype=np.int64)
+        tr_a = np.zeros(m, dtype=np.int64)
+        valid = np.zeros(m, dtype=bool)
+        if m >= 2:
+            t = 1 if c[1] >= c[0] else -1
+            if t == 1:
+                sar, ep = min(int(lo[0]), int(lo[1])), max(int(h[0]), int(h[1]))
+            else:
+                sar, ep = max(int(h[0]), int(h[1])), min(int(lo[0]), int(lo[1]))
+            af = af_step
+            sar_a[1], ep_a[1], af_a[1], tr_a[1], valid[1] = sar, ep, af, t, True
+            for i in range(2, m):
+                if t == 1:
+                    cl = min(sar + (af * (ep - sar)) // 100,
+                             int(lo[i - 1]), int(lo[i - 2]))
+                    if lo[i] < cl:  # price pierced the SAR: flip short
+                        t, sar, ep, af = -1, ep, int(lo[i]), af_step
+                    else:
+                        if h[i] > ep:
+                            af = min(af + af_step, af_max)
+                            ep = int(h[i])
+                        sar = cl
+                else:
+                    cl = max(sar - (af * (sar - ep)) // 100,
+                             int(h[i - 1]), int(h[i - 2]))
+                    if h[i] > cl:  # flip long
+                        t, sar, ep, af = 1, ep, int(h[i]), af_step
+                    else:
+                        if lo[i] < ep:
+                            af = min(af + af_step, af_max)
+                            ep = int(lo[i])
+                        sar = cl
+                sar_a[i], ep_a[i], af_a[i], tr_a[i], valid[i] = sar, ep, af, t, True
+
+        def masked_px(x):
+            arr = pd.array(x / 1e6, dtype="Float64")
+            arr[~valid] = pd.NA
+            return arr
+
+        def masked_i(x):
+            arr = pd.array(x, dtype="Int32")
+            arr[~valid] = pd.NA
+            return arr
+
+        return pdf.assign(
+            psar=masked_px(sar_a), trend=masked_i(tr_a),
+            ep=masked_px(ep_a), af=masked_i(af_a),
+        )
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def trix(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 15,
+    close: str = "close",
+) -> DataFrame:
+    """TRIX — 1-bar rate of change of a TRIPLE-smoothed EMA. Three
+    chained EMA recurrences (e2 folds over e1's states, e3 over e2's),
+    each the exact integer micro-unit fold of ema_macd_exact
+    (operators/extension.py): state += floor(2.0·(x − state)/(n+1.0))
+    with the floor over the double quotient, all operands far below
+    2^53, so pandas and a recursive CTE carrying (e1, e2, e3) compute
+    identical BIGINT states. TRIX itself is an IEEE quotient of exact
+    integers: 100·(e3_t − e3_{t−1})/e3_{t−1}.
+
+    Output: keys + order + close + (trix_ema, trix); the first bar's
+    trix is NULL (no prior e3).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", trix_ema double, trix double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        m = len(v)
+        e3_a = np.empty(m, dtype=np.int64)
+        tx = np.full(m, np.nan)
+        e1 = e2 = e3 = 0
+        for i, vi in enumerate(v.tolist()):
+            if i == 0:
+                e1 = e2 = e3 = vi
+            else:
+                e1 += math.floor(2.0 * (vi - e1) / (n + 1.0))
+                e2 += math.floor(2.0 * (e1 - e2) / (n + 1.0))
+                p3 = e3
+                e3 += math.floor(2.0 * (e2 - e3) / (n + 1.0))
+                if p3 != 0:
+                    tx[i] = 100.0 * (e3 - p3) / p3
+            e3_a[i] = e3
+        txa = pd.array(tx, dtype="Float64")
+        txa[np.isnan(tx)] = pd.NA
+        return pdf.assign(trix_ema=e3_a / 1e6, trix=txa)
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def cci(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    n: int = 20,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Commodity Channel Index — a window aggregate Spark has no
+    built-in for: the mean absolute deviation of typical price around
+    the WINDOW's own mean. Native expression (no pandas): typical price
+    stays in 3× micro-units (tp3 = hu+lu+cu, exact BIGINT — never
+    divides by 3), the n-row window yields the exact integer sum s, and
+    the MAD numerator folds collect_list(tp3) with a higher-order
+    aggregate Σ|n·tp3ᵢ − s| — every term exact. The one interpreted
+    lambda runs over n=20 elements per row, not per-corpus (the
+    NOTES.md higher-order-function rule: fine off the hot path).
+
+        cci = (tp − sma) / (0.015 · mad) = n·(n·tp3 − s) / (0.015 · madnum)
+
+    — numerator exact in float64 (≤ ~1e12 micro-units·n²), denominator
+    one IEEE product, quotient one IEEE division: bit-identical in any
+    engine with the same integers. NULL until the window holds n bars
+    and on flat windows (mad = 0).
+
+    Scale: one hash shuffle on the key, one in-partition sort; the
+    collect_list frame is n rows — bounded memory per row.
+    """
+    key_list = list(keys)
+    order_list = list(order_cols)
+    tp3 = u6(F.col(high)) + u6(F.col(low)) + u6(F.col(close))
+    w = (
+        Window.partitionBy(*key_list)
+        .orderBy(*order_list)
+        .rowsBetween(-(n - 1), 0)
+    )
+    out = (
+        df.withColumn("_tp3", tp3)
+        .withColumn("_cnt", F.count(F.lit(1)).over(w))
+        .withColumn("_s", F.sum("_tp3").over(w))
+        .withColumn("_lst", F.collect_list("_tp3").over(w))
+    )
+    madnum = F.aggregate(
+        F.col("_lst"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.abs(F.lit(n) * x - F.col("_s")),
+    )
+    val = (
+        (F.lit(float(n)) * (F.lit(n) * F.col("_tp3") - F.col("_s")).cast("double"))
+        / (F.lit(0.015) * F.col("_madnum").cast("double"))
+    )
+    return (
+        out.withColumn("_madnum", madnum)
+        .withColumn(
+            "cci",
+            F.when(
+                (F.col("_cnt") == n) & (F.col("_madnum") > 0), val
+            ),
+        )
+        .drop("_tp3", "_cnt", "_s", "_lst", "_madnum")
+    )
+
+
+def vortex(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    n: int = 14,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Vortex indicator (VI+ / VI−): n-bar sums of the up/down vortex
+    movements |high_t − low_{t−1}| and |low_t − high_{t−1}| over the
+    n-bar sum of true range. Pure lag + window sums on exact BIGINT
+    micro-units; the two VI values are IEEE quotients of exact
+    integers. NULL until n lagged bars exist and when ΣTR = 0.
+
+    Scale: one hash shuffle on the key, one in-partition sort, three
+    bounded window sums sharing the frame — a single exchange.
+    """
+    key_list = list(keys)
+    order_list = list(order_cols)
+    wlag = Window.partitionBy(*key_list).orderBy(*order_list)
+    w = (
+        Window.partitionBy(*key_list)
+        .orderBy(*order_list)
+        .rowsBetween(-(n - 1), 0)
+    )
+    hu, lu, cu = (u6(F.col(c)) for c in (high, low, close))
+    ph = F.lag(hu).over(wlag)
+    pl = F.lag(lu).over(wlag)
+    pc = F.lag(cu).over(wlag)
+    vmp = F.abs(hu - pl)
+    vmm = F.abs(lu - ph)
+    tru = F.greatest(hu - lu, F.abs(hu - pc), F.abs(lu - pc))
+    out = (
+        df.withColumn("_vmp", vmp)
+        .withColumn("_vmm", vmm)
+        .withColumn("_tru", tru)
+        .withColumn("_k", F.count("_vmp").over(w))
+        .withColumn("_svp", F.sum("_vmp").over(w))
+        .withColumn("_svm", F.sum("_vmm").over(w))
+        .withColumn("_str", F.sum("_tru").over(w))
+    )
+    ok = (F.col("_k") == n) & (F.col("_str") > 0)
+    return (
+        out.withColumn(
+            "vi_plus",
+            F.when(ok, F.col("_svp").cast("double") / F.col("_str").cast("double")),
+        )
+        .withColumn(
+            "vi_minus",
+            F.when(ok, F.col("_svm").cast("double") / F.col("_str").cast("double")),
+        )
+        .drop("_vmp", "_vmm", "_tru", "_k", "_svp", "_svm", "_str")
+    )
