@@ -6651,17 +6651,18 @@ _D_DSIR_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, (lang = 'en') AS is_target, {_SQL_TOKS} AS ts
   FROM documents),
+h AS (
+  SELECT doc_id, is_target,
+         list_transform(ts, t -> CAST('0x' || substr(md5(t), 1, 12)
+                                      AS BIGINT)) AS th
+  FROM toks WHERE len(ts) >= 2),
 g AS (
   SELECT doc_id, is_target,
-         unnest(CASE WHEN len(ts) >= 2
-                     THEN list_transform(range(1, len(ts)),
-                                         i -> ts[i] || ' ' || ts[i + 1])
-                     ELSE []::VARCHAR[] END) AS gram
-  FROM toks),
+         unnest(list_transform(range(1, len(th)),
+                               i -> (th[i] * 31 + th[i + 1]) % 4096)) AS bucket
+  FROM h),
 dt AS (
-  SELECT doc_id, is_target,
-         CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT) % 4096 AS bucket,
-         count(*) AS c
+  SELECT doc_id, is_target, bucket, count(*) AS c
   FROM g GROUP BY ALL),
 bs AS (
   SELECT bucket,

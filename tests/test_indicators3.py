@@ -175,14 +175,16 @@ class TestDsirWeights:
         import hashlib
         from collections import Counter
 
+        def th(t):
+            return int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+
         def grams(text):
             toks = text.lower().split()
-            return [
-                f"{a} {b}" for a, b in zip(toks, toks[1:])
-            ]
+            return list(zip(toks, toks[1:]))
 
         def bucket(g):
-            return int(hashlib.md5(g.encode()).hexdigest()[:12], 16) % 4096
+            a, b = g
+            return (th(a) * 31 + th(b)) % 4096
 
         rows = [(1, "the cat sat", True), (2, "the cat sat on the mat", True),
                 (3, "der hund lief", False), (4, "the cat sat", True)]
