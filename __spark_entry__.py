@@ -6690,6 +6690,76 @@ ORDER BY dt.doc_id
 
 
 
+#: Fixed BM25 query set for d_bm25_topk — terms drawn from the synthetic
+#: corpus vocabulary; shared by the Spark query and the SQL oracle.
+_BM25_QUERIES = [
+    (1, ["hash", "join", "scan"]),
+    (2, ["window", "agg", "sort"]),
+    (3, ["customer", "order", "line"]),
+    (4, ["vector", "batch"]),
+    (5, ["slow", "query", "filter"]),
+]
+
+
+def d_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval over documents for a fixed 5-query set
+    (operators/corpus.bm25_topk) — the lexical-search primitive for
+    decontamination lookups / retrieval-augmented curation. Per-(doc,
+    term) counts + doc lengths in one pass, broadcast query terms and
+    corpus stats, quantized per-term contributions into an exact
+    decimal sum; ranking keys are (score desc, doc_id asc)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_topk(docs, _BM25_QUERIES, k=10)
+    return out.orderBy("query_id", "rank")
+
+
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in _BM25_QUERIES
+        for t in dict.fromkeys(terms)
+    )
+    idf = (
+        "floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        " / (CAST(df AS DOUBLE) + 0.5)) * 1e6 + 0.5) / 1e6"
+    )
+    frac = (
+        f"(CAST(tf AS DOUBLE) * {k1 + 1.0}) / (CAST(tf AS DOUBLE)"
+        f" + {k1} * ({1.0 - b} + {b} * CAST(dl AS DOUBLE)"
+        f" / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+dt AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY ALL),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tfs GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl) AS total_len),
+dfreq AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+cand AS (
+  SELECT q.query_id, t.doc_id, t.tf, dl.dl, f.df, s.n_docs, s.total_len
+  FROM tfs t JOIN q USING (term) JOIN dl USING (doc_id)
+  JOIN dfreq f USING (term), stats s),
+sc AS (
+  SELECT query_id, doc_id,
+         CAST(sum(CAST(floor((({idf}) * ({frac})) * 1e6 + 0.5) / 1e6
+                       AS DECIMAL(38,6))) AS DOUBLE) AS score
+  FROM cand GROUP BY query_id, doc_id)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc)
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6714,6 +6784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cci": x_cci,
         "x_vortex": x_vortex,
         "d_dsir_weights": d_dsir_weights,
+        "d_bm25_topk": d_bm25_topk,
         # --- r5 part 1: implementation/oracle changed this round ---
         "emb_pq_ann": emb_pq_ann,
         "x_heikin_ashi": x_heikin_ashi,
@@ -6926,6 +6997,7 @@ def oracle_sql() -> dict[str, str]:
         "x_cci": _cci_sql(),
         "x_vortex": _vortex_sql(),
         "d_dsir_weights": _D_DSIR_SQL,
+        "d_bm25_topk": _bm25_sql(),
         "x_williams_r": _X_WILLIAMS_SQL,
         "x_mfi": _X_MFI_SQL,
         "x_roc_momentum": _X_ROC_SQL,
@@ -7159,6 +7231,7 @@ HEADLINE_QUERIES = [
     "x_cci",
     "x_vortex",
     "d_dsir_weights",
+    "d_bm25_topk",
     "x_williams_r",
     "x_mfi",
     "x_roc_momentum",

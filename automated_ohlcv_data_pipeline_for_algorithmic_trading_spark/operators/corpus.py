@@ -25,6 +25,8 @@ ACROSS documents — the shapes that decide whether a pipeline survives
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -530,4 +532,97 @@ def dsir_weights(
         .withColumn(
             "avg_logw", F.col("logw") / F.col("n_grams").cast("double")
         )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[str]]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval over the corpus for a small fixed query set — the
+    lexical-search primitive data pipelines use for decontamination
+    lookups and retrieval-augmented curation.
+
+        score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)     = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    ``queries`` is a list of (query_id, [terms]) — terms are matched
+    against the repo-wide whitespace tokenization, each distinct query
+    term scored once.
+
+    Shape at scale: the corpus collapses to per-(doc, term) COUNTS
+    (map-side combinable) plus a per-doc length table computed in the
+    SAME pass (dl = Σ tf over the doc — no second scan); document
+    frequencies partial-aggregate from the counts; N/avgdl are a
+    one-row broadcast; the query-term table (a few dozen rows) is
+    BROADCAST against the (doc, term) counts, so the only wide shuffle
+    is the (doc, term) reduction. Top-k per query is a bounded window
+    over candidates that matched ≥1 term, never the full corpus.
+
+    Determinism: idf and each per-term contribution are quantized with
+    the tie-free micro-unit rule BEFORE the decimal per-doc sum
+    (partition/engine-invariant); ranking keys are (quantized score
+    desc, doc_id asc) — never a raw float. Docs matching no query term
+    are absent (score 0 by definition).
+
+    Output: (query_id, rank, doc_id, score), rank 1..k.
+    """
+    from ..functions.exact import q6
+
+    spark = df.sparkSession
+    dt = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()  # lengths, dfs and the probe all consume dt
+    )
+    dl = dt.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = df.select(F.col(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).crossJoin(
+        dl.agg(F.sum("dl").cast("long").alias("total_len"))
+    )
+    qterms = spark.createDataFrame(
+        [(int(qid), t) for qid, terms in queries for t in dict.fromkeys(terms)],
+        "query_id long, term string",
+    )
+    cand = (
+        dt.join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = q6(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+        )
+    )
+    frac = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col),
+        q6(idf * frac).cast("decimal(38,6)").alias("contrib"),
+    ).groupBy("query_id", id_col).agg(
+        F.sum("contrib").cast("double").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
     )

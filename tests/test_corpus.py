@@ -219,3 +219,58 @@ class TestUnigramXent:
         out = {r.doc_id: r.xent for r in unigram_xent(docs).collect()}
         assert set(out) == {0, 1}
         assert out[1] > out[0]
+
+
+class TestBm25TopK:
+    def test_hand_checked_ranking_and_score(self, spark):
+        import math
+
+        from pyspark.sql import Row
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            bm25_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="spark shuffle join"),
+                Row(doc_id=2, text="join join join padding words here now"),
+                Row(doc_id=3, text="nothing relevant at all whatsoever"),
+                Row(doc_id=4, text="join"),
+            ]
+        )
+        out = bm25_topk(docs, [(7, ["join"])], k=10).collect()
+        rows = {r.doc_id: r for r in out}
+        # doc 3 matches no term -> absent
+        assert set(rows) == {1, 2, 4}
+        # python replay: N=4, df(join)=3, dl = 3,7,5,1, avgdl = 16/4
+        idf = math.floor(math.log(1 + (4 - 3 + 0.5) / 3.5) * 1e6 + 0.5) / 1e6
+        def score(tf, dl):
+            frac = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 4.0))
+            return math.floor(idf * frac * 1e6 + 0.5) / 1e6
+        assert rows[4].score == pytest.approx(score(1, 1), abs=1e-9)
+        assert rows[2].score == pytest.approx(score(3, 7), abs=1e-9)
+        # shortest doc with the term outranks the long spammy one only if
+        # its normalized tf wins; verify ordering matches the replay
+        expect = sorted(
+            [(1, score(1, 3)), (2, score(3, 7)), (4, score(1, 1))],
+            key=lambda x: (-x[1], x[0]),
+        )
+        got = sorted(out, key=lambda r: r.rank)
+        assert [r.doc_id for r in got] == [d for d, _ in expect]
+
+    def test_k_bounds_and_duplicate_query_terms(self, spark):
+        from pyspark.sql import Row
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            bm25_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text="alpha beta") for i in range(5)]
+        )
+        # duplicate term in the query must be scored ONCE
+        one = bm25_topk(docs, [(1, ["alpha"])], k=3).collect()
+        dup = bm25_topk(docs, [(1, ["alpha", "alpha"])], k=3).collect()
+        assert len(one) == 3 and len(dup) == 3
+        assert {r.doc_id: r.score for r in one} == {
+            r.doc_id: r.score for r in dup
+        }
