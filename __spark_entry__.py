@@ -6760,6 +6760,73 @@ WHERE rank <= {k} ORDER BY query_id, rank
 
 
 
+def x_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman Adaptive MA over per-user daily closes — the FIFTH
+    recurrence family and the only one whose smoothing coefficient is
+    DATA-DEPENDENT per step (operators/finance.kama). The efficiency
+    ratio / squared smoothing constant are window-computable, so the
+    oracle precomputes them as window columns and the recursive CTE
+    carries only the single BIGINT state."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        kama,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select("user_id", "trade_date", "close")
+    out = kama(daily, ["user_id"], "trade_date", n=10, fast=2, slow=30)
+    return out.select("user_id", "trade_date", "close", "er", "kama").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _kama_sql(n: int = 10, fast: int = 2, slow: int = 30) -> str:
+    cf6 = 2_000_000 // (fast + 1)
+    cs6 = 2_000_000 // (slow + 1)
+    er6 = (
+        "(CASE WHEN den = 0 OR den IS NULL THEN 0 "
+        "ELSE (abs(pu - pn) * 1000000) // den END)"
+    )
+    sc2 = (
+        f"((({er6} * {cf6 - cs6}) // 1000000 + {cs6})"
+        f" * (({er6} * {cf6 - cs6}) // 1000000 + {cs6})) // 1000000"
+    )
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date, close,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS pu,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+d AS (
+  SELECT *, lag(pu, {n}) OVER v AS pn,
+         abs(pu - lag(pu) OVER v) AS dd
+  FROM b WINDOW v AS (PARTITION BY user_id ORDER BY rn)),
+w AS MATERIALIZED (
+  SELECT *, sum(dd) OVER (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+            AS den
+  FROM d),
+g AS MATERIALIZED (
+  SELECT user_id, trade_date, close, pu, rn,
+         CASE WHEN rn > {n} THEN {er6} END AS er6,
+         CASE WHEN rn > {n} THEN {sc2} END AS sc2
+  FROM w),
+st AS (
+  SELECT user_id, rn, pu AS e FROM g WHERE rn = {n}
+  UNION ALL
+  SELECT c.user_id, c.rn,
+         CASE WHEN c.pu >= p.e
+              THEN p.e + (c.sc2 * (c.pu - p.e)) // 1000000
+              ELSE p.e - (c.sc2 * (p.e - c.pu)) // 1000000 END AS e
+  FROM g c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1)
+SELECT g.user_id, g.trade_date, g.close,
+       CAST(g.er6 AS DOUBLE) / 1000000.0 AS er,
+       CAST(st.e AS DOUBLE) / 1000000.0 AS kama
+FROM g LEFT JOIN st ON g.user_id = st.user_id AND g.rn = st.rn
+ORDER BY g.user_id, g.trade_date
+"""
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6785,6 +6852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_vortex": x_vortex,
         "d_dsir_weights": d_dsir_weights,
         "d_bm25_topk": d_bm25_topk,
+        "x_kama": x_kama,
         # --- r5 part 1: implementation/oracle changed this round ---
         "emb_pq_ann": emb_pq_ann,
         "x_heikin_ashi": x_heikin_ashi,
@@ -6998,6 +7066,7 @@ def oracle_sql() -> dict[str, str]:
         "x_vortex": _vortex_sql(),
         "d_dsir_weights": _D_DSIR_SQL,
         "d_bm25_topk": _bm25_sql(),
+        "x_kama": _kama_sql(),
         "x_williams_r": _X_WILLIAMS_SQL,
         "x_mfi": _X_MFI_SQL,
         "x_roc_momentum": _X_ROC_SQL,
@@ -7232,6 +7301,7 @@ HEADLINE_QUERIES = [
     "x_vortex",
     "d_dsir_weights",
     "d_bm25_topk",
+    "x_kama",
     "x_williams_r",
     "x_mfi",
     "x_roc_momentum",

@@ -62,6 +62,7 @@ __all__ = [
     "trix",
     "cci",
     "vortex",
+    "kama",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -1803,3 +1804,86 @@ def vortex(
         )
         .drop("_vmp", "_vmm", "_tru", "_k", "_svp", "_svm", "_str")
     )
+
+
+def kama(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 10,
+    fast: int = 2,
+    slow: int = 30,
+    close: str = "close",
+) -> DataFrame:
+    """Kaufman's Adaptive Moving Average — the FIFTH recurrence family,
+    distinct from the others: the smoothing coefficient itself is
+    DATA-DEPENDENT per step (the efficiency ratio of an n-bar window),
+    so the fold is ``e_t = e_{t-1} + sc_t · (p_t − e_{t-1})`` with a
+    different sc every bar:
+
+        er_t = |p_t − p_{t−n}| / Σ|p_i − p_{i−1}|   (n-bar window; 0 on
+                                                     a flat window)
+        sc_t = (er_t · (2/(fast+1) − 2/(slow+1)) + 2/(slow+1))²
+
+    The key structural fact: er/sc are WINDOW-computable (no state), so
+    the SQL oracle precomputes them as window columns and the recursive
+    CTE carries only the single BIGINT state e — the cheap shape for a
+    data-dependent-coefficient recurrence.
+
+    All arithmetic is integer micro-units with nonnegative floor
+    divisions (|Δp| ≤ Σ|Δp| keeps er6 ≤ 1e6; the state update branches
+    on sign so DuckDB's truncating ``//`` is floor): er6 = (num·1e6)//den,
+    sc6 = (er6·(cf6−cs6))//1e6 + cs6, sc2 = (sc6·sc6)//1e6,
+    e ±= (sc2·|p−e|)//1e6.
+
+    Seed: e = price at bar n (the first bar with a full ER window one
+    step later); bars 1..n−1 emit NULL (warm-up).
+
+    Output: keys + order + close + (er, kama).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    cf6 = 2_000_000 // (fast + 1)
+    cs6 = 2_000_000 // (slow + 1)
+    src = df.select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", er double, kama double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        p = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        m = len(p)
+        er_a = np.full(m, np.nan)
+        ka = np.full(m, np.nan)
+        if m >= n:
+            d = np.abs(np.diff(p))  # d[i] = |p_{i+1} - p_i|
+            e = int(p[n - 1])
+            ka[n - 1] = e / 1e6
+            for i in range(n, m):
+                num = int(abs(int(p[i]) - int(p[i - n])))
+                den = int(np.sum(d[i - n : i]))  # n terms ending at bar i
+                er6 = 0 if den == 0 else (num * 1_000_000) // den
+                sc6 = (er6 * (cf6 - cs6)) // 1_000_000 + cs6
+                sc2 = (sc6 * sc6) // 1_000_000
+                delta = int(p[i]) - e
+                if delta >= 0:
+                    e += (sc2 * delta) // 1_000_000
+                else:
+                    e -= (sc2 * (-delta)) // 1_000_000
+                er_a[i] = er6 / 1e6
+                ka[i] = e / 1e6
+
+        def masked(x):
+            arr = pd.array(x, dtype="Float64")
+            arr[np.isnan(x)] = pd.NA
+            return arr
+
+        return pdf.assign(er=masked(er_a), kama=masked(ka))
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)

@@ -207,3 +207,38 @@ class TestDsirWeights:
 
         expect = sum(lw(bucket(g)) for g in grams("the cat sat"))
         assert out[1].logw == pytest.approx(expect, abs=1e-6)
+
+
+class TestKama:
+    def test_flat_series_stays_at_price(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            kama,
+        )
+
+        df = _bars(spark, [("A", t, 50, 50, 50.0) for t in range(1, 15)])
+        out = {r.t: r for r in kama(df, ["sym"], "t", n=10).collect()}
+        for t in range(1, 10):
+            assert out[t].kama is None  # warm-up
+        assert out[10].kama == pytest.approx(50.0)  # seed bar
+        for t in range(11, 15):
+            assert out[t].er == 0.0  # flat window convention
+            assert out[t].kama == pytest.approx(50.0)
+
+    def test_trending_series_er_one_and_fast_tracking(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            kama,
+        )
+
+        # perfectly monotone: |p_t - p_{t-10}| == sum of |steps| -> er = 1,
+        # sc = (2/3)^2 quantized; hand-fold the first update
+        df = _bars(spark, [("A", t, 0, 0, float(t)) for t in range(1, 13)])
+        out = {r.t: r for r in kama(df, ["sym"], "t", n=10).collect()}
+        assert out[11].er == pytest.approx(1.0)
+        cf6, cs6 = 2_000_000 // 3, 2_000_000 // 31
+        sc6 = (1_000_000 * (cf6 - cs6)) // 1_000_000 + cs6
+        sc2 = (sc6 * sc6) // 1_000_000
+        e = 10_000_000 + (sc2 * (11_000_000 - 10_000_000)) // 1_000_000
+        assert out[11].kama == pytest.approx(e / 1e6)
+        # still adapting upward, bounded by the price
+        assert out[11].kama < 11.0
+        assert out[12].kama > out[11].kama
