@@ -6827,6 +6827,116 @@ ORDER BY g.user_id, g.trade_date
 
 
 
+def s_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the
+    abandoned-funnel shape (views with NO purchase in the next 30 min
+    emit a NULL row once the watermark proves no match can arrive).
+    Distinct state semantics from the inner s_stream_join: unmatched
+    left rows are held in state and flushed by watermark advance, so
+    the emitted set depends on the FINAL GLOBAL watermark — which Spark
+    computes as min over BOTH inputs of (max event time − delay). The
+    oracle replays exactly that: a batch left interval join keeping
+    unmatched views only where view_ts + 30 min < min(max view_ts,
+    max purchase_ts) − 2 h (rows newer than the final watermark stay
+    unflushed in state at availableNow termination — measured, not
+    assumed: the one-sided purchase-stream max is what gates the
+    watermark on this data). Nullable ids/lag cast to DOUBLE on both
+    sides (the x_scd2_history nullable-int rule)."""
+    import uuid
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        events_stream_source,
+    )
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
+    )
+
+    tune(spark)
+    with stateful_partitions(spark):
+        views = (
+            events_stream_source(spark, sf_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("view_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "2 hours")
+        )
+        buys = (
+            events_stream_source(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("buy_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
+        )
+        joined = views.join(
+            buys,
+            (F.col("view_user") == F.col("buy_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "leftOuter",
+        ).select(
+            F.col("view_user").alias("user_id"),
+            "view_id",
+            F.col("purchase_id").cast("double").alias("purchase_id"),
+            "view_ts",
+            "purchase_ts",
+            (
+                F.unix_micros(F.col("purchase_ts"))
+                - F.unix_micros(F.col("view_ts"))
+            ).cast("double").alias("lag_us"),
+        )
+        name = f"stream_join_outer_{uuid.uuid4().hex[:8]}"
+        with _scratch_ckpt() as ckpt:
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+    return spark.table(name).orderBy(
+        "user_id", "view_id", F.col("purchase_id").asc_nulls_first()
+    )
+
+
+_S_JOIN_OUTER_SQL = """
+WITH v AS (
+  SELECT user_id AS view_user, event_id AS view_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'),
+b AS (
+  SELECT user_id AS buy_user, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least((SELECT max(view_ts) FROM v),
+               (SELECT max(purchase_ts) FROM b))
+         - INTERVAL 2 HOUR AS final_wm)
+SELECT v.view_user AS user_id, v.view_id,
+       CAST(b.purchase_id AS DOUBLE) AS purchase_id,
+       v.view_ts, b.purchase_ts,
+       CAST(epoch_us(b.purchase_ts) - epoch_us(v.view_ts) AS DOUBLE)
+         AS lag_us
+FROM v LEFT JOIN b
+  ON v.view_user = b.buy_user
+ AND b.purchase_ts >= v.view_ts
+ AND b.purchase_ts < v.view_ts + INTERVAL 30 MINUTE
+WHERE b.purchase_id IS NOT NULL
+   OR v.view_ts + INTERVAL 30 MINUTE < (SELECT final_wm FROM wm)
+ORDER BY user_id, view_id, purchase_id NULLS FIRST
+"""
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6853,6 +6963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dsir_weights": d_dsir_weights,
         "d_bm25_topk": d_bm25_topk,
         "x_kama": x_kama,
+        "s_stream_join_outer": s_stream_join_outer,
         # --- r5 part 1: implementation/oracle changed this round ---
         "emb_pq_ann": emb_pq_ann,
         "x_heikin_ashi": x_heikin_ashi,
@@ -7067,6 +7178,7 @@ def oracle_sql() -> dict[str, str]:
         "d_dsir_weights": _D_DSIR_SQL,
         "d_bm25_topk": _bm25_sql(),
         "x_kama": _kama_sql(),
+        "s_stream_join_outer": _S_JOIN_OUTER_SQL,
         "x_williams_r": _X_WILLIAMS_SQL,
         "x_mfi": _X_MFI_SQL,
         "x_roc_momentum": _X_ROC_SQL,
@@ -7302,6 +7414,7 @@ HEADLINE_QUERIES = [
     "d_dsir_weights",
     "d_bm25_topk",
     "x_kama",
+    "s_stream_join_outer",
     "x_williams_r",
     "x_mfi",
     "x_roc_momentum",

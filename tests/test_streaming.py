@@ -241,3 +241,41 @@ def test_dedup_ingest_stream_incremental_index(spark, tmp_path):
     # the index holds EVERY doc (dups map future copies to first seen)
     idx = spark.read.parquet(str(tmp_path / "index"))
     assert sorted(r["doc_id"] for r in idx.collect()) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_stream_join_outer_flushes_only_below_final_watermark(spark):
+    """LEFT OUTER stream-stream join: unmatched views emit NULL rows
+    only when the FINAL global watermark (min over both inputs' max
+    event time - delay) proves no match can arrive; newer unmatched
+    views stay in state at availableNow termination."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = E.queries()["s_stream_join_outer"](spark, sf)
+    rows = out.collect()
+    nulls = [r for r in rows if r.purchase_id is None]
+    matched = [r for r in rows if r.purchase_id is not None]
+    assert nulls, "expected watermark-flushed unmatched views"
+    ev = E._t(spark, sf, "events")
+    mx = (
+        ev.groupBy()
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))).alias("mv"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mb"),
+        )
+        .collect()[0]
+    )
+    final_wm = min(mx.mv, mx.mb)
+    from datetime import timedelta
+
+    bound = final_wm - timedelta(hours=2) - timedelta(minutes=30)
+    assert all(r.view_ts < bound for r in nulls)
+    # the matched subset equals the batch inner interval join
+    inner = E.queries()["s_stream_join"](spark, sf).collect()
+    assert {(r.user_id, r.view_id, int(r.purchase_id)) for r in matched} == {
+        (r.user_id, r.view_id, r.purchase_id) for r in inner
+    }
