@@ -6937,6 +6937,55 @@ ORDER BY user_id, view_id, purchase_id NULLS FIRST
 
 
 
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette over the seeded-k-means cells
+    (operators/similarity.silhouette) — the clustering-quality metric
+    for the IVF/SemDeDup bucketing. b = second-smallest centroid
+    distance (each vector sees each centroid once), so the whole metric
+    is one broadcast cross join + two partial-agg groupBys — no n x n
+    work. The oracle regenerates the identical centroids
+    (_ivf_assign_ctes) and replays the sorted-distance-pair math."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        silhouette,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return silhouette(emb, n_lists=8, n_iter=2)
+
+
+def _silhouette_sql(n_lists: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    ctes, cur = _ivf_assign_ctes(n_lists, n_iter, dim)
+    d2 = (
+        "list_dot_product(a.emb, a.emb)"
+        " + list_dot_product(c.centroid, c.centroid)"
+        " - 2.0 * list_dot_product(a.emb, c.centroid)"
+    )
+    ctes.append(f"""pv AS (
+  SELECT a.vec_id, a.cell AS own, list_sort(list({d2})) AS ds
+  FROM af a CROSS JOIN {cur} c
+  GROUP BY a.vec_id, a.cell)""")
+    ctes.append("""sv AS (
+  SELECT own AS cell,
+         floor((CASE WHEN greatest(sqrt(greatest(ds[1], 0.0)),
+                                   sqrt(greatest(ds[2], 0.0))) > 0.0
+                     THEN (sqrt(greatest(ds[2], 0.0))
+                           - sqrt(greatest(ds[1], 0.0)))
+                          / greatest(sqrt(greatest(ds[1], 0.0)),
+                                     sqrt(greatest(ds[2], 0.0)))
+                     ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS s
+  FROM pv)"""
+    )
+    with_block = ",\n".join(ctes)
+    return f"""
+WITH {with_block}
+SELECT cell, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_sil
+FROM sv GROUP BY cell ORDER BY cell
+"""
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6964,6 +7013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_bm25_topk": d_bm25_topk,
         "x_kama": x_kama,
         "s_stream_join_outer": s_stream_join_outer,
+        "emb_silhouette": emb_silhouette,
         # --- r5 part 1: implementation/oracle changed this round ---
         "emb_pq_ann": emb_pq_ann,
         "x_heikin_ashi": x_heikin_ashi,
@@ -7179,6 +7229,7 @@ def oracle_sql() -> dict[str, str]:
         "d_bm25_topk": _bm25_sql(),
         "x_kama": _kama_sql(),
         "s_stream_join_outer": _S_JOIN_OUTER_SQL,
+        "emb_silhouette": _silhouette_sql(),
         "x_williams_r": _X_WILLIAMS_SQL,
         "x_mfi": _X_MFI_SQL,
         "x_roc_momentum": _X_ROC_SQL,
@@ -7415,6 +7466,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "s_stream_join_outer",
+    "emb_silhouette",
     "x_williams_r",
     "x_mfi",
     "x_roc_momentum",

@@ -1245,3 +1245,76 @@ def pq_probe(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", q6("_cos", "cosine"), "rank")
     )
+
+
+def silhouette(
+    corpus: DataFrame,
+    n_lists: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the
+    clustering-quality metric for the seeded-k-means family (IVF cells,
+    SemDeDup buckets): for each vector, a = distance to its OWN
+    centroid, b = distance to the nearest OTHER centroid,
+    s = (b − a) / max(a, b).
+
+    Because every vector sees each of the k centroids exactly once, b
+    is simply the SECOND-smallest centroid distance — so one broadcast
+    cross join (n × k rows, map-side) and ONE partial-aggregable
+    groupBy per vector computes (own cell, sorted distance pair), and a
+    second tiny groupBy rolls up per-cell means. No n×n work anywhere:
+    the full-silhouette's pairwise a/b is what this 'simplified'
+    variant exists to avoid at scale.
+
+    Determinism: distances are the repo's sequential-fold d2 (identical
+    to DuckDB's list_dot_product), sqrt is correctly-rounded IEEE, each
+    per-point s is micro-unit-quantized BEFORE the exact decimal mean.
+    d2 is clamped at 0 (catastrophic-cancellation negatives would NaN
+    the sqrt on both engines otherwise). Requires n_lists >= 2.
+
+    Output: (cell, n, mean_sil) ordered by cell.
+    """
+    if n_lists < 2:
+        raise ValueError("silhouette needs n_lists >= 2")
+    cents = seeded_centroids(corpus, n_lists, n_iter, id_col, vec_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    base = corpus.select(
+        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
+    ).repartition(par, "_vid")
+    j = base.withColumn("_xx", dot(F.col("_x"), F.col("_x"))).join(
+        F.broadcast(
+            cents.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))
+        )
+    )
+    scored = j.withColumn(
+        "_d2",
+        F.col("_xx") + F.col("_cc")
+        - F.lit(2.0) * dot(F.col("_x"), F.col("centroid")),
+    )
+    per_vec = scored.groupBy("_vid").agg(
+        F.min_by(F.col("cell"), F.struct(F.col("_d2"), F.col("cell"))).alias(
+            "_own"
+        ),
+        F.array_sort(F.collect_list("_d2")).alias("_ds"),
+    )
+    a = F.sqrt(F.greatest(F.col("_ds").getItem(0), F.lit(0.0)))
+    b = F.sqrt(F.greatest(F.col("_ds").getItem(1), F.lit(0.0)))
+    sil = q6(
+        F.when(F.greatest(a, b) > 0.0, (b - a) / F.greatest(a, b)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return (
+        per_vec.select(F.col("_own").alias("cell"), sil.alias("_s"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(F.col("_s").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_sil"),
+        )
+        .orderBy("cell")
+    )

@@ -216,3 +216,33 @@ def test_pq_recall_sf001(spark):
     # 0.96, deterministic
     recall, *_ = _pq_recall(spark, "/root/testdata/sf0.01")
     assert recall >= 0.8, f"PQ recall collapsed at sf0.01: {recall}"
+
+
+def test_silhouette_separated_blobs_score_high(spark):
+    """Two tight, far-apart blobs: simplified silhouette ~1 for every
+    point; n_lists < 2 is rejected."""
+    import pytest
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        silhouette,
+    )
+
+    rows = []
+    for i in range(20):
+        base = [0.0] * 8
+        # blob A near the origin, blob B far along dim 0; tiny per-point
+        # jitter keeps distances nonzero
+        if i % 2 == 0:
+            base[0] = 0.0 + (i % 5) * 0.01
+        else:
+            base[0] = 100.0 + (i % 5) * 0.01
+        base[1] = (i % 3) * 0.01
+        rows.append((i, base))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = silhouette(emb, n_lists=2, n_iter=2).collect()
+    assert len(out) == 2
+    assert sum(r.n for r in out) == 20
+    for r in out:
+        assert r.mean_sil > 0.95  # near-perfect separation
+    with pytest.raises(ValueError):
+        silhouette(emb, n_lists=1)
