@@ -7001,10 +7001,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 15 changed + 38 r2-stale = 53: the last few spill to the r6 window,
-    # which should start with whatever this round's gate did not reach.
+    # 9 new + 15 changed + 38 r2-stale = 62: the r2-cohort tail past
+    # position 50 spills to the r6 window, which should start with
+    # whatever this round's gate did not reach.
     return {
-        # --- r5 part 0: NEW this round (psar/trix/cci/vortex/dsir) ---
+        # --- r5 part 0: NEW this round ---
         "x_psar": x_psar,
         "x_trix": x_trix,
         "x_cci": x_cci,
