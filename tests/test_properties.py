@@ -310,3 +310,150 @@ def test_apply_bpe_merge_matches_python_greedy_fold(words, rule):
     }
     want = {f"w{i}": greedy(list(w)) for i, w in enumerate(words)}
     assert got == want
+
+
+bar_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # symbol idx
+        st.floats(min_value=0.01, max_value=1e3,    # close seed
+                  allow_nan=False, allow_infinity=False),
+        st.floats(min_value=0.0, max_value=5.0,     # high offset
+                  allow_nan=False, allow_infinity=False),
+        st.floats(min_value=0.0, max_value=5.0,     # low offset
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _psar_replay(bars, af_step=2, af_max=20):
+    """Independent pure-python PSAR fold (ints only, no numpy) — the
+    operator's pandas/numpy fold must agree exactly."""
+    out = [None] * len(bars)
+    if len(bars) < 2:
+        return out
+    h = [int(round(b[0] * 1e6)) for b in bars]  # pre-quantized inputs
+    lo = [int(round(b[1] * 1e6)) for b in bars]
+    c = [int(round(b[2] * 1e6)) for b in bars]
+    t = 1 if c[1] >= c[0] else -1
+    if t == 1:
+        sar, ep = min(lo[0], lo[1]), max(h[0], h[1])
+    else:
+        sar, ep = max(h[0], h[1]), min(lo[0], lo[1])
+    af = af_step
+    out[1] = (sar, ep, af, t)
+    for i in range(2, len(bars)):
+        if t == 1:
+            cl = min(sar + (af * (ep - sar)) // 100, lo[i - 1], lo[i - 2])
+            if lo[i] < cl:
+                t, sar, ep, af = -1, ep, lo[i], af_step
+            else:
+                if h[i] > ep:
+                    af = min(af + af_step, af_max)
+                    ep = h[i]
+                sar = cl
+        else:
+            cl = max(sar - (af * (sar - ep)) // 100, h[i - 1], h[i - 2])
+            if h[i] > cl:
+                t, sar, ep, af = 1, ep, h[i], af_step
+            else:
+                if lo[i] < ep:
+                    af = min(af + af_step, af_max)
+                    ep = lo[i]
+                sar = cl
+        out[i] = (sar, ep, af, t)
+    return out
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(bar_lists)
+def test_parabolic_sar_matches_pure_python_replay(rows):
+    spark = _spark()
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        parabolic_sar,
+    )
+
+    # build clean h >= c >= l bars, pre-quantized to 1e-6 so the replay
+    # and the fold quantize identically
+    data = []
+    series: dict[int, list] = {}
+    for i, (sym, close, dh, dl) in enumerate(rows):
+        cq = round(close, 6)
+        hq = round(cq + dh, 6)
+        lq = round(max(cq - dl, 0.0), 6)
+        data.append((f"s{sym}", i, hq, lq, cq))
+        series.setdefault(sym, []).append((hq, lq, cq))
+    df = spark.createDataFrame(
+        data, "sym string, t long, high double, low double, close double"
+    )
+    got = {
+        (r.sym, r.t): r
+        for r in parabolic_sar(df, ["sym"], "t").collect()
+    }
+    idx: dict[int, int] = {}
+    for i, (sym, *_rest) in enumerate(rows):
+        expect = _psar_replay(series[sym])
+        j = idx.get(sym, 0)
+        idx[sym] = j + 1
+        r = got[(f"s{sym}", i)]
+        if expect[j] is None:
+            assert r.psar is None
+        else:
+            sar, ep, af, t = expect[j]
+            assert abs(r.psar - sar / 1e6) < 1e-9
+            assert abs(r.ep - ep / 1e6) < 1e-9
+            assert r.af == af and r.trend == t
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(bar_lists)
+def test_kama_matches_pure_python_replay(rows):
+    spark = _spark()
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        kama,
+    )
+
+    n, fast, slow = 5, 2, 30
+    cf6, cs6 = 2_000_000 // (fast + 1), 2_000_000 // (slow + 1)
+    data = []
+    series: dict[int, list[int]] = {}
+    for i, (sym, close, _dh, _dl) in enumerate(rows):
+        cq = round(close, 6)
+        data.append((f"s{sym}", i, cq))
+        series.setdefault(sym, []).append(int(round(cq * 1e6)))
+    df = spark.createDataFrame(data, "sym string, t long, close double")
+    got = {(r.sym, r.t): r for r in kama(df, ["sym"], "t", n=n).collect()}
+
+    def replay(p):
+        out = [None] * len(p)
+        if len(p) < n:
+            return out
+        e = p[n - 1]
+        out[n - 1] = (None, e)
+        for i in range(n, len(p)):
+            num = abs(p[i] - p[i - n])
+            den = sum(abs(p[j] - p[j - 1]) for j in range(i - n + 1, i + 1))
+            er6 = 0 if den == 0 else (num * 1_000_000) // den
+            sc6 = (er6 * (cf6 - cs6)) // 1_000_000 + cs6
+            sc2 = (sc6 * sc6) // 1_000_000
+            d = p[i] - e
+            e += (sc2 * d) // 1_000_000 if d >= 0 else -((sc2 * (-d)) // 1_000_000)
+            out[i] = (er6, e)
+        return out
+
+    idx: dict[int, int] = {}
+    for i, (sym, *_rest) in enumerate(rows):
+        expect = replay(series[sym])
+        j = idx.get(sym, 0)
+        idx[sym] = j + 1
+        r = got[(f"s{sym}", i)]
+        if expect[j] is None:
+            assert r.kama is None
+        else:
+            er6, e = expect[j]
+            assert abs(r.kama - e / 1e6) < 1e-9
+            if er6 is None:
+                assert r.er is None
+            else:
+                assert abs(r.er - er6 / 1e6) < 1e-9
