@@ -279,3 +279,55 @@ def test_stream_join_outer_flushes_only_below_final_watermark(spark):
     assert {(r.user_id, r.view_id, int(r.purchase_id)) for r in matched} == {
         (r.user_id, r.view_id, r.purchase_id) for r in inner
     }
+
+
+def test_checkpoint_resume_consumes_only_new_files(spark, tmp_path):
+    """Exactly-once across RESTARTS: run 1 consumes file A via
+    availableNow; files B and C land; run 2 with the SAME checkpoint
+    consumes only B+C — A is not reprocessed even though it is still in
+    the source dir, and the appended sink equals the batch union with
+    zero duplicates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def land(name, ids):
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in ids], "id long, payload string"
+        ).coalesce(1).write.mode("append").parquet(src + "_stage_" + name)
+        # move the single part file in atomically (the file-source
+        # contract: files appear whole)
+        import glob
+        import shutil
+
+        [part] = glob.glob(src + "_stage_" + name + "/part-*.parquet")
+        shutil.move(part, os.path.join(src, name + ".parquet"))
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long, payload string")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land("a", range(0, 10))
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 10
+    land("b", range(10, 25))
+    land("c", range(25, 30))
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == 30  # A not reprocessed, B+C appended once
+    assert out.select("id").distinct().count() == 30
+    assert out.agg(F.min("id"), F.max("id")).collect()[0] == (0, 29)
