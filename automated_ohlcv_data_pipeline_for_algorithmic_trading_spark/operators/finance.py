@@ -1033,47 +1033,57 @@ def supertrend(
         fub = np.zeros(m, dtype=np.int64)
         flb = np.zeros(m, dtype=np.int64)
         trend = np.zeros(m, dtype=np.int64)
-        # true range (integer): first bar = h-l
-        tr = np.empty(m, dtype=np.int64)
-        for i in range(m):
-            if i == 0:
-                tr[i] = h[i] - lo[i]
-            else:
-                tr[i] = max(h[i] - lo[i], abs(h[i] - c[i - 1]), abs(lo[i] - c[i - 1]))
+        # true range (integer, vectorized): first bar = h-l
+        cprev = np.concatenate((c[:1], c[:-1]))
+        tr = np.maximum(
+            h - lo, np.maximum(np.abs(h - cprev), np.abs(lo - cprev))
+        )
+        tr[0] = h[0] - lo[0]
         if m >= n:
-            a = int(np.sum(tr[:n]) // n)  # seed: mean of first n TRs
+            # plain-list state loop (numpy scalar indexing is ~5x slower
+            # in sequential folds; measured on the 2M-row hot-key smoke)
+            hl, ll, cl = h.tolist(), lo.tolist(), c.tolist()
+            trl = tr.tolist()
+            al = [0] * m
+            a = int(np.sum(tr[:n])) // n  # seed: mean of first n TRs
+            al[n - 1] = a
             atr[n - 1] = a
             for i in range(n, m):
-                a = (a * (n - 1) + int(tr[i])) // n
-                atr[i] = a
+                a = (a * (n - 1) + trl[i]) // n
+                al[i] = a
+            atr[n:] = al[n:]
             # bands + trend from the seed bar on
+            ful, fll, tdl = [0] * m, [0] * m, [0] * m
             pu = pl = 0
             t = 1
             for i in range(n - 1, m):
-                mid2 = int(h[i]) + int(lo[i])  # 2*mid in micro-units
-                ub = (mid2 + 2 * mult * int(atr[i])) // 2
-                lb = (mid2 - 2 * mult * int(atr[i])) // 2
+                mid2 = hl[i] + ll[i]  # 2*mid in micro-units
+                ub = (mid2 + 2 * mult * al[i]) // 2
+                lb = (mid2 - 2 * mult * al[i]) // 2
                 if i == n - 1:
                     fu, fl = ub, lb
-                    t = 1 if c[i] > fu else -1 if c[i] < fl else 1
+                    t = 1 if cl[i] > fu else -1 if cl[i] < fl else 1
                 else:
-                    fu = ub if (ub < pu or c[i - 1] > pu) else pu
-                    fl = lb if (lb > pl or c[i - 1] < pl) else pl
-                    if t == 1 and c[i] < fl:
+                    fu = ub if (ub < pu or cl[i - 1] > pu) else pu
+                    fl = lb if (lb > pl or cl[i - 1] < pl) else pl
+                    if t == 1 and cl[i] < fl:
                         t = -1
-                    elif t == -1 and c[i] > fu:
+                    elif t == -1 and cl[i] > fu:
                         t = 1
-                fub[i], flb[i], trend[i] = fu, fl, t
+                ful[i], fll[i], tdl[i] = fu, fl, t
                 pu, pl = fu, fl
+            fub[n - 1:] = ful[n - 1:]
+            flb[n - 1:] = fll[n - 1:]
+            trend[n - 1:] = tdl[n - 1:]
         valid = atr >= 0
 
         def masked(x):
-            arr = pd.array(x / 1e6, dtype="Float64")
-            arr[~valid] = pd.NA  # warm-up rows are NULL (not NaN) like
-            return arr           # the SQL twin's LEFT JOIN misses
+            # direct masked-array constructor: ~6x cheaper than pd.array
+            # + NA assignment at 2M-row groups; warm-up rows are NULL
+            # (not NaN) like the SQL twin's LEFT JOIN misses
+            return pd.arrays.FloatingArray(x / 1e6, ~valid)
 
-        tarr = pd.array(trend, dtype="Int32")
-        tarr[~valid] = pd.NA
+        tarr = pd.arrays.IntegerArray(trend.astype(np.int32), ~valid)
         return pdf.assign(
             atr=masked(atr),
             st_upper=masked(fub),
@@ -1509,9 +1519,7 @@ def adx(
                     au = (au * (n - 1) + dx) // n
                     adxv[i] = au / 1e4
         def masked(x):
-            arr = pd.array(x, dtype="Float64")
-            arr[np.isnan(x)] = pd.NA  # warm-up rows are NULL like the
-            return arr                # SQL twin's LEFT JOIN misses
+            return pd.arrays.FloatingArray(x, np.isnan(x))  # NaN -> NULL
         return pdf.assign(pdi=masked(pdi), mdi=masked(mdi), adx=masked(adxv))
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
@@ -1581,45 +1589,50 @@ def parabolic_sar(
         tr_a = np.zeros(m, dtype=np.int64)
         valid = np.zeros(m, dtype=bool)
         if m >= 2:
-            t = 1 if c[1] >= c[0] else -1
+            # plain-list loop: numpy scalar indexing is ~5x slower than
+            # list indexing in the sequential state machine (measured on
+            # the 2M-row hot-key smoke)
+            hl, ll, cl_ = h.tolist(), lo.tolist(), c.tolist()
+            sl, el, al, tl = ([0] * m for _ in range(4))
+            t = 1 if cl_[1] >= cl_[0] else -1
             if t == 1:
-                sar, ep = min(int(lo[0]), int(lo[1])), max(int(h[0]), int(h[1]))
+                sar, ep = min(ll[0], ll[1]), max(hl[0], hl[1])
             else:
-                sar, ep = max(int(h[0]), int(h[1])), min(int(lo[0]), int(lo[1]))
+                sar, ep = max(hl[0], hl[1]), min(ll[0], ll[1])
             af = af_step
-            sar_a[1], ep_a[1], af_a[1], tr_a[1], valid[1] = sar, ep, af, t, True
+            sl[1], el[1], al[1], tl[1], valid[1] = sar, ep, af, t, True
             for i in range(2, m):
                 if t == 1:
                     cl = min(sar + (af * (ep - sar)) // 100,
-                             int(lo[i - 1]), int(lo[i - 2]))
-                    if lo[i] < cl:  # price pierced the SAR: flip short
-                        t, sar, ep, af = -1, ep, int(lo[i]), af_step
+                             ll[i - 1], ll[i - 2])
+                    if ll[i] < cl:  # price pierced the SAR: flip short
+                        t, sar, ep, af = -1, ep, ll[i], af_step
                     else:
-                        if h[i] > ep:
+                        if hl[i] > ep:
                             af = min(af + af_step, af_max)
-                            ep = int(h[i])
+                            ep = hl[i]
                         sar = cl
                 else:
                     cl = max(sar - (af * (sar - ep)) // 100,
-                             int(h[i - 1]), int(h[i - 2]))
-                    if h[i] > cl:  # flip long
-                        t, sar, ep, af = 1, ep, int(h[i]), af_step
+                             hl[i - 1], hl[i - 2])
+                    if hl[i] > cl:  # flip long
+                        t, sar, ep, af = 1, ep, hl[i], af_step
                     else:
-                        if lo[i] < ep:
+                        if ll[i] < ep:
                             af = min(af + af_step, af_max)
-                            ep = int(lo[i])
+                            ep = ll[i]
                         sar = cl
-                sar_a[i], ep_a[i], af_a[i], tr_a[i], valid[i] = sar, ep, af, t, True
+                sl[i], el[i], al[i], tl[i], valid[i] = sar, ep, af, t, True
+            sar_a[1:] = sl[1:]
+            ep_a[1:] = el[1:]
+            af_a[1:] = al[1:]
+            tr_a[1:] = tl[1:]
 
         def masked_px(x):
-            arr = pd.array(x / 1e6, dtype="Float64")
-            arr[~valid] = pd.NA
-            return arr
+            return pd.arrays.FloatingArray(x / 1e6, ~valid)
 
         def masked_i(x):
-            arr = pd.array(x, dtype="Int32")
-            arr[~valid] = pd.NA
-            return arr
+            return pd.arrays.IntegerArray(x.astype(np.int32), ~valid)
 
         return pdf.assign(
             psar=masked_px(sar_a), trend=masked_i(tr_a),
@@ -1679,8 +1692,7 @@ def trix(
                 if p3 != 0:
                     tx[i] = 100.0 * (e3 - p3) / p3
             e3_a[i] = e3
-        txa = pd.array(tx, dtype="Float64")
-        txa[np.isnan(tx)] = pd.NA
+        txa = pd.arrays.FloatingArray(tx, np.isnan(tx))
         return pdf.assign(trix_ema=e3_a / 1e6, trix=txa)
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
@@ -1862,27 +1874,35 @@ def kama(
         er_a = np.full(m, np.nan)
         ka = np.full(m, np.nan)
         if m >= n:
+            # er/sc are window functions of the inputs — vectorize them
+            # wholesale in int64 (all magnitudes < 2^53: num*1e6 <= 1e15,
+            # rolling-sum cumsum < 2^62); only the single-state e-update
+            # stays a (plain-list) sequential loop
             d = np.abs(np.diff(p))  # d[i] = |p_{i+1} - p_i|
+            cs = np.concatenate(([0], np.cumsum(d)))
+            den_v = cs[n:] - cs[:-n]          # den for bars n..m-1
+            num_v = np.abs(p[n:] - p[:-n])
+            er_v = np.where(
+                den_v == 0, 0, (num_v * 1_000_000) // np.maximum(den_v, 1)
+            )
+            sc6_v = (er_v * (cf6 - cs6)) // 1_000_000 + cs6
+            sc2_v = (sc6_v * sc6_v) // 1_000_000
             e = int(p[n - 1])
             ka[n - 1] = e / 1e6
-            for i in range(n, m):
-                num = int(abs(int(p[i]) - int(p[i - n])))
-                den = int(np.sum(d[i - n : i]))  # n terms ending at bar i
-                er6 = 0 if den == 0 else (num * 1_000_000) // den
-                sc6 = (er6 * (cf6 - cs6)) // 1_000_000 + cs6
-                sc2 = (sc6 * sc6) // 1_000_000
-                delta = int(p[i]) - e
+            pl, sc2l = p[n:].tolist(), sc2_v.tolist()
+            ev = [0] * (m - n)
+            for i, (pi, sc2) in enumerate(zip(pl, sc2l)):
+                delta = pi - e
                 if delta >= 0:
                     e += (sc2 * delta) // 1_000_000
                 else:
                     e -= (sc2 * (-delta)) // 1_000_000
-                er_a[i] = er6 / 1e6
-                ka[i] = e / 1e6
+                ev[i] = e
+            er_a[n:] = er_v / 1e6
+            ka[n:] = np.asarray(ev, dtype=np.float64) / 1e6
 
         def masked(x):
-            arr = pd.array(x, dtype="Float64")
-            arr[np.isnan(x)] = pd.NA
-            return arr
+            return pd.arrays.FloatingArray(x, np.isnan(x))
 
         return pdf.assign(er=masked(er_a), kama=masked(ka))
 
