@@ -956,14 +956,15 @@ def heikin_ashi(
         lo = np.floor(pdf[low].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
         c = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
         ha_c = (o + h + lo + c) // 4
-        ha_o = np.empty(len(o), dtype=np.int64)
-        prev_o = prev_c = 0
-        for i in range(len(o)):
-            if i == 0:
-                ha_o[i] = (o[0] + c[0]) // 2
-            else:
-                ha_o[i] = (prev_o + prev_c) // 2
-            prev_o, prev_c = int(ha_o[i]), int(ha_c[i])
+        # plain-list recurrence (numpy scalar indexing is ~5x slower in
+        # sequential folds — see the hot-key smoke in SCALE_RESULTS.md)
+        hacl = ha_c.tolist()
+        haol = [0] * len(hacl)
+        prev_o = (int(o[0]) + int(c[0])) // 2 if len(hacl) else 0
+        for i, pc in enumerate(hacl):
+            haol[i] = prev_o
+            prev_o = (prev_o + pc) // 2
+        ha_o = np.asarray(haol, dtype=np.int64)
         ha_h = np.maximum(h, np.maximum(ha_o, ha_c))
         ha_l = np.minimum(lo, np.minimum(ha_o, ha_c))
         return pdf.assign(
