@@ -1480,32 +1480,32 @@ def adx(
         mdi = np.full(m, np.nan)
         adxv = np.full(m, np.nan)
         if m >= n + 1:
+            # directional movements / TR vectorize wholesale; only the
+            # Wilder smoothing below is sequential (plain-list loop —
+            # see the hot-key smoke in SCALE_RESULTS.md)
+            up_v = np.diff(h)
+            dn_v = -np.diff(lo)
             pdm = np.zeros(m, dtype=np.int64)
             ndm = np.zeros(m, dtype=np.int64)
-            tr = np.zeros(m, dtype=np.int64)
-            for i in range(1, m):
-                up = int(h[i]) - int(h[i - 1])
-                dn = int(lo[i - 1]) - int(lo[i])
-                if up > dn and up > 0:
-                    pdm[i] = up
-                if dn > up and dn > 0:
-                    ndm[i] = dn
-                tr[i] = max(
-                    int(h[i]) - int(lo[i]),
-                    abs(int(h[i]) - int(c[i - 1])),
-                    abs(int(lo[i]) - int(c[i - 1])),
-                )
+            pdm[1:] = np.where((up_v > dn_v) & (up_v > 0), up_v, 0)
+            ndm[1:] = np.where((dn_v > up_v) & (dn_v > 0), dn_v, 0)
+            cprev = np.concatenate((c[:1], c[:-1]))
+            tr = np.maximum(
+                h - lo, np.maximum(np.abs(h - cprev), np.abs(lo - cprev))
+            )
+            tr[0] = 0
             # first-level seed at bar n+1 (index n): sums of bars 2..n+1
             sp = int(np.sum(pdm[1 : n + 1]))
             sn = int(np.sum(ndm[1 : n + 1]))
             st = int(np.sum(tr[1 : n + 1]))
+            pdml, ndml, trl = pdm.tolist(), ndm.tolist(), tr.tolist()
             dxsum = 0
             au = -1  # scaled ADX state; -1 = not yet seeded
             for i in range(n, m):
                 if i > n:
-                    sp = sp - sp // n + int(pdm[i])
-                    sn = sn - sn // n + int(ndm[i])
-                    st = st - st // n + int(tr[i])
+                    sp = sp - sp // n + pdml[i]
+                    sn = sn - sn // n + ndml[i]
+                    st = st - st // n + trl[i]
                 if st > 0:
                     pdi[i] = 100.0 * sp / st
                     mdi[i] = 100.0 * sn / st
