@@ -36,6 +36,7 @@ from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.functions.exact
     sql_dstddev,
     sql_dsum,
     sql_q6,
+    sql_u6,
 )
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators import (
     dedup_by_key,
@@ -6986,6 +6987,251 @@ FROM sv GROUP BY cell ORDER BY cell
 
 
 
+def x_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chande Momentum Oscillator (14) over per-user daily bars: n-bar
+    up-sum vs down-sum ratio with no Wilder smoothing — one window pass,
+    exact BIGINT micro-unit frame sums, one exact-operand IEEE division
+    (operators/finance.chande_momentum)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        chande_momentum,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return chande_momentum(daily, ["user_id"], "trade_date", n=14).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_CMO_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+d AS (
+  SELECT user_id, trade_date, close,
+         {sql_u6("close")}
+           - lag({sql_u6("close")})
+             OVER (PARTITION BY user_id ORDER BY trade_date) AS dm
+  FROM daily),
+s AS (
+  SELECT user_id, trade_date, close,
+         sum(CASE WHEN dm > 0 THEN dm ELSE 0 END) OVER f AS su,
+         sum(CASE WHEN dm < 0 THEN -dm ELSE 0 END) OVER f AS sd
+  FROM d
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, close,
+       CASE WHEN su + sd > 0
+            THEN 100.0 * CAST(su - sd AS DOUBLE) / CAST(su + sd AS DOUBLE)
+       END AS cmo
+FROM s ORDER BY user_id, trade_date
+"""
+
+
+def x_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer Index (14) over per-user daily bars: RMS percent drawdown
+    from the running all-time high — downside-only volatility. Running
+    max + RMS ride one per-key exchange+sort; drawdowns quantize to
+    micro-units so the square-sum is an exact BIGINT reduction
+    (operators/finance.ulcer_index)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        ulcer_index,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return ulcer_index(daily, ["user_id"], "trade_date", n=14).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_ULCER_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+p AS (
+  SELECT user_id, trade_date, close,
+         {sql_u6("close")} AS cu,
+         max({sql_u6("close")})
+           OVER (PARTITION BY user_id ORDER BY trade_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM daily),
+d AS (
+  SELECT user_id, trade_date, close,
+         CASE WHEN peak > 0
+              THEN 100.0 * CAST(cu - peak AS DOUBLE) / CAST(peak AS DOUBLE)
+         END AS dd,
+         CAST(floor((CASE WHEN peak > 0
+                          THEN 100.0 * CAST(cu - peak AS DOUBLE)
+                               / CAST(peak AS DOUBLE) END) * 1e6 + 0.5)
+              AS BIGINT) AS q
+  FROM p),
+s AS (
+  SELECT user_id, trade_date, close, dd,
+         count(q) OVER f AS cnt, sum(q * q) OVER f AS sq
+  FROM d
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, close, dd AS drawdown_pct,
+       CASE WHEN cnt > 0
+            THEN sqrt(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)) / 1e6
+       END AS ulcer
+FROM s ORDER BY user_id, trade_date
+"""
+
+
+def x_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day rolling Sortino (MAR=0) of per-user daily returns: rolling
+    mean over downside deviation — rolling_sharpe's loss-only twin, same
+    exact integer micro-unit frame moments, no rounding step
+    (operators/finance.sortino)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        daily_returns,
+        sortino,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
+    out = sortino(rets, ["user_id"], "trade_date", n=20)
+    return out.select("user_id", "trade_date", "ret", "sortino").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_SORTINO_SQL = f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE value > 0),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM src GROUP BY user_id, CAST(ts AS DATE)),
+rets AS (
+  SELECT user_id, trade_date,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily QUALIFY ret IS NOT NULL),
+q AS (
+  SELECT user_id, trade_date, ret,
+         CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS rq
+  FROM rets WHERE abs(ret) <= 10.0),
+m AS (
+  SELECT user_id, trade_date, ret,
+         CAST(count(ret) OVER f AS DOUBLE) AS n,
+         CAST(sum(rq) OVER f AS DOUBLE) AS s1,
+         CAST(sum(CASE WHEN rq < 0 THEN rq * rq ELSE 0 END) OVER f
+              AS DOUBLE) AS s2d
+  FROM q
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, ret,
+       CASE WHEN n >= 2.0 AND s2d > 0
+            THEN (s1 / n) / sqrt(s2d / n) END AS sortino
+FROM m ORDER BY user_id, trade_date
+"""
+
+
+def x_hull_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hull Moving Average (16) over per-user daily bars:
+    WMA(2·WMA(8) − WMA(16), 4) as pure native window algebra — fixed
+    lag chains of BIGINT micro-unit products, the intermediate series
+    carried in scaled-integer form over the common denominator, ONE
+    IEEE divide at the end (operators/finance.hull_ma)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        hull_ma,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return hull_ma(daily, ["user_id"], "trade_date", n=16).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _hull_sql(n: int = 16) -> str:
+    import math
+
+    h, s = n // 2, math.isqrt(n)
+    dn, dh, ds = n * (n + 1) // 2, h * (h + 1) // 2, s * (s + 1) // 2
+    lcm = math.lcm(dh, dn)
+    ch, cn = 2 * lcm // dh, lcm // dn
+
+    def chain(col: str, k: int) -> str:
+        terms = [f"{k} * {col}"] + [
+            f"{k - j} * lag({col}, {j}) OVER w" for j in range(1, k)
+        ]
+        return " + ".join(terms)
+
+    return f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date, close, {sql_u6("close")} AS cu FROM daily),
+l1 AS (
+  SELECT user_id, trade_date, close,
+         {ch} * ({chain("cu", h)}) - {cn} * ({chain("cu", n)}) AS ds
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+l2 AS (
+  SELECT user_id, trade_date, close,
+         CAST(({chain("ds", s)}) AS DOUBLE) / {float(ds * lcm) * 1e6} AS hma
+  FROM l1
+  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date))
+SELECT user_id, trade_date, close, hma
+FROM l2 ORDER BY user_id, trade_date
+"""
+
+
+def x_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of daily returns — the
+    mean-reversion/momentum diagnostic. beta_vs_market's exact-moment
+    contract on (ret_t, ret_{t-1}) pairs: BIGINT linear sums,
+    decimal(38,0) second moments (overflow = cross-engine divergence,
+    not just a wrong number), fixed-order IEEE Pearson combination
+    (operators/finance.return_autocorr)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        daily_returns,
+        return_autocorr,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
+    return return_autocorr(
+        rets, ["user_id"], "trade_date", lag=1, min_pairs=3
+    ).orderBy("user_id")
+
+
+_X_AUTOCORR_SQL = f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE value > 0),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM src GROUP BY user_id, CAST(ts AS DATE)),
+rets AS (
+  SELECT user_id, trade_date,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily QUALIFY ret IS NOT NULL),
+q AS (
+  SELECT user_id, trade_date,
+         CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS x
+  FROM rets WHERE abs(ret) <= 10.0),
+p AS (
+  SELECT user_id, x,
+         lag(x) OVER (PARTITION BY user_id ORDER BY trade_date) AS y
+  FROM q QUALIFY y IS NOT NULL),
+m AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM p GROUP BY user_id)
+SELECT user_id, n_pairs,
+       (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+         / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)) AS autocorr
+FROM m
+WHERE n_pairs >= 3
+  AND CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
+  AND CAST(n_pairs AS DOUBLE) * syy - sy * sy > 0
+ORDER BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7006,6 +7252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whatever this round's gate did not reach.
     return {
         # --- r5 part 0: NEW this round ---
+        "x_cmo": x_cmo,
+        "x_ulcer": x_ulcer,
+        "x_sortino": x_sortino,
+        "x_hull_ma": x_hull_ma,
+        "x_autocorr": x_autocorr,
         "x_psar": x_psar,
         "x_trix": x_trix,
         "x_cci": x_cci,
@@ -7222,6 +7473,11 @@ def oracle_sql() -> dict[str, str]:
         "d_bpe_token_counts": _bpe_tokcount_sql(),
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
+        "x_cmo": _X_CMO_SQL,
+        "x_ulcer": _X_ULCER_SQL,
+        "x_sortino": _X_SORTINO_SQL,
+        "x_hull_ma": _hull_sql(),
+        "x_autocorr": _X_AUTOCORR_SQL,
         "x_psar": _psar_sql(),
         "x_trix": _trix_sql(),
         "x_cci": _cci_sql(),
@@ -7466,6 +7722,11 @@ HEADLINE_QUERIES = [
     "d_dsir_weights",
     "d_bm25_topk",
     "x_kama",
+    "x_cmo",
+    "x_ulcer",
+    "x_sortino",
+    "x_hull_ma",
+    "x_autocorr",
     "s_stream_join_outer",
     "emb_silhouette",
     "x_williams_r",

@@ -63,6 +63,11 @@ __all__ = [
     "cci",
     "vortex",
     "kama",
+    "chande_momentum",
+    "ulcer_index",
+    "sortino",
+    "hull_ma",
+    "return_autocorr",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -1908,3 +1913,252 @@ def kama(
         return pdf.assign(er=masked(er_a), kama=masked(ka))
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def chande_momentum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 14,
+    close: str = "close",
+) -> DataFrame:
+    """Chande Momentum Oscillator over per-key bars:
+    ``100 * (su - sd) / (su + sd)`` where su/sd are the n-bar sums of
+    up-moves and down-moves. Unlike RSI there is no Wilder smoothing —
+    both sums are plain ROWS-frame reductions, so the whole indicator is
+    one window pass, no recurrence.
+
+    Price moves quantize to integer micro-units (u6 diff — exact BIGINT,
+    no rounding anywhere), the frame sums are partition-invariant BIGINT
+    reductions, and the final quotient is ONE exact-operand IEEE division
+    — bit-identical cross-engine. The first bar of a series contributes
+    to neither sum; CMO is NULL while su + sd == 0 (flat warm-ups).
+
+    Output: keys, order_col, close, cmo.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    f = w.rowsBetween(-(n - 1), 0)
+    d = u6(F.col(close)) - F.lag(u6(F.col(close))).over(w)
+    up = F.when(d > 0, d).otherwise(F.lit(0))
+    dn = F.when(d < 0, -d).otherwise(F.lit(0))
+    su = F.sum(up).over(f)
+    sd = F.sum(dn).over(f)
+    cmo = F.when(
+        su + sd > 0,
+        F.lit(100.0) * (su - sd).cast("double") / (su + sd).cast("double"),
+    )
+    return df.select(
+        *keys, F.col(order_col), F.col(close), cmo.alias("cmo")
+    )
+
+
+def ulcer_index(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 14,
+    close: str = "close",
+) -> DataFrame:
+    """Ulcer Index (Martin 1987): RMS of the percent drawdown from the
+    running all-time high over the last ``n`` bars — the downside-only
+    volatility gauge that pairs with max_drawdown's single worst loss.
+
+    Two window passes on ONE per-key exchange+sort: an unbounded-
+    preceding running max of the micro-unit close (exact BIGINT), then
+    the percent drawdown ``100 * (c - peak) / peak`` (exact-operand IEEE
+    division), quantized to micro-units (floor(x*1e6+0.5) — the repo tie
+    rule) so the n-bar sum of squares is a partition-invariant BIGINT
+    reduction (|q| <= 1e8 -> q^2 <= 1e16, n-bar sums far under 2^63).
+    ``ulcer = sqrt(sum(q^2)/cnt) / 1e6`` — sqrt is correctly rounded, so
+    the double replays bit-identically. Non-positive peaks (bad data)
+    yield NULL drawdown and are excluded from the RMS count.
+
+    Output: keys, order_col, close, drawdown_pct, ulcer.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    f = w.rowsBetween(-(n - 1), 0)
+    cu = u6(F.col(close))
+    peak = F.max(cu).over(run)
+    dd = F.when(
+        peak > 0,
+        F.lit(100.0) * (cu - peak).cast("double") / peak.cast("double"),
+    )
+    q = F.floor(dd * F.lit(1e6) + F.lit(0.5)).cast("long")
+    cnt = F.count(q).over(f)
+    sq = F.sum(q * q).over(f)
+    ulcer = F.when(
+        cnt > 0, F.sqrt(sq.cast("double") / cnt.cast("double")) / F.lit(1e6)
+    )
+    return df.select(
+        *keys,
+        F.col(order_col),
+        F.col(close),
+        dd.alias("drawdown_pct"),
+        ulcer.alias("ulcer"),
+    )
+
+
+def sortino(
+    returns: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    ret_col: str = "ret",
+    n: int = 20,
+    min_obs: int = 2,
+    ret_cap: float = 10.0,
+) -> DataFrame:
+    """Rolling Sortino ratio (MAR 0): rolling mean return over rolling
+    downside deviation ``sqrt(sum(min(ret,0)^2)/n)`` — rolling_sharpe's
+    twin that only penalizes losses. Identical determinism contract:
+    returns winsorized at ``ret_cap`` then quantized to integer
+    micro-units, both frame moments exact BIGINT sums (the downside sum
+    keeps only negative quantized returns), final mean/sqrt/divide
+    correctly-rounded IEEE — bit-identical cross-engine, no rounding
+    step. Windows with fewer than ``min_obs`` returns or no downside
+    observations yield NULL. One exchange+sort per key.
+
+    Output: input columns (winsorized) + (sortino,).
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    r = F.col(ret_col)
+    returns = returns.filter(F.abs(r) <= F.lit(ret_cap))
+    q = F.floor(r * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    dq = F.when(q < 0, q * q).otherwise(F.lit(0))
+    cnt = F.count(r).over(frame).cast("double")
+    s1 = F.sum(q).over(frame).cast("double")
+    s2d = F.sum(dq).over(frame).cast("double")
+    sortino_c = F.when(
+        (cnt >= float(min_obs)) & (s2d > 0),
+        (s1 / cnt) / F.sqrt(s2d / cnt),
+    )
+    return returns.withColumn("sortino", sortino_c)
+
+
+def _wma_num(col: "F.Column", k: int, w: Window) -> "F.Column":
+    """Σ_{j=0}^{k-1} (k-j)·lag(col, j) — the weighted-MA numerator as a
+    fixed lag chain over one window spec (k is a small constant, so the
+    chain stays inside a single Window physical operator; NULL lags at
+    the head of a series propagate, giving the conventional NULL
+    warm-up until k bars exist)."""
+    num = F.lit(k) * col
+    for j in range(1, k):
+        num = num + F.lit(k - j) * F.lag(col, j).over(w)
+    return num
+
+
+def hull_ma(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 16,
+    close: str = "close",
+) -> DataFrame:
+    """Hull Moving Average: ``WMA(2·WMA(n/2) − WMA(n), sqrt(n))`` — the
+    low-lag trend line built from three weighted moving averages.
+
+    Entirely native window algebra, exact to the last bit: prices
+    quantize to micro-units, each WMA numerator is a fixed lag chain of
+    BIGINT products (one Window operator per level, both levels sharing
+    ONE per-key exchange+sort — Catalyst reuses the sort for the second
+    Window node), and the intermediate series ``2·WMA(n/2) − WMA(n)``
+    is kept in scaled-integer form over the common denominator
+    ``L = lcm(n/2·(n/2+1)/2, n·(n+1)/2)`` so no division happens until
+    the single final IEEE divide. NULL until ``n + sqrt(n) − 1`` bars.
+
+    ``n`` must be an even perfect square (4, 16, 36, 64...) so n/2 and
+    sqrt(n) are integers. Overflow headroom: |price| < ~1e6 units keeps
+    every scaled summand under 2^55 (documented bound, aroon-style).
+
+    Output: keys, order_col, close, hma.
+    """
+    import math
+
+    h = n // 2
+    s = math.isqrt(n)
+    if h * 2 != n or s * s != n:
+        raise ValueError("hull_ma: n must be an even perfect square")
+    dn = n * (n + 1) // 2
+    dh = h * (h + 1) // 2
+    ds = s * (s + 1) // 2
+    lcm = math.lcm(dh, dn)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    cu = u6(F.col(close))
+    num_h = _wma_num(cu, h, w)
+    num_n = _wma_num(cu, n, w)
+    # 2·WMA(h) − WMA(n) in L-scaled micro-units (still exact BIGINT)
+    d_scaled = (
+        F.lit(2 * lcm // dh) * num_h - F.lit(lcm // dn) * num_n
+    ).alias("_ds")
+    inner = df.select(*keys, F.col(order_col), F.col(close), d_scaled)
+    hnum = _wma_num(F.col("_ds"), s, w)
+    hma = hnum.cast("double") / F.lit(float(ds * lcm) * 1e6)
+    return inner.select(
+        *keys, F.col(order_col), F.col(close), hma.alias("hma")
+    )
+
+
+def return_autocorr(
+    returns: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    ret_col: str = "ret",
+    lag: int = 1,
+    min_pairs: int = 3,
+    ret_cap: float = 10.0,
+) -> DataFrame:
+    """Per-key lag-``lag`` autocorrelation of returns — the classic
+    mean-reversion / momentum diagnostic (negative = reverting daily
+    series, positive = trending).
+
+    beta_vs_market's exact-moment contract, applied to (ret_t,
+    ret_{t-lag}) pairs: returns winsorized at ``ret_cap`` and quantized
+    to integer micro-units, ONE map-side-combinable aggregate per key
+    with linear sums as BIGINT and second moments routed through
+    decimal(38,0) (exact integers, overflow-free to 1e38 — a BIGINT sum
+    of near-cap 1e14 products would wrap silently in non-ANSI Spark
+    while DuckDB's HUGEINT would not: a cross-engine divergence class,
+    not just a wrong number). The final Pearson combination is
+    fixed-order IEEE. Keys with fewer than ``min_pairs`` pairs or zero
+    variance on either side are dropped.
+
+    Scale: the lag pairing is one window pass on the per-key
+    exchange+sort; the moment reduction is partial-aggregated map-side.
+    Output: keys, n_pairs, autocorr.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    r = F.col(ret_col)
+    returns = returns.filter(F.abs(r) <= F.lit(ret_cap))
+    q = F.floor(r * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    paired = (
+        returns.withColumn("_x", q)
+        .withColumn("_y", F.lag(F.col("_x"), lag).over(w))
+        .filter(F.col("_y").isNotNull())
+    )
+    x, y = F.col("_x"), F.col("_y")
+    agg = paired.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double")
+        for c in ("n_pairs", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    cov_n = n * sxy - sx * sy
+    vx_n = n * sxx - sx * sx
+    vy_n = n * syy - sy * sy
+    return (
+        agg.filter(
+            (F.col("n_pairs") >= min_pairs) & (vx_n > 0) & (vy_n > 0)
+        )
+        .select(
+            *keys,
+            F.col("n_pairs"),
+            (cov_n / F.sqrt(vx_n * vy_n)).alias("autocorr"),
+        )
+    )

@@ -1,0 +1,169 @@
+"""Unit tests for the fourth indicator batch (operators/finance.py):
+Chande Momentum, Ulcer Index, rolling Sortino, Hull MA, and return
+autocorrelation. Each pins hand-checked math on a tiny series plus the
+edge conventions the SQL oracles replay (NULL warm-ups, no-downside
+Sortino, flat-window CMO, monotonic-up ulcer = 0)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+    chande_momentum,
+    hull_ma,
+    return_autocorr,
+    sortino,
+    ulcer_index,
+)
+
+
+def _closes(spark, rows):
+    """rows: (sym, t, close)"""
+    return spark.createDataFrame(
+        [Row(sym=s, t=t, close=float(c)) for (s, t, c) in rows]
+    )
+
+
+def _rets(spark, rows):
+    """rows: (sym, t, ret)"""
+    return spark.createDataFrame(
+        [Row(sym=s, t=t, ret=float(r)) for (s, t, r) in rows]
+    )
+
+
+class TestChandeMomentum:
+    def test_all_up_is_100_all_down_minus_100(self, spark):
+        df = _closes(
+            spark,
+            [("U", i, 100 + i) for i in range(1, 5)]
+            + [("D", i, 100 - i) for i in range(1, 5)],
+        )
+        out = {
+            (r.sym, r.t): r.cmo
+            for r in chande_momentum(df, ["sym"], "t", n=14).collect()
+        }
+        assert out[("U", 1)] is None  # no previous bar: neither sum
+        assert out[("U", 4)] == 100.0
+        assert out[("D", 4)] == -100.0
+
+    def test_balanced_moves_are_zero(self, spark):
+        # +2 then -2: su = sd -> cmo 0
+        df = _closes(spark, [("A", 1, 100), ("A", 2, 102), ("A", 3, 100)])
+        out = {r.t: r.cmo for r in chande_momentum(df, ["sym"], "t").collect()}
+        assert out[3] == 0.0
+
+    def test_flat_series_null(self, spark):
+        df = _closes(spark, [("A", 1, 5), ("A", 2, 5), ("A", 3, 5)])
+        for r in chande_momentum(df, ["sym"], "t").collect():
+            assert r.cmo is None
+
+    def test_window_bound(self, spark):
+        # one up-move followed by n flat bars: the move ages out
+        rows = [("A", 1, 100), ("A", 2, 110)] + [
+            ("A", t, 110) for t in range(3, 18)
+        ]
+        out = {r.t: r.cmo for r in chande_momentum(_closes(spark, rows), ["sym"], "t", n=14).collect()}
+        assert out[15] == 100.0  # move at t=2 still inside 14-bar frame
+        assert out[17] is None  # aged out -> su + sd == 0
+
+
+class TestUlcerIndex:
+    def test_monotonic_up_is_zero(self, spark):
+        df = _closes(spark, [("A", i, 100 + i) for i in range(1, 6)])
+        for r in ulcer_index(df, ["sym"], "t", n=14).collect():
+            assert r.drawdown_pct == 0.0
+            assert r.ulcer == 0.0
+
+    def test_hand_checked_drawdown(self, spark):
+        # peak 100, close 90 -> dd = -10%; ulcer over [0, -10] = sqrt(50)
+        df = _closes(spark, [("A", 1, 100), ("A", 2, 90)])
+        out = {r.t: r for r in ulcer_index(df, ["sym"], "t", n=14).collect()}
+        assert out[2].drawdown_pct == -10.0
+        assert out[2].ulcer == pytest.approx(math.sqrt(50.0), abs=1e-9)
+
+    def test_recovery_resets(self, spark):
+        # new high after a dip: drawdown back to 0 at the new peak
+        df = _closes(
+            spark, [("A", 1, 100), ("A", 2, 80), ("A", 3, 120)]
+        )
+        out = {r.t: r.drawdown_pct for r in ulcer_index(df, ["sym"], "t").collect()}
+        assert out[2] == -20.0
+        assert out[3] == 0.0
+
+
+class TestSortino:
+    def test_no_downside_is_null(self, spark):
+        df = _rets(spark, [("A", i, 0.01) for i in range(1, 5)])
+        for r in sortino(df, ["sym"], "t", n=20).collect():
+            assert r.sortino is None
+
+    def test_hand_checked_value(self, spark):
+        # rets +1%, -2%: mean = -0.005, ddev = sqrt(0.02^2/2)
+        df = _rets(spark, [("A", 1, 0.01), ("A", 2, -0.02)])
+        out = {r.t: r.sortino for r in sortino(df, ["sym"], "t", n=20).collect()}
+        assert out[1] is None  # min_obs=2
+        mean = (10000 - 20000) / 2.0
+        ddev = math.sqrt(20000.0**2 / 2.0)
+        assert out[2] == pytest.approx(mean / ddev, abs=1e-12)
+
+    def test_winsorizes_like_sharpe(self, spark):
+        df = _rets(spark, [("A", 1, 50.0), ("A", 2, 0.01), ("A", 3, -0.01)])
+        rows = sortino(df, ["sym"], "t", n=20).collect()
+        assert {r.t for r in rows} == {2, 3}  # |ret|>cap dropped
+
+
+class TestHullMA:
+    def test_constant_series_is_constant(self, spark):
+        # every WMA of a constant is the constant; NULL until n+sqrt(n)-1
+        df = _closes(spark, [("A", i, 42.5) for i in range(1, 25)])
+        out = {r.t: r.hma for r in hull_ma(df, ["sym"], "t", n=16).collect()}
+        assert out[18] is None  # bar 18 < 16+4-1
+        for t in range(19, 25):
+            assert out[t] == pytest.approx(42.5, abs=1e-9)
+
+    def test_linear_series_low_lag(self, spark):
+        # closes = t: WMA_n lags (n-1)/3 behind t, so 2*WMA(8)-WMA(16)
+        # LEADS at t + 1/3 and the final WMA(4) subtracts its own lag 1
+        # -> hma == t - 2/3 exactly on a linear ramp (vs t - 5 for a
+        # plain WMA(16): the "low lag" property, pinned exactly).
+        df = _closes(spark, [("A", i, float(i)) for i in range(1, 30)])
+        out = {r.t: r.hma for r in hull_ma(df, ["sym"], "t", n=16).collect()}
+        for t in range(19, 30):
+            assert out[t] == pytest.approx(t - 2.0 / 3.0, abs=1e-6)
+
+    def test_rejects_bad_n(self, spark):
+        df = _closes(spark, [("A", 1, 1.0)])
+        with pytest.raises(ValueError):
+            hull_ma(df, ["sym"], "t", n=10)
+
+
+class TestReturnAutocorr:
+    def test_alternating_series_is_minus_one(self, spark):
+        df = _rets(
+            spark,
+            [("A", i, 0.01 if i % 2 else -0.01) for i in range(1, 9)],
+        )
+        [r] = return_autocorr(df, ["sym"], "t", min_pairs=3).collect()
+        assert r.autocorr == pytest.approx(-1.0, abs=1e-12)
+        assert r.n_pairs == 7
+
+    def test_trending_series_is_plus_one(self, spark):
+        # period-2 alternation sampled at lag 2: x_i == x_{i-2} always
+        df = _rets(
+            spark,
+            [("A", i, 0.01 if i % 2 else -0.01) for i in range(1, 10)],
+        )
+        [r] = return_autocorr(df, ["sym"], "t", lag=2, min_pairs=3).collect()
+        assert r.autocorr == pytest.approx(1.0, abs=1e-12)
+
+    def test_constant_returns_dropped(self, spark):
+        # zero variance -> key filtered out
+        df = _rets(spark, [("A", i, 0.01) for i in range(1, 6)])
+        assert return_autocorr(df, ["sym"], "t").count() == 0
+
+    def test_min_pairs_gate(self, spark):
+        df = _rets(spark, [("A", 1, 0.01), ("A", 2, -0.02), ("A", 3, 0.03)])
+        assert return_autocorr(df, ["sym"], "t", min_pairs=3).count() == 0
