@@ -1682,6 +1682,10 @@ def trix(
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas gives NO within-group row order (upstream agg
+        # output is hash-ordered) — sort chronologically like every
+        # other recurrence fold or the EMA chain folds a shuffled series
+        pdf = pdf.sort_values([*key_list, order_col])
         v = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
         m = len(v)
         e3_a = np.empty(m, dtype=np.int64)
