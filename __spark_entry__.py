@@ -7232,6 +7232,90 @@ ORDER BY user_id
 """
 
 
+def x_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder's Force Index (13) over per-user daily bars: EMA of
+    price-change × volume. The raw series is one native lag window;
+    the smoothing reuses the shared exact EMA fold at scale 1.0
+    (operators/finance.force_index / ema_fold) — a recursive-CTE
+    oracle carries the one BIGINT state."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        force_index,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    out = force_index(daily, ["user_id"], "trade_date", n=13)
+    return out.select(
+        "user_id", "trade_date", "close", "volume", "fi_1", "fi_n"
+    ).orderBy("user_id", "trade_date")
+
+
+def _force_index_sql(n: int = 13) -> str:
+    d = float(n + 1)
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date, close, volume,
+         (close - lag(close) OVER (PARTITION BY user_id ORDER BY trade_date))
+           * CAST(volume AS DOUBLE) AS fi_raw
+  FROM daily),
+src AS (
+  SELECT user_id, trade_date, close, volume,
+         CAST(floor(fi_raw * 1.0 + 0.5) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM b WHERE fi_raw IS NOT NULL),
+ema AS (
+  SELECT user_id, trade_date, close, volume, v, rn, v AS e
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.trade_date, s.close, s.volume, s.v, s.rn,
+         e.e + CAST(floor(2.0 * (s.v - e.e) / {d}) AS BIGINT)
+  FROM src s JOIN ema e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+SELECT user_id, trade_date, close, volume,
+       CAST(v AS DOUBLE) AS fi_1, CAST(e AS DOUBLE) AS fi_n
+FROM ema ORDER BY user_id, trade_date
+"""
+
+
+def x_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder Ray bull/bear power over per-user daily bars: high/low
+    minus EMA(13) of close, both differences taken on the exact BIGINT
+    states before the single rescale divide
+    (operators/finance.elder_ray / ema_fold)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        elder_ray,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return elder_ray(daily, ["user_id"], "trade_date", n=13).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _elder_ray_sql(n: int = 13) -> str:
+    d = float(n + 1)
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+src AS (
+  SELECT user_id, trade_date, close,
+         {sql_u6("close")} AS v, {sql_u6("high")} AS hu,
+         {sql_u6("low")} AS lu,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+ema AS (
+  SELECT user_id, trade_date, close, hu, lu, rn, v, v AS e
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.trade_date, s.close, s.hu, s.lu, s.rn, s.v,
+         e.e + CAST(floor(2.0 * (s.v - e.e) / {d}) AS BIGINT)
+  FROM src s JOIN ema e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+SELECT user_id, trade_date, close,
+       CAST(e AS DOUBLE) / 1000000.0 AS ema,
+       CAST(hu - e AS DOUBLE) / 1e6 AS bull_power,
+       CAST(lu - e AS DOUBLE) / 1e6 AS bear_power
+FROM ema ORDER BY user_id, trade_date
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7253,6 +7337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "x_force_index": x_force_index,
+        "x_elder_ray": x_elder_ray,
         "x_ulcer": x_ulcer,
         "x_sortino": x_sortino,
         "x_hull_ma": x_hull_ma,
@@ -7474,6 +7560,8 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "x_force_index": _force_index_sql(),
+        "x_elder_ray": _elder_ray_sql(),
         "x_ulcer": _X_ULCER_SQL,
         "x_sortino": _X_SORTINO_SQL,
         "x_hull_ma": _hull_sql(),
@@ -7723,6 +7811,8 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "x_force_index",
+    "x_elder_ray",
     "x_ulcer",
     "x_sortino",
     "x_hull_ma",

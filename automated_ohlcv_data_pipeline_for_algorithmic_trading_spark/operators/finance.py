@@ -68,6 +68,9 @@ __all__ = [
     "sortino",
     "hull_ma",
     "return_autocorr",
+    "ema_fold",
+    "force_index",
+    "elder_ray",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -2165,4 +2168,139 @@ def return_autocorr(
             F.col("n_pairs"),
             (cov_n / F.sqrt(vx_n * vy_n)).alias("autocorr"),
         )
+    )
+
+
+def ema_fold(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    n: int = 13,
+    scale: float = 1e6,
+    state_col: str = "ema_state",
+    out_col: str = "ema",
+) -> DataFrame:
+    """Generic exact EMA recurrence over ANY numeric series — the
+    reusable core of ema_macd_exact/trix (operators/extension.py),
+    exposed so derived-series indicators (force index, elder ray) fold
+    the same determinism contract instead of re-implementing it:
+
+    - quantize ``value*scale`` with the repo tie rule floor(x+0.5),
+    - fold ``e += floor(2.0 * (v - e) / (n + 1.0))`` (floor over the
+      double quotient; every operand must stay under 2^53 — pick
+      ``scale`` so it does: 1e6 for prices, 1.0 for already-large
+      derived series like price*volume),
+    - emit BOTH the BIGINT state (``state_col`` — downstream exact
+      integer algebra) and the rescaled double (``out_col``).
+
+    Grouped-map per key, sorted chronologically inside the fold; seeds
+    at the first value. A recursive SQL CTE carrying one BIGINT state
+    replays it bit-identically.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        f", {state_col} bigint, {out_col} double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        v = np.floor(
+            pdf[value_col].to_numpy(dtype=float) * scale + 0.5
+        ).astype(np.int64)
+        e_a = np.empty(len(v), dtype=np.int64)
+        e = 0
+        for i, vi in enumerate(v.tolist()):
+            if i == 0:
+                e = vi
+            else:
+                e += math.floor(2.0 * (vi - e) / (n + 1.0))
+            e_a[i] = e
+        return pdf.assign(**{state_col: e_a, out_col: e_a / scale})
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def force_index(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 13,
+    close: str = "close",
+    volume: str = "volume",
+) -> DataFrame:
+    """Elder's Force Index: EMA(n) of ``(close − prev_close) · volume``
+    — price change weighted by the volume that drove it.
+
+    The raw series is one native lag window (first bar of each key has
+    no previous close and is dropped, daily_returns-style); the
+    smoothing is the shared exact EMA fold at scale 1.0 — force-index
+    units are price·volume, so quantizing to whole units keeps the
+    state far below 2^53 where micro-units would overflow the exact
+    double range. fi_1 is the quantized raw value, fi_n the EMA state.
+
+    Output: keys, order_col, close, volume, fi_raw, fi_1, fi_n.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    fi_raw = (F.col(close) - F.lag(F.col(close)).over(w)) * F.col(
+        volume
+    ).cast("double")
+    src = (
+        df.select(*keys, F.col(order_col), F.col(close), F.col(volume))
+        .withColumn("fi_raw", fi_raw)
+        .filter(F.col("fi_raw").isNotNull())
+    )
+    out = ema_fold(
+        src, keys, order_col, "fi_raw", n=n, scale=1.0,
+        state_col="_fi_state", out_col="fi_n",
+    )
+    # fi_1 = the quantized raw value (the "1-bar force index"); the fold
+    # quantizes identically (floor(x*1.0 + 0.5)), so this native twin is
+    # bit-equal to the fold's input series
+    fi_1 = F.floor(F.col("fi_raw") + F.lit(0.5)).cast("long").cast("double")
+    return out.withColumn("fi_1", fi_1).drop("_fi_state")
+
+
+def elder_ray(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 13,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Elder Ray bull/bear power: ``high − EMA(n, close)`` and
+    ``low − EMA(n, close)`` — how far the bulls/bears push price beyond
+    consensus value.
+
+    The EMA is the shared exact integer fold; both powers subtract the
+    BIGINT state from the micro-unit extremes BEFORE the single rescale
+    divide, so they are exact integer differences, not double-vs-double
+    subtractions (which would need the oracle to mirror rounding
+    order).
+
+    Output: keys, order_col, close, ema, bull_power, bear_power.
+    """
+    src = df.select(
+        *keys, F.col(order_col), F.col(high), F.col(low), F.col(close)
+    )
+    e = ema_fold(src, keys, order_col, close, n=n, scale=1e6)
+    bull = (u6(F.col(high)) - F.col("ema_state")).cast("double") / F.lit(1e6)
+    bear = (u6(F.col(low)) - F.col("ema_state")).cast("double") / F.lit(1e6)
+    return e.select(
+        *keys,
+        F.col(order_col),
+        F.col(close),
+        F.col("ema"),
+        bull.alias("bull_power"),
+        bear.alias("bear_power"),
     )

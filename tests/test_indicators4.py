@@ -167,3 +167,68 @@ class TestReturnAutocorr:
     def test_min_pairs_gate(self, spark):
         df = _rets(spark, [("A", 1, 0.01), ("A", 2, -0.02), ("A", 3, 0.03)])
         assert return_autocorr(df, ["sym"], "t", min_pairs=3).count() == 0
+
+
+def _ohlcv(spark, rows):
+    """rows: (sym, t, high, low, close, volume)"""
+    return spark.createDataFrame(
+        [
+            Row(sym=s, t=t, high=float(h), low=float(lo), close=float(c), volume=int(v))
+            for (s, t, h, lo, c, v) in rows
+        ]
+    )
+
+
+class TestEmaFold:
+    def test_constant_series_holds_seed(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import ema_fold
+
+        df = _closes(spark, [("A", i, 7.25) for i in range(1, 6)])
+        out = ema_fold(df, ["sym"], "t", "close", n=13).collect()
+        for r in out:
+            assert r.ema_state == 7250000
+            assert r.ema == 7.25
+
+    def test_step_matches_hand_fold(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import ema_fold
+
+        df = _closes(spark, [("A", 1, 10.0), ("A", 2, 24.0)])
+        out = {r.t: r.ema_state for r in ema_fold(df, ["sym"], "t", "close", n=13).collect()}
+        # e = 10e6 + floor(2*(24e6-10e6)/14) = 10e6 + 2_000_000
+        assert out[1] == 10_000_000
+        assert out[2] == 12_000_000
+
+
+class TestForceIndex:
+    def test_first_bar_dropped_and_seed(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import force_index
+
+        df = _ohlcv(spark, [("A", 1, 10, 10, 10, 5), ("A", 2, 12, 12, 12, 7)])
+        rows = force_index(df, ["sym"], "t", n=13).collect()
+        assert [r.t for r in rows] == [2]
+        # fi_raw = (12-10)*7 = 14 -> seed
+        assert rows[0].fi_1 == 14.0
+        assert rows[0].fi_n == 14.0
+
+    def test_negative_move(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import force_index
+
+        df = _ohlcv(
+            spark,
+            [("A", 1, 10, 10, 10, 5), ("A", 2, 8, 8, 8, 3), ("A", 3, 9, 9, 9, 2)],
+        )
+        out = {r.t: r for r in force_index(df, ["sym"], "t", n=1).collect()}
+        assert out[2].fi_1 == -6.0  # (8-10)*3
+        # n=1: e += floor(2*(v-e)/2) = v exactly -> tracks raw
+        assert out[3].fi_n == 2.0  # (9-8)*2
+
+
+class TestElderRay:
+    def test_first_bar_powers(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import elder_ray
+
+        df = _ohlcv(spark, [("A", 1, 12.5, 9.5, 10.0, 1)])
+        [r] = elder_ray(df, ["sym"], "t", n=13).collect()
+        assert r.ema == 10.0
+        assert r.bull_power == 2.5
+        assert r.bear_power == -0.5
