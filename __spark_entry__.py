@@ -7316,6 +7316,55 @@ FROM ema ORDER BY user_id, trade_date
 """
 
 
+def x_nvi_pvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative/Positive Volume Index over per-user daily bars — the
+    SIXTH oracle-checked recurrence family, and the first MULTIPLICATIVE
+    one: state compounds the day's return only on falling- (NVI) or
+    rising- (PVI) volume days. BIGINT micro-unit states updated with
+    floor(double(state)·ret + 0.5); the recursive-CTE oracle carries
+    both states (operators/finance.volume_index)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        volume_index,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return volume_index(daily, ["user_id"], "trade_date").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_NVI_SQL = f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+src AS (
+  SELECT user_id, trade_date, close, volume,
+         {sql_u6("close")} AS cu,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+vi AS (
+  SELECT user_id, trade_date, close, volume, cu, rn,
+         CAST(1000000000 AS BIGINT) AS nvi,
+         CAST(1000000000 AS BIGINT) AS pvi
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.trade_date, s.close, s.volume, s.cu, s.rn,
+         CASE WHEN s.volume < e.volume AND e.cu > 0
+              THEN e.nvi + CAST(floor(CAST(e.nvi AS DOUBLE)
+                   * (CAST(s.cu - e.cu AS DOUBLE) / CAST(e.cu AS DOUBLE))
+                   + 0.5) AS BIGINT)
+              ELSE e.nvi END,
+         CASE WHEN s.volume > e.volume AND e.cu > 0
+              THEN e.pvi + CAST(floor(CAST(e.pvi AS DOUBLE)
+                   * (CAST(s.cu - e.cu AS DOUBLE) / CAST(e.cu AS DOUBLE))
+                   + 0.5) AS BIGINT)
+              ELSE e.pvi END
+  FROM src s JOIN vi e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+SELECT user_id, trade_date, close, volume,
+       CAST(nvi AS DOUBLE) / 1000000.0 AS nvi,
+       CAST(pvi AS DOUBLE) / 1000000.0 AS pvi
+FROM vi ORDER BY user_id, trade_date
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7337,6 +7386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "x_nvi_pvi": x_nvi_pvi,
         "x_force_index": x_force_index,
         "x_elder_ray": x_elder_ray,
         "x_ulcer": x_ulcer,
@@ -7560,6 +7610,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "x_nvi_pvi": _X_NVI_SQL,
         "x_force_index": _force_index_sql(),
         "x_elder_ray": _elder_ray_sql(),
         "x_ulcer": _X_ULCER_SQL,
@@ -7811,6 +7862,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "x_nvi_pvi",
     "x_force_index",
     "x_elder_ray",
     "x_ulcer",

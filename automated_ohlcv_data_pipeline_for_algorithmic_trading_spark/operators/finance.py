@@ -71,6 +71,7 @@ __all__ = [
     "ema_fold",
     "force_index",
     "elder_ray",
+    "volume_index",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -2304,3 +2305,75 @@ def elder_ray(
         bull.alias("bull_power"),
         bear.alias("bear_power"),
     )
+
+
+def volume_index(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    close: str = "close",
+    volume: str = "volume",
+    base: float = 1000.0,
+) -> DataFrame:
+    """Negative / Positive Volume Index (Norgate/Dysart): cumulative
+    indexes that compound the day's return ONLY on falling-volume days
+    (NVI) or rising-volume days (PVI) — the classic "smart money vs
+    crowd" split. A MULTIPLICATIVE recurrence (state *= 1 + ret,
+    conditionally), unlike the additive EMA/Wilder families: the
+    sixth oracle-checked recurrence family in this repo.
+
+    Determinism contract: state is BIGINT micro-units seeded at
+    ``base``; each update adds ``floor(double(state) * ret + 0.5)``
+    where ``ret = double(cu − pcu) / double(pcu)`` over exact micro-unit
+    closes — int→double conversion and the two IEEE ops are
+    correctly-rounded in every engine, so a recursive CTE carrying
+    (nvi, pvi) replays bit-identically. Equal-volume days and
+    non-positive previous closes leave both states unchanged.
+    Precondition: |state| < 2^53 micro-units (index below ~9e9 — a
+    9-billion-fold compounded gain; unreachable before float ret noise
+    dominates anyway).
+
+    Output: keys, order_col, close, volume, nvi, pvi.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(
+        *key_list, F.col(order_col), F.col(close), F.col(volume)
+    )
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", nvi double, pvi double"
+    )
+    seed = int(base * 1e6)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        cu = np.floor(
+            pdf[close].to_numpy(dtype=float) * 1e6 + 0.5
+        ).astype(np.int64)
+        vol = pdf[volume].to_numpy(dtype=np.int64)
+        m = len(cu)
+        nvi_a = np.empty(m, dtype=np.int64)
+        pvi_a = np.empty(m, dtype=np.int64)
+        nvi = pvi = seed
+        cul, voll = cu.tolist(), vol.tolist()
+        for i in range(m):
+            if i > 0:
+                pcu, pvol = cul[i - 1], voll[i - 1]
+                if pcu > 0 and voll[i] != pvol:
+                    ret = float(cul[i] - pcu) / float(pcu)
+                    if voll[i] < pvol:
+                        nvi += math.floor(nvi * ret + 0.5)
+                    else:
+                        pvi += math.floor(pvi * ret + 0.5)
+            nvi_a[i] = nvi
+            pvi_a[i] = pvi
+        return pdf.assign(nvi=nvi_a / 1e6, pvi=pvi_a / 1e6)
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)

@@ -232,3 +232,39 @@ class TestElderRay:
         assert r.ema == 10.0
         assert r.bull_power == 2.5
         assert r.bear_power == -0.5
+
+
+class TestVolumeIndex:
+    def test_gating_and_compounding(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import volume_index
+
+        # bar2: vol falls, +10% -> NVI compounds, PVI holds
+        # bar3: vol rises, -50% -> PVI compounds, NVI holds
+        # bar4: vol equal -> neither moves
+        df = _ohlcv(
+            spark,
+            [
+                ("A", 1, 10, 10, 10.0, 100),
+                ("A", 2, 11, 11, 11.0, 50),
+                ("A", 3, 6, 6, 5.5, 80),
+                ("A", 4, 9, 9, 9.0, 80),
+            ],
+        )
+        out = {r.t: r for r in volume_index(df, ["sym"], "t").collect()}
+        assert out[1].nvi == 1000.0 and out[1].pvi == 1000.0
+        assert out[2].nvi == 1100.0 and out[2].pvi == 1000.0
+        assert out[3].nvi == 1100.0 and out[3].pvi == 500.0
+        assert out[4].nvi == 1100.0 and out[4].pvi == 500.0
+
+    def test_independent_keys(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import volume_index
+
+        df = _ohlcv(
+            spark,
+            [("A", 1, 10, 10, 10.0, 10), ("A", 2, 20, 20, 20.0, 5),
+             ("B", 1, 10, 10, 10.0, 10), ("B", 2, 5, 5, 5.0, 20)],
+        )
+        out = {(r.sym, r.t): r for r in volume_index(df, ["sym"], "t").collect()}
+        assert out[("A", 2)].nvi == 2000.0  # +100% on falling volume
+        assert out[("B", 2)].pvi == 500.0  # -50% on rising volume
+        assert out[("B", 2)].nvi == 1000.0
