@@ -7365,6 +7365,140 @@ FROM vi ORDER BY user_id, trade_date
 """
 
 
+def d_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity terciles over the corpus
+    (Wenzek et al. 2020) — the bucketing stage of the CommonCrawl
+    curation pipeline, with the corpus's own unigram LM standing in for
+    KenLM. Exact discrete terciles from a VALUE histogram (bounded by
+    the 1e-6 xent quantum, not doc count), two broadcast cut scalars,
+    no corpus-wide sort (operators/corpus.ccnet_buckets)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        ccnet_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(docs).orderBy("doc_id")
+
+
+_D_CCNET_SQL = rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+dt AS (SELECT doc_id, t AS tok, count(*) AS c
+       FROM (SELECT doc_id, unnest(ts) AS t FROM t) GROUP BY doc_id, tok),
+freq AS (SELECT tok, CAST(sum(c) AS BIGINT) AS f FROM dt GROUP BY tok),
+tot AS (SELECT CAST(sum(f) AS BIGINT) AS tt FROM freq),
+scored AS (
+  SELECT dt.doc_id, dt.c,
+         round(ln(CAST(freq.f AS DOUBLE) / CAST(tot.tt AS DOUBLE)), 6) AS lp
+  FROM dt JOIN freq USING (tok) CROSS JOIN tot),
+x AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         (-CAST(sum(CAST(CAST(c AS DOUBLE) * lp AS DECIMAL(38,6))) AS DOUBLE))
+           / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS xent
+  FROM scored GROUP BY doc_id),
+q AS (
+  SELECT doc_id, n_tokens, xent,
+         CAST(floor(xent * 1e6 + 0.5) AS BIGINT) AS xq
+  FROM x),
+h AS (SELECT xq, count(*) AS cnt FROM q GROUP BY xq),
+cm AS (SELECT xq, sum(cnt) OVER (ORDER BY xq
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccum FROM h),
+n AS (SELECT count(*) AS nn FROM q),
+cuts AS (SELECT
+  (SELECT min(xq) FROM cm, n WHERE ccum * 3 >= nn) AS c1,
+  (SELECT min(xq) FROM cm, n WHERE ccum * 3 >= 2 * nn) AS c2)
+SELECT doc_id, n_tokens, xent,
+       CASE WHEN xq <= c1 THEN 'head'
+            WHEN xq <= c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM q CROSS JOIN cuts ORDER BY doc_id
+"""
+
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 64×64 covariance matrix of the embedding corpus —
+    the one-pass Gram reduction behind PCA/whitening/drift monitoring.
+    One Arrow mapInPandas pass emits d(d+1)/2-row integer Gram partials
+    per batch (BLAS q.T@q, never rows×d² shuffle rows); cross-partition
+    sums route through decimal(38,0)
+    (operators/similarity.embedding_covariance)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb)
+
+
+_EMB_COV_SQL = """
+WITH x AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s),
+g AS (
+  SELECT a.dim AS i, b.dim AS j, sum(a.q * b.q) AS sxy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY a.dim, b.dim),
+sm AS (
+  SELECT dim, sum(q) AS sv, CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY dim)
+SELECT g.i, g.j, si.n,
+       (CAST(si.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+        - CAST(si.sv AS DOUBLE) * CAST(sj.sv AS DOUBLE))
+       / (CAST(si.n AS DOUBLE) * (CAST(si.n AS DOUBLE) - 1.0)) / 1e12 AS cov
+FROM g JOIN sm si ON g.i = si.dim JOIN sm sj ON g.j = sj.dim
+ORDER BY i, j
+"""
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-label hard-negative mining: for each label centroid, the 5
+    nearest vectors of a DIFFERENT label — the contrastive-training
+    sampler. Centroids broadcast against the partitioned corpus; one
+    shard scan scores |labels| prototypes per vector
+    (operators/similarity.hard_negatives)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, k=5).orderBy("label", "rank")
+
+
+_EMB_HARDNEG_SQL = """
+WITH d AS (
+  SELECT label, vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s),
+pd AS (
+  SELECT label, dim,
+         CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean
+  FROM d GROUP BY label, dim),
+c AS (
+  SELECT label AS c_label, list(mean ORDER BY dim) AS c_vec
+  FROM pd GROUP BY label),
+v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v_vec
+  FROM embeddings),
+p AS (
+  SELECT c.c_label, v.vec_id AS neighbor_id, v.label AS neighbor_label,
+         list_dot_product(c.c_vec, v.v_vec)
+           / (sqrt(list_dot_product(c.c_vec, c.c_vec))
+              * sqrt(list_dot_product(v.v_vec, v.v_vec))) AS cos
+  FROM c JOIN v ON v.label <> c.c_label),
+r AS (
+  SELECT c_label AS label, neighbor_id, neighbor_label, cos,
+         row_number() OVER (PARTITION BY c_label
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM p)
+SELECT label, CAST(rank AS BIGINT) AS rank, neighbor_id, neighbor_label,
+       floor(cos * 1e6 + 0.5) / 1e6 AS cosine
+FROM r WHERE rank <= 5 ORDER BY label, rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7386,6 +7520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "emb_covariance": emb_covariance,
+        "emb_hard_negatives": emb_hard_negatives,
+        "d_ccnet_buckets": d_ccnet_buckets,
         "x_nvi_pvi": x_nvi_pvi,
         "x_force_index": x_force_index,
         "x_elder_ray": x_elder_ray,
@@ -7610,6 +7747,9 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "emb_covariance": _EMB_COV_SQL,
+        "emb_hard_negatives": _EMB_HARDNEG_SQL,
+        "d_ccnet_buckets": _D_CCNET_SQL,
         "x_nvi_pvi": _X_NVI_SQL,
         "x_force_index": _force_index_sql(),
         "x_elder_ray": _elder_ray_sql(),
@@ -7862,6 +8002,9 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "emb_covariance",
+    "emb_hard_negatives",
+    "d_ccnet_buckets",
     "x_nvi_pvi",
     "x_force_index",
     "x_elder_ray",

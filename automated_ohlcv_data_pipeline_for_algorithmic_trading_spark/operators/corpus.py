@@ -626,3 +626,64 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "score")
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    facebookresearch/cc_net): split the corpus into head / middle /
+    tail terciles by language-model cross-entropy — head (lowest
+    perplexity) is the training-quality slice, tail the noise slice.
+    The LM here is the corpus's own unigram model (unigram_xent); a
+    production pipeline would swap in KenLM scores, the bucketing
+    algebra is identical.
+
+    Scale-right exact terciles WITHOUT a corpus-wide sort: per-doc
+    xent quantizes to micro-units, docs collapse to a VALUE HISTOGRAM
+    (distinct quantized xents — bounded by the value range over the
+    1e-6 quantum, ~1e7 rows max REGARDLESS of corpus size, not by doc
+    count), the cumulative count over that bounded table yields the two
+    discrete cut values (smallest xq whose cumulative count covers
+    ceil(N/3) / ceil(2N/3) — quantile_disc semantics, ties share a
+    bucket), and every doc classifies by comparison against the two
+    broadcast scalars. No window ever touches per-doc rows.
+
+    Exactness: the cut selection is pure integer arithmetic
+    (3·ccum >= N avoids any division); bucket labels are string
+    comparisons of exact BIGINTs — bit-identical cross-engine.
+
+    Output: (id_col, n_tokens, xent, bucket) — bucket in
+    {'head','middle','tail'}.
+    """
+    x = unigram_xent(df, text_col, id_col).withColumn(
+        "_xq", F.floor(F.col("xent") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    # histogram + cut values and the final classify both consume x:
+    # cut lineage once (same discipline as unigram_xent's dt)
+    x = x.localCheckpoint()
+    hist = x.groupBy("_xq").agg(F.count(F.lit(1)).alias("_cnt"))
+    wcum = Window.orderBy("_xq").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_ccum", F.sum("_cnt").over(wcum))
+    tot = x.agg(F.count(F.lit(1)).alias("_n"))
+    j = cum.crossJoin(F.broadcast(tot))
+    c1 = j.filter(F.col("_ccum") * 3 >= F.col("_n")).agg(
+        F.min("_xq").alias("_c1")
+    )
+    c2 = j.filter(F.col("_ccum") * 3 >= F.col("_n") * 2).agg(
+        F.min("_xq").alias("_c2")
+    )
+    cuts = c1.crossJoin(c2)
+    bucket = (
+        F.when(F.col("_xq") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("_xq") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return x.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("xent"),
+        bucket.alias("bucket"),
+    )

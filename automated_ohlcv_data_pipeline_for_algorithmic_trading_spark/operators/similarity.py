@@ -1318,3 +1318,166 @@ def silhouette(
         )
         .orderBy("cell")
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed d×d covariance matrix of an embedding column — the
+    one-pass Gram reduction behind PCA whitening, embedding-drift
+    monitoring, and Mahalanobis outlier scoring.
+
+    Shape at scale: ONE Arrow mapInPandas pass emits a d(d+1)/2-row
+    upper-triangular integer Gram partial per batch (numpy ``q.T @ q``
+    — BLAS, no per-vector explosion; the shuffle carries d² rows per
+    partition, never rows-×-d²), plus per-dimension linear sums from a
+    posexplode partial aggregate (d rows per partition map-side). The
+    final combine is a tiny (i, j)-keyed aggregate joined against the
+    broadcast d-row sums table.
+
+    Exactness: vectors quantize to integer micro-units; per-batch Gram
+    partials are int64 (|x|≤1e6 micro → products ≤1e12; Arrow batches
+    ≤~10k rows keep partials ≤1e16, 500× under 2^63) and the cross-
+    partition sums route through decimal(38,0) (exact to 1e38 — BIGINT
+    would wrap silently at ~9e6 near-cap rows while DuckDB's HUGEINT
+    would not). The final covariance
+    ``(n·Σxy − Σx·Σy) / (n·(n−1)) / 1e12`` is fixed-order IEEE over
+    exact integer operands — bit-identical cross-engine.
+
+    Output: (i, j, n, cov) for 0-indexed i ≤ j.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    src = df.select(_as_double(F.col(vec_col)).alias("_v"))
+
+    gram_schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("sxy", LongType()),
+        ]
+    )
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_v"].to_numpy())
+            q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+            g = q.T @ q
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu.astype(np.int32), "j": ju.astype(np.int32),
+                 "sxy": g[iu, ju]}
+            )
+
+    gram = (
+        src.mapInPandas(gram_partials, schema=gram_schema)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy"))
+    )
+    sums = (
+        df.select(F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"))
+        .select(
+            "dim",
+            F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("sv"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    si = sums.select(
+        F.col("dim").alias("i"),
+        F.col("sv").alias("sx"),
+        F.col("n").alias("n"),
+    )
+    sj = sums.select(F.col("dim").alias("j"), F.col("sv").alias("sy"))
+    nd = F.col("n").cast("double")
+    cov = (
+        (
+            nd * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / (nd * (nd - F.lit(1.0)))
+        / F.lit(1e12)
+    )
+    return (
+        gram.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select("i", "j", "n", cov.alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cross-label hard-negative mining: for each class prototype (the
+    label centroid), the k nearest vectors belonging to a DIFFERENT
+    label — the contrastive-training sampler that picks the most
+    confusable negatives instead of random ones.
+
+    Shape at scale: centroids are a labels-row aggregate
+    (label_centroids — exact decimal per-dimension means) broadcast
+    against the partitioned corpus; each executor scans its shard once
+    scoring |labels| centroids per vector (labels is small by
+    construction). Per-label top-k via TakeOrdered-style window rank.
+
+    Exactness: the centroid means are exact-decimal-derived doubles;
+    cosine is the sequential-fold dot over them (deterministic order,
+    replayed by list_dot_product in the oracle), ranked with id
+    tie-break, then 1e-6-quantized only for display.
+
+    Output: (label, rank, neighbor_id, neighbor_label, cosine).
+    """
+    cents = label_centroids(df, label_col, vec_col).select(
+        F.col("label").alias("c_label"),
+        F.col("centroid").alias("c_vec"),
+    )
+    corpus = with_norm(df.select(id_col, label_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col("_emb").alias("v_vec"),
+        F.col("_norm").alias("v_norm"),
+    )
+    pairs = corpus.join(
+        F.broadcast(cents),
+        F.col("neighbor_label") != F.col("c_label"),
+    )
+    cos = dot(F.col("c_vec"), F.col("v_vec")) / (
+        l2_norm(F.col("c_vec")) * F.col("v_norm")
+    )
+    w = Window.partitionBy("c_label").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("c_label").alias("label"),
+            "rank",
+            "neighbor_id",
+            "neighbor_label",
+            q6("_cos", "cosine"),
+        )
+    )

@@ -274,3 +274,39 @@ class TestBm25TopK:
         assert {r.doc_id: r.score for r in one} == {
             r.doc_id: r.score for r in dup
         }
+
+
+class TestCcnetBuckets:
+    def test_terciles_and_ordering(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            ccnet_buckets,
+        )
+        from pyspark.sql import Row
+
+        # 9 docs: three repeat common tokens (low xent), three mixed,
+        # three all-rare (high xent)
+        docs = []
+        for i in range(3):
+            docs.append(Row(doc_id=i, text="the the the the the the"))
+        for i in range(3, 6):
+            docs.append(Row(doc_id=i, text="the the alpha beta gamma delta"))
+        for i in range(6, 9):
+            docs.append(Row(doc_id=i, text=f"zz{i}a zz{i}b zz{i}c zz{i}d zz{i}e zz{i}f"))
+        out = ccnet_buckets(spark.createDataFrame(docs)).collect()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, set()).add(r.doc_id)
+        assert by_bucket["head"] == {0, 1, 2}
+        assert by_bucket["middle"] == {3, 4, 5}
+        assert by_bucket["tail"] == {6, 7, 8}
+
+    def test_ties_share_bucket(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            ccnet_buckets,
+        )
+        from pyspark.sql import Row
+
+        # identical docs: one xent value -> everyone lands in head
+        docs = [Row(doc_id=i, text="a b c") for i in range(6)]
+        out = ccnet_buckets(spark.createDataFrame(docs)).collect()
+        assert {r.bucket for r in out} == {"head"}

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
@@ -246,3 +247,84 @@ def test_silhouette_separated_blobs_score_high(spark):
         assert r.mean_sil > 0.95  # near-perfect separation
     with pytest.raises(ValueError):
         silhouette(emb, n_lists=1)
+
+
+class TestEmbeddingCovariance:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+        from pyspark.sql import Row
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            embedding_covariance,
+        )
+
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(40, 4)).astype(np.float32)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(v) for v in row]) for i, row in enumerate(x)]
+        )
+        out = {(r.i, r.j): r for r in embedding_covariance(df).collect()}
+        # reference: covariance of the micro-quantized values
+        q = np.floor(x.astype(np.float64) * 1e6 + 0.5)
+        ref = np.cov(q, rowvar=False, ddof=1) / 1e12
+        assert len(out) == 10  # upper triangle of 4x4
+        for (i, j), r in out.items():
+            assert r.n == 40
+            assert r.cov == pytest.approx(ref[i, j], rel=1e-9)
+
+    def test_partition_invariant(self, spark):
+        import numpy as np
+        from pyspark.sql import Row
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            embedding_covariance,
+        )
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(30, 3)).astype(np.float32)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(v) for v in row]) for i, row in enumerate(x)]
+        )
+        a = {(r.i, r.j): r.cov for r in embedding_covariance(df.coalesce(1)).collect()}
+        b = {(r.i, r.j): r.cov for r in embedding_covariance(df.repartition(8)).collect()}
+        assert a == b  # exact integer partials -> bit-identical
+
+
+class TestHardNegatives:
+    def test_picks_nearest_cross_label(self, spark):
+        from pyspark.sql import Row
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        # label 0 along +x, label 1 along +y; one label-1 vector leans
+        # toward +x: it is label 0's hardest negative
+        rows = [
+            Row(vec_id=1, label=0, embedding=[1.0, 0.0]),
+            Row(vec_id=2, label=0, embedding=[0.9, 0.1]),
+            Row(vec_id=3, label=1, embedding=[0.0, 1.0]),
+            Row(vec_id=4, label=1, embedding=[0.1, 0.9]),
+            Row(vec_id=5, label=1, embedding=[0.7, 0.7]),  # the leaner
+        ]
+        out = hard_negatives(spark.createDataFrame(rows), k=1).collect()
+        by_label = {r.label: r for r in out}
+        assert by_label[0].neighbor_id == 5
+        assert by_label[0].neighbor_label == 1
+        # label 1's centroid leans +y but vec 2 (0.9, 0.1) vs vec 1
+        # (1.0, 0.0): vec 2 has the y component -> more similar
+        assert by_label[1].neighbor_id == 2
+
+    def test_never_returns_own_label(self, spark):
+        from pyspark.sql import Row
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        rows = [
+            Row(vec_id=i, label=i % 2, embedding=[float(i), 1.0])
+            for i in range(10)
+        ]
+        for r in hard_negatives(spark.createDataFrame(rows), k=3).collect():
+            assert r.neighbor_label != r.label
