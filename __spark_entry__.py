@@ -7514,9 +7514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 9 new + 15 changed + 38 r2-stale = 62: the r2-cohort tail past
+    # 20 new + 15 changed + 38 r2-stale = 73: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
-    # whatever this round's gate did not reach.
+    # whatever this round's gate did not reach (everything from
+    # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,

@@ -2198,6 +2198,16 @@ def ema_fold(
     Grouped-map per key, sorted chronologically inside the fold; seeds
     at the first value. A recursive SQL CTE carrying one BIGINT state
     replays it bit-identically.
+
+    Parallelism trap (measured, the r4 heikin_ashi lesson's second
+    form): if ``df`` is ALREADY hash-partitioned on exactly ``keys``
+    (e.g. it came out of a window over the same key), Catalyst removes
+    the explicit repartition below as redundant — and AQE then
+    byte-coalesces the upstream ENSURE_REQUIREMENTS exchange to one
+    partition, serializing every group's fold into a single task
+    (8x measured at sf0.1). Callers deriving the input via a same-key
+    window must cut the lineage first (localCheckpoint) so the
+    repartition survives — see force_index.
     """
     import math
 
@@ -2258,6 +2268,12 @@ def force_index(
         df.select(*keys, F.col(order_col), F.col(close), F.col(volume))
         .withColumn("fi_raw", fi_raw)
         .filter(F.col("fi_raw").isNotNull())
+        # the lag window partitions on exactly `keys`, which would let
+        # Catalyst drop ema_fold's repartition and AQE serialize every
+        # fold into one task (ema_fold docstring) — cut the lineage so
+        # the fold stage keeps its own parallelism; the materialized
+        # table is per-key BARS, tiny relative to the fact input
+        .localCheckpoint()
     )
     out = ema_fold(
         src, keys, order_col, "fi_raw", n=n, scale=1.0,
