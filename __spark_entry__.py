@@ -7499,6 +7499,241 @@ FROM r WHERE rank <= 5 ORDER BY label, rank
 """
 
 
+def x_dema_tema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMA/TEMA (10) over per-user daily closes: lag-reduced EMAs as
+    exact BIGINT linear combinations of the trix-style triple-chained
+    states; recursive-CTE oracle carries (e1, e2, e3)
+    (operators/finance.dema_tema)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        dema_tema,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    return dema_tema(daily, ["user_id"], "trade_date", n=10).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _dema_sql(n: int = 10) -> str:
+    d = float(n + 1)
+    e1s = f"e.e1 + CAST(floor(2.0 * (s.v - e.e1) / {d}) AS BIGINT)"
+    e2s = f"e.e2 + CAST(floor(2.0 * (({e1s}) - e.e2) / {d}) AS BIGINT)"
+    e3s = f"e.e3 + CAST(floor(2.0 * (({e2s}) - e.e3) / {d}) AS BIGINT)"
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+src AS (
+  SELECT user_id, trade_date, close,
+         {sql_u6("close")} AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+ema AS (
+  SELECT user_id, trade_date, close, v, rn, v AS e1, v AS e2, v AS e3
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.trade_date, s.close, s.v, s.rn,
+         {e1s} AS e1, {e2s} AS e2, {e3s} AS e3
+  FROM src s JOIN ema e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+SELECT user_id, trade_date, close,
+       CAST(2 * e1 - e2 AS DOUBLE) / 1000000.0 AS dema,
+       CAST(3 * e1 - 3 * e2 + e3 AS DOUBLE) / 1000000.0 AS tema
+FROM ema ORDER BY user_id, trade_date
+"""
+
+
+def x_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-bar OLS of price on bar index (the linear-regression
+    indicator): slope + end-of-window fitted value. With the regressor
+    fixed at 0..n−1, the only data moment is Σxy — a fused lag chain of
+    BIGINT micro-unit products; slope/fit are fixed-order IEEE over
+    exact integers (operators/finance.linreg_slope)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        linreg_slope,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return linreg_slope(daily, ["user_id"], "trade_date", n=14).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _linreg_sql(n: int = 14) -> str:
+    sx = n * (n - 1) // 2
+    sxx = n * (n - 1) * (2 * n - 1) // 6
+    denom = float(n * sxx - sx * sx)
+    fit_c = float(n - 1) - sx / float(n)
+    cu = sql_u6("close")
+    sy = " + ".join(
+        [cu] + [f"lag({cu}, {j}) OVER w" for j in range(1, n)]
+    )
+    sxy = " + ".join(
+        [f"{n - 1} * {cu}"]
+        + [f"{n - 1 - j} * lag({cu}, {j}) OVER w" for j in range(1, n)]
+    )
+    return f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+m AS (
+  SELECT user_id, trade_date, close,
+         ({sy}) AS sy, ({sxy}) AS sxy
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+s AS (
+  SELECT user_id, trade_date, close,
+         ({float(n)} * CAST(sxy AS DOUBLE) - {float(sx)} * CAST(sy AS DOUBLE))
+           / {denom} AS slope_u,
+         CAST(sy AS DOUBLE) / {float(n)} AS mean_u
+  FROM m)
+SELECT user_id, trade_date, close,
+       slope_u / 1e6 AS slope,
+       (mean_u + slope_u * {fit_c}) / 1e6 AS fit_end
+FROM s ORDER BY user_id, trade_date
+"""
+
+
+def x_hist_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 5% Value-at-Risk per user: the ceil(n/20)-th smallest
+    daily return — exact discrete quantile by rank selection on one
+    per-key exchange, ceil-division in pure integer arithmetic
+    (operators/finance.hist_var)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        daily_returns,
+        hist_var,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
+    return hist_var(rets, ["user_id"], "trade_date", min_obs=10).orderBy(
+        "user_id"
+    )
+
+
+_X_HISTVAR_SQL = f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE value > 0),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM src GROUP BY user_id, CAST(ts AS DATE)),
+rets AS (
+  SELECT user_id, trade_date,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily QUALIFY ret IS NOT NULL),
+r AS (
+  SELECT user_id, trade_date, ret,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ret, trade_date) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM rets)
+SELECT user_id, CAST(n AS BIGINT) AS n_obs, ret AS var_ret,
+       -ret AS var_loss
+FROM r
+WHERE rn = CAST(floor((n * 1 + 19) / 20.0) AS BIGINT) AND n >= 10
+ORDER BY user_id
+"""
+
+
+def e_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the event stream: per-user
+    recency / frequency / monetary quintiles (1 = lowest) via the exact
+    histogram-quantile operator — NO corpus-wide ntile sort; three
+    bounded VALUE histograms and broadcast cut scalars
+    (operators/quantiles.quantile_bucket)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.quantiles import (
+        quantile_bucket,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.to_date("ts")).alias("_ref"))
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).alias("_mon"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("_ref"), F.col("_last")).cast("long"),
+        )
+        # three histogram aggregates + the final classify all consume
+        # this per-user table: cut the lineage once
+        .localCheckpoint()
+    )
+    b = quantile_bucket(pu, "recency_days", 5, "r_bucket")
+    b = quantile_bucket(b, "frequency", 5, "f_bucket")
+    b = quantile_bucket(b, "_mon", 5, "m_bucket")
+    return b.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        (F.col("_mon").cast("double") / F.lit(1e6)).alias("monetary"),
+        "r_bucket",
+        "f_bucket",
+        "m_bucket",
+        F.concat(
+            F.col("r_bucket").cast("string"),
+            F.col("f_bucket").cast("string"),
+            F.col("m_bucket").cast("string"),
+        ).alias("segment"),
+    ).orderBy("user_id")
+
+
+def _rfm_cut_block(name: str, col: str) -> str:
+    cuts = ", ".join(
+        f"min(CASE WHEN ccum * 5 >= n * {b} THEN v END) AS c{b}"
+        for b in range(1, 5)
+    )
+    return f"""h_{name} AS (
+  SELECT {col} AS v, count(*) AS cnt FROM pu GROUP BY {col}),
+c_{name} AS (
+  SELECT v,
+         sum(cnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccum,
+         sum(cnt) OVER () AS n
+  FROM h_{name}),
+cut_{name} AS (SELECT {cuts} FROM c_{name})"""
+
+
+def _rfm_bucket_expr(name: str, col: str) -> str:
+    terms = " + ".join(
+        f"CAST({col} > cut_{name}.c{b} AS INT)" for b in range(1, 5)
+    )
+    return f"1 + {terms}"
+
+
+_E_RFM_SQL = f"""
+WITH pu AS (
+  SELECT user_id,
+         date_diff('day', max(CAST(ts AS DATE)),
+                   (SELECT max(CAST(ts AS DATE)) FROM events))
+           AS recency_days,
+         count(*) AS frequency,
+         sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS mon
+  FROM events GROUP BY user_id),
+{_rfm_cut_block("r", "recency_days")},
+{_rfm_cut_block("f", "frequency")},
+{_rfm_cut_block("m", "mon")}
+SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+       CAST(mon AS DOUBLE) / 1e6 AS monetary,
+       {_rfm_bucket_expr("r", "recency_days")} AS r_bucket,
+       {_rfm_bucket_expr("f", "frequency")} AS f_bucket,
+       {_rfm_bucket_expr("m", "mon")} AS m_bucket,
+       CAST({_rfm_bucket_expr("r", "recency_days")} AS VARCHAR)
+         || CAST({_rfm_bucket_expr("f", "frequency")} AS VARCHAR)
+         || CAST({_rfm_bucket_expr("m", "mon")} AS VARCHAR) AS segment
+FROM pu
+CROSS JOIN cut_r CROSS JOIN cut_f CROSS JOIN cut_m
+ORDER BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7521,6 +7756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "x_dema_tema": x_dema_tema,
+        "x_linreg": x_linreg,
+        "x_hist_var": x_hist_var,
+        "e_rfm_segments": e_rfm_segments,
         "emb_covariance": emb_covariance,
         "emb_hard_negatives": emb_hard_negatives,
         "d_ccnet_buckets": d_ccnet_buckets,
@@ -7748,6 +7987,10 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "x_dema_tema": _dema_sql(),
+        "x_linreg": _linreg_sql(),
+        "x_hist_var": _X_HISTVAR_SQL,
+        "e_rfm_segments": _E_RFM_SQL,
         "emb_covariance": _EMB_COV_SQL,
         "emb_hard_negatives": _EMB_HARDNEG_SQL,
         "d_ccnet_buckets": _D_CCNET_SQL,
@@ -8003,6 +8246,10 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "x_dema_tema",
+    "x_linreg",
+    "x_hist_var",
+    "e_rfm_segments",
     "emb_covariance",
     "emb_hard_negatives",
     "d_ccnet_buckets",

@@ -72,6 +72,9 @@ __all__ = [
     "force_index",
     "elder_ray",
     "volume_index",
+    "dema_tema",
+    "linreg_slope",
+    "hist_var",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -2393,3 +2396,162 @@ def volume_index(
         return pdf.assign(nvi=nvi_a / 1e6, pvi=pvi_a / 1e6)
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def dema_tema(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 10,
+    close: str = "close",
+) -> DataFrame:
+    """DEMA and TEMA (Mulloy 1994): lag-reduced EMAs built from the
+    chained states ``e1 = EMA(x)``, ``e2 = EMA(e1)``, ``e3 = EMA(e2)``:
+
+        dema = 2·e1 − e2          tema = 3·e1 − 3·e2 + e3
+
+    Same triple-chain fold as trix (exact integer micro-unit states,
+    floor(2.0·(x−e)/(n+1.0)) steps), but emitting the de-lagged
+    combinations — both are exact BIGINT linear combinations of the
+    states, divided once at the end. The recursive-CTE oracle carries
+    (e1, e2, e3).
+
+    Output: keys, order_col, close, dema, tema.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", dema double, tema double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        v = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        m = len(v)
+        dema_a = np.empty(m, dtype=np.int64)
+        tema_a = np.empty(m, dtype=np.int64)
+        e1 = e2 = e3 = 0
+        for i, vi in enumerate(v.tolist()):
+            if i == 0:
+                e1 = e2 = e3 = vi
+            else:
+                e1 += math.floor(2.0 * (vi - e1) / (n + 1.0))
+                e2 += math.floor(2.0 * (e1 - e2) / (n + 1.0))
+                e3 += math.floor(2.0 * (e2 - e3) / (n + 1.0))
+            dema_a[i] = 2 * e1 - e2
+            tema_a[i] = 3 * e1 - 3 * e2 + e3
+        return pdf.assign(dema=dema_a / 1e6, tema=tema_a / 1e6)
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def linreg_slope(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 14,
+    close: str = "close",
+) -> DataFrame:
+    """Rolling n-bar OLS regression of price on bar index (the "linear
+    regression" indicator): slope per bar, plus the end-of-window fitted
+    value (the regression line's current point, the basis of linear
+    regression channels).
+
+    Pure native window algebra, exact: with the regressor fixed at
+    x = 0..n−1 inside every full window, Σx = n(n−1)/2 and
+    Σx² = n(n−1)(2n−1)/6 are compile-time constants and the only
+    data moment is Σxy — a fixed lag chain of BIGINT micro-unit
+    products (weight n−1−j for lag j, newest bar weighted most). slope
+    and the fitted value are fixed-order IEEE combinations of exact
+    integers; NULL until the window holds n bars (any NULL lag
+    propagates through the chain).
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²const)
+        fit_end = ȳ + slope·(n−1 − x̄)
+
+    Output: keys, order_col, close, slope, fit_end (price units).
+    """
+    sx = n * (n - 1) // 2
+    sxx = n * (n - 1) * (2 * n - 1) // 6
+    denom = float(n * sxx - sx * sx)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    cu = u6(F.col(close))
+    # Σy and Σxy as one fused lag chain (newest bar: x = n-1)
+    sy = cu
+    sxy = F.lit(n - 1) * cu
+    for j in range(1, n):
+        lj = F.lag(cu, j).over(w)
+        sy = sy + lj
+        sxy = sxy + F.lit(n - 1 - j) * lj
+    slope_u = (
+        F.lit(float(n)) * sxy.cast("double")
+        - F.lit(float(sx)) * sy.cast("double")
+    ) / F.lit(denom)
+    mean_u = sy.cast("double") / F.lit(float(n))
+    fit_u = mean_u + slope_u * F.lit(float(n - 1) - sx / float(n))
+    return df.select(
+        *keys,
+        F.col(order_col),
+        F.col(close),
+        (slope_u / F.lit(1e6)).alias("slope"),
+        (fit_u / F.lit(1e6)).alias("fit_end"),
+    )
+
+
+def hist_var(
+    returns: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    ret_col: str = "ret",
+    alpha_num: int = 1,
+    alpha_den: int = 20,
+    min_obs: int = 10,
+) -> DataFrame:
+    """Historical Value-at-Risk: the empirical ``alpha_num/alpha_den``
+    quantile of each key's return history — the k-th SMALLEST return
+    with ``k = ceil(alpha·n)`` (lower-tail discrete quantile, the
+    standard historical-simulation VaR estimator; VaR is reported as
+    the loss, i.e. the negated return).
+
+    alpha is a RATIONAL (default 1/20 = 5%), so k is pure integer
+    arithmetic ``(n·alpha_num + alpha_den − 1) div alpha_den`` —
+    ceil-division with no float, bit-identical in any engine. Selection
+    is one rank window over the per-key returns (ties broken by
+    order_col for a deterministic pick) plus a per-key count — both on
+    ONE exchange; no global sort. Keys with fewer than ``min_obs``
+    returns are dropped.
+
+    Output: keys, n_obs, var_ret (the quantile return), var_loss
+    (= −var_ret).
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ret_col).asc(), F.col(order_col).asc()
+    )
+    cw = Window.partitionBy(*keys)
+    ranked = (
+        returns.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(cw))
+    )
+    # ceil-division on BIGINTs: floor of the (exact-operand) double
+    # quotient — positive operands, so floor == integer ceil-div
+    k = F.floor(
+        (F.col("_n") * F.lit(alpha_num) + F.lit(alpha_den - 1))
+        / F.lit(float(alpha_den))
+    ).cast("long")
+    return (
+        ranked.filter((F.col("_rn") == k) & (F.col("_n") >= min_obs))
+        .select(
+            *keys,
+            F.col("_n").alias("n_obs"),
+            F.col(ret_col).alias("var_ret"),
+            (-F.col(ret_col)).alias("var_loss"),
+        )
+    )

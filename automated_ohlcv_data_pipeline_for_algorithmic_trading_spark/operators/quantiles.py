@@ -1,0 +1,72 @@
+"""Exact distributed quantile bucketing without a global sort.
+
+The scale problem with ``ntile(k)`` is that it ranks every row in one
+total order — a corpus-wide sort (single-partition window) that dies at
+100 TB. For INTEGER-valued metrics there is an exact alternative: the
+distinct-value HISTOGRAM is bounded by the value range (not the row
+count), its cumulative counts locate the k−1 discrete cut values, and
+every row classifies by comparison against those broadcast scalars.
+``ccnet_buckets`` (operators/corpus.py) inlines this pattern for xent
+terciles; this module is the generic operator (RFM scoring, VaR bands,
+any score→bucket mapping).
+
+Semantics are ``quantile_disc``: cut b is the smallest value whose
+cumulative count covers ceil(b·N/k); ties (equal values) always share a
+bucket, so buckets can be uneven on heavily tied data — the price of
+exactness, and what CCNet/pandas ``qcut(duplicates='drop')`` do too.
+All arithmetic is integer (3·ccum >= b·N — no division), so the result
+is bit-identical in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["quantile_bucket"]
+
+
+def quantile_bucket(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 5,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Append an exact discrete-quantile bucket (1..n_buckets, 1 =
+    smallest values) for the INTEGER column ``value_col``.
+
+    One histogram aggregate (map-side combinable, output bounded by the
+    distinct-value count), one cumulative window over that bounded
+    table, ONE conditional-min aggregate producing all k−1 cuts in a
+    single row, then a broadcast compare per input row:
+    ``bucket = 1 + Σ_b (value > cut_b)``. NULL values get NULL buckets.
+    """
+    if n_buckets < 2:
+        raise ValueError("quantile_bucket: n_buckets must be >= 2")
+    v = F.col(value_col)
+    hist = df.filter(v.isNotNull()).groupBy(v.alias("_v")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    wcum = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_ccum", F.sum("_cnt").over(wcum)).withColumn(
+        "_n", F.sum("_cnt").over(Window.partitionBy())
+    )
+    cuts = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_ccum") * n_buckets >= F.col("_n") * b, F.col("_v")
+                )
+            ).alias(f"_cut{b}")
+            for b in range(1, n_buckets)
+        ]
+    )
+    bucket: Column = F.lit(1)
+    for b in range(1, n_buckets):
+        bucket = bucket + (v > F.col(f"_cut{b}")).cast("int")
+    bucket = F.when(v.isNotNull(), bucket)
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(out_col, bucket)
+        .drop(*[f"_cut{b}" for b in range(1, n_buckets)])
+    )

@@ -268,3 +268,98 @@ class TestVolumeIndex:
         assert out[("A", 2)].nvi == 2000.0  # +100% on falling volume
         assert out[("B", 2)].pvi == 500.0  # -50% on rising volume
         assert out[("B", 2)].nvi == 1000.0
+
+
+class TestDemaTema:
+    def test_constant_series(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import dema_tema
+
+        df = _closes(spark, [("A", i, 12.5) for i in range(1, 6)])
+        for r in dema_tema(df, ["sym"], "t", n=10).collect():
+            assert r.dema == 12.5  # 2e - e
+            assert r.tema == 12.5  # 3e - 3e + e
+
+    def test_lag_reduction_ordering(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import dema_tema
+
+        # on a rising ramp: tema >= dema >= plain ema (less lag)
+        df = _closes(spark, [("A", i, float(10 + i)) for i in range(1, 40)])
+        rows = {r.t: r for r in dema_tema(df, ["sym"], "t", n=10).collect()}
+        r = rows[39]
+        assert r.tema > r.dema
+        assert r.dema < 49.0  # still lags the last price a bit
+        # TEMA's triple lag-compensation OVERSHOOTS on a steady ramp
+        # (it extrapolates); on this ramp it sits just past the price
+        assert 49.0 < r.tema < 49.5
+
+
+class TestLinregSlope:
+    def test_exact_on_linear_ramp(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import linreg_slope
+
+        df = _closes(spark, [("A", i, float(2 * i + 5)) for i in range(1, 30)])
+        out = {r.t: r for r in linreg_slope(df, ["sym"], "t", n=14).collect()}
+        assert out[13].slope is None  # warm-up
+        for t in range(14, 30):
+            assert out[t].slope == pytest.approx(2.0, abs=1e-9)
+            assert out[t].fit_end == pytest.approx(2 * t + 5, abs=1e-9)
+
+    def test_flat_series_zero_slope(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import linreg_slope
+
+        df = _closes(spark, [("A", i, 7.0) for i in range(1, 20)])
+        out = {r.t: r for r in linreg_slope(df, ["sym"], "t", n=14).collect()}
+        assert out[19].slope == 0.0
+        assert out[19].fit_end == 7.0
+
+
+class TestHistVar:
+    def test_kth_smallest_selection(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import hist_var
+
+        # 40 returns -> k = ceil(40/20) = 2: second-smallest
+        rows = [("A", i, -0.10 if i == 1 else (-0.08 if i == 2 else 0.001 * i)) for i in range(1, 41)]
+        [r] = hist_var(_rets(spark, rows), ["sym"], "t", min_obs=10).collect()
+        assert r.n_obs == 40
+        assert r.var_ret == pytest.approx(-0.08)
+        assert r.var_loss == pytest.approx(0.08)
+
+    def test_min_obs_gate(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import hist_var
+
+        rows = [("A", i, 0.01 * i) for i in range(1, 6)]
+        assert hist_var(_rets(spark, rows), ["sym"], "t", min_obs=10).count() == 0
+
+
+class TestQuantileBucket:
+    def test_uniform_quintiles(self, spark):
+        from pyspark.sql import Row
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.quantiles import quantile_bucket
+
+        df = spark.createDataFrame([Row(id=i, v=i) for i in range(1, 101)])
+        out = quantile_bucket(df, "v", 5, "b").collect()
+        sizes = {}
+        for r in out:
+            sizes[r.b] = sizes.get(r.b, 0) + 1
+            assert r.b == (r.v - 1) // 20 + 1
+        assert sizes == {1: 20, 2: 20, 3: 20, 4: 20, 5: 20}
+
+    def test_ties_share_bucket(self, spark):
+        from pyspark.sql import Row
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.quantiles import quantile_bucket
+
+        df = spark.createDataFrame(
+            [Row(id=i, v=0) for i in range(60)] + [Row(id=100 + i, v=i + 1) for i in range(40)]
+        )
+        out = quantile_bucket(df, "v", 5, "b").collect()
+        zeros = {r.b for r in out if r.v == 0}
+        assert zeros == {1}  # all ties in one bucket
+
+    def test_partition_invariant(self, spark):
+        from pyspark.sql import Row
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.quantiles import quantile_bucket
+
+        df = spark.createDataFrame([Row(id=i, v=(i * 7919) % 97) for i in range(200)])
+        a = sorted((r.id, r.b) for r in quantile_bucket(df.coalesce(1), "v", 4, "b").collect())
+        b = sorted((r.id, r.b) for r in quantile_bucket(df.repartition(16), "v", 4, "b").collect())
+        assert a == b
