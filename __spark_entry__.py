@@ -7734,6 +7734,108 @@ ORDER BY user_id
 """
 
 
+def x_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman price filter per user — the SEVENTH recurrence family
+    and the first with PURE DOUBLE state: per-row IEEE trees need no
+    quantization to replay bit-identically, the recursive-CTE oracle
+    carries (x DOUBLE, p DOUBLE) (operators/finance.kalman_1d)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        kalman_1d,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    return kalman_1d(daily, ["user_id"], "trade_date").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _kalman_sql(q: float = 1e-5, r: float = 1e-2) -> str:
+    pp = f"(e.p + {q!r})"
+    kg = f"({pp} / ({pp} + {r!r}))"
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+src AS (
+  SELECT user_id, trade_date, close,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+kf AS (
+  SELECT user_id, trade_date, close, rn,
+         close AS x, CAST(1.0 AS DOUBLE) AS p
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.trade_date, s.close, s.rn,
+         e.x + {kg} * (s.close - e.x) AS x,
+         (1.0 - {kg}) * {pp} AS p
+  FROM src s JOIN kf e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+SELECT user_id, trade_date, close, x AS kf_x, p AS kf_p
+FROM kf ORDER BY user_id, trade_date
+"""
+
+
+def s_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the events table replayed through a file-source
+    stream into a watermarked per-(day, user) rollup (decimal-routed
+    sums — streaming state stays keyed, never global), driven to
+    completion with availableNow; the top-3-users-per-day RANK runs as
+    a batch post-pass over the completed sink (rank is not an
+    append-mode streaming operator — the composite is the standard
+    pattern). Bit-identical to the batch SQL replay."""
+    import uuid
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        events_stream_daily_user,
+    )
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
+    )
+
+    tune(spark)
+    with stateful_partitions(spark):
+        agg = events_stream_daily_user(spark, sf_dir)
+        name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+        with _scratch_ckpt() as ckpt:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+    w = Window.partitionBy("bucket_start").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("bucket_start", "rank", "user_id", "num_events", "total_value")
+        .orderBy("bucket_start", "rank")
+    )
+
+
+_S_TOPK_SQL = """
+WITH g AS (
+  SELECT time_bucket(INTERVAL '1 day', ts, TIMESTAMP '2000-01-01 00:00:00')
+           AS bucket_start,
+         user_id, count(*) AS num_events,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY bucket_start, user_id),
+r AS (
+  SELECT bucket_start, user_id, num_events, total_value,
+         row_number() OVER (PARTITION BY bucket_start
+                            ORDER BY total_value DESC, user_id) AS rank
+  FROM g)
+SELECT bucket_start, CAST(rank AS BIGINT) AS rank, user_id, num_events,
+       total_value
+FROM r WHERE rank <= 3 ORDER BY bucket_start, rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7756,6 +7858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "s_stream_topk": s_stream_topk,
+        "x_kalman": x_kalman,
         "x_dema_tema": x_dema_tema,
         "x_linreg": x_linreg,
         "x_hist_var": x_hist_var,
@@ -7987,6 +8091,8 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "s_stream_topk": _S_TOPK_SQL,
+        "x_kalman": _kalman_sql(),
         "x_dema_tema": _dema_sql(),
         "x_linreg": _linreg_sql(),
         "x_hist_var": _X_HISTVAR_SQL,
@@ -8246,6 +8352,8 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "s_stream_topk",
+    "x_kalman",
     "x_dema_tema",
     "x_linreg",
     "x_hist_var",

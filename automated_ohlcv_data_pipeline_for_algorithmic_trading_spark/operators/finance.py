@@ -75,6 +75,7 @@ __all__ = [
     "dema_tema",
     "linreg_slope",
     "hist_var",
+    "kalman_1d",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -2555,3 +2556,67 @@ def hist_var(
             (-F.col(ret_col)).alias("var_loss"),
         )
     )
+
+
+def kalman_1d(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    close: str = "close",
+    q: float = 1e-5,
+    r: float = 1e-2,
+) -> DataFrame:
+    """1-D Kalman filter over per-key prices (constant-position model —
+    the classic adaptive smoother quant stacks run before crossover
+    logic): per bar,
+
+        p_pred = p + q
+        K      = p_pred / (p_pred + r)
+        x      = x + K·(z − x)
+        p      = (1 − K)·p_pred
+
+    seeded at (x = z₀, p = 1). The SEVENTH oracle-checked recurrence
+    family here — and the first with PURE DOUBLE state: no micro-unit
+    quantization anywhere. Determinism comes from IEEE-754 itself —
+    every step is the same fixed tree of correctly-rounded +,·,/ on the
+    same doubles, so the pandas fold and a recursive CTE carrying
+    (x DOUBLE, p DOUBLE) produce bit-identical streams. (Contrast the
+    integer families, which quantize because their SQL twins would
+    otherwise need engine-specific rounding of AGGREGATED state; a pure
+    per-row recurrence has no aggregation to protect.)
+
+    Output: keys, order_col, close, kf_x (filtered price), kf_p
+    (posterior variance).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", kf_x double, kf_p double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        z = pdf[close].to_numpy(dtype=float)
+        m = len(z)
+        xs = np.empty(m)
+        ps = np.empty(m)
+        x = p = 0.0
+        for i, zi in enumerate(z.tolist()):
+            if i == 0:
+                x, p = zi, 1.0
+            else:
+                pp = p + q
+                kg = pp / (pp + r)
+                x = x + kg * (zi - x)
+                p = (1.0 - kg) * pp
+            xs[i] = x
+            ps[i] = p
+        return pdf.assign(kf_x=xs, kf_p=ps)
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)

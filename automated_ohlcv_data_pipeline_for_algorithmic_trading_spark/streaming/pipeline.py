@@ -292,3 +292,29 @@ def dedup_ingest_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def events_stream_daily_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed per-(day, user) rollup — the aggregation feeding the
+    streaming top-k query: watermarked tumbling-day window per user
+    with decimal-routed sums (bit-identical to the batch oracle
+    regardless of micro-batch count). The top-k RANK itself runs as a
+    batch post-pass over the completed sink — streaming aggregation
+    state stays per-(day, user), never global."""
+    ev = events_stream_source(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.col("user_id"), F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("num_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "user_id",
+            "num_events",
+            "total_value",
+        )
+    )

@@ -363,3 +363,45 @@ class TestQuantileBucket:
         a = sorted((r.id, r.b) for r in quantile_bucket(df.coalesce(1), "v", 4, "b").collect())
         b = sorted((r.id, r.b) for r in quantile_bucket(df.repartition(16), "v", 4, "b").collect())
         assert a == b
+
+
+class TestKalman1D:
+    def test_constant_series_locks_on(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import kalman_1d
+
+        df = _closes(spark, [("A", i, 50.0) for i in range(1, 10)])
+        rows = sorted(kalman_1d(df, ["sym"], "t").collect(), key=lambda r: r.t)
+        for r in rows:
+            assert r.kf_x == 50.0  # innovation is exactly 0
+        # posterior variance strictly decreases toward steady state
+        ps = [r.kf_p for r in rows]
+        assert ps[0] == 1.0
+        assert all(a > b for a, b in zip(ps, ps[1:]))
+
+    def test_smooths_noise(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import kalman_1d
+
+        # alternating +-1 around 100: filter output stays well inside
+        rows = [("A", i, 100.0 + (1.0 if i % 2 else -1.0)) for i in range(1, 40)]
+        out = sorted(kalman_1d(_closes(spark, rows), ["sym"], "t").collect(), key=lambda r: r.t)
+        tail = out[10:]
+        for r in tail:
+            assert abs(r.kf_x - 100.0) < 0.5  # < half the raw amplitude
+
+    def test_matches_pure_python_replay(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import kalman_1d
+
+        zs = [10.0, 10.5, 9.8, 11.2, 10.1, 10.9]
+        df = _closes(spark, [("A", i + 1, z) for i, z in enumerate(zs)])
+        out = sorted(kalman_1d(df, ["sym"], "t").collect(), key=lambda r: r.t)
+        x = p = 0.0
+        for i, z in enumerate(zs):
+            if i == 0:
+                x, p = z, 1.0
+            else:
+                pp = p + 1e-5
+                kg = pp / (pp + 1e-2)
+                x = x + kg * (z - x)
+                p = (1.0 - kg) * pp
+            assert out[i].kf_x == x  # bit-identical, not approx
+            assert out[i].kf_p == p
