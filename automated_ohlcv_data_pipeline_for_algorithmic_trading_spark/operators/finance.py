@@ -2379,21 +2379,35 @@ def volume_index(
         ).astype(np.int64)
         vol = pdf[volume].to_numpy(dtype=np.int64)
         m = len(cu)
-        nvi_a = np.empty(m, dtype=np.int64)
-        pvi_a = np.empty(m, dtype=np.int64)
-        nvi = pvi = seed
-        cul, voll = cu.tolist(), vol.tolist()
-        for i in range(m):
-            if i > 0:
-                pcu, pvol = cul[i - 1], voll[i - 1]
-                if pcu > 0 and voll[i] != pvol:
-                    ret = float(cul[i] - pcu) / float(pcu)
-                    if voll[i] < pvol:
-                        nvi += math.floor(nvi * ret + 0.5)
-                    else:
-                        pvi += math.floor(pvi * ret + 0.5)
-            nvi_a[i] = nvi
-            pvi_a[i] = pvi
+        if m == 0:
+            return pdf.assign(
+                nvi=np.empty(0, dtype=float), pvi=np.empty(0, dtype=float)
+            )
+
+        # The state is IDENTITY between its (volume-gated) update bars,
+        # so the recurrence runs SPARSELY: vectorized per-bar
+        # precomputes (elementwise IEEE ops are the same
+        # correctly-rounded ops the scalar loop would do), a python
+        # loop over UPDATE bars only (each bar updates at most one of
+        # the two states), then a vectorized step-fill of the outputs —
+        # the hot-key discipline of the other folds, one level further.
+        pcu = cu[:-1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ret_v = (cu[1:] - pcu) / pcu.astype(np.float64)
+        ok = pcu > 0
+
+        def folded(update_mask: np.ndarray) -> np.ndarray:
+            pos = np.flatnonzero(update_mask) + 1  # bar index of update
+            vals = np.empty(len(pos) + 1, dtype=np.int64)
+            vals[0] = state = seed
+            for k, r in enumerate(ret_v[pos - 1].tolist()):
+                state += math.floor(state * r + 0.5)
+                vals[k + 1] = state
+            # bar i holds the value after the last update at index <= i
+            return vals[np.searchsorted(pos, np.arange(m), side="right")]
+
+        nvi_a = folded(ok & (vol[1:] < vol[:-1]))
+        pvi_a = folded(ok & (vol[1:] > vol[:-1]))
         return pdf.assign(nvi=nvi_a / 1e6, pvi=pvi_a / 1e6)
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
