@@ -7851,7 +7851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 20 new + 15 changed + 38 r2-stale = 73: the r2-cohort tail past
+    # 26 new + 15 changed + 38 r2-stale = 79: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
