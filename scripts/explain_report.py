@@ -34,7 +34,10 @@ never a fact table): e_period_lookback (scalar cutoff),
 emb_ann_topk (10-row query set), emb_ivf_ann (centroid table),
 emb_lsh_ann (plane-id expansion rows), emb_sq8_ann (10-row query
 set + scale constants), d_tfidf_topk / d_unigram_xent (one-row
-corpus totals), e_funnel_conversion (per-stage scalar mins),
+corpus totals), d_ccnet_buckets / e_rfm_segments (one-row quantile
+cut scalars), emb_hard_negatives (labels-row centroid table under a
+!= predicate), emb_silhouette (centroid table),
+e_funnel_conversion (per-stage scalar mins),
 e_rolling_hll_wau (one-row max-day bound),
 q11_important_parts / q22_idle_rich_customers (one-row
 scalar-subquery cross joins, the TPC-H shapes).
