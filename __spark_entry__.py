@@ -7836,6 +7836,67 @@ FROM r WHERE rank <= 3 ORDER BY bucket_start, rank
 """
 
 
+def d_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption over the corpus: deterministic md5
+    position masking (15%), consecutive masks merged into sentinel
+    spans, corrupted input + denoising targets emitted per doc — the
+    pretraining-objective sampler, reproducible across engines and
+    re-runs (operators/corpus.span_corruption)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        span_corruption,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_corruption(docs).orderBy("doc_id")
+
+
+_D_SPANCORRUPT_SQL = rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS p, ts[i] AS tok,
+         CAST('0x' || substr(md5('span-v1|' || CAST(doc_id AS VARCHAR)
+                || '|' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT)
+           % 10000 < 1500 AS m
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i)),
+mk AS (
+  SELECT doc_id, p, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+  FROM pos WHERE m),
+sp AS (
+  SELECT doc_id, p, tok,
+         dense_rank() OVER (PARTITION BY doc_id ORDER BY p - rn) - 1 AS k
+  FROM mk),
+unm AS (SELECT doc_id, p, tok AS piece FROM pos WHERE NOT m),
+sent AS (
+  SELECT doc_id, min(p) AS p,
+         '<extra_id_' || CAST(k AS VARCHAR) || '>' AS piece
+  FROM sp GROUP BY doc_id, k),
+corr AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY p) AS corrupted
+  FROM (SELECT * FROM unm UNION ALL SELECT * FROM sent) GROUP BY doc_id),
+tgt_span AS (
+  SELECT doc_id, k,
+         '<extra_id_' || CAST(k AS VARCHAR) || '> '
+           || string_agg(tok, ' ' ORDER BY p) AS tpiece
+  FROM sp GROUP BY doc_id, k),
+tgt AS (
+  SELECT doc_id, string_agg(tpiece, ' ' ORDER BY k) AS targets,
+         max(k) + 1 AS n_spans
+  FROM tgt_span GROUP BY doc_id),
+cnt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+  FROM pos GROUP BY doc_id)
+SELECT cnt.doc_id, n_tokens, n_masked,
+       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       coalesce(corrupted, '') AS corrupted,
+       coalesce(targets, '') AS targets
+FROM cnt LEFT JOIN corr ON cnt.doc_id = corr.doc_id
+LEFT JOIN tgt ON cnt.doc_id = tgt.doc_id
+ORDER BY cnt.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7858,6 +7919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "d_span_corruption": d_span_corruption,
         "s_stream_topk": s_stream_topk,
         "x_kalman": x_kalman,
         "x_dema_tema": x_dema_tema,
@@ -8091,6 +8153,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "d_span_corruption": _D_SPANCORRUPT_SQL,
         "s_stream_topk": _S_TOPK_SQL,
         "x_kalman": _kalman_sql(),
         "x_dema_tema": _dema_sql(),
@@ -8352,6 +8415,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "d_span_corruption",
     "s_stream_topk",
     "x_kalman",
     "x_dema_tema",

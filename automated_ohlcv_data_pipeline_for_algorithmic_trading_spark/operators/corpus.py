@@ -687,3 +687,124 @@ def ccnet_buckets(
         F.col("xent"),
         bucket.alias("bucket"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_permyriad: int = 1500,
+    salt: str = "span-v1",
+) -> DataFrame:
+    """T5/UL2-style span corruption (Raffel et al. 2020): mask ~15% of
+    token positions i.i.d., merge CONSECUTIVE masked positions into
+    spans, replace each span with a ``<extra_id_k>`` sentinel in the
+    input and emit ``<extra_id_k> tokens...`` as the target — the
+    denoising-objective sampler of a pretraining data pipeline, done
+    the reproducible way: the mask is a pure function of
+    ``(salt, doc_id, position)`` (md5 permyriad draw, hash_split's
+    convention), so the corruption survives re-runs, cluster resizes,
+    and engine swaps — the DuckDB twin replays it bit-for-bit. No RNG
+    state anywhere.
+
+    Shape at scale: one explode to (doc, position) rows, two windows
+    and two reassembly aggregates ALL keyed on the doc id — a single
+    shuffle; per-doc work is bounded by document length. Span islands
+    use the position−row_number trick (the BPE merge pattern); the
+    ordered reassembly sorts (position, piece) structs — partition-
+    invariant, no collect_list order assumption.
+
+    Zero-token documents are excluded (nothing to corrupt — the oracle
+    twin's unnest drops them identically).
+
+    Output: (id_col, n_tokens, n_masked, n_spans, corrupted, targets).
+    """
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("p", "tok"),
+    ).withColumn(
+        "m",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        F.col(id_col).cast("string"),
+                        F.col("p").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+        < mask_permyriad,
+    )
+    # consume pos three times (counts, unmasked pieces, span rows):
+    # cut the lineage once, unigram_xent's discipline
+    pos = pos.localCheckpoint()
+    wp = Window.partitionBy(id_col).orderBy("p")
+    sp = (
+        pos.filter("m")
+        .withColumn("_rn", F.row_number().over(wp))
+        .withColumn("_island", F.col("p") - F.col("_rn"))
+        .withColumn(
+            "k",
+            (F.dense_rank().over(
+                Window.partitionBy(id_col).orderBy("_island")
+            ) - F.lit(1)).cast("long"),
+        )
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")
+    )
+    unm = pos.filter(~F.col("m")).select(
+        id_col, "p", F.col("tok").alias("piece")
+    )
+    sent = sp.groupBy(id_col, "k").agg(F.min("p").alias("p")).select(
+        id_col, "p", sentinel.alias("piece")
+    )
+
+    def _joined(order_col, piece_col):
+        pieces = F.array_sort(
+            F.collect_list(F.struct(F.col(order_col), F.col(piece_col)))
+        )
+        return F.concat_ws(
+            " ", F.transform(pieces, lambda x: x[piece_col])
+        )
+
+    corr = (
+        unm.unionByName(sent)
+        .groupBy(id_col)
+        .agg(_joined("p", "piece").alias("corrupted"))
+    )
+    tgt_span = sp.groupBy(id_col, "k").agg(
+        F.concat(
+            sentinel, F.lit(" "), _joined("p", "tok")
+        ).alias("tpiece")
+    )
+    tgt = tgt_span.groupBy(id_col).agg(
+        _joined("k", "tpiece").alias("targets"),
+        (F.max("k") + 1).alias("n_spans"),
+    )
+    cnt = pos.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("m").cast("int")).cast("long").alias("n_masked"),
+    )
+    return (
+        cnt.join(corr, id_col, "left")
+        .join(tgt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_masked",
+            F.coalesce(F.col("n_spans"), F.lit(0).cast("long")).alias(
+                "n_spans"
+            ),
+            F.coalesce(F.col("corrupted"), F.lit("")).alias("corrupted"),
+            F.coalesce(F.col("targets"), F.lit("")).alias("targets"),
+        )
+    )

@@ -310,3 +310,60 @@ class TestCcnetBuckets:
         docs = [Row(doc_id=i, text="a b c") for i in range(6)]
         out = ccnet_buckets(spark.createDataFrame(docs)).collect()
         assert {r.bucket for r in out} == {"head"}
+
+
+class TestSpanCorruption:
+    def test_structure_and_determinism(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            span_corruption,
+        )
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(f"w{j}" for j in range(30))) for i in range(5)]
+        )
+        a = {r.doc_id: r for r in span_corruption(docs).collect()}
+        b = {r.doc_id: r for r in span_corruption(docs.repartition(8)).collect()}
+        for i in range(5):
+            ra, rb = a[i], b[i]
+            # deterministic: identical across partitionings
+            assert (ra.corrupted, ra.targets, ra.n_masked) == (
+                rb.corrupted, rb.targets, rb.n_masked)
+            assert ra.n_tokens == 30
+            # reconstruction invariant: corrupted pieces + target tokens
+            # cover exactly the original token multiset
+            corr_toks = [t for t in ra.corrupted.split() if not t.startswith("<extra_id_")]
+            tgt_toks = [t for t in ra.targets.split() if not t.startswith("<extra_id_")]
+            assert sorted(corr_toks + tgt_toks) == sorted(f"w{j}" for j in range(30))
+            # sentinels are sequential and paired between input/targets
+            sents_in = [t for t in ra.corrupted.split() if t.startswith("<extra_id_")]
+            sents_tg = [t for t in ra.targets.split() if t.startswith("<extra_id_")]
+            assert sents_in == [f"<extra_id_{k}>" for k in range(ra.n_spans)]
+            assert sents_tg == sents_in
+            # masked fraction is in a sane band for 15% at n=30
+            assert 0 <= ra.n_masked <= 15
+
+    def test_consecutive_masks_merge(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            span_corruption,
+        )
+        from pyspark.sql import Row
+
+        # mask everything: one span covering the whole doc
+        docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+        [r] = span_corruption(docs, mask_permyriad=10000).collect()
+        assert r.n_masked == 3
+        assert r.n_spans == 1
+        assert r.corrupted == "<extra_id_0>"
+        assert r.targets == "<extra_id_0> a b c"
+
+    def test_no_masks(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            span_corruption,
+        )
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+        [r] = span_corruption(docs, mask_permyriad=0).collect()
+        assert r.n_masked == 0 and r.n_spans == 0
+        assert r.corrupted == "a b c" and r.targets == ""
