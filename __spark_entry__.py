@@ -7897,6 +7897,122 @@ ORDER BY cnt.doc_id
 """
 
 
+def x_coppock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coppock Curve over per-user daily bars: WMA(ROC14+ROC11, 10) —
+    exact-operand ROC quotients through a fixed-order integer-weighted
+    lag chain; two Window levels, one exchange+sort
+    (operators/finance.coppock_curve)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        coppock_curve,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return coppock_curve(daily, ["user_id"], "trade_date").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _coppock_sql(
+    roc_long: int = 14, roc_short: int = 11, wma_n: int = 10
+) -> str:
+    cu = sql_u6("close")
+
+    def roc(n: int) -> str:
+        return (
+            f"CASE WHEN lag({cu}, {n}) OVER w > 0 THEN "
+            f"100.0 * CAST({cu} - lag({cu}, {n}) OVER w AS DOUBLE)"
+            f" / CAST(lag({cu}, {n}) OVER w AS DOUBLE) END"
+        )
+
+    chain = " + ".join(
+        [f"{wma_n} * s"]
+        + [f"{wma_n - j} * lag(s, {j}) OVER w" for j in range(1, wma_n)]
+    )
+    return f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+l1 AS (
+  SELECT user_id, trade_date, close,
+         ({roc(roc_long)}) + ({roc(roc_short)}) AS s
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date))
+SELECT user_id, trade_date, close,
+       ({chain}) / {float(wma_n * (wma_n + 1) // 2)} AS coppock
+FROM l1
+WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+ORDER BY user_id, trade_date
+"""
+
+
+def x_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Know Sure Thing over per-user daily bars: four smoothed ROCs
+    weighted 1..4 plus the 9-bar signal line — each ROC quantized to
+    micro-units before its SMA so every frame sum is an exact BIGINT
+    reduction; KST re-quantized before the signal SMA
+    (operators/finance.kst)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        kst,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return kst(daily, ["user_id"], "trade_date").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _kst_sql(
+    rocs=(10, 15, 20, 30), smooths=(10, 10, 10, 15), signal_n: int = 9
+) -> str:
+    cu = sql_u6("close")
+
+    def roc_q(n: int) -> str:
+        r = (
+            f"CASE WHEN lag({cu}, {n}) OVER w > 0 THEN "
+            f"100.0 * CAST({cu} - lag({cu}, {n}) OVER w AS DOUBLE)"
+            f" / CAST(lag({cu}, {n}) OVER w AS DOUBLE) END"
+        )
+        return f"CAST(floor(({r}) * 1e6 + 0.5) AS BIGINT)"
+
+    rq = ",\n         ".join(
+        f"{roc_q(n)} AS rq{i}" for i, n in enumerate(rocs)
+    )
+    smas = ",\n         ".join(
+        f"CAST(sum(rq{i}) OVER f{i} AS DOUBLE)"
+        f" / CAST(count(rq{i}) OVER f{i} AS DOUBLE) AS s{i}"
+        for i in range(len(smooths))
+    )
+    frames = ",\n        ".join(
+        f"f{i} AS (PARTITION BY user_id ORDER BY trade_date"
+        f" ROWS BETWEEN {m - 1} PRECEDING AND CURRENT ROW)"
+        for i, m in enumerate(smooths)
+    )
+    combo = " + ".join(f"{float(i + 1)} * s{i}" for i in range(len(smooths)))
+    return f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+l1 AS (
+  SELECT user_id, trade_date, close,
+         {rq}
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+l2 AS (
+  SELECT user_id, trade_date, close,
+         {smas}
+  FROM l1
+  WINDOW {frames}),
+l3 AS (
+  SELECT user_id, trade_date, close,
+         CAST(floor(({combo}) * 1e6 + 0.5) AS BIGINT) AS kq
+  FROM l2)
+SELECT user_id, trade_date, close,
+       CAST(kq AS DOUBLE) / 1e6 AS kst,
+       CAST(sum(kq) OVER fs AS DOUBLE)
+         / CAST(count(kq) OVER fs AS DOUBLE) / 1e6 AS kst_signal
+FROM l3
+WINDOW fs AS (PARTITION BY user_id ORDER BY trade_date
+              ROWS BETWEEN {signal_n - 1} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, trade_date
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7912,13 +8028,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 26 new + 15 changed + 38 r2-stale = 79: the r2-cohort tail past
+    # 29 new + 15 changed + 38 r2-stale = 82: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "x_coppock": x_coppock,
+        "x_kst": x_kst,
         "d_span_corruption": d_span_corruption,
         "s_stream_topk": s_stream_topk,
         "x_kalman": x_kalman,
@@ -8153,6 +8271,8 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "x_coppock": _coppock_sql(),
+        "x_kst": _kst_sql(),
         "d_span_corruption": _D_SPANCORRUPT_SQL,
         "s_stream_topk": _S_TOPK_SQL,
         "x_kalman": _kalman_sql(),
@@ -8415,6 +8535,8 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "x_coppock",
+    "x_kst",
     "d_span_corruption",
     "s_stream_topk",
     "x_kalman",

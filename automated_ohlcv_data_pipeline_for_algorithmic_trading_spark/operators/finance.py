@@ -76,6 +76,8 @@ __all__ = [
     "linreg_slope",
     "hist_var",
     "kalman_1d",
+    "coppock_curve",
+    "kst",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -2634,3 +2636,126 @@ def kalman_1d(
         return pdf.assign(kf_x=xs, kf_p=ps)
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def coppock_curve(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    roc_long: int = 14,
+    roc_short: int = 11,
+    wma_n: int = 10,
+    close: str = "close",
+) -> DataFrame:
+    """Coppock Curve (Coppock 1962): ``WMA(ROC(14) + ROC(11), 10)`` —
+    the long-horizon momentum bottom-finder.
+
+    Both ROCs are exact-operand IEEE quotients of micro-unit BIGINTs;
+    the WMA is a fixed lag chain with INTEGER weights over the summed
+    ROC series — a fixed-order double expression tree, identical in
+    the SQL twin, so no quantization is needed between stages. NULL
+    until ``roc_long + wma_n − 1`` bars (lag NULLs propagate through
+    the chain). Two Window levels sharing ONE per-key exchange+sort
+    (hull_ma's shape).
+
+    Output: keys, order_col, close, coppock.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    cu = u6(F.col(close))
+
+    def roc(n: int) -> "F.Column":
+        prev = F.lag(cu, n).over(w)
+        return F.when(
+            prev > 0,
+            F.lit(100.0) * (cu - prev).cast("double") / prev.cast("double"),
+        )
+
+    inner = df.select(
+        *keys,
+        F.col(order_col),
+        F.col(close),
+        (roc(roc_long) + roc(roc_short)).alias("_s"),
+    )
+    num = F.lit(wma_n) * F.col("_s")
+    for j in range(1, wma_n):
+        num = num + F.lit(wma_n - j) * F.lag(F.col("_s"), j).over(w)
+    coppock = num / F.lit(float(wma_n * (wma_n + 1) // 2))
+    return inner.select(
+        *keys, F.col(order_col), F.col(close), coppock.alias("coppock")
+    )
+
+
+def kst(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    close: str = "close",
+    rocs: Sequence[int] = (10, 15, 20, 30),
+    smooths: Sequence[int] = (10, 10, 10, 15),
+    signal_n: int = 9,
+) -> DataFrame:
+    """Know Sure Thing (Pring): four smoothed rate-of-change series
+    combined with weights 1..4, plus the 9-bar signal line.
+
+    Determinism contract: each ROC is an exact-operand IEEE quotient,
+    QUANTIZED to micro-units before its SMA so the frame sums are
+    partition-invariant BIGINT reductions (double frame sums would
+    depend on accumulation order — the repo-wide rule); the weighted
+    combination is a fixed-order double tree; and KST itself is
+    re-quantized before the signal SMA for the same reason. Warm-up
+    bars use the ROCs seen so far (avg skips NULLs, both engines).
+
+    Three Window levels, ONE per-key exchange+sort.
+    Output: keys, order_col, close, kst, kst_signal.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    cu = u6(F.col(close))
+
+    def roc_q(n: int) -> "F.Column":
+        prev = F.lag(cu, n).over(w)
+        r = F.when(
+            prev > 0,
+            F.lit(100.0) * (cu - prev).cast("double") / prev.cast("double"),
+        )
+        return F.floor(r * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    lvl1 = df.select(
+        *keys,
+        F.col(order_col),
+        F.col(close),
+        *[roc_q(n).alias(f"_rq{i}") for i, n in enumerate(rocs)],
+    )
+    sma_cols = []
+    for i, m in enumerate(smooths):
+        f = w.rowsBetween(-(m - 1), 0)
+        c = F.col(f"_rq{i}")
+        sma_cols.append(
+            (F.sum(c).over(f).cast("double") / F.count(c).over(f).cast("double"))
+            .alias(f"_s{i}")
+        )
+    lvl2 = lvl1.select(*keys, F.col(order_col), F.col(close), *sma_cols)
+    kst_raw = sum(
+        (F.lit(float(i + 1)) * F.col(f"_s{i}") for i in range(1, len(smooths))),
+        F.lit(1.0) * F.col("_s0"),
+    )
+    kq = F.floor(kst_raw * F.lit(1e6) + F.lit(0.5)).cast("long")
+    lvl3 = lvl2.select(
+        *keys,
+        F.col(order_col),
+        F.col(close),
+        (kq.cast("double") / F.lit(1e6)).alias("kst"),
+        kq.alias("_kq"),
+    )
+    fs = w.rowsBetween(-(signal_n - 1), 0)
+    sig = (
+        F.sum("_kq").over(fs).cast("double")
+        / F.count("_kq").over(fs).cast("double")
+        / F.lit(1e6)
+    )
+    return lvl3.select(
+        *keys,
+        F.col(order_col),
+        F.col(close),
+        F.col("kst"),
+        sig.alias("kst_signal"),
+    )

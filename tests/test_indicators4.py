@@ -405,3 +405,38 @@ class TestKalman1D:
                 p = (1.0 - kg) * pp
             assert out[i].kf_x == x  # bit-identical, not approx
             assert out[i].kf_p == p
+
+
+class TestCoppockKst:
+    def test_coppock_flat_is_zero(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import coppock_curve
+
+        df = _closes(spark, [("A", i, 100.0) for i in range(1, 30)])
+        out = {r.t: r.coppock for r in coppock_curve(df, ["sym"], "t").collect()}
+        assert out[23] is None  # needs roc_long + wma_n - 1 = 23 bars
+        assert out[24] == 0.0
+        assert out[29] == 0.0
+
+    def test_coppock_positive_on_uptrend(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import coppock_curve
+
+        df = _closes(spark, [("A", i, 100.0 * 1.01 ** i) for i in range(1, 40)])
+        out = {r.t: r.coppock for r in coppock_curve(df, ["sym"], "t").collect()}
+        for t in range(25, 40):
+            assert out[t] > 0
+
+    def test_kst_flat_is_zero_and_signal_tracks(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import kst
+
+        df = _closes(spark, [("A", i, 50.0) for i in range(1, 45)])
+        out = {r.t: r for r in kst(df, ["sym"], "t").collect()}
+        assert out[30] is not None
+        assert out[31].kst == 0.0  # longest roc = 30 bars warm-up
+        assert out[44].kst == 0.0 and out[44].kst_signal == 0.0
+
+    def test_kst_sign_on_trend(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import kst
+
+        up = _closes(spark, [("U", i, 100.0 * 1.005 ** i) for i in range(1, 50)])
+        out = {r.t: r for r in kst(up, ["sym"], "t").collect()}
+        assert out[49].kst > 0 and out[49].kst_signal > 0
