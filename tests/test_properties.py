@@ -457,3 +457,107 @@ def test_kama_matches_pure_python_replay(rows):
                 assert r.er is None
             else:
                 assert abs(r.er - er6 / 1e6) < 1e-9
+
+
+vol_bar_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # symbol idx
+        st.floats(min_value=0.01, max_value=1e3,
+                  allow_nan=False, allow_infinity=False),
+        st.integers(min_value=1, max_value=50),     # volume
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(vol_bar_lists)
+def test_volume_index_matches_pure_python_replay(rows):
+    import math
+
+    spark = _spark()
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        volume_index,
+    )
+
+    data = []
+    series: dict[int, list] = {}
+    for i, (sym, close, vol) in enumerate(rows):
+        cq = round(close, 6)
+        data.append((f"s{sym}", i, cq, cq, cq, vol))
+        series.setdefault(sym, []).append((cq, vol))
+    df = spark.createDataFrame(
+        data,
+        "sym string, t long, high double, low double, close double,"
+        " volume long",
+    )
+    got = {(r.sym, r.t): r for r in volume_index(df, ["sym"], "t").collect()}
+
+    def replay(bars):
+        out = []
+        nvi = pvi = 1_000_000_000
+        prev = None
+        for c, v in bars:
+            cu = math.floor(c * 1e6 + 0.5)
+            if prev is not None:
+                pcu, pvol = prev
+                if pcu > 0 and v != pvol:
+                    ret = float(cu - pcu) / float(pcu)
+                    if v < pvol:
+                        nvi += math.floor(nvi * ret + 0.5)
+                    else:
+                        pvi += math.floor(pvi * ret + 0.5)
+            prev = (cu, v)
+            out.append((nvi, pvi))
+        return out
+
+    idx: dict[int, int] = {}
+    for i, (sym, *_rest) in enumerate(rows):
+        expect = replay(series[sym])
+        j = idx.get(sym, 0)
+        idx[sym] = j + 1
+        r = got[(f"s{sym}", i)]
+        nvi, pvi = expect[j]
+        assert r.nvi == nvi / 1e6  # bit-identical, not approx
+        assert r.pvi == pvi / 1e6
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(vol_bar_lists)
+def test_ema_fold_matches_pure_python_replay(rows):
+    import math
+
+    spark = _spark()
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        ema_fold,
+    )
+
+    n = 13
+    data = []
+    series: dict[int, list] = {}
+    for i, (sym, close, _vol) in enumerate(rows):
+        cq = round(close, 6)
+        data.append((f"s{sym}", i, cq))
+        series.setdefault(sym, []).append(cq)
+    df = spark.createDataFrame(data, "sym string, t long, close double")
+    got = {
+        (r.sym, r.t): r
+        for r in ema_fold(df, ["sym"], "t", "close", n=n).collect()
+    }
+
+    def replay(closes):
+        out = []
+        e = 0
+        for i, c in enumerate(closes):
+            v = math.floor(c * 1e6 + 0.5)
+            e = v if i == 0 else e + math.floor(2.0 * (v - e) / (n + 1.0))
+            out.append(e)
+        return out
+
+    idx: dict[int, int] = {}
+    for i, (sym, *_rest) in enumerate(rows):
+        expect = replay(series[sym])
+        j = idx.get(sym, 0)
+        idx[sym] = j + 1
+        assert got[(f"s{sym}", i)].ema_state == expect[j]
