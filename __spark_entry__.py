@@ -8013,6 +8013,22 @@ ORDER BY user_id, trade_date
 """
 
 
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-8 principal
+    components: one distributed Gram pass (embedding_covariance), a
+    driver-side 64×64 eigh (constant in corpus size), broadcast
+    component literals folded per row. NO SQL oracle — eigen-
+    decomposition is not SQL-expressible; the driver records the
+    rows-only check and tests/test_ivf_fingerprint.py pins numpy
+    parity (operators/similarity.pca_project)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        pca_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=8).orderBy("vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8028,13 +8044,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 29 new + 15 changed + 38 r2-stale = 82: the r2-cohort tail past
+    # 30 new + 15 changed + 38 r2-stale = 83: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "emb_pca": emb_pca,
         "x_coppock": x_coppock,
         "x_kst": x_kst,
         "d_span_corruption": d_span_corruption,
@@ -8535,6 +8552,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "emb_pca",
     "x_coppock",
     "x_kst",
     "d_span_corruption",

@@ -1481,3 +1481,77 @@ def hard_negatives(
             q6("_cos", "cosine"),
         )
     )
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-``k``
+    principal components — the dimensionality-reduction step ahead of
+    clustering/visualization/whitening in an embedding pipeline.
+
+    Distributed where it matters, driver-side where it's O(d²): the
+    covariance comes from :func:`embedding_covariance` (one
+    mapInPandas Gram pass — the ONLY corpus-scale stage), the d×d
+    eigendecomposition runs on the driver (numpy ``eigh`` on 64×64 —
+    microseconds, constant in corpus size; collecting d(d+1)/2 + d
+    rows is the bounded-collect class, like IVF centroids), and the
+    projection is a broadcast of k component vectors folded per row
+    with the deterministic sequential dot.
+
+    Sign convention: each component is flipped so its largest-|x|
+    coordinate is positive (eigh's sign is arbitrary), making the
+    output stable across LAPACK builds in practice. NOTE: unlike the
+    rest of the registry this op has NO SQL oracle — eigendecomposition
+    is not SQL-expressible; the driver records a rows-only check and
+    the unit test pins numpy parity instead.
+
+    Output: (id_col, projection array<double>[k], explained — the
+    fraction of total variance captured, same scalar on every row).
+    """
+    import numpy as np
+
+    d_rows = embedding_covariance(df, vec_col).collect()
+    dim = max(r["j"] for r in d_rows) + 1
+    cov = np.zeros((dim, dim))
+    for r in d_rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    means = (
+        df.select(F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean")
+        )
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in means:
+        mu[r["dim"]] = r["mean"]
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # (k, dim)
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    explained = float(np.sum(w[order]) / np.sum(np.maximum(w, 0.0)))
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    comp_lits = [
+        F.array(*[F.lit(float(x)) for x in comp]) for comp in comps
+    ]
+    centered = F.zip_with(
+        _as_double(F.col(vec_col)), mu_lit, lambda a, b: a - b
+    )
+    projection = F.array(
+        *[dot(centered, c) for c in comp_lits]
+    )
+    return df.select(
+        F.col(id_col),
+        projection.alias("projection"),
+        F.lit(explained).alias("explained"),
+    )

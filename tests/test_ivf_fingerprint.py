@@ -328,3 +328,62 @@ class TestHardNegatives:
         ]
         for r in hard_negatives(spark.createDataFrame(rows), k=3).collect():
             assert r.neighbor_label != r.label
+
+
+class TestPcaProject:
+    def test_matches_numpy_pca(self, spark):
+        import numpy as np
+        from pyspark.sql import Row
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            pca_project,
+        )
+
+        rng = np.random.default_rng(3)
+        # anisotropic cloud: one dominant direction
+        base = rng.normal(size=(60, 4)) * np.array([5.0, 1.0, 0.5, 0.1])
+        x = base.astype(np.float32)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(v) for v in row]) for i, row in enumerate(x)]
+        )
+        out = {r.vec_id: r for r in pca_project(df, k=2).collect()}
+        # numpy reference on the micro-quantized values (the operator's
+        # covariance quantizes identically)
+        q = np.floor(x.astype(np.float64) * 1e6 + 0.5) / 1e6
+        mu = q.mean(axis=0)
+        cov = np.cov(q, rowvar=False, ddof=1)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:2]
+        comps = v[:, order].T
+        for row in comps:
+            if row[np.argmax(np.abs(row))] < 0:
+                row *= -1.0
+        # mean used by the operator comes from exact-decimal sums of the
+        # RAW floats (not quantized) — compare against that convention
+        mu_op = x.astype(np.float64).mean(axis=0)
+        ref = (x.astype(np.float64) - mu_op) @ comps.T
+        for i in range(60):
+            got = np.array(out[i].projection)
+            assert np.allclose(got, ref[i], atol=1e-4)
+        # explained variance dominated by the stretched axis
+        assert out[0].explained > 0.9
+
+    def test_projection_shape_and_determinism(self, spark):
+        import numpy as np
+        from pyspark.sql import Row
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            pca_project,
+        )
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(30, 6)).astype(np.float32)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(v) for v in row]) for i, row in enumerate(x)]
+        )
+        a = {r.vec_id: tuple(r.projection) for r in pca_project(df.coalesce(1), k=3).collect()}
+        b = {r.vec_id: tuple(r.projection) for r in pca_project(df.repartition(8), k=3).collect()}
+        assert set(a) == set(b)
+        for i in a:
+            assert np.allclose(a[i], b[i], atol=1e-12)
+        assert all(len(v) == 3 for v in a.values())
