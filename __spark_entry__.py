@@ -8029,6 +8029,88 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, k=8).orderBy("vec_id")
 
 
+def x_mc_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo VaR with a DETERMINISTIC simulation: per-user (μ,σ)
+    from exact integer moments, 200 md5-seeded Box–Muller normal draws
+    (pure function of salt|user|path — no RNG state), empirical 5%
+    quantile by integer rank. The DuckDB oracle replays the ENTIRE
+    simulation bit-for-bit (operators/finance.monte_carlo_var)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        daily_returns,
+        monte_carlo_var,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
+    return monte_carlo_var(rets, ["user_id"], n_paths=200).orderBy("user_id")
+
+
+def _mc_var_sql(
+    n_paths: int = 200,
+    alpha_num: int = 1,
+    alpha_den: int = 20,
+    min_obs: int = 10,
+    salt: str = "mc-v1",
+) -> str:
+    import math
+
+    k_target = (n_paths * alpha_num + alpha_den - 1) // alpha_den
+    two_pi = repr(2.0 * math.pi)
+
+    def unit(tag: str) -> str:
+        return (
+            f"CAST(CAST('0x' || substr(md5('{salt}|'"
+            f" || CAST(user_id AS VARCHAR) || '|' || CAST(p AS VARCHAR)"
+            f" || '|{tag}'), 1, 8) AS BIGINT)"
+            f" % 1000000000 + 1 AS DOUBLE) / 1e9"
+        )
+
+    return f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE value > 0),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM src GROUP BY user_id, CAST(ts AS DATE)),
+rets AS (
+  SELECT user_id, trade_date,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily QUALIFY ret IS NOT NULL),
+q AS (
+  SELECT user_id, CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS q
+  FROM rets WHERE abs(ret) <= 10.0),
+m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(q) AS DOUBLE) AS s1,
+         CAST(sum(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS s2
+  FROM q GROUP BY user_id),
+f AS (
+  SELECT user_id, n_obs, s1 / n AS mu,
+         sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS sd
+  FROM m
+  WHERE n_obs >= {min_obs} AND (s2 - s1 * s1 / n) / (n - 1.0) > 0),
+pth AS (
+  SELECT user_id, n_obs, mu, sd, pp AS p
+  FROM f, LATERAL (SELECT unnest(generate_series(0, {n_paths - 1})) AS pp)),
+z AS (
+  SELECT user_id, n_obs, mu, sd, p,
+         floor(sqrt(-2.0 * ln({unit("a")}))
+               * cos({two_pi} * {unit("b")}) * 1e6 + 0.5) / 1e6 AS zq
+  FROM pth),
+s AS (
+  SELECT user_id, n_obs, mu, sd, p, (mu + sd * zq) / 1e6 AS sim FROM z),
+r AS (
+  SELECT user_id, n_obs, mu, sd, sim,
+         row_number() OVER (PARTITION BY user_id ORDER BY sim, p) AS rn
+  FROM s)
+SELECT user_id, n_obs, mu / 1e6 AS mu, sd / 1e6 AS sigma,
+       sim AS var_sim, -sim AS var_loss
+FROM r WHERE rn = {k_target} ORDER BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8044,13 +8126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 30 new + 15 changed + 38 r2-stale = 83: the r2-cohort tail past
+    # 31 new + 15 changed + 38 r2-stale = 84: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "x_mc_var": x_mc_var,
         "emb_pca": emb_pca,
         "x_coppock": x_coppock,
         "x_kst": x_kst,
@@ -8288,6 +8371,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "x_mc_var": _mc_var_sql(),
         "x_coppock": _coppock_sql(),
         "x_kst": _kst_sql(),
         "d_span_corruption": _D_SPANCORRUPT_SQL,
@@ -8552,6 +8636,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "x_mc_var",
     "emb_pca",
     "x_coppock",
     "x_kst",

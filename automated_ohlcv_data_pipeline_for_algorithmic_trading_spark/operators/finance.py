@@ -78,6 +78,7 @@ __all__ = [
     "kalman_1d",
     "coppock_curve",
     "kst",
+    "monte_carlo_var",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -2758,4 +2759,115 @@ def kst(
         F.col(close),
         F.col("kst"),
         sig.alias("kst_signal"),
+    )
+
+
+def monte_carlo_var(
+    returns: DataFrame,
+    keys: Sequence[str],
+    ret_col: str = "ret",
+    n_paths: int = 200,
+    alpha_num: int = 1,
+    alpha_den: int = 20,
+    min_obs: int = 10,
+    ret_cap: float = 10.0,
+    salt: str = "mc-v1",
+) -> DataFrame:
+    """Parametric Monte-Carlo Value-at-Risk — with a DETERMINISTIC,
+    SQL-replayable simulation: per key, fit (μ, σ) to the return
+    history with exact integer moments, draw ``n_paths`` standard
+    normals via md5-seeded Box–Muller (the draw is a pure function of
+    (salt, key, path) — no RNG state, identical on any engine or
+    partitioning), and report the empirical ``alpha`` quantile of the
+    simulated returns.
+
+    Exactness ledger: the uniforms are exact rationals (md5 integer %
+    1e9 + 1, over 1e9); ln/sqrt/cos are <1-ulp libm calls whose output
+    is QUANTIZED to 1e-6 (floor(z·1e6+0.5)) — the transcendental-
+    output rule (see unigram_xent's lp): a 1-ulp cross-engine
+    difference only matters if a draw lands within 1 ulp of a quantum
+    boundary (measure ~2e-10 per draw). μ, σ come from BIGINT /
+    decimal(38,0) moments; the simulated return ``μ + σ·z_q`` is a
+    fixed-order double tree; quantile selection is hist_var's integer
+    rank rule (ties broken by path id).
+
+    Shape at scale: one map-side-combinable moment aggregate, one
+    n_paths-row explode per key (no shuffle — the generator is keyed),
+    one per-key rank window. Keys with < ``min_obs`` returns or zero
+    variance are dropped.
+
+    Output: keys, n_obs, mu, sigma, var_sim (the alpha-quantile
+    simulated return), var_loss (= −var_sim).
+    """
+    import math
+
+    r = F.col(ret_col)
+    returns = returns.filter(F.abs(r) <= F.lit(ret_cap))
+    q = F.floor(r * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    src = returns.withColumn("_q", q)
+    agg = src.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("_q").alias("s1"),
+        F.sum((F.col("_q") * F.col("_q")).cast("decimal(38,0)")).alias("s2"),
+    )
+    n, s1, s2 = (
+        F.col("n_obs").cast("double"),
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+    )
+    mu_u = s1 / n
+    var_u = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    fitted = (
+        agg.filter((F.col("n_obs") >= min_obs) & (var_u > 0))
+        .withColumn("_mu", mu_u)
+        .withColumn("_sd", F.sqrt(var_u))
+    )
+    paths = fitted.select(
+        *keys,
+        "n_obs",
+        "_mu",
+        "_sd",
+        F.explode(F.sequence(F.lit(0), F.lit(n_paths - 1))).alias("_p"),
+    )
+
+    def unit(tag: str) -> "F.Column":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        *[F.col(k).cast("string") for k in keys],
+                        F.col("_p").cast("string"),
+                        F.lit(tag),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (h % F.lit(1000000000) + F.lit(1)).cast("double") / F.lit(1e9)
+    z = F.sqrt(F.lit(-2.0) * F.log(unit("a"))) * F.cos(
+        F.lit(2.0 * math.pi) * unit("b")
+    )
+    zq = F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    sim = (F.col("_mu") + F.col("_sd") * zq) / F.lit(1e6)
+    simmed = paths.withColumn("_sim", sim)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_sim").asc(), F.col("_p").asc()
+    )
+    k_target = (n_paths * alpha_num + alpha_den - 1) // alpha_den
+    return (
+        simmed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == k_target)
+        .select(
+            *keys,
+            "n_obs",
+            (F.col("_mu") / F.lit(1e6)).alias("mu"),
+            (F.col("_sd") / F.lit(1e6)).alias("sigma"),
+            F.col("_sim").alias("var_sim"),
+            (-F.col("_sim")).alias("var_loss"),
+        )
     )

@@ -440,3 +440,28 @@ class TestCoppockKst:
         up = _closes(spark, [("U", i, 100.0 * 1.005 ** i) for i in range(1, 50)])
         out = {r.t: r for r in kst(up, ["sym"], "t").collect()}
         assert out[49].kst > 0 and out[49].kst_signal > 0
+
+
+class TestMonteCarloVar:
+    def test_deterministic_and_sane(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import monte_carlo_var
+
+        rows = [("A", i, 0.002 * ((i * 7) % 11 - 5)) for i in range(1, 40)]
+        df = _rets(spark, rows)
+        a = {r.sym: r for r in monte_carlo_var(df.coalesce(1), ["sym"], n_paths=100).collect()}
+        b = {r.sym: r for r in monte_carlo_var(df.repartition(8), ["sym"], n_paths=100).collect()}
+        # partition-invariant, fully deterministic
+        assert a["A"].var_sim == b["A"].var_sim
+        r = a["A"]
+        # 5% quantile of a centered distribution sits left of the mean
+        assert r.var_sim < r.mu
+        assert r.var_loss == -r.var_sim
+        # VaR magnitude within a few sigma of the fitted vol
+        assert abs(r.var_sim - r.mu) < 4 * r.sigma
+
+    def test_drops_degenerate_keys(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import monte_carlo_var
+
+        # constant returns -> zero variance -> dropped; short history -> dropped
+        rows = [("C", i, 0.01) for i in range(1, 20)] + [("S", 1, 0.01), ("S", 2, -0.02)]
+        assert monte_carlo_var(_rets(spark, rows), ["sym"]).count() == 0
