@@ -8111,6 +8111,55 @@ FROM r WHERE rn = {k_target} ORDER BY user_id
 """
 
 
+def x_mass_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass Index (25-bar sum of the 9-bar EMA-of-range over its own
+    EMA): one fold carries both chained integer states, the per-bar
+    ratio quantizes to micro-units so the window sum stays BIGINT
+    (operators/finance.mass_index)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        mass_index,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return mass_index(daily, ["user_id"], "trade_date").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _mass_index_sql(ema_n: int = 9, sum_n: int = 25) -> str:
+    d = float(ema_n + 1)
+    e1s = f"e.e1 + CAST(floor(2.0 * (s.v - e.e1) / {d}) AS BIGINT)"
+    e2s = f"e.e2 + CAST(floor(2.0 * (({e1s}) - e.e2) / {d}) AS BIGINT)"
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+src AS (
+  SELECT user_id, trade_date,
+         CAST(floor((high - low) * 1e6 + 0.5) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+ema AS (
+  SELECT user_id, trade_date, v, rn, v AS e1, v AS e2
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.trade_date, s.v, s.rn, {e1s} AS e1, {e2s} AS e2
+  FROM src s JOIN ema e ON s.user_id = e.user_id AND s.rn = e.rn + 1),
+rq AS (
+  SELECT user_id, trade_date,
+         CAST(floor((CASE WHEN e2 > 0
+                          THEN CAST(e1 AS DOUBLE) / CAST(e2 AS DOUBLE) END)
+                    * 1e6 + 0.5) AS BIGINT) AS rq
+  FROM ema)
+SELECT user_id, trade_date,
+       CAST(rq AS DOUBLE) / 1e6 AS mass_ratio,
+       CASE WHEN count(rq) OVER f = {sum_n}
+            THEN CAST(sum(rq) OVER f AS DOUBLE) / 1e6 END AS mass_index
+FROM rq
+WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+             ROWS BETWEEN {sum_n - 1} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, trade_date
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8126,13 +8175,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 31 new + 15 changed + 38 r2-stale = 84: the r2-cohort tail past
+    # 32 new + 15 changed + 38 r2-stale = 85: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "x_mass_index": x_mass_index,
         "x_mc_var": x_mc_var,
         "emb_pca": emb_pca,
         "x_coppock": x_coppock,
@@ -8371,6 +8421,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "x_mass_index": _mass_index_sql(),
         "x_mc_var": _mc_var_sql(),
         "x_coppock": _coppock_sql(),
         "x_kst": _kst_sql(),
@@ -8636,6 +8687,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "x_mass_index",
     "x_mc_var",
     "emb_pca",
     "x_coppock",

@@ -79,6 +79,7 @@ __all__ = [
     "coppock_curve",
     "kst",
     "monte_carlo_var",
+    "mass_index",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -2870,4 +2871,82 @@ def monte_carlo_var(
             F.col("_sim").alias("var_sim"),
             (-F.col("_sim")).alias("var_loss"),
         )
+    )
+
+
+def mass_index(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    ema_n: int = 9,
+    sum_n: int = 25,
+    high: str = "high",
+    low: str = "low",
+) -> DataFrame:
+    """Mass Index (Dorsey): ``Σ_{25} EMA9(range) / EMA9(EMA9(range))``
+    — the range-expansion "reversal bulge" detector.
+
+    One grouped-map fold carries BOTH chained EMA states over the
+    micro-unit bar range (trix's chain shape, over high−low instead of
+    close); the per-bar ratio of exact integer states is one IEEE
+    division, QUANTIZED to 1e-6 so the 25-bar sum is a
+    partition-invariant BIGINT frame reduction (the repo-wide rule for
+    summed doubles). The recursive-CTE oracle carries (e1, e2) and
+    replays the same window sum.
+
+    Output: keys, order_col, mass_ratio (per-bar EMA ratio), mass_index
+    (NULL until the ratio window holds sum_n bars).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, high, low)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", e1 bigint, e2 bigint"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        rng = np.floor(
+            (pdf[high].to_numpy(dtype=float) - pdf[low].to_numpy(dtype=float))
+            * 1e6
+            + 0.5
+        ).astype(np.int64)
+        m = len(rng)
+        e1_a = np.empty(m, dtype=np.int64)
+        e2_a = np.empty(m, dtype=np.int64)
+        e1 = e2 = 0
+        for i, vi in enumerate(rng.tolist()):
+            if i == 0:
+                e1 = e2 = vi
+            else:
+                e1 += math.floor(2.0 * (vi - e1) / (ema_n + 1.0))
+                e2 += math.floor(2.0 * (e1 - e2) / (ema_n + 1.0))
+            e1_a[i] = e1
+            e2_a[i] = e2
+        return pdf.assign(e1=e1_a, e2=e2_a)
+
+    folded = src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    ratio = F.when(
+        F.col("e2") > 0,
+        F.col("e1").cast("double") / F.col("e2").cast("double"),
+    )
+    rq = F.floor(ratio * F.lit(1e6) + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    f = w.rowsBetween(-(sum_n - 1), 0)
+    mi = F.when(
+        F.count("_rq").over(f) == sum_n,
+        F.sum("_rq").over(f).cast("double") / F.lit(1e6),
+    )
+    return (
+        folded.withColumn("_rq", rq)
+        .withColumn("mass_ratio", F.col("_rq").cast("double") / F.lit(1e6))
+        .withColumn("mass_index", mi)
+        .select(*key_list, order_col, "mass_ratio", "mass_index")
     )

@@ -465,3 +465,27 @@ class TestMonteCarloVar:
         # constant returns -> zero variance -> dropped; short history -> dropped
         rows = [("C", i, 0.01) for i in range(1, 20)] + [("S", 1, 0.01), ("S", 2, -0.02)]
         assert monte_carlo_var(_rets(spark, rows), ["sym"]).count() == 0
+
+
+class TestMassIndex:
+    def test_constant_range_ratio_one(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import mass_index
+
+        # constant high-low range: both EMAs equal the range, ratio = 1,
+        # mass index = 25 once the window fills
+        df = _ohlcv(spark, [("A", i, 105.0, 95.0, 100.0, 1) for i in range(1, 30)])
+        out = {r.t: r for r in mass_index(df, ["sym"], "t").collect()}
+        assert out[5].mass_ratio == 1.0
+        assert out[24].mass_index is None  # 24 bars < 25
+        assert out[25].mass_index == 25.0
+        assert out[29].mass_index == 25.0
+
+    def test_bulge_raises_index(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import mass_index
+
+        # range doubles mid-series: EMA9 reacts faster than EMA9(EMA9)
+        # -> ratio > 1 -> index > 25 after the bulge
+        rows = [("A", i, 101.0, 99.0, 100.0, 1) for i in range(1, 30)]
+        rows += [("A", i, 104.0, 96.0, 100.0, 1) for i in range(30, 60)]
+        out = {r.t: r for r in mass_index(_ohlcv(spark, rows), ["sym"], "t").collect()}
+        assert out[35].mass_index > 25.0
