@@ -8160,6 +8160,70 @@ ORDER BY user_id, trade_date
 """
 
 
+def x_stoch_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic RSI (14,14) over per-user daily closes: the
+    oscillator applied to the RSI series, with the RSI quantized to
+    micro-units before the m-bar min/max/ratio so the extremes and the
+    final division are exact integer ops
+    (operators/windows.stoch_rsi)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windows import (
+        stoch_rsi,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    out = stoch_rsi(daily, ["user_id"], "trade_date", "close", n=14, m=14)
+    return out.select(
+        "user_id",
+        "trade_date",
+        "close",
+        q6("rsi_14", "rsi_14"),
+        "stoch_rsi",
+    ).orderBy("user_id", "trade_date")
+
+
+_X_STOCHRSI_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+d AS (
+  SELECT user_id, trade_date, close,
+         close - lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           AS delta
+  FROM daily),
+g AS (
+  SELECT user_id, trade_date, close,
+         count(delta) OVER w AS n_deltas,
+         avg(CASE WHEN delta IS NOT NULL THEN
+               CASE WHEN delta > 0 THEN delta ELSE 0.0 END END)
+           OVER w AS avg_gain,
+         avg(CASE WHEN delta IS NOT NULL THEN
+               CASE WHEN delta < 0 THEN -delta ELSE 0.0 END END)
+           OVER w AS avg_loss
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+r AS (
+  SELECT user_id, trade_date, close,
+         CAST(floor((CASE WHEN n_deltas < 14 THEN NULL
+                          WHEN avg_loss = 0 THEN 100.0
+                          ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss)
+                     END) * 1e6 + 0.5) AS BIGINT) AS rq
+  FROM g),
+s AS (
+  SELECT user_id, trade_date, close, rq,
+         min(rq) OVER f AS lo, max(rq) OVER f AS hi, count(rq) OVER f AS cnt
+  FROM r
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, close,
+       CAST(rq AS DOUBLE) / 1e6 AS rsi_14,
+       CASE WHEN cnt = 14 AND hi > lo
+            THEN 100.0 * CAST(rq - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)
+       END AS stoch_rsi
+FROM s ORDER BY user_id, trade_date
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8175,13 +8239,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 32 new + 15 changed + 38 r2-stale = 85: the r2-cohort tail past
+    # 33 new + 15 changed + 38 r2-stale = 86: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "x_stoch_rsi": x_stoch_rsi,
         "x_mass_index": x_mass_index,
         "x_mc_var": x_mc_var,
         "emb_pca": emb_pca,
@@ -8421,6 +8486,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "x_stoch_rsi": _X_STOCHRSI_SQL,
         "x_mass_index": _mass_index_sql(),
         "x_mc_var": _mc_var_sql(),
         "x_coppock": _coppock_sql(),
@@ -8687,6 +8753,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "x_stoch_rsi",
     "x_mass_index",
     "x_mc_var",
     "emb_pca",

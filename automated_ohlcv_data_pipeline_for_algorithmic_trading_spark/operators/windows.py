@@ -300,3 +300,42 @@ def rolling_zscore(
         .otherwise((v - mean) / sd)
     )
     return staged.withColumn(out_col, z).drop("_cx", "_cxx")
+
+
+def stoch_rsi(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    n: int = 14,
+    m: int = 14,
+) -> DataFrame:
+    """Stochastic RSI (Chande & Kroll): the stochastic oscillator
+    applied to the RSI series — ``100·(RSI − min_m RSI)/(max_m RSI −
+    min_m RSI)`` — the bounded momentum-of-momentum signal.
+
+    Composes :func:`rsi` (exact-window simple-average variant) and
+    quantizes the RSI to integer micro-units BEFORE the m-bar
+    min/max/ratio, so the extremes and the final division are exact
+    integer operations — bit-identical cross-engine with no double
+    min/max subtleties. NULL until the m-bar frame holds m non-NULL
+    RSI values; NULL on flat frames (max == min). Both window passes
+    share ONE per-key exchange+sort.
+
+    Output: input columns + (rsi_n, stoch_rsi).
+    """
+    out = rsi(df, keys, ts_col, value_col, n=n, out_col=f"rsi_{n}")
+    rq = F.floor(F.col(f"rsi_{n}") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col)).rowsBetween(
+        -(m - 1), 0
+    )
+    out = out.withColumn("_rq", rq)
+    lo = F.min("_rq").over(w)
+    hi = F.max("_rq").over(w)
+    cnt = F.count("_rq").over(w)
+    srsi = F.when(
+        (cnt == m) & (hi > lo),
+        F.lit(100.0) * (F.col("_rq") - lo).cast("double")
+        / (hi - lo).cast("double"),
+    )
+    return out.withColumn("stoch_rsi", srsi).drop("_rq")

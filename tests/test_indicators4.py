@@ -489,3 +489,28 @@ class TestMassIndex:
         rows += [("A", i, 104.0, 96.0, 100.0, 1) for i in range(30, 60)]
         out = {r.t: r for r in mass_index(_ohlcv(spark, rows), ["sym"], "t").collect()}
         assert out[35].mass_index > 25.0
+
+
+class TestStochRsi:
+    def test_bounds_and_extremes(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windows import stoch_rsi
+
+        # long rising then falling series: stoch RSI hits 100 at the
+        # momentum peak and 0 at the trough, always within [0, 100]
+        rows = [("A", i, 100.0 + i) for i in range(1, 40)]
+        rows += [("A", i, 178.0 - i) for i in range(40, 80)]
+        df = _closes(spark, rows)
+        out = [r for r in stoch_rsi(df, ["sym"], "t", "close").collect() if r.stoch_rsi is not None]
+        assert out, "window never filled"
+        vals = [r.stoch_rsi for r in out]
+        assert all(0.0 <= v <= 100.0 for v in vals)
+        assert min(vals) == 0.0  # falling leg pins the bottom
+
+    def test_flat_rsi_window_null(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windows import stoch_rsi
+
+        # constant series: RSI undefined-ish (avg_loss = 0 after warmup
+        # -> rsi flat) -> max == min -> stoch NULL
+        df = _closes(spark, [("A", i, 5.0) for i in range(1, 45)])
+        for r in stoch_rsi(df, ["sym"], "t", "close").collect():
+            assert r.stoch_rsi is None
