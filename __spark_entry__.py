@@ -8224,6 +8224,74 @@ FROM s ORDER BY user_id, trade_date
 """
 
 
+def x_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study around 'purchase' events: the average per-user
+    return curve at trading-day offsets −3..+3 plus the cumulative
+    abnormal return — anchors map to row numbers and the ±window is an
+    anchor × 7-offset equi-join, never a theta join
+    (operators/finance.event_study)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        daily_returns,
+        event_study,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
+    anchors = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("anchor_date"))
+        .distinct()
+    )
+    return event_study(
+        rets, anchors, ["user_id"], pre=3, post=3
+    )
+
+
+_X_EVENT_STUDY_SQL = f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE value > 0),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM src GROUP BY user_id, CAST(ts AS DATE)),
+rets AS (
+  SELECT user_id, trade_date,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily QUALIFY ret IS NOT NULL),
+q AS (
+  SELECT user_id, trade_date,
+         CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS q,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM rets WHERE abs(ret) <= 10.0),
+anch AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS trade_date
+  FROM events WHERE event_type = 'purchase'),
+arn AS (
+  SELECT a.user_id, q.rn AS arn
+  FROM anch a JOIN q ON a.user_id = q.user_id
+                    AND a.trade_date = q.trade_date),
+probe AS (
+  SELECT user_id, arn, o AS "offset", arn + o AS rn
+  FROM arn, LATERAL (SELECT unnest(generate_series(-3, 3)) AS o)),
+j AS (
+  SELECT p."offset" AS "offset", q.q
+  FROM probe p JOIN q ON p.user_id = q.user_id AND p.rn = q.rn),
+agg AS (
+  SELECT "offset", CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(q) AS BIGINT) AS s
+  FROM j GROUP BY "offset")
+SELECT "offset", n_obs,
+       CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE) / 1e6 AS avg_ret,
+       CAST(sum(CAST(floor(CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE) + 0.5)
+                     AS BIGINT))
+            OVER (ORDER BY "offset"
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 1e6 AS car
+FROM agg ORDER BY "offset"
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8239,13 +8307,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 33 new + 15 changed + 38 r2-stale = 86: the r2-cohort tail past
+    # 34 new + 15 changed + 38 r2-stale = 87: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "x_event_study": x_event_study,
         "x_stoch_rsi": x_stoch_rsi,
         "x_mass_index": x_mass_index,
         "x_mc_var": x_mc_var,
@@ -8486,6 +8555,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "x_event_study": _X_EVENT_STUDY_SQL,
         "x_stoch_rsi": _X_STOCHRSI_SQL,
         "x_mass_index": _mass_index_sql(),
         "x_mc_var": _mc_var_sql(),
@@ -8753,6 +8823,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "x_event_study",
     "x_stoch_rsi",
     "x_mass_index",
     "x_mc_var",

@@ -80,6 +80,7 @@ __all__ = [
     "kst",
     "monte_carlo_var",
     "mass_index",
+    "event_study",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -2949,4 +2950,89 @@ def mass_index(
         .withColumn("mass_ratio", F.col("_rq").cast("double") / F.lit(1e6))
         .withColumn("mass_index", mi)
         .select(*key_list, order_col, "mass_ratio", "mass_index")
+    )
+
+
+def event_study(
+    returns: DataFrame,
+    anchors: DataFrame,
+    keys: Sequence[str],
+    date_col: str = "trade_date",
+    ret_col: str = "ret",
+    anchor_date_col: str = "anchor_date",
+    pre: int = 3,
+    post: int = 3,
+    ret_cap: float = 10.0,
+) -> DataFrame:
+    """Event study: the average-return curve around an anchor event, in
+    TRADING-DAY offsets (the classic abnormal-return methodology — "what
+    do returns do in the 3 bars before/after a purchase/error/signal?").
+
+    Offsets are ROW offsets on each key's return series, not calendar
+    days: returns get a per-key row_number, each anchor maps to its
+    day's row_number, and the ±window join is anchor × (2·w+1) offset
+    rows → ONE equi-join on (key, rn) — never a theta join, never
+    quadratic. Anchors on days with no return row (e.g. the key's first
+    trading day) contribute nothing at offset 0 but still anchor their
+    neighbors.
+
+    Exactness: returns winsorized and quantized to micro-units, per-
+    offset mean = exact BIGINT sum / count, CAR = running sum of the
+    same integers over the (2·w+1)-row offset table — every reduction
+    partition-invariant.
+
+    Output: (offset, n_obs, avg_ret, car) ordered by offset.
+    """
+    w = Window.partitionBy(*keys).orderBy(date_col)
+    r = F.col(ret_col)
+    rets = (
+        returns.filter(F.abs(r) <= F.lit(ret_cap))
+        .withColumn(
+            "_q", F.floor(r * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        # consumed twice (anchor mapping + window join): cut once
+        .localCheckpoint()
+    )
+    anchor_rn = (
+        anchors.select(*keys, F.col(anchor_date_col).alias(date_col))
+        .join(rets.select(*keys, date_col, "_rn"), on=[*keys, date_col])
+        .select(*keys, F.col("_rn").alias("_arn"))
+    )
+    offsets = F.explode(
+        F.sequence(F.lit(-pre), F.lit(post))
+    ).alias("offset")
+    probe = anchor_rn.select(*keys, "_arn", offsets).withColumn(
+        "_rn", F.col("_arn") + F.col("offset")
+    )
+    joined = probe.join(
+        rets.select(*keys, "_rn", "_q"), on=[*keys, "_rn"], how="inner"
+    )
+    agg = joined.groupBy("offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("_q").alias("_s"),
+    )
+    avg_ret = F.col("_s").cast("double") / F.col("n_obs").cast("double") / F.lit(
+        1e6
+    )
+    wo = Window.orderBy("offset").rowsBetween(Window.unboundedPreceding, 0)
+    car = (
+        F.sum(
+            F.floor(
+                F.col("_s").cast("double") / F.col("n_obs").cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .over(wo)
+        .cast("double")
+        / F.lit(1e6)
+    )
+    return (
+        agg.select(
+            "offset",
+            "n_obs",
+            avg_ret.alias("avg_ret"),
+            car.alias("car"),
+        )
+        .orderBy("offset")
     )

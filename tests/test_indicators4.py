@@ -514,3 +514,38 @@ class TestStochRsi:
         df = _closes(spark, [("A", i, 5.0) for i in range(1, 45)])
         for r in stoch_rsi(df, ["sym"], "t", "close").collect():
             assert r.stoch_rsi is None
+
+
+class TestEventStudy:
+    def test_offsets_and_exact_means(self, spark):
+        from pyspark.sql import Row
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import event_study
+
+        # one key, returns 1%..8% on days 1..8, single anchor at day 4
+        rets = spark.createDataFrame(
+            [Row(sym="A", trade_date=i, ret=0.01 * i) for i in range(1, 9)]
+        )
+        anchors = spark.createDataFrame([Row(sym="A", anchor_date=4)])
+        out = {r.offset: r for r in event_study(
+            rets, anchors, ["sym"], date_col="trade_date",
+            anchor_date_col="anchor_date", pre=3, post=3).collect()}
+        assert set(out) == set(range(-3, 4))
+        for o in range(-3, 4):
+            assert out[o].n_obs == 1
+            assert out[o].avg_ret == pytest.approx(0.01 * (4 + o), abs=1e-12)
+        # CAR at +3 = sum of day-1..7 returns
+        assert out[3].car == pytest.approx(sum(0.01 * d for d in range(1, 8)), abs=1e-9)
+
+    def test_edge_anchor_truncates(self, spark):
+        from pyspark.sql import Row
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import event_study
+
+        rets = spark.createDataFrame(
+            [Row(sym="A", trade_date=i, ret=0.01) for i in range(1, 4)]
+        )
+        anchors = spark.createDataFrame([Row(sym="A", anchor_date=1)])
+        out = {r.offset: r.n_obs for r in event_study(
+            rets, anchors, ["sym"], date_col="trade_date",
+            anchor_date_col="anchor_date").collect()}
+        # nothing before the first return row
+        assert set(out) == {0, 1, 2}
