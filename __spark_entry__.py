@@ -8292,6 +8292,55 @@ FROM agg ORDER BY "offset"
 """
 
 
+def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between the even- and odd-id halves
+    of the corpus: per-dimension standardized mean difference from
+    exact integer moments — the embedding-space twin of e_drift_psi
+    (operators/similarity.embedding_drift)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift(a, b)
+
+
+_EMB_DRIFT_SQL = """
+WITH x AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+ma AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n_a,
+         CAST(sum(q) AS DOUBLE) AS s1a,
+         CAST(sum(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS s2a
+  FROM x WHERE vec_id % 2 = 0 GROUP BY dim),
+mb AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(q) AS DOUBLE) AS s1b,
+         CAST(sum(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS s2b
+  FROM x WHERE vec_id % 2 = 1 GROUP BY dim),
+j AS (SELECT * FROM ma JOIN mb USING (dim))
+SELECT dim, n_a, n_b,
+       s1a / CAST(n_a AS DOUBLE) / 1e6 AS mean_a,
+       s1b / CAST(n_b AS DOUBLE) / 1e6 AS mean_b,
+       CASE WHEN ((s2a - s1a * s1a / CAST(n_a AS DOUBLE))
+                    / (CAST(n_a AS DOUBLE) - 1.0)
+                  + (s2b - s1b * s1b / CAST(n_b AS DOUBLE))
+                    / (CAST(n_b AS DOUBLE) - 1.0)) / 2.0 > 0
+            THEN (s1b / CAST(n_b AS DOUBLE) - s1a / CAST(n_a AS DOUBLE))
+                 / sqrt(((s2a - s1a * s1a / CAST(n_a AS DOUBLE))
+                           / (CAST(n_a AS DOUBLE) - 1.0)
+                         + (s2b - s1b * s1b / CAST(n_b AS DOUBLE))
+                           / (CAST(n_b AS DOUBLE) - 1.0)) / 2.0)
+       END AS smd
+FROM j ORDER BY dim
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8307,13 +8356,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 34 new + 15 changed + 38 r2-stale = 87: the r2-cohort tail past
+    # 35 new + 15 changed + 38 r2-stale = 88: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "emb_drift": emb_drift,
         "x_event_study": x_event_study,
         "x_stoch_rsi": x_stoch_rsi,
         "x_mass_index": x_mass_index,
@@ -8555,6 +8605,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "emb_drift": _EMB_DRIFT_SQL,
         "x_event_study": _X_EVENT_STUDY_SQL,
         "x_stoch_rsi": _X_STOCHRSI_SQL,
         "x_mass_index": _mass_index_sql(),
@@ -8823,6 +8874,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "emb_drift",
     "x_event_study",
     "x_stoch_rsi",
     "x_mass_index",

@@ -1555,3 +1555,65 @@ def pca_project(
         projection.alias("projection"),
         F.lit(explained).alias("explained"),
     )
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension embedding-distribution drift between two corpus
+    slices (old vs new crawl, train vs eval, before vs after a filter):
+    standardized mean difference per dimension —
+
+        smd_d = (μ_b − μ_a) / sqrt((σ²_a + σ²_b) / 2)
+
+    — the monitoring signal that catches an embedding-space shift
+    before a downstream model does.
+
+    One posexplode + (slice, dim) aggregate per side (map-side
+    combinable, d rows out per partition); moments are exact integer
+    micro-unit sums (BIGINT linear, decimal(38,0) squares); the final
+    combination is fixed-order IEEE. Zero-variance dimensions yield
+    NULL smd.
+
+    Output: (dim, n_a, n_b, mean_a, mean_b, smd) ordered by dim.
+    """
+
+    def moments(df: DataFrame, tag: str) -> DataFrame:
+        q = F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return (
+            df.select(
+                F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x")
+            )
+            .select("dim", q.alias("q"))
+            .groupBy("dim")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+                F.sum("q").alias(f"s1_{tag}"),
+                F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias(
+                    f"s2_{tag}"
+                ),
+            )
+        )
+
+    j = moments(df_a, "a").join(moments(df_b, "b"), "dim")
+    na, nb = (F.col(c).cast("double") for c in ("n_a", "n_b"))
+    s1a, s1b = (F.col(c).cast("double") for c in ("s1_a", "s1_b"))
+    s2a, s2b = (F.col(c).cast("double") for c in ("s2_a", "s2_b"))
+    mean_a = s1a / na / F.lit(1e6)
+    mean_b = s1b / nb / F.lit(1e6)
+    var_a = (s2a - s1a * s1a / na) / (na - F.lit(1.0))
+    var_b = (s2b - s1b * s1b / nb) / (nb - F.lit(1.0))
+    pooled = (var_a + var_b) / F.lit(2.0)
+    smd = F.when(
+        pooled > 0, (s1b / nb - s1a / na) / F.sqrt(pooled)
+    )
+    return j.select(
+        "dim",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        smd.alias("smd"),
+    ).orderBy("dim")

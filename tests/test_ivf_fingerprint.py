@@ -387,3 +387,42 @@ class TestPcaProject:
         for i in a:
             assert np.allclose(a[i], b[i], atol=1e-12)
         assert all(len(v) == 3 for v in a.values())
+
+
+class TestEmbeddingDrift:
+    def test_shifted_dimension_flagged(self, spark):
+        import numpy as np
+        from pyspark.sql import Row
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            embedding_drift,
+        )
+
+        rng = np.random.default_rng(9)
+        a = rng.normal(size=(80, 3))
+        b = rng.normal(size=(80, 3))
+        b[:, 1] += 5.0  # big shift on dim 1 only
+        mk = lambda x, base: spark.createDataFrame(
+            [Row(vec_id=base + i, embedding=[float(v) for v in r]) for i, r in enumerate(x)]
+        )
+        out = {r.dim: r for r in embedding_drift(mk(a, 0), mk(b, 1000)).collect()}
+        assert abs(out[1].smd) > 3.0
+        assert abs(out[0].smd) < 1.0 and abs(out[2].smd) < 1.0
+        assert out[1].n_a == 80 and out[1].n_b == 80
+
+    def test_identical_slices_zero(self, spark):
+        import numpy as np
+        from pyspark.sql import Row
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            embedding_drift,
+        )
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(50, 2))
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(v) for v in r]) for i, r in enumerate(x)]
+        )
+        for r in embedding_drift(df, df).collect():
+            assert r.smd == 0.0
+            assert r.mean_a == r.mean_b
