@@ -8341,6 +8341,88 @@ FROM j ORDER BY dim
 """
 
 
+def x_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week return seasonality across the whole market: mean
+    daily return, dispersion and a t-statistic per weekday — the
+    calendar-anomaly screen. Weekday comes from pure integer date
+    arithmetic (days since a known Monday, mod 7) — engine-proof,
+    unlike dayofweek() whose origin differs between Spark (1=Sunday)
+    and DuckDB (0=Sunday). Returns quantize to micro-units; the
+    per-weekday reduction is one map-side-combinable exact-moment
+    aggregate; t = mean / (sd / sqrt(n)) in fixed-order IEEE."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        daily_returns,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
+    rets = rets.filter(F.abs(F.col("ret")) <= F.lit(10.0))
+    q = F.floor(F.col("ret") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    # 2000-01-03 is a Monday: dow 0=Mon .. 6=Sun in BOTH engines
+    dow = F.pmod(
+        F.datediff(F.col("trade_date"), F.lit("2000-01-03").cast("date")),
+        F.lit(7),
+    ).cast("int")
+    agg = (
+        rets.withColumn("_q", q)
+        .groupBy(dow.alias("dow"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum("_q").alias("s1"),
+            F.sum((F.col("_q") * F.col("_q")).cast("decimal(38,0)")).alias(
+                "s2"
+            ),
+        )
+    )
+    n, s1, s2 = (
+        F.col(c).cast("double") for c in ("n_obs", "s1", "s2")
+    )
+    mean_u = s1 / n
+    var_u = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    tstat = F.when(var_u > 0, mean_u / F.sqrt(var_u / n))
+    return agg.select(
+        "dow",
+        "n_obs",
+        (mean_u / F.lit(1e6)).alias("mean_ret"),
+        F.when(var_u > 0, F.sqrt(var_u) / F.lit(1e6)).alias("sd_ret"),
+        tstat.alias("t_stat"),
+    ).orderBy("dow")
+
+
+_X_SEASONALITY_SQL = f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE value > 0),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM src GROUP BY user_id, CAST(ts AS DATE)),
+rets AS (
+  SELECT user_id, trade_date,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily QUALIFY ret IS NOT NULL),
+q AS (
+  SELECT CAST(((date_diff('day', DATE '2000-01-03', trade_date) % 7) + 7)
+              % 7 AS INT) AS dow,
+         CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS q
+  FROM rets WHERE abs(ret) <= 10.0),
+m AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(q) AS DOUBLE) AS s1,
+         CAST(sum(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS s2
+  FROM q GROUP BY dow)
+SELECT dow, n_obs,
+       (s1 / n) / 1e6 AS mean_ret,
+       CASE WHEN (s2 - s1 * s1 / n) / (n - 1.0) > 0
+            THEN sqrt((s2 - s1 * s1 / n) / (n - 1.0)) / 1e6 END AS sd_ret,
+       CASE WHEN (s2 - s1 * s1 / n) / (n - 1.0) > 0
+            THEN (s1 / n)
+                 / sqrt(((s2 - s1 * s1 / n) / (n - 1.0)) / n) END AS t_stat
+FROM m ORDER BY dow
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8356,13 +8438,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 35 new + 15 changed + 38 r2-stale = 88: the r2-cohort tail past
+    # 36 new + 15 changed + 38 r2-stale = 89: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "x_seasonality_dow": x_seasonality_dow,
         "emb_drift": emb_drift,
         "x_event_study": x_event_study,
         "x_stoch_rsi": x_stoch_rsi,
@@ -8605,6 +8688,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "x_seasonality_dow": _X_SEASONALITY_SQL,
         "emb_drift": _EMB_DRIFT_SQL,
         "x_event_study": _X_EVENT_STUDY_SQL,
         "x_stoch_rsi": _X_STOCHRSI_SQL,
@@ -8874,6 +8958,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "x_seasonality_dow",
     "emb_drift",
     "x_event_study",
     "x_stoch_rsi",
