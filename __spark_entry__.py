@@ -8423,6 +8423,53 @@ FROM m ORDER BY dow
 """
 
 
+def d_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an interpolated BIGRAM model of
+    the corpus (Jelinek-Mercer λ=0.7) — catches word-order anomalies
+    the unigram proxy cannot. Bigrams collapse to per-(doc, bigram)
+    counts before anything wide; scoring joins are bigram-/unigram-
+    keyed (operators/corpus.bigram_xent)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        bigram_xent,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_xent(docs).orderBy("doc_id")
+
+
+def _bigram_xent_sql(lam: float = 0.7) -> str:
+    return rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+pairs AS (
+  SELECT doc_id, ts[i] || chr(31) || ts[i + 1] AS bg
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i)),
+dt AS (SELECT doc_id, bg, count(*) AS c FROM pairs GROUP BY doc_id, bg),
+big AS (SELECT bg, CAST(sum(c) AS BIGINT) AS c2 FROM dt GROUP BY bg),
+fst AS (
+  SELECT split_part(bg, chr(31), 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+  FROM big GROUP BY split_part(bg, chr(31), 1)),
+uni AS (
+  SELECT tk AS tok, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(ts) AS tk FROM t) GROUP BY tk),
+tot AS (SELECT CAST(sum(f) AS BIGINT) AS tt FROM uni),
+scored AS (
+  SELECT dt.doc_id, dt.c,
+         round(ln({lam!r} * (CAST(big.c2 AS DOUBLE)
+                             / CAST(fst.c1 AS DOUBLE))
+                  + {1.0 - lam!r} * (CAST(uni.f AS DOUBLE)
+                                     / CAST(tot.tt AS DOUBLE))), 6) AS lp
+  FROM dt JOIN big USING (bg)
+  JOIN fst ON split_part(dt.bg, chr(31), 1) = fst.w1
+  JOIN uni ON split_part(dt.bg, chr(31), 2) = uni.tok
+  CROSS JOIN tot)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       (-CAST(sum(CAST(CAST(c AS DOUBLE) * lp AS DECIMAL(38,6))) AS DOUBLE))
+         / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS xent2
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8438,13 +8485,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 36 new + 15 changed + 38 r2-stale = 89: the r2-cohort tail past
+    # 37 new + 15 changed + 38 r2-stale = 90: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "d_bigram_xent": d_bigram_xent,
         "x_seasonality_dow": x_seasonality_dow,
         "emb_drift": emb_drift,
         "x_event_study": x_event_study,
@@ -8688,6 +8736,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "d_bigram_xent": _bigram_xent_sql(),
         "x_seasonality_dow": _X_SEASONALITY_SQL,
         "emb_drift": _EMB_DRIFT_SQL,
         "x_event_study": _X_EVENT_STUDY_SQL,
@@ -8958,6 +9007,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "d_bigram_xent",
     "x_seasonality_dow",
     "emb_drift",
     "x_event_study",

@@ -808,3 +808,78 @@ def span_corruption(
             F.coalesce(F.col("targets"), F.lit("")).alias("targets"),
         )
     )
+
+
+def bigram_xent(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document cross-entropy under an INTERPOLATED BIGRAM model of
+    the corpus — the next step up from unigram_xent's perplexity proxy
+    (Jelinek-Mercer smoothing: ``p(w₂|w₁) = λ·c(w₁w₂)/c(w₁•) +
+    (1−λ)·p_uni(w₂)``), catching word-order anomalies the unigram
+    cannot (shuffled text scores high here, identically under unigram).
+
+    Shape at scale: bigrams collapse to per-(doc, bigram) COUNTS before
+    anything wide (unigram_xent's discipline); the bigram model is one
+    partial-agg over those counts; scoring is a bigram-keyed join plus
+    a unigram-keyed join — all hash-keyed, no broadcast of
+    vocabulary-sized tables. Docs with < 2 tokens are excluded (no
+    bigram to score).
+
+    Exactness: every probability is a fixed-order IEEE expression over
+    exact integer counts; per-bigram surprisal rounds to the 1e-6
+    quantum BEFORE the weighted decimal sum (the transcendental-output
+    rule), so the reduction is partition- and engine-invariant.
+
+    Output: (id_col, n_bigrams, xent2).
+    """
+    toks = tokens(text_col)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws("\x1f", a, b),
+            )
+        ).alias("bg"),
+    )
+    dt = (
+        pairs.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # model fit and scoring both consume dt: cut the lineage once
+        .localCheckpoint()
+    )
+    big = dt.groupBy("bg").agg(F.sum("c").cast("long").alias("c2"))
+    first = big.withColumn(
+        "w1", F.split_part(F.col("bg"), F.lit("\x1f"), F.lit(1))
+    ).groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    total = uni.agg(F.sum("f").cast("long").alias("tt"))
+    scored = (
+        dt.join(big, "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit("\x1f"), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit("\x1f"), F.lit(2)))
+        .join(first, "w1")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    p = F.lit(lam) * (
+        F.col("c2").cast("double") / F.col("c1").cast("double")
+    ) + F.lit(1.0 - lam) * (
+        F.col("f").cast("double") / F.col("tt").cast("double")
+    )
+    lp = F.round(F.log(p), 6)
+    s = F.sum((F.col("c").cast("double") * lp).cast("decimal(38,6)"))
+    n = F.sum("c").cast("long")
+    return scored.groupBy(id_col).agg(
+        n.alias("n_bigrams"),
+        ((-s.cast("double")) / n.cast("double")).alias("xent2"),
+    )

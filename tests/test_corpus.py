@@ -367,3 +367,30 @@ class TestSpanCorruption:
         [r] = span_corruption(docs, mask_permyriad=0).collect()
         assert r.n_masked == 0 and r.n_spans == 0
         assert r.corrupted == "a b c" and r.targets == ""
+
+
+class TestBigramXent:
+    def test_order_sensitivity(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            bigram_xent,
+        )
+        from pyspark.sql import Row
+
+        # corpus dominated by the bigram "a b"; the "a a" doc uses a
+        # rare continuation of the same context -> higher xent2 (a
+        # UNIGRAM model cannot tell these docs apart: both are pure-'a'
+        # contexts with common tokens)
+        docs = [Row(doc_id=i, text="a b") for i in range(10)]
+        docs.append(Row(doc_id=99, text="a a"))
+        out = {r.doc_id: r.xent2 for r in bigram_xent(spark.createDataFrame(docs)).collect()}
+        assert out[99] > out[0]
+
+    def test_short_docs_excluded(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            bigram_xent,
+        )
+        from pyspark.sql import Row
+
+        docs = [Row(doc_id=1, text="only"), Row(doc_id=2, text="two words")]
+        out = {r.doc_id for r in bigram_xent(spark.createDataFrame(docs)).collect()}
+        assert out == {2}
