@@ -8470,6 +8470,56 @@ ORDER BY doc_id
 """
 
 
+def e_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event values — the dashboard
+    distribution primitive. Bin assignment is PURE INTEGER arithmetic
+    over micro-unit values (((q − qmin) · 20) // span with a
+    nonnegative numerator — `//` is floor == truncate here, both
+    engines agree), min/max are two broadcast scalars, the bin rollup
+    is one map-side-combinable aggregate with decimal-exact value
+    sums."""
+    ev = _t(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    src = ev.select(q.alias("_q"), "value")
+    bounds = src.agg(
+        F.min("_q").alias("_qmin"), F.max("_q").alias("_qmax")
+    )
+    j = src.crossJoin(F.broadcast(bounds))
+    span = F.col("_qmax") - F.col("_qmin") + F.lit(1)
+    bin_ = F.floor(
+        ((F.col("_q") - F.col("_qmin")) * F.lit(20)).cast("double")
+        / span.cast("double")
+    ).cast("int")
+    return (
+        j.withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            dsum("value", "sum_value"),
+            (F.min("_q").cast("double") / F.lit(1e6)).alias("bin_min"),
+            (F.max("_q").cast("double") / F.lit(1e6)).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+_E_VALUE_HIST_SQL = f"""
+WITH src AS (
+  SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS q, value FROM events),
+b AS (SELECT min(q) AS qmin, max(q) AS qmax FROM src),
+j AS (
+  SELECT CAST(floor(CAST((q - qmin) * 20 AS DOUBLE)
+                    / CAST(qmax - qmin + 1 AS DOUBLE)) AS INT) AS bin,
+         q, value
+  FROM src CROSS JOIN b)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+       {sql_dsum("value")} AS sum_value,
+       CAST(min(q) AS DOUBLE) / 1e6 AS bin_min,
+       CAST(max(q) AS DOUBLE) / 1e6 AS bin_max
+FROM j GROUP BY bin ORDER BY bin
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8485,13 +8535,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 37 new + 15 changed + 38 r2-stale = 90: the r2-cohort tail past
+    # 38 new + 15 changed + 38 r2-stale = 91: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "e_value_histogram": e_value_histogram,
         "d_bigram_xent": d_bigram_xent,
         "x_seasonality_dow": x_seasonality_dow,
         "emb_drift": emb_drift,
@@ -8736,6 +8787,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "e_value_histogram": _E_VALUE_HIST_SQL,
         "d_bigram_xent": _bigram_xent_sql(),
         "x_seasonality_dow": _X_SEASONALITY_SQL,
         "emb_drift": _EMB_DRIFT_SQL,
@@ -9007,6 +9059,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "e_value_histogram",
     "d_bigram_xent",
     "x_seasonality_dow",
     "emb_drift",
