@@ -8520,6 +8520,114 @@ FROM j GROUP BY bin ORDER BY bin
 """
 
 
+def x_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user distribution-shape risk ratios: Omega (gross gains over
+    gross losses — exact BIGINT micro-unit sums, one IEEE division) and
+    the tail ratio (95th-percentile gain over 5th-percentile loss
+    magnitude, both exact discrete rank selections on ONE per-key
+    sorted exchange — hist_var's integer ceil-division rule)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        daily_returns,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
+    rets = rets.filter(F.abs(F.col("ret")) <= F.lit(10.0))
+    q = F.floor(F.col("ret") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ret").asc(), F.col("trade_date").asc()
+    )
+    cw = Window.partitionBy("user_id")
+    ranked = (
+        rets.withColumn("_q", q)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(cw))
+        .localCheckpoint()
+    )
+    k5 = F.floor(
+        (F.col("_n") * F.lit(1) + F.lit(19)) / F.lit(20.0)
+    ).cast("long")
+    k95 = F.floor(
+        (F.col("_n") * F.lit(19) + F.lit(19)) / F.lit(20.0)
+    ).cast("long")
+    lo = ranked.filter(F.col("_rn") == k5).select(
+        "user_id", F.col("ret").alias("r5")
+    )
+    hi = ranked.filter(F.col("_rn") == k95).select(
+        "user_id", F.col("ret").alias("r95")
+    )
+    agg = ranked.groupBy("user_id").agg(
+        F.max("_n").cast("long").alias("n_obs"),
+        F.sum(F.when(F.col("_q") > 0, F.col("_q")).otherwise(F.lit(0))).alias(
+            "_su"
+        ),
+        F.sum(
+            F.when(F.col("_q") < 0, -F.col("_q")).otherwise(F.lit(0))
+        ).alias("_sd"),
+    )
+    omega = F.when(
+        F.col("_sd") > 0,
+        F.col("_su").cast("double") / F.col("_sd").cast("double"),
+    )
+    tail = F.when(
+        F.col("r5") < 0, F.col("r95") / (-F.col("r5"))
+    )
+    return (
+        agg.join(lo, "user_id")
+        .join(hi, "user_id")
+        .filter(F.col("n_obs") >= 20)
+        .select(
+            "user_id",
+            "n_obs",
+            omega.alias("omega"),
+            F.col("r5").alias("p5_ret"),
+            F.col("r95").alias("p95_ret"),
+            tail.alias("tail_ratio"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_X_RISK_RATIOS_SQL = f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE value > 0),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM src GROUP BY user_id, CAST(ts AS DATE)),
+rets AS (
+  SELECT user_id, trade_date,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily QUALIFY ret IS NOT NULL),
+r AS (
+  SELECT user_id, trade_date, ret,
+         CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS q,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ret, trade_date) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM rets WHERE abs(ret) <= 10.0),
+agg AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n_obs,
+         sum(CASE WHEN q > 0 THEN q ELSE 0 END) AS su,
+         sum(CASE WHEN q < 0 THEN -q ELSE 0 END) AS sd
+  FROM r GROUP BY user_id),
+lo AS (SELECT user_id, ret AS r5 FROM r
+       WHERE rn = CAST(floor((n * 1 + 19) / 20.0) AS BIGINT)),
+hi AS (SELECT user_id, ret AS r95 FROM r
+       WHERE rn = CAST(floor((n * 19 + 19) / 20.0) AS BIGINT))
+SELECT agg.user_id, n_obs,
+       CASE WHEN sd > 0
+            THEN CAST(su AS DOUBLE) / CAST(sd AS DOUBLE) END AS omega,
+       r5 AS p5_ret, r95 AS p95_ret,
+       CASE WHEN r5 < 0 THEN r95 / (-r5) END AS tail_ratio
+FROM agg JOIN lo ON agg.user_id = lo.user_id
+JOIN hi ON agg.user_id = hi.user_id
+WHERE n_obs >= 20
+ORDER BY agg.user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8535,13 +8643,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 38 new + 15 changed + 38 r2-stale = 91: the r2-cohort tail past
+    # 39 new + 15 changed + 38 r2-stale = 92: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "x_risk_ratios": x_risk_ratios,
         "e_value_histogram": e_value_histogram,
         "d_bigram_xent": d_bigram_xent,
         "x_seasonality_dow": x_seasonality_dow,
@@ -8787,6 +8896,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "x_risk_ratios": _X_RISK_RATIOS_SQL,
         "e_value_histogram": _E_VALUE_HIST_SQL,
         "d_bigram_xent": _bigram_xent_sql(),
         "x_seasonality_dow": _X_SEASONALITY_SQL,
@@ -9059,6 +9169,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "x_risk_ratios",
     "e_value_histogram",
     "d_bigram_xent",
     "x_seasonality_dow",
