@@ -8628,6 +8628,101 @@ ORDER BY agg.user_id
 """
 
 
+def x_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest win and loss streaks per user (consecutive positive /
+    negative daily returns; flat days break both): the island trick —
+    global row number minus per-sign row number labels each run, one
+    per-(user, sign, island) count, one per-user max. All integer
+    algebra on two windows sharing one exchange."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        daily_returns,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
+    q = F.floor(F.col("ret") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    sgn = (
+        F.when(q > 0, F.lit(1)).when(q < 0, F.lit(-1)).otherwise(F.lit(0))
+    )
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+    ws = Window.partitionBy("user_id", "_sgn").orderBy("trade_date")
+    base = (
+        rets.withColumn("_sgn", sgn)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_rns", F.row_number().over(ws))
+        .localCheckpoint()
+    )
+    runs = (
+        base.filter(F.col("_sgn") != 0)
+        .groupBy("user_id", "_sgn", (F.col("_rn") - F.col("_rns")).alias("_i"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_len"))
+    )
+    streaks = runs.groupBy("user_id").agg(
+        F.max(F.when(F.col("_sgn") == 1, F.col("_len"))).alias("_wmax"),
+        F.max(F.when(F.col("_sgn") == -1, F.col("_len"))).alias("_lmax"),
+    )
+    totals = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        totals.join(streaks, "user_id", "left")
+        .select(
+            "user_id",
+            "n_days",
+            F.coalesce(F.col("_wmax"), F.lit(0).cast("long")).alias(
+                "max_win_streak"
+            ),
+            F.coalesce(F.col("_lmax"), F.lit(0).cast("long")).alias(
+                "max_loss_streak"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_X_STREAKS_SQL = f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE value > 0),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM src GROUP BY user_id, CAST(ts AS DATE)),
+rets AS (
+  SELECT user_id, trade_date,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily QUALIFY ret IS NOT NULL),
+s AS (
+  SELECT user_id, trade_date,
+         CASE WHEN CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) > 0 THEN 1
+              WHEN CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) < 0 THEN -1
+              ELSE 0 END AS sgn,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM rets),
+i AS (
+  SELECT user_id, sgn, rn,
+         row_number() OVER (PARTITION BY user_id, sgn
+                            ORDER BY trade_date) AS rns
+  FROM s),
+runs AS (
+  SELECT user_id, sgn, rn - rns AS island,
+         CAST(count(*) AS BIGINT) AS len
+  FROM i WHERE sgn <> 0 GROUP BY user_id, sgn, rn - rns),
+st AS (
+  SELECT user_id,
+         max(CASE WHEN sgn = 1 THEN len END) AS wmax,
+         max(CASE WHEN sgn = -1 THEN len END) AS lmax
+  FROM runs GROUP BY user_id),
+tot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days
+        FROM rets GROUP BY user_id)
+SELECT tot.user_id, n_days,
+       CAST(coalesce(wmax, 0) AS BIGINT) AS max_win_streak,
+       CAST(coalesce(lmax, 0) AS BIGINT) AS max_loss_streak
+FROM tot LEFT JOIN st ON tot.user_id = st.user_id
+ORDER BY tot.user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8643,13 +8738,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 39 new + 15 changed + 38 r2-stale = 92: the r2-cohort tail past
+    # 40 new + 15 changed + 38 r2-stale = 93: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "x_win_streaks": x_win_streaks,
         "x_risk_ratios": x_risk_ratios,
         "e_value_histogram": e_value_histogram,
         "d_bigram_xent": d_bigram_xent,
@@ -8896,6 +8992,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "x_win_streaks": _X_STREAKS_SQL,
         "x_risk_ratios": _X_RISK_RATIOS_SQL,
         "e_value_histogram": _E_VALUE_HIST_SQL,
         "d_bigram_xent": _bigram_xent_sql(),
@@ -9169,6 +9266,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "x_win_streaks",
     "x_risk_ratios",
     "e_value_histogram",
     "d_bigram_xent",
