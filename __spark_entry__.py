@@ -8856,6 +8856,106 @@ FROM m
 """
 
 
+def d_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the corpus's DECLARED language tags against
+    the heuristic language-ID guess — the metadata-trust audit a
+    curation pipeline runs before filtering by either signal. One
+    doc-keyed join + one bounded (declared × guessed) rollup; shares
+    the language_guess operator with d_language_guess."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        language_guess,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    g = language_guess(docs).select("doc_id", "lang_guess")
+    j = docs.select("doc_id", F.col("lang").alias("declared")).join(
+        g, "doc_id"
+    )
+    agg = j.groupBy("declared", "lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = agg.groupBy("declared").agg(
+        F.sum("n_docs").cast("long").alias("_t")
+    )
+    return (
+        agg.join(tot, "declared")
+        .select(
+            "declared",
+            "lang_guess",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double") / F.col("_t").cast("double")
+            ).alias("frac_of_declared"),
+        )
+        .orderBy("declared", "lang_guess")
+    )
+
+
+def _lang_agreement_sql() -> str:
+    inner = _lang_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH g AS (SELECT doc_id, lang_guess FROM ({inner})),
+j AS (
+  SELECT d.lang AS declared, g.lang_guess
+  FROM documents d JOIN g ON d.doc_id = g.doc_id),
+agg AS (
+  SELECT declared, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+  FROM j GROUP BY declared, lang_guess),
+tot AS (
+  SELECT declared, CAST(sum(n_docs) AS BIGINT) AS t
+  FROM agg GROUP BY declared)
+SELECT agg.declared, lang_guess, n_docs,
+       CAST(n_docs AS DOUBLE) / CAST(t AS DOUBLE) AS frac_of_declared
+FROM agg JOIN tot ON agg.declared = tot.declared
+ORDER BY agg.declared, lang_guess
+"""
+
+
+def e_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics (max / exact-mean gap in
+    seconds, event count) — the inactivity/liveness audit behind
+    sessionization thresholds. Gaps are exact integer micro-second
+    diffs of consecutive timestamps on one per-user exchange+sort;
+    the mean is one IEEE division of exact sums."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    g = ev.withColumn("_gap", gap).filter(F.col("_gap").isNotNull())
+    return (
+        g.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(1)).cast("long").alias("n_events"),
+            (F.max("_gap").cast("double") / F.lit(1e6)).alias(
+                "max_gap_sec"
+            ),
+            (
+                F.sum("_gap").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6)
+            ).alias("mean_gap_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_E_EVENT_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events QUALIFY gap IS NOT NULL)
+SELECT user_id,
+       CAST(count(*) + 1 AS BIGINT) AS n_events,
+       CAST(max(gap) AS DOUBLE) / 1e6 AS max_gap_sec,
+       CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+         AS mean_gap_sec
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8871,13 +8971,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 42 new + 15 changed + 38 r2-stale = 95: the r2-cohort tail past
+    # 44 new + 15 changed + 38 r2-stale = 97: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "d_lang_agreement": d_lang_agreement,
+        "e_event_gaps": e_event_gaps,
         "d_doc_novelty": d_doc_novelty,
         "d_zipf_slope": d_zipf_slope,
         "x_win_streaks": x_win_streaks,
@@ -9127,6 +9229,8 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "d_lang_agreement": _lang_agreement_sql(),
+        "e_event_gaps": _E_EVENT_GAPS_SQL,
         "d_doc_novelty": _D_NOVELTY_SQL,
         "d_zipf_slope": _D_ZIPF_SQL,
         "x_win_streaks": _X_STREAKS_SQL,
@@ -9403,6 +9507,8 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "d_lang_agreement",
+    "e_event_gaps",
     "d_doc_novelty",
     "d_zipf_slope",
     "x_win_streaks",
