@@ -8956,6 +8956,105 @@ FROM g GROUP BY user_id ORDER BY user_id
 """
 
 
+def x_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 drawdown EPISODES per user (depth, length, span) — richer
+    than the single max_drawdown scalar: every underwater run is an
+    island (row number minus per-flag row number), the running peak is
+    CONSTANT within an episode (no new high while underwater), so
+    depth is an exact integer min over the island. Ranked by depth
+    with date tie-break."""
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    cu = F.floor(F.col("close") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    base = (
+        daily.withColumn("_cu", cu)
+        .withColumn("_peak", F.max(cu).over(run))
+        .withColumn("_uw", (F.col("_cu") < F.col("_peak")).cast("int"))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    wu = Window.partitionBy("user_id", "_uw").orderBy("trade_date")
+    base = base.withColumn("_rnu", F.row_number().over(wu))
+    episodes = (
+        base.filter(F.col("_uw") == 1)
+        .groupBy("user_id", (F.col("_rn") - F.col("_rnu")).alias("_i"))
+        .agg(
+            F.min("trade_date").alias("start_date"),
+            F.max("trade_date").alias("end_date"),
+            F.count(F.lit(1)).cast("long").alias("length_days"),
+            F.min("_cu").alias("_trough"),
+            F.max("_peak").alias("_pk"),
+        )
+    )
+    depth = (
+        F.lit(100.0)
+        * (F.col("_trough") - F.col("_pk")).cast("double")
+        / F.col("_pk").cast("double")
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("depth_pct").asc(), F.col("start_date").asc()
+    )
+    return (
+        episodes.withColumn("depth_pct", depth)
+        .withColumn("episode_rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("episode_rank") <= 3)
+        .select(
+            "user_id",
+            "episode_rank",
+            "start_date",
+            "end_date",
+            "length_days",
+            "depth_pct",
+        )
+        .orderBy("user_id", "episode_rank")
+    )
+
+
+_X_DD_EPISODES_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS cu,
+         max(CAST(floor(close * 1e6 + 0.5) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY trade_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+u AS (
+  SELECT user_id, trade_date, cu, peak, rn,
+         CASE WHEN cu < peak THEN 1 ELSE 0 END AS uw
+  FROM b),
+i AS (
+  SELECT user_id, trade_date, cu, peak, rn, uw,
+         row_number() OVER (PARTITION BY user_id, uw
+                            ORDER BY trade_date) AS rnu
+  FROM u),
+ep AS (
+  SELECT user_id, rn - rnu AS island,
+         min(trade_date) AS start_date, max(trade_date) AS end_date,
+         CAST(count(*) AS BIGINT) AS length_days,
+         min(cu) AS trough, max(peak) AS pk
+  FROM i WHERE uw = 1 GROUP BY user_id, rn - rnu),
+d AS (
+  SELECT user_id, start_date, end_date, length_days,
+         100.0 * CAST(trough - pk AS DOUBLE) / CAST(pk AS DOUBLE)
+           AS depth_pct
+  FROM ep),
+r AS (
+  SELECT user_id, start_date, end_date, length_days, depth_pct,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY depth_pct, start_date)
+           AS episode_rank
+  FROM d)
+SELECT user_id, CAST(episode_rank AS BIGINT) AS episode_rank,
+       start_date, end_date, length_days, depth_pct
+FROM r WHERE episode_rank <= 3
+ORDER BY user_id, episode_rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8971,13 +9070,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 44 new + 15 changed + 38 r2-stale = 97: the r2-cohort tail past
+    # 45 new + 15 changed + 38 r2-stale = 98: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "x_drawdown_episodes": x_drawdown_episodes,
         "d_lang_agreement": d_lang_agreement,
         "e_event_gaps": e_event_gaps,
         "d_doc_novelty": d_doc_novelty,
@@ -9229,6 +9329,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "x_drawdown_episodes": _X_DD_EPISODES_SQL,
         "d_lang_agreement": _lang_agreement_sql(),
         "e_event_gaps": _E_EVENT_GAPS_SQL,
         "d_doc_novelty": _D_NOVELTY_SQL,
@@ -9507,6 +9608,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "x_drawdown_episodes",
     "d_lang_agreement",
     "e_event_gaps",
     "d_doc_novelty",
