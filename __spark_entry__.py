@@ -9055,6 +9055,100 @@ ORDER BY user_id, episode_rank
 """
 
 
+def x_info_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information ratio per user vs the equal-weight market factor:
+    mean active return over tracking error — beta_vs_market's
+    excess-return companion. The market factor is the same per-day
+    broadcast aggregate; active returns are exact integer micro-unit
+    differences, the IR one fixed-order IEEE combination of BIGINT /
+    decimal(38,0) moments."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        daily_returns,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
+    rets = rets.filter(F.abs(F.col("ret")) <= F.lit(10.0))
+    q = F.floor(F.col("ret") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    src = rets.withColumn("_ru", q).localCheckpoint()
+    market = src.groupBy("trade_date").agg(
+        F.floor(
+            F.sum("_ru").cast("double") / F.count(F.lit(1)).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_mu")
+    )
+    j = src.join(F.broadcast(market), "trade_date")
+    a = F.col("_ru") - F.col("_mu")  # active return, exact BIGINT
+    agg = j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(a).alias("sa"),
+        F.sum((a * a).cast("decimal(38,0)")).alias("saa"),
+    )
+    n, sa, saa = (
+        F.col(c).cast("double") for c in ("n_days", "sa", "saa")
+    )
+    var_n = (saa - sa * sa / n) / (n - F.lit(1.0))
+    ir = F.when(var_n > 0, (sa / n) / F.sqrt(var_n))
+    return (
+        agg.filter(F.col("n_days") >= 10)
+        .select(
+            "user_id",
+            "n_days",
+            (sa / n / F.lit(1e6)).alias("mean_active_ret"),
+            F.when(var_n > 0, F.sqrt(var_n) / F.lit(1e6)).alias(
+                "tracking_error"
+            ),
+            ir.alias("info_ratio"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_X_INFO_RATIO_SQL = f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE value > 0),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM src GROUP BY user_id, CAST(ts AS DATE)),
+rets AS (
+  SELECT user_id, trade_date,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily QUALIFY ret IS NOT NULL),
+q AS (
+  SELECT user_id, trade_date,
+         CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS ru
+  FROM rets WHERE abs(ret) <= 10.0),
+mkt AS (
+  SELECT trade_date,
+         CAST(floor(CAST(sum(ru) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    + 0.5) AS BIGINT) AS mu
+  FROM q GROUP BY trade_date),
+a AS (
+  SELECT q.user_id, q.ru - mkt.mu AS act
+  FROM q JOIN mkt ON q.trade_date = mkt.trade_date),
+m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(act) AS DOUBLE) AS sa,
+         CAST(sum(CAST(act * act AS DECIMAL(38,0))) AS DOUBLE) AS saa,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM a GROUP BY user_id)
+SELECT user_id, n_days,
+       sa / n / 1e6 AS mean_active_ret,
+       CASE WHEN (saa - sa * sa / n) / (n - 1.0) > 0
+            THEN sqrt((saa - sa * sa / n) / (n - 1.0)) / 1e6
+       END AS tracking_error,
+       CASE WHEN (saa - sa * sa / n) / (n - 1.0) > 0
+            THEN (sa / n) / sqrt((saa - sa * sa / n) / (n - 1.0))
+       END AS info_ratio
+FROM m WHERE n_days >= 10
+ORDER BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9070,13 +9164,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the O(n^2) guards — their old green rows describe r4 code; then
     # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
     # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 45 new + 15 changed + 38 r2-stale = 98: the r2-cohort tail past
+    # 46 new + 15 changed + 38 r2-stale = 99: the r2-cohort tail past
     # position 50 spills to the r6 window, which should start with
     # whatever this round's gate did not reach (everything from
     # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
     return {
         # --- r5 part 0: NEW this round ---
         "x_cmo": x_cmo,
+        "x_info_ratio": x_info_ratio,
         "x_drawdown_episodes": x_drawdown_episodes,
         "d_lang_agreement": d_lang_agreement,
         "e_event_gaps": e_event_gaps,
@@ -9329,6 +9424,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_tolerance": _J_ASOF_TOL_SQL,
         "x_supertrend": _supertrend_sql(),
         "x_cmo": _X_CMO_SQL,
+        "x_info_ratio": _X_INFO_RATIO_SQL,
         "x_drawdown_episodes": _X_DD_EPISODES_SQL,
         "d_lang_agreement": _lang_agreement_sql(),
         "e_event_gaps": _E_EVENT_GAPS_SQL,
@@ -9608,6 +9704,7 @@ HEADLINE_QUERIES = [
     "d_bm25_topk",
     "x_kama",
     "x_cmo",
+    "x_info_ratio",
     "x_drawdown_episodes",
     "d_lang_agreement",
     "e_event_gaps",
