@@ -7777,11 +7777,15 @@ FROM kf ORDER BY user_id, trade_date
 def s_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming top-k: the events table replayed through a file-source
     stream into a watermarked per-(day, user) rollup (decimal-routed
-    sums — streaming state stays keyed, never global), driven to
-    completion with availableNow; the top-3-users-per-day RANK runs as
-    a batch post-pass over the completed sink (rank is not an
-    append-mode streaming operator — the composite is the standard
-    pattern). Bit-identical to the batch SQL replay."""
+    sums — streaming state stays keyed, never global), run in APPEND
+    mode so the watermark actually evicts state: a day's rows emit
+    once the global watermark (max ts − 1 h) passes the window end,
+    and the final trailing day(s) stay unflushed in state at
+    availableNow termination — the oracle replays exactly that cutoff
+    in SQL (s_stream_join_outer's measured-watermark rule). The
+    top-3-users-per-day RANK runs as a batch post-pass over the
+    completed sink (rank is not an append-mode streaming operator —
+    the composite is the standard pattern)."""
     import uuid
 
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
@@ -7800,7 +7804,7 @@ def s_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = (
                 agg.writeStream.format("memory")
                 .queryName(name)
-                .outputMode("complete")
+                .outputMode("append")
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
@@ -7819,12 +7823,17 @@ def s_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _S_TOPK_SQL = """
-WITH g AS (
+WITH wm AS (
+  SELECT max(ts) - INTERVAL 1 HOUR AS watermark FROM events),
+g AS (
   SELECT time_bucket(INTERVAL '1 day', ts, TIMESTAMP '2000-01-01 00:00:00')
            AS bucket_start,
          user_id, count(*) AS num_events,
          CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
-  FROM events GROUP BY bucket_start, user_id),
+  FROM events
+  WHERE time_bucket(INTERVAL '1 day', ts, TIMESTAMP '2000-01-01 00:00:00')
+          + INTERVAL 1 DAY <= (SELECT watermark FROM wm)
+  GROUP BY bucket_start, user_id),
 r AS (
   SELECT bucket_start, user_id, num_events, total_value,
          row_number() OVER (PARTITION BY bucket_start

@@ -478,8 +478,9 @@ def dsir_weights(
     # 10.3 s -> 2.0 s for the count stage at sf0.1): one md5 per token
     # occurrence instead of two, and no per-bigram string concat. The
     # combine (31*h1 + h2) mod buckets stays exact in BIGINT
-    # (2^48 * 31 < 2^53) and is uniform for power-of-two bucket counts
-    # since gcd(31, 2^k) = 1.
+    # (2^48 * 31 + 2^48 ≈ 2^53 << 2^63 — Spark longs, not doubles, so
+    # the double-precision 2^53 bound is irrelevant here) and is
+    # uniform for power-of-two bucket counts since gcd(31, 2^k) = 1.
     th = F.transform(
         tokens(text_col),
         lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),

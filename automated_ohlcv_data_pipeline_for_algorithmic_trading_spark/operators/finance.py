@@ -2028,14 +2028,15 @@ def sortino(
     """Rolling Sortino ratio (MAR 0): rolling mean return over rolling
     downside deviation ``sqrt(sum(min(ret,0)^2)/n)`` — rolling_sharpe's
     twin that only penalizes losses. Identical determinism contract:
-    returns winsorized at ``ret_cap`` then quantized to integer
+    rows with ``|ret| > ret_cap`` are dropped (not clamped — window
+    counts shrink accordingly), survivors quantized to integer
     micro-units, both frame moments exact BIGINT sums (the downside sum
     keeps only negative quantized returns), final mean/sqrt/divide
     correctly-rounded IEEE — bit-identical cross-engine, no rounding
     step. Windows with fewer than ``min_obs`` returns or no downside
     observations yield NULL. One exchange+sort per key.
 
-    Output: input columns (winsorized) + (sortino,).
+    Output: input columns (capped rows dropped) + (sortino,).
     """
     w = Window.partitionBy(*keys).orderBy(order_col)
     frame = w.rowsBetween(-(n - 1), 0)
@@ -2130,7 +2131,8 @@ def return_autocorr(
     series, positive = trending).
 
     beta_vs_market's exact-moment contract, applied to (ret_t,
-    ret_{t-lag}) pairs: returns winsorized at ``ret_cap`` and quantized
+    ret_{t-lag}) pairs: rows with ``|ret| > ret_cap`` dropped, survivors
+    quantized
     to integer micro-units, ONE map-side-combinable aggregate per key
     with linear sums as BIGINT and second moments routed through
     decimal(38,0) (exact integers, overflow-free to 1e38 — a BIGINT sum
@@ -2795,8 +2797,9 @@ def monte_carlo_var(
 
     Shape at scale: one map-side-combinable moment aggregate, one
     n_paths-row explode per key (no shuffle — the generator is keyed),
-    one per-key rank window. Keys with < ``min_obs`` returns or zero
-    variance are dropped.
+    one per-key rank window. Rows with ``|ret| > ret_cap`` are dropped
+    (not clamped) before fitting; keys with < ``min_obs`` surviving
+    returns or zero variance are dropped.
 
     Output: keys, n_obs, mu, sigma, var_sim (the alpha-quantile
     simulated return), var_loss (= −var_sim).
@@ -2976,7 +2979,8 @@ def event_study(
     trading day) contribute nothing at offset 0 but still anchor their
     neighbors.
 
-    Exactness: returns winsorized and quantized to micro-units, per-
+    Exactness: rows with ``|ret| > ret_cap`` dropped, survivors
+    quantized to micro-units, per-
     offset mean = exact BIGINT sum / count, CAR = running sum of the
     same integers over the (2·w+1)-row offset table — every reduction
     partition-invariant.

@@ -298,9 +298,12 @@ def events_stream_daily_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed per-(day, user) rollup — the aggregation feeding the
     streaming top-k query: watermarked tumbling-day window per user
     with decimal-routed sums (bit-identical to the batch oracle
-    regardless of micro-batch count). The top-k RANK itself runs as a
-    batch post-pass over the completed sink — streaming aggregation
-    state stays per-(day, user), never global."""
+    regardless of micro-batch count). Run it in APPEND mode: the
+    watermark then finalizes and EVICTS each day's state once the
+    global watermark passes the window end, so state stays bounded at
+    (open days × users) — in complete mode Spark would retain every
+    (day, user) group for the stream's whole history. The top-k RANK
+    itself runs as a batch post-pass over the completed sink."""
     ev = events_stream_source(spark, sf_dir)
     return (
         ev.withWatermark("ts", "1 hour")
