@@ -8026,16 +8026,61 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus onto its top-8 principal
     components: one distributed Gram pass (embedding_covariance), a
     driver-side 64×64 eigh (constant in corpus size), broadcast
-    component literals folded per row. NO SQL oracle — eigen-
-    decomposition is not SQL-expressible; the driver records the
-    rows-only check and tests/test_ivf_fingerprint.py pins numpy
-    parity (operators/similarity.pca_project)."""
+    component literals folded per row. SCALAR p0..p7 layout (driver-
+    canonicalizable — the r5 array<double> shape crashed the gate's
+    pandas sort). Full SQL oracle: the fit's covariance/means are
+    exact-integer reductions, so pca_fit_local replays the SAME eigh
+    input from a local pyarrow read and the oracle pins (mu, comps,
+    explained) as literals — only eigh itself stays outside SQL
+    (operators/similarity.pca_project_scalar)."""
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
-        pca_project,
+        pca_project_scalar,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pca_project(emb, k=8).orderBy("vec_id")
+    return pca_project_scalar(emb, k=8).orderBy("vec_id")
+
+
+def _emb_pca_sql(k: int = 8) -> str:
+    """DuckDB twin of emb_pca, generated AT CALL TIME: replays the
+    exact-integer fit locally (pca_fit_local — bit-identical cov/mu to
+    the distributed fit), pins mu/components/explained as double
+    literals, and replays the projection as the same left-to-right
+    fold Spark's dot() uses: 0.0 + (e[1]−mu0)·c0 + … per component,
+    1e-6-quantized with the tie-safe floor rule. The fit data comes
+    from $SPARK_GRAFT_ORACLE_SF_DIR (default the driver's sf0.01) —
+    verify_local sets it per-SF."""
+    import math
+    import os
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        pca_fit_local,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    mu, comps, explained = pca_fit_local(
+        f"{sf_dir}/embeddings.parquet", k=k
+    )
+    exq = math.floor(explained * 1e6 + 0.5) / 1e6
+    projs = []
+    for i, comp in enumerate(comps):
+        terms = " + ".join(
+            f"(CAST(embedding[{d + 1}] AS DOUBLE) - {mu[d]!r}) * {comp[d]!r}"
+            for d in range(len(mu))
+        )
+        projs.append(
+            f"floor((0.0 + {terms}) * 1e6 + 0.5) / 1e6 AS p{i}"
+        )
+    proj_sql = ",\n       ".join(projs)
+    return f"""
+SELECT vec_id,
+       {proj_sql},
+       {exq!r} AS explained
+FROM embeddings
+ORDER BY vec_id
+"""
 
 
 def x_mc_var(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9449,6 +9494,7 @@ def oracle_sql() -> dict[str, str]:
         "x_stoch_rsi": _X_STOCHRSI_SQL,
         "x_mass_index": _mass_index_sql(),
         "x_mc_var": _mc_var_sql(),
+        "emb_pca": _emb_pca_sql(),
         "x_coppock": _coppock_sql(),
         "x_kst": _kst_sql(),
         "d_span_corruption": _D_SPANCORRUPT_SQL,

@@ -1504,42 +1504,17 @@ def pca_project(
 
     Sign convention: each component is flipped so its largest-|x|
     coordinate is positive (eigh's sign is arbitrary), making the
-    output stable across LAPACK builds in practice. NOTE: unlike the
-    rest of the registry this op has NO SQL oracle — eigendecomposition
-    is not SQL-expressible; the driver records a rows-only check and
-    the unit test pins numpy parity instead.
+    output stable across LAPACK builds in practice. The fit is
+    bit-replayable: the covariance/means are exact integer reductions,
+    so :func:`pca_fit_local` reproduces the SAME eigh input from a
+    local pyarrow read and the DuckDB oracle twin replays the
+    projection with pinned component literals (see
+    :func:`pca_project_scalar`, the driver-gated shape).
 
     Output: (id_col, projection array<double>[k], explained — the
     fraction of total variance captured, same scalar on every row).
     """
-    import numpy as np
-
-    d_rows = embedding_covariance(df, vec_col).collect()
-    dim = max(r["j"] for r in d_rows) + 1
-    cov = np.zeros((dim, dim))
-    for r in d_rows:
-        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
-    means = (
-        df.select(F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"))
-        .groupBy("dim")
-        .agg(
-            (
-                F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("mean")
-        )
-        .collect()
-    )
-    mu = np.zeros(dim)
-    for r in means:
-        mu[r["dim"]] = r["mean"]
-    w, v = np.linalg.eigh(cov)
-    order = np.argsort(w)[::-1][:k]
-    comps = v[:, order].T  # (k, dim)
-    for row in comps:
-        if row[np.argmax(np.abs(row))] < 0:
-            row *= -1.0
-    explained = float(np.sum(w[order]) / np.sum(np.maximum(w, 0.0)))
+    mu, comps, explained = _pca_fit(df, k, vec_col)
     mu_lit = F.array(*[F.lit(float(x)) for x in mu])
     comp_lits = [
         F.array(*[F.lit(float(x)) for x in comp]) for comp in comps
@@ -1554,6 +1529,129 @@ def pca_project(
         F.col(id_col),
         projection.alias("projection"),
         F.lit(explained).alias("explained"),
+    )
+
+
+def _pca_eig(cov, k: int):
+    """Shared eigh + sign-flip + explained-variance step: identical
+    input bits -> identical output bits for the distributed and local
+    fits (same numpy/LAPACK in the same driver process)."""
+    import numpy as np
+
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # (k, dim)
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    explained = float(np.sum(w[order]) / np.sum(np.maximum(w, 0.0)))
+    return comps, explained
+
+
+def _pca_fit(df: DataFrame, k: int, vec_col: str):
+    """Distributed PCA fit: exact-integer covariance + means collected
+    (bounded: d(d+1)/2 + d rows), then the shared eigh step. Returns
+    (mu ndarray[d], comps ndarray[k,d], explained float)."""
+    import numpy as np
+
+    d_rows = embedding_covariance(df, vec_col).collect()
+    dim = max(r["j"] for r in d_rows) + 1
+    cov = np.zeros((dim, dim))
+    for r in d_rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    means = (
+        df.select(F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"))
+        .select(
+            "dim",
+            F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("sq"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in means:
+        mu[r["dim"]] = float(r["sq"]) / float(r["n"]) / 1e6
+    comps, explained = _pca_eig(cov, k)
+    return mu, comps, explained
+
+
+def pca_fit_local(
+    parquet_path: str, k: int = 8, vec_col: str = "embedding"
+):
+    """Exact LOCAL replica of :func:`_pca_fit` from a pyarrow read —
+    replays embedding_covariance's integer ledger bit-for-bit
+    (``q = floor(x·1e6 + 0.5)`` int64; Gram/linear sums exact in int64
+    while n·1e12 < 2^63 — asserted; the final
+    ``(n·Σxy − Σx·Σy) / (n·(n−1)) / 1e12`` and ``(Σx/n)/1e6`` in the
+    SAME fixed IEEE order), then the shared :func:`_pca_eig` step.
+    Identical cov/mu bits -> identical components, so the DuckDB
+    oracle for emb_pca can pin (mu, comps, explained) as literals and
+    replay the projection in pure SQL. Returns (mu, comps, explained).
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(parquet_path, columns=[vec_col])[vec_col]
+    x = np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+    q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+    n = q.shape[0]
+    assert n * 1e12 < 2 ** 62, "int64 Gram headroom exceeded"
+    g = q.T @ q
+    sv = q.sum(axis=0)
+    nd = float(n)
+    sx = sv.astype(np.float64)
+    cov = (
+        (nd * g.astype(np.float64) - sx[:, None] * sx[None, :])
+        / (nd * (nd - 1.0))
+        / 1e12
+    )
+    mu = sx / nd / 1e6
+    comps, explained = _pca_eig(cov, k)
+    return mu, comps, explained
+
+
+def pca_project_scalar(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`pca_project` with a driver-canonicalizable SCALAR layout:
+    one ``p0..p{k-1}`` double column per component (1e-6-quantized via
+    the tie-safe floor rule) plus the quantized explained-variance
+    scalar — no array column, so the correctness gate's pandas
+    sort/hash canonicalizer can process it, and the DuckDB twin
+    replays the whole projection with literals from
+    :func:`pca_fit_local` (eigh itself stays outside SQL; everything
+    downstream of the pinned components is SQL arithmetic).
+
+    Output: (id_col, p0..p{k-1}, explained) — one row per vector.
+    """
+    import math
+
+    from ..functions.exact import q6
+
+    mu, comps, explained = _pca_fit(df, k, vec_col)
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    centered = F.zip_with(
+        _as_double(F.col(vec_col)), mu_lit, lambda a, b: a - b
+    )
+    cols = [
+        q6(
+            dot(centered, F.array(*[F.lit(float(x)) for x in comp])),
+            f"p{i}",
+        )
+        for i, comp in enumerate(comps)
+    ]
+    exq = math.floor(explained * 1e6 + 0.5) / 1e6
+    return df.select(
+        F.col(id_col), *cols, F.lit(exq).alias("explained")
     )
 
 

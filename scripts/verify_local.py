@@ -55,6 +55,12 @@ def main() -> int:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    # Data-dependent oracles (emb_pca pins fit literals) read the SF they
+    # should replay from this env var; the real driver leaves it unset and
+    # gets the default sf0.01 — exactly the SF its gate runs at.
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
     for name, fn in qs.items():

@@ -358,8 +358,9 @@ class TestPcaProject:
         for row in comps:
             if row[np.argmax(np.abs(row))] < 0:
                 row *= -1.0
-        # mean used by the operator comes from exact-decimal sums of the
-        # RAW floats (not quantized) — compare against that convention
+        # mean used by the operator is the quantized-integer mean
+        # (sum(floor(x*1e6+0.5))/n/1e6) — within 5e-7/dim of the raw
+        # mean, inside this test's atol either way
         mu_op = x.astype(np.float64).mean(axis=0)
         ref = (x.astype(np.float64) - mu_op) @ comps.T
         for i in range(60):
@@ -387,6 +388,48 @@ class TestPcaProject:
         for i in a:
             assert np.allclose(a[i], b[i], atol=1e-12)
         assert all(len(v) == 3 for v in a.values())
+
+
+class TestPcaFitLocal:
+    """The emb_pca oracle rests on pca_fit_local reproducing the
+    distributed fit BIT-FOR-BIT (same exact-integer ledger, same eigh
+    input, same numpy) — pin that on the real testdata."""
+
+    def test_local_fit_bit_matches_distributed(self, spark):
+        import numpy as np
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            _pca_fit,
+            pca_fit_local,
+        )
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+            load_table,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        df = load_table(spark, sf_dir, "embeddings")
+        mu_d, comps_d, ex_d = _pca_fit(df, 8, "embedding")
+        mu_l, comps_l, ex_l = pca_fit_local(
+            f"{sf_dir}/embeddings.parquet", k=8
+        )
+        assert np.array_equal(mu_d, mu_l)  # bit-identical, not allclose
+        assert np.array_equal(comps_d, comps_l)
+        assert ex_d == ex_l
+
+    def test_scalar_layout_is_flat(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            pca_project_scalar,
+        )
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+            load_table,
+        )
+
+        df = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        out = pca_project_scalar(df, k=3)
+        assert out.columns == ["vec_id", "p0", "p1", "p2", "explained"]
+        row = out.limit(1).collect()[0]
+        # every cell scalar (hashable by the driver's canonicalizer)
+        assert all(not isinstance(v, (list, dict)) for v in row)
 
 
 class TestEmbeddingDrift:
