@@ -9212,69 +9212,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
     # staleness (every query re-earns a driver row every ~2-3 rounds).
-    # r5 window: (1) the queries whose IMPLEMENTATION or oracle changed this
-    # round — PQ normalization/fused fit, the floor(x*1e6+0.5) tie-rule
-    # migration, the row-atomic as-of fill, beta's decimal(38,0) moments,
-    # the O(n^2) guards — their old green rows describe r4 code; then
-    # (2) the r2-checked cohort, the oldest rows in the ledger. INSERT NEW
-    # QUERIES AT THE VERY TOP so they get a driver row the round they land.
-    # 46 new + 15 changed + 38 r2-stale = 99: the r2-cohort tail past
-    # position 50 spills to the r6 window, which should start with
-    # whatever this round's gate did not reach (everything from
-    # q18_large_orders onward in part 2, plus the part-3 r2 cohort).
+    # r6 window: (1) NEW r6 queries at the very top; (2) queries whose
+    # implementation/oracle changed THIS round (emb_pca scalar+oracle,
+    # s_stream_topk append-mode); (3) the 11 r5-changed queries the r5
+    # window never reached (VERDICT r5 ask #2); (4) the r2-checked cohort,
+    # the oldest rows in the ledger. New-query intake is CAPPED so
+    # changed+new <= 50; whatever r2-cohort tail exceeds position 50
+    # spills to r7 and should head its window.
     return {
-        # --- r5 part 0: NEW this round ---
-        "x_cmo": x_cmo,
-        "x_info_ratio": x_info_ratio,
-        "x_drawdown_episodes": x_drawdown_episodes,
-        "d_lang_agreement": d_lang_agreement,
-        "e_event_gaps": e_event_gaps,
-        "d_doc_novelty": d_doc_novelty,
-        "d_zipf_slope": d_zipf_slope,
-        "x_win_streaks": x_win_streaks,
-        "x_risk_ratios": x_risk_ratios,
-        "e_value_histogram": e_value_histogram,
-        "d_bigram_xent": d_bigram_xent,
-        "x_seasonality_dow": x_seasonality_dow,
-        "emb_drift": emb_drift,
-        "x_event_study": x_event_study,
-        "x_stoch_rsi": x_stoch_rsi,
-        "x_mass_index": x_mass_index,
-        "x_mc_var": x_mc_var,
+        # --- r6 part 0: NEW this round (insert new queries HERE) ---
+        # --- r6 part 1: implementation/oracle changed this round ---
         "emb_pca": emb_pca,
-        "x_coppock": x_coppock,
-        "x_kst": x_kst,
-        "d_span_corruption": d_span_corruption,
         "s_stream_topk": s_stream_topk,
-        "x_kalman": x_kalman,
-        "x_dema_tema": x_dema_tema,
-        "x_linreg": x_linreg,
-        "x_hist_var": x_hist_var,
-        "e_rfm_segments": e_rfm_segments,
-        "emb_covariance": emb_covariance,
-        "emb_hard_negatives": emb_hard_negatives,
-        "d_ccnet_buckets": d_ccnet_buckets,
-        "x_nvi_pvi": x_nvi_pvi,
-        "x_force_index": x_force_index,
-        "x_elder_ray": x_elder_ray,
-        "x_ulcer": x_ulcer,
-        "x_sortino": x_sortino,
-        "x_hull_ma": x_hull_ma,
-        "x_autocorr": x_autocorr,
-        "x_psar": x_psar,
-        "x_trix": x_trix,
-        "x_cci": x_cci,
-        "x_vortex": x_vortex,
-        "d_dsir_weights": d_dsir_weights,
-        "d_bm25_topk": d_bm25_topk,
-        "x_kama": x_kama,
-        "s_stream_join_outer": s_stream_join_outer,
-        "emb_silhouette": emb_silhouette,
-        # --- r5 part 1: implementation/oracle changed this round ---
-        "emb_pq_ann": emb_pq_ann,
-        "x_heikin_ashi": x_heikin_ashi,
-        "x_supertrend": x_supertrend,
-        "x_adx": x_adx,
+        # --- r6 part 2: changed in r5 but NOT gated that round (the 11
+        # the 46-new-query r5 intake pushed past position 50) ---
         "x_ema_macd": x_ema_macd,
         "x_bollinger_bands": x_bollinger_bands,
         "s_stateful_vwap": s_stateful_vwap,
@@ -9286,7 +9237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": emb_semdedup,
         "d_jaccard_pairs": d_jaccard_pairs,
         "emb_ann_topk": emb_ann_topk,
-        # --- r5 part 2: oldest driver rows (last checked r2) ---
+        # --- r6 part 3: oldest driver rows (last checked r2; the r5
+        # window never reached them). Tail past position 50 spills
+        # to r7 — head r7 with it. ---
         "q18_large_orders": q18_large_orders,
         "q22_idle_rich_customers": q22_idle_rich_customers,
         "q07_nation_trade": q07_nation_trade,
@@ -9325,7 +9278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_bpe_tokens": d_bpe_tokens,
         "d_kgram_fingerprint": d_kgram_fingerprint,
         "emb_ivf_ann": emb_ivf_ann,
-        # --- last checked r3 (r6 window starts here if r5 spills) ---
+        # --- last checked r3 ---
         "j_semi_active_customers": j_semi_active_customers,
         "j_anti_inactive_customers": j_anti_inactive_customers,
         "u_union_mixed_schema": u_union_mixed_schema,
@@ -9372,7 +9325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_pack_sequences": d_pack_sequences,
         "emb_label_centroids": emb_label_centroids,
         "e_dq_report": e_dq_report,
-        # --- last checked r4 (freshest) ---
+        # --- last checked r4 ---
         "e_drift_psi": e_drift_psi,
         "d_mixture_sample": d_mixture_sample,
         "x_vwap_anchored": x_vwap_anchored,
@@ -9415,6 +9368,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q10_returned_revenue,
         "q14_promo_share": q14_promo_share,
         "q16_supplier_variety": q16_supplier_variety,
+        # --- last checked r5 (freshest rows) ---
+        "x_cmo": x_cmo,
+        "x_info_ratio": x_info_ratio,
+        "x_drawdown_episodes": x_drawdown_episodes,
+        "d_lang_agreement": d_lang_agreement,
+        "e_event_gaps": e_event_gaps,
+        "d_doc_novelty": d_doc_novelty,
+        "d_zipf_slope": d_zipf_slope,
+        "x_win_streaks": x_win_streaks,
+        "x_risk_ratios": x_risk_ratios,
+        "e_value_histogram": e_value_histogram,
+        "d_bigram_xent": d_bigram_xent,
+        "x_seasonality_dow": x_seasonality_dow,
+        "emb_drift": emb_drift,
+        "x_event_study": x_event_study,
+        "x_stoch_rsi": x_stoch_rsi,
+        "x_mass_index": x_mass_index,
+        "x_mc_var": x_mc_var,
+        "x_coppock": x_coppock,
+        "x_kst": x_kst,
+        "d_span_corruption": d_span_corruption,
+        "x_kalman": x_kalman,
+        "x_dema_tema": x_dema_tema,
+        "x_linreg": x_linreg,
+        "x_hist_var": x_hist_var,
+        "e_rfm_segments": e_rfm_segments,
+        "emb_covariance": emb_covariance,
+        "emb_hard_negatives": emb_hard_negatives,
+        "d_ccnet_buckets": d_ccnet_buckets,
+        "x_nvi_pvi": x_nvi_pvi,
+        "x_force_index": x_force_index,
+        "x_elder_ray": x_elder_ray,
+        "x_ulcer": x_ulcer,
+        "x_sortino": x_sortino,
+        "x_hull_ma": x_hull_ma,
+        "x_autocorr": x_autocorr,
+        "x_psar": x_psar,
+        "x_trix": x_trix,
+        "x_cci": x_cci,
+        "x_vortex": x_vortex,
+        "d_dsir_weights": d_dsir_weights,
+        "d_bm25_topk": d_bm25_topk,
+        "x_kama": x_kama,
+        "s_stream_join_outer": s_stream_join_outer,
+        "emb_silhouette": emb_silhouette,
+        "emb_pq_ann": emb_pq_ann,
+        "x_heikin_ashi": x_heikin_ashi,
+        "x_supertrend": x_supertrend,
+        "x_adx": x_adx,
     }
 
 
