@@ -3541,9 +3541,13 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.semdedup): deterministic seeded-k-means
     clustering, cosine >= 0.4 pairs WITHIN each cluster only (the
     bucketing that bounds pairwise work to sum(|cell|^2) at 100 TB),
-    keeper = converged component-minimum id. The cluster fit, the
-    within-cell pair set, and the component search all replay exactly
-    in the oracle (_semdedup_sql: unrolled Lloyd iterations + WITH
+    keeper = converged component-minimum id. The hot-cell hyperplane
+    split guard is ON (default max_cell_size=4096 — no cell at gate
+    SFs trips it; the split-engaged path is oracle-pinned by
+    tests/test_finance_sketch_scd.py with max_cell_size=32). The
+    cluster fit, the split, the within-cell pair set, and the
+    component search all replay exactly in the oracle (_semdedup_sql:
+    unrolled Lloyd iterations + integer-exact hyperplane re-key + WITH
     RECURSIVE reachability), so even this doubly-approximate operator
     gets a value-hash check."""
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
@@ -3555,12 +3559,70 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_sql(
-    threshold: float = 0.5, n_lists: int = 8, n_iter: int = 2, dim: int = 64
+    threshold: float = 0.5,
+    n_lists: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    max_cell_size: int | None = 4096,
 ) -> str:
+    """DuckDB replay of semdedup INCLUDING the hot-cell hyperplane
+    split guard (similarity._split_hot_cells): per-cell bit counts via
+    the same pure-integer smallest-b rule, the same md5 plane weights
+    (plane < measured bmax of up to 16), the same
+    ``cell·2^bmax + (bucket & mask)`` re-keying — so the oracle stays
+    green with the guard ON by default. With no hot cell, bmax=0 and
+    the re-key degenerates to ``cell·1`` (bit-equal to the unsplit
+    plan)."""
     ctes, _ = _ivf_assign_ctes(n_lists, n_iter, dim)
+    src = "af"
+    if max_cell_size is not None:
+        ctes.append(
+            f"szs AS (SELECT cell, count(*) AS n FROM af GROUP BY cell)"
+        )
+        ctes.append(f"""hotc AS (
+  SELECT cell, n,
+         coalesce((SELECT min(b) FROM generate_series(1, 16) s(b)
+                   WHERE ({max_cell_size} * (CAST(1 AS BIGINT) << b)) >= n),
+                  16) AS bits
+  FROM szs WHERE n > {max_cell_size})""")
+        ctes.append(
+            "hotm AS (SELECT cell, bits,"
+            " (CAST(1 AS BIGINT) << bits) - 1 AS mask FROM hotc)"
+        )
+        ctes.append(
+            "bparam AS (SELECT coalesce(max(bits), 0) AS bmax FROM hotm)"
+        )
+        ctes.append(f"""sw AS (
+  SELECT plane, pos,
+         CAST('0x' || substr(md5('p' || CAST(plane AS VARCHAR)
+                                   || 'd' || CAST(pos AS VARCHAR)), 1, 8)
+               AS BIGINT) % 20001 - 10000 AS w
+  FROM generate_series(0, 15) p(plane), generate_series(0, {dim - 1}) q(pos)
+  WHERE plane < (SELECT bmax FROM bparam))""")
+        ctes.append(f"""sel AS (
+  SELECT a.vec_id, i - 1 AS pos,
+         CAST(floor(a.emb[i] * 1e6 + 0.5) AS BIGINT) AS ival
+  FROM af a JOIN hotm h ON a.cell = h.cell,
+       generate_series(1, {dim}) t(i))""")
+        ctes.append("""sd AS (
+  SELECT vec_id, plane, sum(ival * w) AS dot
+  FROM sel JOIN sw USING (pos) GROUP BY vec_id, plane)""")
+        ctes.append("""sb AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << plane)
+                  ELSE 0 END) AS bbits
+  FROM sd GROUP BY vec_id)""")
+        ctes.append("""af2 AS (
+  SELECT a.vec_id, a.emb,
+         CAST(a.cell AS BIGINT) * (CAST(1 AS BIGINT) << (SELECT bmax FROM bparam))
+           + CASE WHEN h.cell IS NOT NULL THEN (sb.bbits & h.mask) ELSE 0 END
+           AS cell
+  FROM af a LEFT JOIN hotm h ON a.cell = h.cell
+            LEFT JOIN sb ON a.vec_id = sb.vec_id)""")
+        src = "af2"
     ctes.append(
         "n AS (SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb))"
-        " AS nrm FROM af)"
+        f" AS nrm FROM {src})"
     )
     ctes.append(f"""pairs AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b

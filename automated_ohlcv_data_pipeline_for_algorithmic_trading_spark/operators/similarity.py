@@ -811,14 +811,22 @@ def _split_hot_cells(
     Driver-side state is one row per CELL (n_lists rows), never per
     vector; the hot-member bucket pass is the exact-integer
     hyperplane_buckets join — O(hot members * bits), one shuffle.
+
+    Bit count per hot cell is PURE-INTEGER (smallest b in [1, 16] with
+    ``max_cell_size · 2^b >= n`` — equivalent to ceil(log2(n/max)) but
+    with no float log whose last-ulp could flip a ceil cross-engine),
+    so the DuckDB oracle replays the split exactly (_semdedup_sql).
     """
-    import math
+
+    def _bits(n: int) -> int:
+        b = 1
+        while (max_cell_size << b) < n and b < 16:
+            b += 1
+        return b
 
     sizes = assignments.groupBy("cell").agg(F.count(F.lit(1)).alias("_n")).collect()
     masks = {
-        int(r["cell"]): (1 << min(
-            max(1, math.ceil(math.log2(r["_n"] / max_cell_size))), 16
-        )) - 1
+        int(r["cell"]): (1 << _bits(int(r["_n"]))) - 1
         for r in sizes
         if r["_n"] > max_cell_size
     }
@@ -866,7 +874,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scorer: str = "fold",
-    max_cell_size: int | None = None,
+    max_cell_size: int | None = 4096,
     dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
@@ -894,9 +902,12 @@ def semdedup(
 
     ``max_cell_size`` bounds the quadratic within-cell stage: hot cells
     split into hyperplane-sign sub-cells (:func:`_split_hot_cells`) so
-    one mega-cell cannot melt the job down — set it on real corpora
-    (e.g. 4x the expected n/n_lists); left ``None`` for oracle-checked
-    runs because the split changes which boundary pairs are seen.
+    one mega-cell cannot melt the job down. **ON by default (4096)** —
+    the scale-killer it guards (one hot k-means cell going quadratic in
+    the pair stage) is exactly the 100 TB failure mode — and the split
+    is md5-deterministic with pure-integer bit counts, so the DuckDB
+    oracle replays it exactly (``_semdedup_sql(max_cell_size=...)``);
+    pass ``None`` only to reproduce the unguarded paper shape.
 
     Output: (vec_id, keeper_id, is_kept) for every vector that appears
     in at least one near-dup pair; vectors with no near-dup never leave

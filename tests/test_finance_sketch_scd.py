@@ -757,6 +757,47 @@ class TestSemDedup:
             F.count(F.lit(1)).alias("n")).collect()}
         assert len(sizes) >= 2  # the hot cell was re-keyed into sub-cells
 
+    def test_split_guard_oracle_parity_on_testdata(self, spark):
+        """The guard is ON by default (max_cell_size=4096), which the
+        gate SFs never trigger — so pin the SPLIT-ENGAGED oracle replay
+        here: max_cell_size=32 on the real sf0.001 embeddings (500
+        vectors / 8 cells ~ 62 each -> every cell splits) must be
+        row-identical between Spark semdedup and _semdedup_sql."""
+        import duckdb
+
+        from __spark_entry__ import _semdedup_sql
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            semdedup,
+        )
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+            load_table,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        emb = load_table(spark, sf, "embeddings")
+        out = semdedup(
+            emb, threshold=0.4, n_lists=8, n_iter=2, max_cell_size=32
+        ).orderBy("vec_id")
+        srows = [(r[0], r[1], r[2]) for r in out.collect()]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS"
+            f" SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        drows = [
+            tuple(r)
+            for r in con.execute(
+                _semdedup_sql(threshold=0.4, max_cell_size=32)
+            ).fetchall()
+        ]
+        assert srows == drows
+        assert len(srows) > 0
+        # and the split genuinely changed the pair set vs unguarded
+        unsplit = semdedup(
+            emb, threshold=0.4, n_lists=8, n_iter=2, max_cell_size=None
+        )
+        assert unsplit.count() != len(srows)
+
 
 class TestSupertrend:
     def test_state_machine_and_warmup(self, spark):
