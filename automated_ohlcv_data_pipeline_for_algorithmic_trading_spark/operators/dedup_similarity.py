@@ -520,6 +520,7 @@ def near_dup_components(
     extend_until_converged: bool = False,
     max_rounds: int = 20,
     broadcast_max_labels: int = 1_000_000,
+    small_graph_max_edges: int = 200_000,
 ) -> DataFrame:
     """Canonical-keeper selection over the near-dup pair graph: every doc
     appearing in ``pairs`` gets a ``keeper_id`` — the minimum doc id
@@ -543,6 +544,12 @@ def near_dup_components(
     chains.  In fixed-round mode (the SQL-replayable registry variant) a
     still-changing final round raises a ``RuntimeWarning`` instead of
     silently splitting components.
+
+    Converged mode takes a driver union-find FAST PATH while the edge
+    set fits ``small_graph_max_edges`` (near-dup edges scale with dup
+    density, not corpus size — the bounded-collect class); the result
+    is the identical fixed point. The distributed pointer-jumping loop
+    remains the path for bigger graphs.
     """
     # The pair set is tiny (near-dup edges) but its lineage is the whole
     # LSH pipeline; verts/edges/rounds reference it 4+ times, so cut the
@@ -556,6 +563,48 @@ def near_dup_components(
     # this only if a single partition of labels stops fitting in memory.
     spark = pairs.sparkSession
     pairs = pairs.localCheckpoint()
+    if extend_until_converged:
+        # Small-graph fast path: near-dup edge sets are tiny relative to
+        # the corpus (edges grow with DUP DENSITY, not corpus size), and
+        # the distributed loop pays ~0.5-1 s of scheduling per round
+        # (2 joins + 2 checkpoints + a convergence probe) even when the
+        # label table is a few thousand rows. Below the bound, collect
+        # the edges once and run min-root union-find on the driver —
+        # the SAME fixed point (every vertex -> min id in its connected
+        # component) the converged loop reaches, in one action instead
+        # of ~4 rounds x 4 jobs. 200k edges = a few MB; above it the
+        # distributed pointer-jumping loop below scales to any graph.
+        # (Fixed-round mode never takes this path: its contract is
+        # min-within-`rounds`-hops, which the unrolled SQL oracle
+        # replays — union-find would overshoot on long chains.)
+        n_edges = pairs.count()
+        if n_edges <= small_graph_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r in pairs.select(id_a, id_b).collect():
+                a, b = r[0], r[1]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN id so every root is its component min
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            rows = [(v, find(v)) for v in parent]
+            return spark.createDataFrame(
+                rows, "doc_id long, keeper_id long"
+            )
     n_part = max(2, min(8, spark.sparkContext.defaultParallelism // 4))
     pairs = pairs.repartition(n_part)
     va = pairs.select(F.col(id_a).alias("v"))

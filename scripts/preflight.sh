@@ -36,3 +36,7 @@ if [[ "${1:-}" != "fast" ]]; then
 fi
 
 echo "== preflight: ALL GREEN =="
+# Committed audit trail (VERDICT r5 ask #6): one line per green run,
+# stamped with the tree it validated, so the end-of-round snapshot
+# commit carries the proof that preflight ran on (or right before) it.
+echo "$(date -u +%Y-%m-%dT%H:%M:%SZ) tree=$(git rev-parse HEAD) mode=${1:-full} ALL GREEN" >> PREFLIGHT.log

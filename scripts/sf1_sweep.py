@@ -45,7 +45,34 @@ QUERIES = [
     "x_ema_macd",
     "d_bpe_learn",
     "d_dup_components",
+    # round 6 (VERDICT r5 ask #8): the shuffle-heavy join/ANN family —
+    # candidate-set blowup under 10x replica density is what sf0.1
+    # cannot show (LSH buckets get 10 identical signatures per base
+    # doc; interval joins get 10x rows per user; ANN corpora grow 10x)
+    "d_minhash_neardup",
+    "j_interval_clicks",
+    "emb_pq_ann",
+    "emb_semdedup",
 ]
+
+# emb_semdedup at 20k vectors with the registry's n_lists=8 leaves
+# ~2.5k vectors per k-means cell — below the 4096 default guard but
+# already ~25M within-cell pair evaluations. The sweep times BOTH the
+# registry shape and a guard-engaged variant (max_cell_size=1024) to
+# show the split bounding the quadratic stage at sf1.
+def _semdedup_guarded(spark, sf_dir):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        semdedup,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.4, n_lists=8, n_iter=2, max_cell_size=1024)
+
+
+EXTRA_WALLS = {"emb_semdedup_guard1024": _semdedup_guarded}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -80,6 +107,20 @@ def build() -> None:
             ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
             """
         )
+        # embeddings: 10 id-shifted exact replicas -> 10x ANN corpus,
+        # dup clusters of 10 for semdedup (vec_bound mirrors doc_bound's
+        # subset role: 200 base vecs -> 2000 for the oracle-parity dir)
+        vec_bound = 10**9 if doc_bound == 10**9 else 200
+        con.sql(
+            f"""
+            COPY (
+              SELECT vec_id + i * 2000 AS vec_id, embedding, label
+              FROM '{SRC}/embeddings.parquet', generate_series(0, 9) t(i)
+              WHERE vec_id < {vec_bound}
+              ORDER BY vec_id
+            ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+            """
+        )
         for t in TABLES:
             p = f"{dst}/{t}.parquet"
             if not os.path.exists(p):
@@ -95,10 +136,11 @@ def spark_walls() -> list[tuple[str, float]]:
     spark = get_spark("sf1-sweep")
     qs = entry_mod.queries()
     out = []
-    for name in QUERIES:
-        qs[name](spark, SRC).write.format("noop").mode("overwrite").save()  # warm
+    runs = [(n, qs[n]) for n in QUERIES] + list(EXTRA_WALLS.items())
+    for name, fn in runs:
+        fn(spark, SRC).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.perf_counter()
-        qs[name](spark, DST).write.format("noop").mode("overwrite").save()
+        fn(spark, DST).write.format("noop").mode("overwrite").save()
         out.append((name, time.perf_counter() - t0))
         print(f"sf1 wall {name}: {out[-1][1]:.2f}s", flush=True)
     spark.stop()

@@ -361,6 +361,37 @@ def test_near_dup_components_convergence_guard(spark):
     assert not any("still changing" in str(c.message) for c in caught)
 
 
+def test_union_find_fast_path_matches_distributed_loop(spark):
+    """Converged mode's driver union-find fast path must reach the
+    IDENTICAL fixed point as the distributed pointer-jumping loop
+    (forced via small_graph_max_edges=0) on an awkward graph: long
+    chain + clique + isolated edge, with edges in arbitrary order."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        near_dup_components,
+    )
+
+    edges = (
+        [(i + 1, i) for i in range(20, 28)]          # descending chain
+        + [(101, 105), (105, 103), (103, 101)]       # clique, shuffled
+        + [(7, 3)]                                   # isolated edge
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        r["doc_id"]: r["keeper_id"]
+        for r in near_dup_components(
+            pairs, extend_until_converged=True
+        ).collect()
+    }
+    dist = {
+        r["doc_id"]: r["keeper_id"]
+        for r in near_dup_components(
+            pairs, extend_until_converged=True, small_graph_max_edges=0
+        ).collect()
+    }
+    assert fast == dist
+    assert fast[28] == 20 and fast[101] == 101 and fast[7] == 3
+
+
 def test_minhash_index_probe_matches_batch_cross_pairs(spark, tmp_path):
     """Incremental dedup == batch dedup on the cross pairs: probing a new
     batch against the corpus index yields exactly the (new x corpus)
