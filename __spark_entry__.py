@@ -8122,7 +8122,7 @@ def _emb_pca_sql(k: int = 8) -> str:
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    mu, comps, explained = pca_fit_local(
+    mu, comps, _evals, explained = pca_fit_local(
         f"{sf_dir}/embeddings.parquet", k=k
     )
     exq = math.floor(explained * 1e6 + 0.5) / 1e6
@@ -9270,6 +9270,372 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+
+
+def x_cmf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin Money Flow (20) over per-user daily OHLCV bars: n-bar
+    accumulation/distribution-weighted volume over total volume — the
+    bounded-window oscillator twin of x_chaikin_ad's cumulative line.
+    Money-flow multiplier quantized, products exact BIGINT, final two
+    divisions fixed-order IEEE (operators/finance.chaikin_money_flow)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        chaikin_money_flow,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return chaikin_money_flow(daily, ["user_id"], "trade_date", n=20).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_CMF_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+m AS (
+  SELECT user_id, trade_date, close, volume,
+         CASE WHEN high > low
+              THEN {sql_u6("(close - low - (high - close)) / (high - low)")}
+              ELSE 0 END AS q
+  FROM daily),
+s AS (
+  SELECT user_id, trade_date, close,
+         sum(q * volume) OVER f AS smfv,
+         sum(volume) OVER f AS svol
+  FROM m
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, close,
+       CASE WHEN svol > 0
+            THEN CAST(smfv AS DOUBLE) / CAST(svol AS DOUBLE) / 1e6
+       END AS cmf
+FROM s ORDER BY user_id, trade_date
+"""
+
+
+def x_awesome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Awesome Oscillator: SMA(median price, 5) − SMA(median price, 34)
+    per user — bar-midpoint momentum. Median prices quantized so both
+    SMAs are exact BIGINT frame sums; NULL until the slow window fills
+    (operators/finance.awesome_oscillator)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        awesome_oscillator,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return awesome_oscillator(daily, ["user_id"], "trade_date").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_AWESOME_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+m AS (
+  SELECT user_id, trade_date, close,
+         {sql_u6("(high + low) / 2.0")} AS mp
+  FROM daily),
+s AS (
+  SELECT user_id, trade_date, close,
+         sum(mp) OVER ff AS sf, count(*) OVER ff AS cf,
+         sum(mp) OVER fs AS ss, count(*) OVER fs AS cs
+  FROM m
+  WINDOW ff AS (PARTITION BY user_id ORDER BY trade_date
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         fs AS (PARTITION BY user_id ORDER BY trade_date
+                ROWS BETWEEN 33 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, close,
+       CASE WHEN cs >= 34 THEN
+         (CAST(sf AS DOUBLE) / CAST(cf AS DOUBLE)
+          - CAST(ss AS DOUBLE) / CAST(cs AS DOUBLE)) / 1e6
+       END AS ao
+FROM s ORDER BY user_id, trade_date
+"""
+
+
+def x_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended Price Oscillator (20): close from 11 bars ago minus the
+    current 20-bar SMA — trend-removed cycle view. One lag + one frame
+    sum on one exchange, exact BIGINT micro-units
+    (operators/finance.detrended_price_osc)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        detrended_price_osc,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return detrended_price_osc(daily, ["user_id"], "trade_date", n=20).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_DPO_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+m AS (
+  SELECT user_id, trade_date, close, {sql_u6("close")} AS cu
+  FROM daily),
+s AS (
+  SELECT user_id, trade_date, close,
+         lag(cu, 11) OVER w AS lagc,
+         sum(cu) OVER f AS su, count(*) OVER f AS cnt
+  FROM m
+  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date),
+         f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, close,
+       CASE WHEN lagc IS NOT NULL AND cnt >= 20 THEN
+         (CAST(lagc AS DOUBLE) - CAST(su AS DOUBLE) / CAST(cnt AS DOUBLE))
+           / 1e6
+       END AS dpo
+FROM s ORDER BY user_id, trade_date
+"""
+
+
+def x_vwma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted moving average (20) per user: Σ(close·vol)/Σ(vol)
+    over the sliding window — anchored VWAP's bounded-window sibling.
+    price×volume products exact BIGINT (operators/finance.vwma)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        vwma,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return vwma(daily, ["user_id"], "trade_date", n=20).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_VWMA_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+m AS (
+  SELECT user_id, trade_date, close, volume,
+         {sql_u6("close")} * volume AS pq
+  FROM daily),
+s AS (
+  SELECT user_id, trade_date, close,
+         sum(pq) OVER f AS spq, sum(volume) OVER f AS sv
+  FROM m
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, close,
+       CASE WHEN sv > 0
+            THEN CAST(spq AS DOUBLE) / CAST(sv AS DOUBLE) / 1e6
+       END AS vwma
+FROM s ORDER BY user_id, trade_date
+"""
+
+
+def x_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calmar ratio per user: annualized mean daily return over worst
+    peak-to-trough drawdown magnitude — sharpe/sortino's "worst pain"
+    companion. One daily reduction + one window pass computing returns
+    (exact BIGINT sums) and running-max drawdown (order-free MIN of
+    exact-operand quotients) together
+    (operators/finance.calmar_ratio)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        calmar_ratio,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return calmar_ratio(ev, ["user_id"], "ts", "event_id", "value").orderBy(
+        "user_id"
+    )
+
+
+_X_CALMAR_SQL = f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE value > 0),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM src GROUP BY user_id, CAST(ts AS DATE)),
+b AS (
+  SELECT user_id, trade_date, close,
+         {sql_u6("close")} AS cu,
+         close / lag(close) OVER w - 1.0 AS ret
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+c AS (
+  SELECT user_id,
+         CAST(cu AS DOUBLE) / CAST(max(cu) OVER r AS DOUBLE) - 1.0 AS dd,
+         CASE WHEN ret IS NOT NULL AND abs(ret) <= 10.0
+              THEN {sql_u6("ret")} END AS q
+  FROM b
+  WINDOW r AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+a AS (
+  SELECT user_id, CAST(count(q) AS BIGINT) AS n_days,
+         sum(q) AS sq, min(dd) AS mdd
+  FROM c GROUP BY user_id)
+SELECT user_id, n_days,
+       CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE) / 1e6 * 252.0 AS ann_ret,
+       mdd,
+       CASE WHEN n_days >= 30 AND mdd < 0 THEN
+         (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE) / 1e6 * 252.0)
+           / (-mdd)
+       END AS calmar
+FROM a ORDER BY user_id
+"""
+
+
+def d_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality screen per document: word-count
+    bounds, mean word length, alphabetic-word fraction, #-per-word,
+    bullet/ellipsis line fractions, and the combined pass verdict —
+    the hard-threshold filter ahead of model-based quality scoring.
+    One projection pass, no shuffle; every metric a quotient of exact
+    integer counts (operators/text.gopher_rules)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        gopher_rules,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_rules(docs).orderBy("doc_id")
+
+
+_D_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_SQL_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)),
+                     x -> length(trim(x)) > 0) AS ls,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           AS nhash
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks,
+                  w -> CAST(length(w) AS BIGINT))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) END AS mean_word_len,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks,
+                  w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) END AS alpha_frac,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(nhash AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         END AS hash_ratio,
+         CASE WHEN len(ls) > 0 THEN
+           CAST(len(list_filter(ls,
+                  x -> left(ltrim(x), 1) IN ('-', '*'))) AS DOUBLE)
+             / CAST(len(ls) AS DOUBLE) END AS bullet_frac,
+         CASE WHEN len(ls) > 0 THEN
+           CAST(len(list_filter(ls, x -> rtrim(x) LIKE '%...')) AS DOUBLE)
+             / CAST(len(ls) AS DOUBLE) END AS ellipsis_frac
+  FROM t)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, hash_ratio,
+       bullet_frac, ellipsis_frac,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND alpha_frac >= 0.8 AND hash_ratio <= 0.1
+        AND coalesce(bullet_frac <= 0.9, TRUE)
+        AND coalesce(ellipsis_frac <= 0.3, TRUE)) AS pass_gopher
+FROM m ORDER BY doc_id
+"""
+
+
+def e_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product stickiness per month: average DAU over MAU — the classic
+    engagement ratio. Two distinct-count aggregates (day and month
+    grain) joined on month; ratios are fixed-order IEEE over exact
+    counts."""
+    ev = _t(spark, sf_dir, "events")
+    month = F.trunc(F.to_date("ts"), "MM").alias("month")
+    day = F.to_date("ts").alias("day")
+    dau = ev.groupBy(month, day).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = ev.groupBy(month).agg(F.countDistinct("user_id").alias("mau"))
+    a = dau.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dau").alias("total_dau"),
+    )
+    stick = (
+        F.col("total_dau").cast("double")
+        / F.col("n_days").cast("double")
+        / F.col("mau").cast("double")
+    )
+    return (
+        a.join(mau, "month")
+        .select("month", "n_days", "total_dau", "mau",
+                stick.alias("stickiness"))
+        .orderBy("month")
+    )
+
+
+_E_STICKINESS_SQL = """
+WITH d AS (
+  SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+         CAST(ts AS DATE) AS day,
+         count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+         count(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1),
+a AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(dau) AS BIGINT) AS total_dau
+  FROM d GROUP BY month)
+SELECT a.month, n_days, total_dau, CAST(mau AS BIGINT) AS mau,
+       CAST(total_dau AS DOUBLE) / CAST(n_days AS DOUBLE)
+         / CAST(mau AS DOUBLE) AS stickiness
+FROM a JOIN m USING (month) ORDER BY month
+"""
+
+
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier scan: truncated Mahalanobis score in the PCA
+    eigenbasis (Σ projⱼ²/λⱼ over the top-8 components — whitened
+    distance from the corpus mean), top-20 by score. Same bit-replayable
+    fit as emb_pca, so the oracle pins (mu, comps, λ) literals and
+    replays scoring + ranking in SQL
+    (operators/similarity.pca_outlier_scores)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        pca_outlier_scores,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_outlier_scores(emb, k=8, top=20)
+
+
+def _emb_outliers_sql(k: int = 8, top: int = 20) -> str:
+    """DuckDB twin of emb_outliers: literals from the same exact local
+    fit as _emb_pca_sql; raw-double projections (leading 0.0 fold
+    seed), score = 0.0 + Σ (pⱼ·pⱼ)/λⱼ left-to-right, rank on the RAW
+    score with vec_id tie-break, quantize only for display."""
+    import os
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        pca_fit_local,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    mu, comps, evals, _explained = pca_fit_local(
+        f"{sf_dir}/embeddings.parquet", k=k
+    )
+    projs = []
+    for i, comp in enumerate(comps):
+        terms = " + ".join(
+            f"(CAST(embedding[{d + 1}] AS DOUBLE) - {mu[d]!r}) * {comp[d]!r}"
+            for d in range(len(mu))
+        )
+        projs.append(f"0.0 + {terms} AS p{i}")
+    proj_sql = ",\n       ".join(projs)
+    score = "0.0 + " + " + ".join(
+        f"(p{i} * p{i}) / {float(lam)!r}" for i, lam in enumerate(evals)
+    )
+    return f"""
+WITH p AS (
+  SELECT vec_id,
+       {proj_sql}
+  FROM embeddings),
+s AS (SELECT vec_id, {score} AS sc FROM p)
+SELECT CAST(row_number() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+       vec_id, floor(sc * 1e6 + 0.5) / 1e6 AS score
+FROM s ORDER BY sc DESC, vec_id LIMIT {top}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
@@ -9283,6 +9649,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # spills to r7 and should head its window.
     return {
         # --- r6 part 0: NEW this round (insert new queries HERE) ---
+        "x_cmf": x_cmf,
+        "x_awesome": x_awesome,
+        "x_dpo": x_dpo,
+        "x_vwma": x_vwma,
+        "x_calmar": x_calmar,
+        "d_gopher_rules": d_gopher_rules,
+        "e_stickiness": e_stickiness,
+        "emb_outliers": emb_outliers,
         # --- r6 part 1: implementation/oracle changed this round ---
         "emb_pca": emb_pca,
         "s_stream_topk": s_stream_topk,
@@ -9559,6 +9933,14 @@ def oracle_sql() -> dict[str, str]:
         "x_mass_index": _mass_index_sql(),
         "x_mc_var": _mc_var_sql(),
         "emb_pca": _emb_pca_sql(),
+        "x_cmf": _X_CMF_SQL,
+        "x_awesome": _X_AWESOME_SQL,
+        "x_dpo": _X_DPO_SQL,
+        "x_vwma": _X_VWMA_SQL,
+        "x_calmar": _X_CALMAR_SQL,
+        "d_gopher_rules": _D_GOPHER_SQL,
+        "e_stickiness": _E_STICKINESS_SQL,
+        "emb_outliers": _emb_outliers_sql(),
         "x_coppock": _coppock_sql(),
         "x_kst": _kst_sql(),
         "d_span_corruption": _D_SPANCORRUPT_SQL,
@@ -9684,6 +10066,14 @@ def oracle_sql() -> dict[str, str]:
 #: (d_dup_components, d_decontaminate, d_quality_score, d_hash_split)
 #: are also timed individually.
 HEADLINE_QUERIES = [
+    "x_cmf",
+    "x_awesome",
+    "x_dpo",
+    "x_vwma",
+    "x_calmar",
+    "d_gopher_rules",
+    "e_stickiness",
+    "emb_outliers",
     "q01_pricing_summary",
     "q03_top_order_revenue",
     "q05_nation_revenue",

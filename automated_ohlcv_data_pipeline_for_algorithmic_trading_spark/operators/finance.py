@@ -3040,3 +3040,217 @@ def event_study(
         )
         .orderBy("offset")
     )
+
+
+def chaikin_money_flow(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 20,
+) -> DataFrame:
+    """Chaikin Money Flow over per-key OHLCV bars: the n-bar ratio of
+    accumulation/distribution-weighted volume to total volume,
+
+        mfm = ((close−low) − (high−close)) / (high−low)
+        cmf = Σₙ(mfm·volume) / Σₙ(volume)
+
+    — the money-flow twin of the A/D line's running sum (reference
+    indicator family, cf. chaikin_ad; x_chaikin_ad is the cumulative
+    form, this is the bounded-window oscillator).
+
+    Exactness ledger: mfm is a quotient of exact double differences
+    (identical operand order both engines — bit-identical IEEE), then
+    1e-6-quantized via the tie-safe floor rule so the money-flow VOLUME
+    product and its n-bar frame sum are exact BIGINT (|q| ≤ 1e6 ×
+    bounded daily volume — far under 2^63). Flat bars (high == low)
+    contribute ZERO money flow but their volume still counts in the
+    denominator (the standard convention). The final
+    ``cmf = Σmfv / Σvol / 1e6`` is two fixed-order IEEE divisions of
+    exact operands. One exchange+sort per key.
+
+    Output: keys, order_col, close, cmf.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    f = w.rowsBetween(-(n - 1), 0)
+    h, l, c = F.col("high"), F.col("low"), F.col("close")
+    mfm = (c - l - (h - c)) / (h - l)
+    q = F.when(h > l, u6(mfm)).otherwise(F.lit(0).cast("long"))
+    mfv = q * F.col("volume")
+    smfv = F.sum(mfv).over(f)
+    svol = F.sum(F.col("volume")).over(f)
+    cmf = F.when(
+        svol > 0,
+        smfv.cast("double") / svol.cast("double") / F.lit(1e6),
+    )
+    return df.select(*keys, F.col(order_col), c, cmf.alias("cmf"))
+
+
+def awesome_oscillator(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    fast: int = 5,
+    slow: int = 34,
+) -> DataFrame:
+    """Awesome Oscillator (Bill Williams): SMA(median price, fast) −
+    SMA(median price, slow) — the momentum gauge on bar midpoints.
+
+    Median price (high+low)/2 is one exact-operand IEEE op, then
+    1e-6-quantized so both SMAs are exact BIGINT frame sums; the
+    oscillator ``su_f/cnt_f − su_s/cnt_s`` (then /1e6) is fixed-order
+    IEEE over exact operands — bit-identical cross-engine with no
+    rounding step. NULL until the slow window is FULL (the standard
+    warm-up; partial slow windows would just mirror the fast SMA).
+    One exchange+sort per key, both frames on the same sort.
+
+    Output: keys, order_col, close, ao.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    ff = w.rowsBetween(-(fast - 1), 0)
+    fs = w.rowsBetween(-(slow - 1), 0)
+    mp = u6((F.col("high") + F.col("low")) / F.lit(2.0))
+    ao = F.when(
+        F.count(F.lit(1)).over(fs) >= slow,
+        (
+            F.sum(mp).over(ff).cast("double")
+            / F.count(F.lit(1)).over(ff).cast("double")
+            - F.sum(mp).over(fs).cast("double")
+            / F.count(F.lit(1)).over(fs).cast("double")
+        )
+        / F.lit(1e6),
+    )
+    return df.select(
+        *keys, F.col(order_col), F.col("close"), ao.alias("ao")
+    )
+
+
+def detrended_price_osc(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 20,
+) -> DataFrame:
+    """Detrended Price Oscillator: price from (n/2 + 1) bars ago minus
+    the current n-bar SMA — removes the long trend so cycle lengths
+    stand out. ``dpo = close[t − (n/2+1)] − SMA_n[t]``.
+
+    The lagged close and the SMA numerator are exact BIGINT micro-units
+    (one lag + one frame sum on a single exchange+sort);
+    ``(lag_u − su/cnt) / 1e6`` is fixed-order IEEE over exact operands.
+    NULL until both the lag exists and the SMA window is full.
+
+    Output: keys, order_col, close, dpo.
+    """
+    shift = n // 2 + 1
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    f = w.rowsBetween(-(n - 1), 0)
+    lagc = F.lag(u6(F.col("close")), shift).over(w)
+    cnt = F.count(F.lit(1)).over(f)
+    su = F.sum(u6(F.col("close"))).over(f)
+    dpo = F.when(
+        lagc.isNotNull() & (cnt >= n),
+        (lagc.cast("double") - su.cast("double") / cnt.cast("double"))
+        / F.lit(1e6),
+    )
+    return df.select(
+        *keys, F.col(order_col), F.col("close"), dpo.alias("dpo")
+    )
+
+
+def vwma(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 20,
+) -> DataFrame:
+    """Volume-weighted moving average: Σₙ(close·volume) / Σₙ(volume) —
+    the MA that weights heavy-volume bars (vwap_anchored's bounded-
+    window sibling: anchored VWAP never forgets, VWMA slides).
+
+    close quantizes to micro-units so the price×volume products and
+    both frame sums are exact BIGINT (|q| ≤ 1e8 micro × bounded daily
+    volume ≤ 1e5 → products ≤ 1e13, n-bar sums far under 2^63);
+    ``Σpq / Σv / 1e6`` is fixed-order IEEE over exact operands. One
+    exchange+sort per key.
+
+    Output: keys, order_col, close, vwma.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    f = w.rowsBetween(-(n - 1), 0)
+    pq = u6(F.col("close")) * F.col("volume")
+    spq = F.sum(pq).over(f)
+    sv = F.sum(F.col("volume")).over(f)
+    out = F.when(
+        sv > 0, spq.cast("double") / sv.cast("double") / F.lit(1e6)
+    )
+    return df.select(
+        *keys, F.col(order_col), F.col("close"), out.alias("vwma")
+    )
+
+
+def calmar_ratio(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    periods: int = 252,
+    min_days: int = 30,
+    ret_cap: float = 10.0,
+) -> DataFrame:
+    """Calmar ratio per key: annualized mean daily return over the
+    magnitude of the worst peak-to-trough drawdown — the "return per
+    unit of worst pain" companion to sharpe (volatility) and sortino
+    (downside deviation).
+
+    One daily-close reduction (max_by — single shuffle), then ONE
+    window pass computing both ingredients on the same sort: returns
+    (rows with |ret| > ret_cap dropped, survivors 1e-6-quantized into
+    an exact BIGINT sum) and the running-max drawdown (quotients of
+    exact micro-unit closes — per-row IEEE, reduced by MIN which is
+    order-free). ``ann_ret = (Σq/n)/1e6·periods``;
+    ``calmar = ann_ret / −mdd`` — every reduction exact, every float op
+    fixed-order, so the raw doubles replay bit-identically. Keys with
+    < ``min_days`` returns or no drawdown (mdd == 0) yield NULL calmar.
+
+    Output: keys, n_days, ann_ret, mdd, calmar.
+    """
+    key = F.struct(F.col(ts_col), F.col(id_col))
+    daily = (
+        df.filter(F.col(value_col) > 0)
+        .groupBy(*keys, F.to_date(F.col(ts_col)).alias("trade_date"))
+        .agg(F.max_by(F.col(value_col), key).alias("close"))
+    )
+    w = Window.partitionBy(*keys).orderBy("trade_date")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    cu = u6(F.col("close"))
+    peak = F.max(cu).over(run)
+    dd = cu.cast("double") / peak.cast("double") - F.lit(1.0)
+    ret = F.col("close") / F.lag("close").over(w) - F.lit(1.0)
+    bars = daily.select(
+        *keys,
+        F.col("trade_date"),
+        dd.alias("_dd"),
+        F.when(
+            ret.isNotNull() & (F.abs(ret) <= F.lit(ret_cap)),
+            F.floor(ret * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("_q"),
+    )
+    agg = bars.groupBy(*keys).agg(
+        F.count("_q").cast("long").alias("n_days"),
+        F.sum("_q").alias("_sq"),
+        F.min("_dd").alias("mdd"),
+    )
+    nd = F.col("n_days").cast("double")
+    ann = F.col("_sq").cast("double") / nd / F.lit(1e6) * F.lit(float(periods))
+    calmar = F.when(
+        (F.col("n_days") >= min_days) & (F.col("mdd") < 0),
+        ann / -F.col("mdd"),
+    )
+    return agg.select(
+        *keys,
+        "n_days",
+        ann.alias("ann_ret"),
+        "mdd",
+        calmar.alias("calmar"),
+    )

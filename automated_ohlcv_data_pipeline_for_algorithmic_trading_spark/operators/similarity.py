@@ -1525,7 +1525,7 @@ def pca_project(
     Output: (id_col, projection array<double>[k], explained — the
     fraction of total variance captured, same scalar on every row).
     """
-    mu, comps, explained = _pca_fit(df, k, vec_col)
+    mu, comps, _evals, explained = _pca_fit(df, k, vec_col)
     mu_lit = F.array(*[F.lit(float(x)) for x in mu])
     comp_lits = [
         F.array(*[F.lit(float(x)) for x in comp]) for comp in comps
@@ -1555,14 +1555,16 @@ def _pca_eig(cov, k: int):
     for row in comps:
         if row[np.argmax(np.abs(row))] < 0:
             row *= -1.0
+    evals = w[order]
     explained = float(np.sum(w[order]) / np.sum(np.maximum(w, 0.0)))
-    return comps, explained
+    return comps, evals, explained
 
 
 def _pca_fit(df: DataFrame, k: int, vec_col: str):
     """Distributed PCA fit: exact-integer covariance + means collected
     (bounded: d(d+1)/2 + d rows), then the shared eigh step. Returns
-    (mu ndarray[d], comps ndarray[k,d], explained float)."""
+    (mu ndarray[d], comps ndarray[k,d], evals ndarray[k],
+    explained float)."""
     import numpy as np
 
     d_rows = embedding_covariance(df, vec_col).collect()
@@ -1588,8 +1590,8 @@ def _pca_fit(df: DataFrame, k: int, vec_col: str):
     mu = np.zeros(dim)
     for r in means:
         mu[r["dim"]] = float(r["sq"]) / float(r["n"]) / 1e6
-    comps, explained = _pca_eig(cov, k)
-    return mu, comps, explained
+    comps, evals, explained = _pca_eig(cov, k)
+    return mu, comps, evals, explained
 
 
 def pca_fit_local(
@@ -1602,8 +1604,9 @@ def pca_fit_local(
     ``(n·Σxy − Σx·Σy) / (n·(n−1)) / 1e12`` and ``(Σx/n)/1e6`` in the
     SAME fixed IEEE order), then the shared :func:`_pca_eig` step.
     Identical cov/mu bits -> identical components, so the DuckDB
-    oracle for emb_pca can pin (mu, comps, explained) as literals and
-    replay the projection in pure SQL. Returns (mu, comps, explained).
+    oracle for emb_pca can pin (mu, comps, evals, explained) as
+    literals and replay the projection in pure SQL. Returns
+    (mu, comps, evals, explained).
     """
     import numpy as np
     import pyarrow.parquet as pq
@@ -1623,8 +1626,8 @@ def pca_fit_local(
         / 1e12
     )
     mu = sx / nd / 1e6
-    comps, explained = _pca_eig(cov, k)
-    return mu, comps, explained
+    comps, evals, explained = _pca_eig(cov, k)
+    return mu, comps, evals, explained
 
 
 def pca_project_scalar(
@@ -1648,7 +1651,7 @@ def pca_project_scalar(
 
     from ..functions.exact import q6
 
-    mu, comps, explained = _pca_fit(df, k, vec_col)
+    mu, comps, _evals, explained = _pca_fit(df, k, vec_col)
     mu_lit = F.array(*[F.lit(float(x)) for x in mu])
     centered = F.zip_with(
         _as_double(F.col(vec_col)), mu_lit, lambda a, b: a - b
@@ -1726,3 +1729,58 @@ def embedding_drift(
         mean_b.alias("mean_b"),
         smd.alias("smd"),
     ).orderBy("dim")
+
+
+def pca_outlier_scores(
+    df: DataFrame,
+    k: int = 8,
+    top: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space outlier scoring: truncated Mahalanobis distance
+    in the PCA eigenbasis —
+
+        score = Σ_{j<k} proj_j² / λ_j
+
+    — the standard "whitened" anomaly signal for an embedding corpus
+    (broken encoders, mislabeled modalities, injected junk): distance
+    from the corpus mean, where each principal direction counts in
+    units of ITS OWN variance. Diagonal in the eigenbasis, so no d×d
+    inverse is needed — the one extra ingredient over pca_project is
+    the top-k eigenvalues the fit already produced.
+
+    Shape at scale: the same bounded fit as pca_project (one Gram
+    pass + driver eigh), then a broadcast-literal projection per row
+    and a TakeOrdered top-``top`` — no global sort, no extra shuffle.
+
+    Exactness: projections are the sequential-fold dot over pinned
+    literals (bit-identical, see pca_fit_local); each proj²/λ term and
+    the k-term left-to-right sum are fixed-order IEEE; the score is
+    1e-6-quantized and ranked with vec_id tie-break, so the DuckDB twin
+    replays the whole query from the same literals.
+
+    Output: (rank, id_col, score) — the ``top`` highest-score vectors.
+    """
+    mu, comps, evals, _explained = _pca_fit(df, k, vec_col)
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    centered = F.zip_with(
+        _as_double(F.col(vec_col)), mu_lit, lambda a, b: a - b
+    )
+    score = F.lit(0.0)
+    for comp, lam in zip(comps, evals):
+        p = dot(centered, F.array(*[F.lit(float(x)) for x in comp]))
+        score = score + (p * p) / F.lit(float(lam))
+    from ..functions.exact import q6
+
+    top_rows = (
+        df.select(F.col(id_col), score.alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col(id_col).asc())
+        .limit(top)
+    )
+    w = Window.orderBy(F.col("_s").desc(), F.col(id_col).asc())
+    return top_rows.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        id_col,
+        q6("_s", "score"),
+    )

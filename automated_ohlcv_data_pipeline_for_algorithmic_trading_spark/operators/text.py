@@ -334,3 +334,116 @@ def redact_pii(
         .alias("n_long_numbers"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols=("doc_id",),
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_hash_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
+    shape): the classic document-level heuristics a pretraining corpus
+    is screened with before any model-based scoring —
+
+    - word count within [min_words, max_words]
+    - mean word length within [min_mean_len, max_mean_len]
+    - fraction of words containing an alphabetic char >= min_alpha_frac
+    - '#' characters per word <= max_hash_ratio
+    - fraction of (space-trimmed non-empty) lines starting with a
+      bullet ('-' or '*') <= max_bullet_frac
+    - fraction of lines ending with an ellipsis ('...') <=
+      max_ellipsis_frac
+
+    quality_score is the weighted-signal variant; this is the
+    hard-threshold screen (both belong in a curation stack — cf.
+    d_curation_pipeline's quality floor).
+
+    One projection pass, no shuffle, everything codegen'd (array
+    lambdas over the one tokens()/split result — no second regex scan
+    of the document). Every metric is a quotient of exact integer
+    counts, so the doubles and every threshold comparison replay
+    bit-identically in the DuckDB twin (_GOPHER_SQL). Line metrics are
+    NULL for documents with no non-blank line and those rules then
+    pass vacuously (only the word rules can fail an empty doc —
+    n_words=0 fails the floor). Trim semantics are 0x20-only on both
+    engines (Spark/DuckDB ltrim default), so tab-led lines count as
+    content in both.
+
+    Output: id_cols + (n_words, mean_word_len, alpha_frac, hash_ratio,
+    bullet_frac, ellipsis_frac, pass_gopher).
+    """
+    toks = tokens(text_col)
+    t = F.col(text_col)
+    nw = F.size(toks).cast("long")
+    nwd = nw.cast("double")
+    mean_len = F.when(
+        nw > 0,
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+        / nwd,
+    )
+    alpha_frac = F.when(
+        nw > 0,
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double")
+        / nwd,
+    )
+    hash_ratio = F.when(
+        nw > 0,
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+        .cast("double")
+        / nwd,
+    )
+    lines = F.filter(
+        F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    nl = F.size(lines).cast("double")
+    bullet_frac = F.when(
+        F.size(lines) > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.substring(F.ltrim(x), 1, 1).isin("-", "*"),
+            )
+        ).cast("double")
+        / nl,
+    )
+    ellipsis_frac = F.when(
+        F.size(lines) > 0,
+        F.size(F.filter(lines, lambda x: F.rtrim(x).like("%...")))
+        .cast("double")
+        / nl,
+    )
+    ok = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= F.lit(min_mean_len))
+        & (F.col("mean_word_len") <= F.lit(max_mean_len))
+        & (F.col("alpha_frac") >= F.lit(min_alpha_frac))
+        & (F.col("hash_ratio") <= F.lit(max_hash_ratio))
+        & F.coalesce(
+            F.col("bullet_frac") <= F.lit(max_bullet_frac), F.lit(True)
+        )
+        & F.coalesce(
+            F.col("ellipsis_frac") <= F.lit(max_ellipsis_frac), F.lit(True)
+        )
+    )
+    return df.select(
+        *id_cols,
+        nw.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        hash_ratio.alias("hash_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+    ).withColumn("pass_gopher", ok)

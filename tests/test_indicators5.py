@@ -1,0 +1,231 @@
+"""Unit tests for the round-6 indicator batch (operators/finance.py):
+Chaikin Money Flow, Awesome Oscillator, Detrended Price Oscillator,
+VWMA, and the Calmar ratio — plus the Gopher rule screen
+(operators/text.py) and the PCA-whitened outlier scorer
+(operators/similarity.py). Each pins hand-checked math on tiny inputs
+plus the edge conventions the SQL oracles replay (flat-bar CMF, slow
+warm-up AO, capped-return drop in Calmar, vacuous line rules)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+    awesome_oscillator,
+    calmar_ratio,
+    chaikin_money_flow,
+    detrended_price_osc,
+    vwma,
+)
+
+
+def _bars(spark, rows):
+    """rows: (sym, t, high, low, close, volume)"""
+    return spark.createDataFrame(
+        [
+            Row(
+                sym=s,
+                t=t,
+                high=float(h),
+                low=float(lo),
+                close=float(c),
+                volume=int(v),
+            )
+            for (s, t, h, lo, c, v) in rows
+        ]
+    )
+
+
+class TestChaikinMoneyFlow:
+    def test_close_at_high_gives_plus_one(self, spark):
+        # close == high, low < high -> mfm = +1 every bar -> cmf = 1
+        df = _bars(spark, [("a", t, 10.0, 9.0, 10.0, 5) for t in range(4)])
+        out = chaikin_money_flow(df, ["sym"], "t", n=3).collect()
+        for r in out:
+            assert r["cmf"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_flat_bar_zero_flow_but_volume_counts(self, spark):
+        # bar 0: mfm=+1, vol 10; bar 1: FLAT (h==l), vol 30 -> cmf at
+        # t=1 is (1e6*10 + 0*30)/(40*1e6) = 0.25
+        df = _bars(
+            spark,
+            [("a", 0, 10.0, 9.0, 10.0, 10), ("a", 1, 5.0, 5.0, 5.0, 30)],
+        )
+        out = {r["t"]: r["cmf"] for r in chaikin_money_flow(
+            df, ["sym"], "t", n=5).collect()}
+        assert out[0] == pytest.approx(1.0, abs=1e-9)
+        assert out[1] == pytest.approx(0.25, abs=1e-9)
+
+
+class TestAwesomeOscillator:
+    def test_constant_midpoint_zero_after_warmup(self, spark):
+        df = _bars(
+            spark, [("a", t, 11.0, 9.0, 10.0, 1) for t in range(40)]
+        )
+        out = {r["t"]: r["ao"] for r in awesome_oscillator(
+            df, ["sym"], "t").collect()}
+        assert out[10] is None  # slow window not full
+        assert out[33] == pytest.approx(0.0, abs=1e-9)
+        assert out[39] == pytest.approx(0.0, abs=1e-9)
+
+    def test_linear_midpoint_constant_gap(self, spark):
+        # mp = t -> SMA5 mean of last 5 = t-2; SMA34 = t-16.5
+        # ao = 14.5 once the slow window is full
+        df = _bars(
+            spark,
+            [("a", t, t + 1.0, t - 1.0, float(t), 1) for t in range(50)],
+        )
+        out = {r["t"]: r["ao"] for r in awesome_oscillator(
+            df, ["sym"], "t").collect()}
+        assert out[40] == pytest.approx(14.5, abs=1e-6)
+
+
+class TestDetrendedPriceOsc:
+    def test_linear_series_constant_dpo(self, spark):
+        # close = 100 + t: SMA20[t] = 100 + t - 9.5, lag11 = 100 + t - 11
+        # dpo = -1.5 once both exist
+        df = _bars(
+            spark,
+            [("a", t, 0, 0, 100.0 + t, 1) for t in range(40)],
+        )
+        out = {r["t"]: r["dpo"] for r in detrended_price_osc(
+            df, ["sym"], "t", n=20).collect()}
+        assert out[10] is None
+        assert out[35] == pytest.approx(-1.5, abs=1e-6)
+
+    def test_partition_invariance(self, spark):
+        df = _bars(
+            spark,
+            [("a", t, 0, 0, 100.0 + (t * 7) % 13, 1) for t in range(30)],
+        )
+        a = {r["t"]: r["dpo"] for r in detrended_price_osc(
+            df.coalesce(1), ["sym"], "t").collect()}
+        b = {r["t"]: r["dpo"] for r in detrended_price_osc(
+            df.repartition(8), ["sym"], "t").collect()}
+        assert a == b
+
+
+class TestVwma:
+    def test_weights_heavy_volume_bar(self, spark):
+        # closes 10 (vol 1) and 20 (vol 3) -> vwma = (10+60)/4 = 17.5
+        df = _bars(
+            spark,
+            [("a", 0, 0, 0, 10.0, 1), ("a", 1, 0, 0, 20.0, 3)],
+        )
+        out = {r["t"]: r["vwma"] for r in vwma(
+            df, ["sym"], "t", n=5).collect()}
+        assert out[0] == pytest.approx(10.0, abs=1e-9)
+        assert out[1] == pytest.approx(17.5, abs=1e-9)
+
+
+class TestCalmarRatio:
+    def _events(self, spark, closes, sym="u"):
+        import datetime as dt
+
+        rows = [
+            Row(
+                user_id=sym,
+                event_id=i,
+                ts=dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+                value=float(c),
+            )
+            for i, c in enumerate(closes)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_known_drawdown_and_annualized_return(self, spark):
+        # 100 -> 110 -> 88 -> 99: mdd = 88/110 - 1 = -0.2
+        closes = [100.0, 110.0, 88.0, 99.0]
+        # pad with flat days so n_days >= 30
+        closes += [99.0] * 40
+        df = self._events(spark, closes)
+        r = calmar_ratio(df, ["user_id"], "ts", "event_id", "value").collect()[0]
+        assert r["mdd"] == pytest.approx(-0.2, abs=1e-9)
+        n = r["n_days"]
+        mean_ret = r["ann_ret"] / 252.0
+        # mean of quantized daily returns: 0.1, -0.2, 0.125, then zeros
+        assert mean_ret == pytest.approx((0.1 - 0.2 + 0.125) / n, abs=1e-6)
+        assert r["calmar"] == pytest.approx(r["ann_ret"] / 0.2, rel=1e-9)
+
+    def test_capped_rows_dropped_and_min_days(self, spark):
+        # a >1000% jump is dropped from returns but still shapes the
+        # drawdown ledger; few days -> calmar NULL
+        closes = [1.0, 20.0, 10.0]
+        r = calmar_ratio(
+            self._events(spark, closes), ["user_id"], "ts", "event_id",
+            "value", min_days=2,
+        ).collect()[0]
+        assert r["n_days"] == 1  # the 19.0 return was dropped
+        assert r["mdd"] == pytest.approx(0.5 - 1.0, abs=1e-9)
+        assert r["calmar"] is None  # n_days < min_days
+
+
+class TestGopherRules:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+
+    def test_rule_metrics_and_verdicts(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+            gopher_rules,
+        )
+
+        good = "the quick brown fox jumps over a lazy dog " * 10  # 90 words
+        short = "too few words here"
+        hashy = ("word " * 60) + "#" * 30
+        bullets = "\n".join(f"- item {i}" for i in range(20))
+        out = {
+            r["doc_id"]: r
+            for r in gopher_rules(
+                self._docs(spark, [good, short, hashy, bullets, ""])
+            ).collect()
+        }
+        assert out[0]["pass_gopher"] is True
+        assert out[0]["n_words"] == 90
+        assert out[0]["alpha_frac"] == pytest.approx(1.0)
+        assert out[1]["pass_gopher"] is False  # word floor
+        assert out[2]["hash_ratio"] == pytest.approx(30 / 61)
+        assert out[2]["pass_gopher"] is False  # hash ratio
+        assert out[3]["bullet_frac"] == pytest.approx(1.0)
+        assert out[3]["pass_gopher"] is False  # bullets + word floor
+        assert out[4]["n_words"] == 0
+        assert out[4]["mean_word_len"] is None
+        assert out[4]["pass_gopher"] is False
+
+    def test_line_rules_vacuous_without_lines(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+            gopher_rules,
+        )
+
+        one_line = "alpha beta " * 30  # no newline: 1 line, no bullets
+        r = gopher_rules(self._docs(spark, [one_line])).collect()[0]
+        assert r["bullet_frac"] == pytest.approx(0.0)
+        assert r["pass_gopher"] is True
+
+
+class TestPcaOutliers:
+    def test_planted_outlier_ranks_first(self, spark):
+        import numpy as np
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            pca_outlier_scores,
+        )
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(80, 6)) * 0.1
+        x[7] = np.array([8.0, -8.0, 8.0, -8.0, 8.0, -8.0])  # far out
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=i, embedding=[float(v) for v in row])
+                for i, row in enumerate(x)
+            ]
+        )
+        out = pca_outlier_scores(df, k=3, top=5).collect()
+        assert out[0]["vec_id"] == 7
+        assert out[0]["rank"] == 1
+        assert out[0]["score"] > out[1]["score"]
+        assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]

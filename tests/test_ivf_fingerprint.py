@@ -408,12 +408,13 @@ class TestPcaFitLocal:
 
         sf_dir = "/root/testdata/sf0.001"
         df = load_table(spark, sf_dir, "embeddings")
-        mu_d, comps_d, ex_d = _pca_fit(df, 8, "embedding")
-        mu_l, comps_l, ex_l = pca_fit_local(
+        mu_d, comps_d, ev_d, ex_d = _pca_fit(df, 8, "embedding")
+        mu_l, comps_l, ev_l, ex_l = pca_fit_local(
             f"{sf_dir}/embeddings.parquet", k=8
         )
         assert np.array_equal(mu_d, mu_l)  # bit-identical, not allclose
         assert np.array_equal(comps_d, comps_l)
+        assert np.array_equal(ev_d, ev_l)
         assert ex_d == ex_l
 
     def test_scalar_layout_is_flat(self, spark):
