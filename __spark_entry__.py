@@ -9636,6 +9636,67 @@ FROM s ORDER BY sc DESC, vec_id LIMIT {top}
 """
 
 
+def x_renko(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Renko brick ledger over per-user daily bars — the EIGHTH
+    recurrence family, the first with PURE-INTEGER state (band lo/hi in
+    micro-units, brick size = 50 bp of the first close): the recursive
+    oracle replays it with integer arithmetic alone. Per-bar signed
+    brick counts, not exploded bricks, so rows stay 1:1
+    (operators/finance.renko_bricks)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        renko_bricks,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return renko_bricks(daily, ["user_id"], "trade_date").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_RENKO_SQL = f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+src AS (
+  SELECT user_id, trade_date, close,
+         {sql_u6("close")} AS cu,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily WHERE close > 0),
+rk AS (
+  SELECT user_id, trade_date, close, cu, rn,
+         greatest(1, cu * 50 // 10000) AS b,
+         CAST(0 AS BIGINT) AS n_bricks,
+         CAST(0 AS BIGINT) AS dir,
+         cu // greatest(1, cu * 50 // 10000)
+           * greatest(1, cu * 50 // 10000) AS lo,
+         cu // greatest(1, cu * 50 // 10000)
+           * greatest(1, cu * 50 // 10000)
+           + greatest(1, cu * 50 // 10000) AS hi
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.trade_date, s.close, s.cu, s.rn, e.b,
+         CASE WHEN s.cu >= e.hi + e.b THEN (s.cu - e.hi) // e.b
+              WHEN s.cu <= e.lo - e.b THEN -((e.lo - s.cu) // e.b)
+              ELSE 0 END,
+         CASE WHEN s.cu >= e.hi + e.b THEN 1
+              WHEN s.cu <= e.lo - e.b THEN -1
+              ELSE e.dir END,
+         CASE WHEN s.cu >= e.hi + e.b
+                THEN e.hi + (s.cu - e.hi) // e.b * e.b - e.b
+              WHEN s.cu <= e.lo - e.b
+                THEN e.lo - (e.lo - s.cu) // e.b * e.b
+              ELSE e.lo END,
+         CASE WHEN s.cu >= e.hi + e.b
+                THEN e.hi + (s.cu - e.hi) // e.b * e.b
+              WHEN s.cu <= e.lo - e.b
+                THEN e.lo - (e.lo - s.cu) // e.b * e.b + e.b
+              ELSE e.hi END
+  FROM src s JOIN rk e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+SELECT user_id, trade_date, close, n_bricks, dir,
+       CAST(lo AS DOUBLE) / 1e6 AS brick_lo,
+       CAST(hi AS DOUBLE) / 1e6 AS brick_hi
+FROM rk ORDER BY user_id, trade_date
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
@@ -9649,6 +9710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # spills to r7 and should head its window.
     return {
         # --- r6 part 0: NEW this round (insert new queries HERE) ---
+        "x_renko": x_renko,
         "x_cmf": x_cmf,
         "x_awesome": x_awesome,
         "x_dpo": x_dpo,
@@ -9933,6 +9995,7 @@ def oracle_sql() -> dict[str, str]:
         "x_mass_index": _mass_index_sql(),
         "x_mc_var": _mc_var_sql(),
         "emb_pca": _emb_pca_sql(),
+        "x_renko": _X_RENKO_SQL,
         "x_cmf": _X_CMF_SQL,
         "x_awesome": _X_AWESOME_SQL,
         "x_dpo": _X_DPO_SQL,
@@ -10066,6 +10129,7 @@ def oracle_sql() -> dict[str, str]:
 #: (d_dup_components, d_decontaminate, d_quality_score, d_hash_split)
 #: are also timed individually.
 HEADLINE_QUERIES = [
+    "x_renko",
     "x_cmf",
     "x_awesome",
     "x_dpo",

@@ -3254,3 +3254,90 @@ def calmar_ratio(
         "mdd",
         calmar.alias("calmar"),
     )
+
+
+def renko_bricks(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    close: str = "close",
+    brick_frac_bp: int = 50,
+) -> DataFrame:
+    """Renko brick ledger per key — the EIGHTH oracle-checked recurrence
+    family in this repo, and the first PURE-INTEGER state machine: no
+    float enters the state at all, so the recursive-CTE oracle replays
+    it with exact integer arithmetic alone (no IEEE correctly-rounded-
+    op argument needed).
+
+    Classic close-based renko with brick size ``b`` = ``brick_frac_bp``
+    basis points of the key's FIRST close (integer:
+    ``greatest(1, c0_u · bp / 10000)`` micro-units, `//` floor). State
+    is the last brick's (lo, hi = lo + b) band:
+
+    - close >= hi + b: n = (close−hi)//b up-bricks; hi += n·b, lo = hi−b
+    - close <= lo − b: n = (lo−close)//b down-bricks; lo −= n·b, hi = lo+b
+    - otherwise: no brick, band unchanged
+
+    Per-bar output is the SIGNED brick count (+n/−n) and the band — a
+    1:1 row ledger (brick counts, not exploded brick rows), which keeps
+    the recurrence SQL-replayable and the output partition-stable.
+    Non-positive closes are dropped before folding (bricks are defined
+    on prices). All quantities stay positive, so `//` floor division
+    agrees between Python and DuckDB.
+
+    Fold discipline: repartition by key, sort inside the fold, O(1)
+    integer work per bar (the standard applyInPandas recurrence shape —
+    cf. volume_index/kalman_1d).
+
+    Output: keys, order_col, close, n_bricks, dir, brick_lo, brick_hi.
+    """
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.filter(F.col(close) > 0).select(
+        *key_list, F.col(order_col), F.col(close)
+    )
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", n_bricks long, dir long, brick_lo double, brick_hi double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values([*key_list, order_col])
+        cu = np.floor(
+            pdf[close].to_numpy(dtype=float) * 1e6 + 0.5
+        ).astype(np.int64)
+        m = len(cu)
+        nb = np.zeros(m, dtype=np.int64)
+        dr = np.zeros(m, dtype=np.int64)
+        los = np.zeros(m, dtype=np.int64)
+        his = np.zeros(m, dtype=np.int64)
+        if m:
+            b = max(1, int(cu[0]) * brick_frac_bp // 10000)
+            lo = int(cu[0]) // b * b
+            hi = lo + b
+            d = 0
+            los[0], his[0] = lo, hi
+            for i in range(1, m):
+                c = int(cu[i])
+                if c >= hi + b:
+                    n = (c - hi) // b
+                    hi = hi + n * b
+                    lo = hi - b
+                    nb[i], d = n, 1
+                elif c <= lo - b:
+                    n = (lo - c) // b
+                    lo = lo - n * b
+                    hi = lo + b
+                    nb[i], d = -n, -1
+                dr[i] = d
+                los[i], his[i] = lo, hi
+        return pdf.assign(
+            n_bricks=nb, dir=dr, brick_lo=los / 1e6, brick_hi=his / 1e6
+        )
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)

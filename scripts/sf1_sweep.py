@@ -148,16 +148,37 @@ def spark_walls() -> list[tuple[str, float]]:
 
 
 def main() -> None:
-    build()
-    walls = spark_walls()
-    print("\n| query | sf1 wall s |\n|---|---|")
-    for name, dt in walls:
-        print(f"| {name} | {dt:.2f} |")
-    print("\noracle parity at 10x fold length (key subset):", flush=True)
-    r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts/verify_local.py"), SUB, *QUERIES],
-    )
-    sys.exit(r.returncode)
+    # Modes (round 6: the one-shot form buried 50 min of output in a
+    # buffering pipe and the parity phase ran past its budget — phases
+    # are now separable and parity is per-query so a slow DuckDB replay
+    # can be identified and timed out individually):
+    #   python scripts/sf1_sweep.py build          # just the data dirs
+    #   python scripts/sf1_sweep.py walls          # build + spark walls
+    #   python scripts/sf1_sweep.py parity [q...]  # per-query oracle runs
+    #   python scripts/sf1_sweep.py                # everything
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode in ("build", "walls", "all"):
+        build()
+        print("build done", flush=True)
+    if mode in ("walls", "all"):
+        walls = spark_walls()
+        print("\n| query | sf1 wall s |\n|---|---|", flush=True)
+        for name, dt in walls:
+            print(f"| {name} | {dt:.2f} |", flush=True)
+    if mode in ("parity", "all"):
+        names = sys.argv[2:] if mode == "parity" and len(sys.argv) > 2 else QUERIES
+        print("\noracle parity at 10x fold length (key subset):", flush=True)
+        rc = 0
+        for q in names:
+            t0 = time.perf_counter()
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "scripts/verify_local.py"), SUB, q],
+            )
+            print(f"parity {q}: rc={r.returncode}"
+                  f" [{time.perf_counter() - t0:.0f}s]", flush=True)
+            rc = rc or r.returncode
+        sys.exit(rc)
 
 
 if __name__ == "__main__":

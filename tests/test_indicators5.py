@@ -163,6 +163,59 @@ class TestCalmarRatio:
         assert r["calmar"] is None  # n_days < min_days
 
 
+class TestRenkoBricks:
+    def test_hand_worked_brick_sequence(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            renko_bricks,
+        )
+
+        # first close 100 -> b = 100e6 * 50 // 10000 = 0.5 price units
+        # band starts [100.0, 100.5]
+        closes = [
+            (0, 100.0, 0, 0),    # init: band [100.0, 100.5]
+            (1, 100.4, 0, 0),    # inside band+b -> no brick
+            (2, 101.6, 2, 1),    # >= 101.0: n=(101.6-100.5)//0.5=2 -> [101.0,101.5]
+            (3, 101.2, 0, 1),    # no reversal (needs <= 100.5)
+            (4, 100.0, 0 - 2, -1),  # <= 100.5: n=(101.0-100.0)//0.5=2 -> [100.0,100.5]
+        ]
+        df = spark.createDataFrame(
+            [Row(sym="a", t=t, close=c) for (t, c, _, _) in closes]
+        )
+        out = {
+            r["t"]: r
+            for r in renko_bricks(df, ["sym"], "t").collect()
+        }
+        for (t, _, nb, d) in closes:
+            assert out[t]["n_bricks"] == nb, t
+            assert out[t]["dir"] == d, t
+        assert out[0]["brick_lo"] == pytest.approx(100.0)
+        assert out[2]["brick_hi"] == pytest.approx(101.5)
+        assert out[4]["brick_lo"] == pytest.approx(100.0)
+
+    def test_partition_invariance_and_positive_only(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            renko_bricks,
+        )
+
+        rows = [
+            Row(sym="a", t=t, close=float(100 + ((t * 13) % 7) - 3))
+            for t in range(40)
+        ] + [Row(sym="a", t=99, close=-5.0)]  # dropped
+        df = spark.createDataFrame(rows)
+        a = [
+            (r["t"], r["n_bricks"], r["dir"])
+            for r in renko_bricks(df.coalesce(1), ["sym"], "t")
+            .orderBy("t").collect()
+        ]
+        b = [
+            (r["t"], r["n_bricks"], r["dir"])
+            for r in renko_bricks(df.repartition(8), ["sym"], "t")
+            .orderBy("t").collect()
+        ]
+        assert a == b
+        assert all(t != 99 for (t, _, _) in a)
+
+
 class TestGopherRules:
     def _docs(self, spark, texts):
         return spark.createDataFrame(
