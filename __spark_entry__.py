@@ -9636,6 +9636,62 @@ FROM s ORDER BY sc DESC, vec_id LIMIT {top}
 """
 
 
+def x_chandelier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chandelier Exit over per-user daily bars: ATR(22)-anchored
+    trailing stops below/above the 22-bar extremes. ATR's decimal-
+    routed rolling mean + order-free extreme windows on ONE per-user
+    exchange; exits are fixed-order IEEE over bit-identical operands
+    (operators/finance.chandelier_exit)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        chandelier_exit,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("trade_date")
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))).alias(
+            "close"
+        ),
+    )
+    out = chandelier_exit(daily, ["user_id"], "trade_date", n=22)
+    return out.select(
+        "user_id", "trade_date", "high", "low", "close",
+        q6("tr", "tr"), "atr", "long_exit", "short_exit",
+    ).orderBy("user_id", "trade_date")
+
+
+_X_CHANDELIER_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         max(value) AS high, min(value) AS low,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+tr AS (
+  SELECT user_id, trade_date, high, low, close,
+         CASE WHEN lag(close) OVER w IS NULL THEN high - low
+              ELSE greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) END AS tr
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+s AS (
+  SELECT user_id, trade_date, high, low, close,
+         floor(tr * 1e6 + 0.5) / 1e6 AS trq,
+         floor(CAST(sum(CAST(tr AS DECIMAL(38,6))) OVER f AS DOUBLE)
+               / count(*) OVER f * 1e6 + 0.5) / 1e6 AS atr,
+         max(high) OVER f AS hh, min(low) OVER f AS ll
+  FROM tr
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 21 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, high, low, close, trq AS tr, atr,
+       hh - 3.0 * atr AS long_exit,
+       ll + 3.0 * atr AS short_exit
+FROM s ORDER BY user_id, trade_date
+"""
+
+
 def x_renko(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Renko brick ledger over per-user daily bars — the EIGHTH
     recurrence family, the first with PURE-INTEGER state (band lo/hi in
@@ -9710,6 +9766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # spills to r7 and should head its window.
     return {
         # --- r6 part 0: NEW this round (insert new queries HERE) ---
+        "x_chandelier": x_chandelier,
         "x_renko": x_renko,
         "x_cmf": x_cmf,
         "x_awesome": x_awesome,
@@ -9995,6 +10052,7 @@ def oracle_sql() -> dict[str, str]:
         "x_mass_index": _mass_index_sql(),
         "x_mc_var": _mc_var_sql(),
         "emb_pca": _emb_pca_sql(),
+        "x_chandelier": _X_CHANDELIER_SQL,
         "x_renko": _X_RENKO_SQL,
         "x_cmf": _X_CMF_SQL,
         "x_awesome": _X_AWESOME_SQL,
@@ -10129,6 +10187,7 @@ def oracle_sql() -> dict[str, str]:
 #: (d_dup_components, d_decontaminate, d_quality_score, d_hash_split)
 #: are also timed individually.
 HEADLINE_QUERIES = [
+    "x_chandelier",
     "x_renko",
     "x_cmf",
     "x_awesome",

@@ -3341,3 +3341,40 @@ def renko_bricks(
         )
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def chandelier_exit(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 22,
+    mult: float = 3.0,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Chandelier Exit (Chuck LeBeau): ATR-anchored trailing stops —
+
+        long_exit  = max(high, n) − mult·ATR(n)
+        short_exit = min(low, n) + mult·ATR(n)
+
+    — the volatility-scaled stop placement rule that trails the n-bar
+    extreme by a multiple of the average true range.
+
+    Builds on :func:`atr` (decimal-routed rolling-mean TR, q6-quantized)
+    on the SAME per-key exchange+sort: the n-bar high/low extremes are
+    order-free MIN/MAX over raw doubles, and each exit is two
+    fixed-order IEEE ops (mult·atr, then subtract/add) over
+    bit-identical operands — so the raw-double exits replay exactly.
+
+    Output: input columns + (tr, atr, long_exit, short_exit).
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    f = w.rowsBetween(-(n - 1), 0)
+    out = atr(df, keys, order_col, n=n, high=high, low=low, close=close)
+    hh = F.max(F.col(high)).over(f)
+    ll = F.min(F.col(low)).over(f)
+    m = F.lit(float(mult))
+    return out.withColumn(
+        "long_exit", hh - m * F.col("atr")
+    ).withColumn("short_exit", ll + m * F.col("atr"))

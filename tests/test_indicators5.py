@@ -163,6 +163,42 @@ class TestCalmarRatio:
         assert r["calmar"] is None  # n_days < min_days
 
 
+class TestChandelierExit:
+    def test_exits_trail_extremes_by_atr_multiple(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            chandelier_exit,
+        )
+
+        # constant bars: high 11, low 9, close 10 -> tr = 2 every bar,
+        # atr = 2, hh = 11, ll = 9 -> long 11 - 6 = 5, short 9 + 6 = 15
+        df = spark.createDataFrame(
+            [
+                Row(sym="a", t=t, high=11.0, low=9.0, close=10.0)
+                for t in range(10)
+            ]
+        )
+        out = chandelier_exit(df, ["sym"], "t", n=5, mult=3.0).collect()
+        for r in out:
+            assert r["long_exit"] == pytest.approx(5.0, abs=1e-9)
+            assert r["short_exit"] == pytest.approx(15.0, abs=1e-9)
+
+    def test_spike_sets_extreme_window(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            chandelier_exit,
+        )
+
+        rows = [Row(sym="a", t=t, high=11.0, low=9.0, close=10.0)
+                for t in range(6)]
+        rows[3] = Row(sym="a", t=3, high=20.0, low=9.0, close=10.0)
+        df = spark.createDataFrame(rows)
+        out = {r["t"]: r for r in chandelier_exit(
+            df, ["sym"], "t", n=5, mult=3.0).collect()}
+        # at t=4 the 5-bar high is the 20.0 spike
+        assert out[4]["long_exit"] == pytest.approx(
+            20.0 - 3.0 * out[4]["atr"], abs=1e-9
+        )
+
+
 class TestRenkoBricks:
     def test_hand_worked_brick_sequence(self, spark):
         from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
