@@ -9636,6 +9636,62 @@ FROM s ORDER BY sc DESC, vec_id LIMIT {top}
 """
 
 
+def x_chop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choppiness Index (14) over per-user daily bars: 100·log10(path
+    length / net range) / log10(14) — chop-vs-trend regime gauge. One
+    exchange+sort; exact decimal TR sum; log10 is the one
+    transcendental so the output is 1e-6-quantized and the Python
+    log10(14) constant is pinned into BOTH engines
+    (operators/finance.choppiness_index)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        choppiness_index,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("trade_date")
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))).alias(
+            "close"
+        ),
+    )
+    out = choppiness_index(daily, ["user_id"], "trade_date", n=14)
+    return out.select(
+        "user_id", "trade_date", "close", "chop"
+    ).orderBy("user_id", "trade_date")
+
+
+_X_CHOP_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         max(value) AS high, min(value) AS low,
+         arg_max(value, {_SQL_TS_EVENT_KEY}) AS close
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+tr AS (
+  SELECT user_id, trade_date, high, low, close,
+         CASE WHEN lag(close) OVER w IS NULL THEN high - low
+              ELSE greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) END AS tr
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+s AS (
+  SELECT user_id, trade_date, close,
+         CAST(sum(CAST(tr AS DECIMAL(38,6))) OVER f AS DOUBLE) AS str,
+         max(high) OVER f - min(low) OVER f AS rng,
+         count(*) OVER f AS cnt
+  FROM tr
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, close,
+       CASE WHEN cnt >= 14 AND rng > 0 AND str > 0 THEN
+         floor(100.0 * log10(str / rng) / 1.146128035678238 * 1e6 + 0.5) / 1e6
+       END AS chop
+FROM s ORDER BY user_id, trade_date
+"""
+
+
 def x_chandelier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chandelier Exit over per-user daily bars: ATR(22)-anchored
     trailing stops below/above the 22-bar extremes. ATR's decimal-
@@ -9766,6 +9822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # spills to r7 and should head its window.
     return {
         # --- r6 part 0: NEW this round (insert new queries HERE) ---
+        "x_chop": x_chop,
         "x_chandelier": x_chandelier,
         "x_renko": x_renko,
         "x_cmf": x_cmf,
@@ -10052,6 +10109,7 @@ def oracle_sql() -> dict[str, str]:
         "x_mass_index": _mass_index_sql(),
         "x_mc_var": _mc_var_sql(),
         "emb_pca": _emb_pca_sql(),
+        "x_chop": _X_CHOP_SQL,
         "x_chandelier": _X_CHANDELIER_SQL,
         "x_renko": _X_RENKO_SQL,
         "x_cmf": _X_CMF_SQL,
@@ -10187,6 +10245,7 @@ def oracle_sql() -> dict[str, str]:
 #: (d_dup_components, d_decontaminate, d_quality_score, d_hash_split)
 #: are also timed individually.
 HEADLINE_QUERIES = [
+    "x_chop",
     "x_chandelier",
     "x_renko",
     "x_cmf",

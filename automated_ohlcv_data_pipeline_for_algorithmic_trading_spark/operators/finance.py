@@ -3378,3 +3378,46 @@ def chandelier_exit(
     return out.withColumn(
         "long_exit", hh - m * F.col("atr")
     ).withColumn("short_exit", ll + m * F.col("atr"))
+
+
+def choppiness_index(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 14,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Choppiness Index (Dreiss): 100·log10(ΣTR(n) / (maxHi(n) −
+    minLo(n))) / log10(n) — near 100 in sideways chop (path length ≫
+    net range), near 0 in a straight trend.
+
+    One exchange+sort: the TR lag window, the decimal-routed TR frame
+    sum (exact — atr's reduction), and the order-free extreme windows
+    all share it. The ratio is a division of bit-identical doubles;
+    log10 is the one transcendental, so the OUTPUT is 1e-6-quantized
+    (the transcendental-output rule, cf. monte_carlo_var's ln/cos: a
+    cross-engine 1-ulp log10 difference only matters within ~1e-15 of
+    a quantum boundary). NULL until the window is full and whenever
+    the range or TR sum is non-positive (flat/degenerate windows).
+
+    Output: input columns + (chop,).
+    """
+    import math
+
+    from ..functions.exact import _DEC
+
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    f = w.rowsBetween(-(n - 1), 0)
+    out = true_range(df, keys, order_col, high, low, close)
+    str_ = F.sum(F.col("tr").cast(_DEC)).over(f).cast("double")
+    rng = F.max(F.col(high)).over(f) - F.min(F.col(low)).over(f)
+    cnt = F.count(F.lit(1)).over(f)
+    chop = F.when(
+        (cnt >= n) & (rng > 0) & (str_ > 0),
+        q6(
+            F.lit(100.0) * F.log10(str_ / rng) / F.lit(math.log10(float(n)))
+        ),
+    )
+    return out.withColumn("chop", chop)

@@ -163,6 +163,41 @@ class TestCalmarRatio:
         assert r["calmar"] is None  # n_days < min_days
 
 
+class TestChoppinessIndex:
+    def test_straight_trend_is_low_flat_is_null(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            choppiness_index,
+        )
+
+        # perfect staircase: each bar spans [t, t+1] — path length equals
+        # net range -> ratio n/(n) ... TR=1/bar, sum=14, range=14 ->
+        # log10(1)=0 -> chop = 0
+        trend = [Row(sym="a", t=t, high=float(t + 1), low=float(t),
+                     close=float(t + 1)) for t in range(20)]
+        # flat bars: high==low==close -> range 0 -> NULL
+        flat = [Row(sym="b", t=t, high=5.0, low=5.0, close=5.0)
+                for t in range(20)]
+        df = spark.createDataFrame(trend + flat)
+        out = {(r["sym"], r["t"]): r["chop"] for r in choppiness_index(
+            df, ["sym"], "t", n=14).collect()}
+        assert out[("a", 19)] == pytest.approx(0.0, abs=1e-6)
+        assert out[("a", 5)] is None  # warm-up
+        assert out[("b", 19)] is None  # zero range
+
+    def test_chop_bounded_and_higher_for_oscillation(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            choppiness_index,
+        )
+
+        # oscillating within a band: path length >> net range -> high chop
+        rows = [Row(sym="a", t=t, high=10.0 + (t % 2), low=9.0 + (t % 2),
+                    close=9.5 + (t % 2)) for t in range(20)]
+        df = spark.createDataFrame(rows)
+        out = [r["chop"] for r in choppiness_index(
+            df, ["sym"], "t", n=14).collect() if r["chop"] is not None]
+        assert out and all(60.0 < c <= 100.0 for c in out)
+
+
 class TestChandelierExit:
     def test_exits_trail_extremes_by_atr_multiple(self, spark):
         from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
