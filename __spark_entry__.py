@@ -9813,13 +9813,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
     # staleness (every query re-earns a driver row every ~2-3 rounds).
-    # r6 window: (1) NEW r6 queries at the very top; (2) queries whose
-    # implementation/oracle changed THIS round (emb_pca scalar+oracle,
-    # s_stream_topk append-mode); (3) the 11 r5-changed queries the r5
-    # window never reached (VERDICT r5 ask #2); (4) the r2-checked cohort,
-    # the oldest rows in the ledger. New-query intake is CAPPED so
-    # changed+new <= 50; whatever r2-cohort tail exceeds position 50
-    # spills to r7 and should head its window.
+    # r6 window (11 new + 4 r6-changed + 11 r5-changed = 26 <= 50 cap):
+    # (1) the 11 NEW r6 queries; (2) changed THIS round — emb_pca
+    # (scalar layout + full literal-pinned oracle), d_dup_components /
+    # d_curation_pipeline (union-find fast path), s_stream_topk
+    # (append-mode); (3) the 11 r5-changed queries the r5 window never
+    # reached (VERDICT r5 ask #2 — emb_semdedup here also carries the
+    # r6 guard-default flip); (4) the r2-checked cohort, oldest rows
+    # first. The window reaches e_period_lookback; the r2-cohort tail
+    # from e_tail_limit through emb_ivf_ann (14 entries) spills to r7
+    # and should HEAD the r7 window.
     return {
         # --- r6 part 0: NEW this round (insert new queries HERE) ---
         "x_chop": x_chop,
@@ -9835,6 +9838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_outliers": emb_outliers,
         # --- r6 part 1: implementation/oracle changed this round ---
         "emb_pca": emb_pca,
+        "d_dup_components": d_dup_components,
+        "d_curation_pipeline": d_curation_pipeline,
         "s_stream_topk": s_stream_topk,
         # --- r6 part 2: changed in r5 but NOT gated that round (the 11
         # the 46-new-query r5 intake pushed past position 50) ---
@@ -9914,7 +9919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_stratified_sample": d_stratified_sample,
         "d_doc_chunks": d_doc_chunks,
         "j_interval_clicks": j_interval_clicks,
-        "d_dup_components": d_dup_components,
         "s_stream_sessions": s_stream_sessions,
         "s_stream_join": s_stream_join,
         "x_rolling_30m": x_rolling_30m,
@@ -9931,7 +9935,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_hll_users": d_hll_users,
         "x_scd2_history": x_scd2_history,
         "j_scd2_lookup": j_scd2_lookup,
-        "d_curation_pipeline": d_curation_pipeline,
         "d_cms_tokens": d_cms_tokens,
         "s_stream_hll": s_stream_hll,
         "d_pack_sequences": d_pack_sequences,
