@@ -9636,6 +9636,131 @@ FROM s ORDER BY sc DESC, vec_id LIMIT {top}
 """
 
 
+def e_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the share of total event value contributed
+    by the top-10% of users (ceil(n/10) by exact integer rank, ties
+    broken by user_id). User totals are exact decimal sums; the split
+    is hist_var's integer rank rule; the share is one fixed-order IEEE
+    division of exact operands. The per-user reduction shrinks events
+    to |users| rows before any sort — the global rank sorts keys, not
+    events."""
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("_tv")
+    )
+    w = Window.orderBy(F.col("_tv").desc(), F.col("user_id").asc())
+    ranked = totals.withColumn("_rk", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_tv").alias("_tot"),
+    )
+    k = F.ceil(F.col("n_users") / F.lit(10)).cast("long")
+    top = (
+        ranked.join(F.broadcast(agg.select(k.alias("_k"))),
+                    F.col("_rk") <= F.col("_k"))
+        .agg(F.sum("_tv").alias("_top"))
+    )
+    out = agg.crossJoin(top)
+    return out.select(
+        "n_users",
+        F.ceil(F.col("n_users") / F.lit(10)).cast("long").alias("k_top"),
+        F.col("_top").cast("double").alias("top_value"),
+        F.col("_tot").cast("double").alias("total_value"),
+        (F.col("_top").cast("double") / F.col("_tot").cast("double")).alias(
+            "pareto_share"
+        ),
+    )
+
+
+_E_PARETO_SQL = """
+WITH totals AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(38,6))) AS tv
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT user_id, tv,
+         row_number() OVER (ORDER BY tv DESC, user_id) AS rk
+  FROM totals),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users, sum(tv) AS tot
+  FROM ranked),
+t AS (
+  SELECT sum(tv) AS top FROM ranked, a
+  WHERE rk <= CAST(ceil(n_users / 10.0) AS BIGINT))
+SELECT n_users,
+       CAST(ceil(n_users / 10.0) AS BIGINT) AS k_top,
+       CAST(top AS DOUBLE) AS top_value,
+       CAST(tot AS DOUBLE) AS total_value,
+       CAST(top AS DOUBLE) / CAST(tot AS DOUBLE) AS pareto_share
+FROM a, t
+"""
+
+
+def e_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user total event value — the standard
+    inequality measure, via the rank formula on the ASCENDING sort:
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. Totals are exact decimal sums
+    quantized to micro-unit BIGINT; Σ(i·xᵢ) routes through
+    decimal(38,0) (rank × 1e12-micro totals would crowd BIGINT);
+    the final combination is fixed-order IEEE over exact operands.
+    The global rank sorts |users| key rows, never events."""
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_q")
+    )
+    w = Window.orderBy(F.col("_q").asc(), F.col("user_id").asc())
+    ranked = totals.withColumn("_i", F.row_number().over(w).cast("long"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_q").alias("_sx"),
+        F.sum((F.col("_i") * F.col("_q")).cast("decimal(38,0)")).alias(
+            "_six"
+        ),
+    )
+    nd = F.col("n_users").cast("double")
+    gini = (
+        F.lit(2.0)
+        * F.col("_six").cast("double")
+        / (nd * F.col("_sx").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return agg.select(
+        "n_users",
+        (F.col("_sx").cast("double") / F.lit(1e6)).alias("total_value"),
+        gini.alias("gini"),
+    )
+
+
+_E_GINI_SQL = """
+WITH totals AS (
+  SELECT user_id,
+         CAST(floor(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                    * 1e6 + 0.5) AS BIGINT) AS q
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT user_id, q,
+         CAST(row_number() OVER (ORDER BY q ASC, user_id) AS BIGINT) AS i
+  FROM totals),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         sum(q) AS sx,
+         sum(CAST(i * q AS DECIMAL(38,0))) AS six
+  FROM ranked)
+SELECT n_users,
+       CAST(sx AS DOUBLE) / 1e6 AS total_value,
+       2.0 * CAST(six AS DOUBLE)
+         / (CAST(n_users AS DOUBLE) * CAST(sx AS DOUBLE))
+         - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE)
+         AS gini
+FROM a
+"""
+
+
 def x_chop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Choppiness Index (14) over per-user daily bars: 100·log10(path
     length / net range) / log10(14) — chop-vs-trend regime gauge. One
@@ -9825,6 +9950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and should HEAD the r7 window.
     return {
         # --- r6 part 0: NEW this round (insert new queries HERE) ---
+        "e_pareto_share": e_pareto_share,
+        "e_gini": e_gini,
         "x_chop": x_chop,
         "x_chandelier": x_chandelier,
         "x_renko": x_renko,
@@ -10112,6 +10239,8 @@ def oracle_sql() -> dict[str, str]:
         "x_mass_index": _mass_index_sql(),
         "x_mc_var": _mc_var_sql(),
         "emb_pca": _emb_pca_sql(),
+        "e_pareto_share": _E_PARETO_SQL,
+        "e_gini": _E_GINI_SQL,
         "x_chop": _X_CHOP_SQL,
         "x_chandelier": _X_CHANDELIER_SQL,
         "x_renko": _X_RENKO_SQL,
@@ -10248,6 +10377,8 @@ def oracle_sql() -> dict[str, str]:
 #: (d_dup_components, d_decontaminate, d_quality_score, d_hash_split)
 #: are also timed individually.
 HEADLINE_QUERIES = [
+    "e_pareto_share",
+    "e_gini",
     "x_chop",
     "x_chandelier",
     "x_renko",

@@ -331,6 +331,47 @@ class TestGopherRules:
         assert r["pass_gopher"] is True
 
 
+class TestParetoGini:
+    def test_hand_computed_on_crafted_totals(self, spark):
+        """Drive the registered queries through a scratch parquet dir
+        with known per-user totals: equal totals -> gini 0; one user
+        holding 10/13 of value -> hand-computed gini and top-10% share."""
+        import datetime as dt
+        import tempfile
+
+        import __spark_entry__ as E
+
+        def events_df(totals):
+            rows = [
+                Row(
+                    event_id=i,
+                    ts=dt.datetime(2024, 1, 1, 1 + i),
+                    user_id=i,
+                    event_type="view",
+                    value=float(v),
+                    props="{}",
+                )
+                for i, v in enumerate(totals)
+            ]
+            return spark.createDataFrame(rows)
+
+        with tempfile.TemporaryDirectory() as td:
+            events_df([1.0, 1.0, 1.0, 1.0]).write.parquet(td + "/events.parquet")
+            g = E.e_gini(spark, td).collect()[0]
+            assert g["gini"] == pytest.approx(0.0, abs=1e-12)
+            p = E.e_pareto_share(spark, td).collect()[0]
+            assert p["k_top"] == 1
+            assert p["pareto_share"] == pytest.approx(0.25, abs=1e-12)
+
+        with tempfile.TemporaryDirectory() as td:
+            events_df([1.0, 1.0, 1.0, 10.0]).write.parquet(td + "/events.parquet")
+            g = E.e_gini(spark, td).collect()[0]
+            # sorted asc [1,1,1,10]: G = 2*(1+2+3+40)/(4*13) - 5/4
+            assert g["gini"] == pytest.approx(2 * 46 / 52 - 1.25, abs=1e-12)
+            p = E.e_pareto_share(spark, td).collect()[0]
+            assert p["pareto_share"] == pytest.approx(10 / 13, abs=1e-12)
+
+
 class TestPcaOutliers:
     def test_planted_outlier_ranks_first(self, spark):
         import numpy as np
