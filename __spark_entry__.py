@@ -9938,16 +9938,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
     # staleness (every query re-earns a driver row every ~2-3 rounds).
-    # r6 window (11 new + 4 r6-changed + 11 r5-changed = 26 <= 50 cap):
-    # (1) the 11 NEW r6 queries; (2) changed THIS round — emb_pca
+    # r6 window (13 new + 4 r6-changed + 11 r5-changed = 28 <= 50 cap):
+    # (1) the 13 NEW r6 queries; (2) changed THIS round — emb_pca
     # (scalar layout + full literal-pinned oracle), d_dup_components /
     # d_curation_pipeline (union-find fast path), s_stream_topk
     # (append-mode); (3) the 11 r5-changed queries the r5 window never
     # reached (VERDICT r5 ask #2 — emb_semdedup here also carries the
     # r6 guard-default flip); (4) the r2-checked cohort, oldest rows
-    # first. The window reaches e_period_lookback; the r2-cohort tail
-    # from e_tail_limit through emb_ivf_ann (14 entries) spills to r7
-    # and should HEAD the r7 window.
+    # first. The window reaches e_dispersion; the r2-cohort tail from
+    # e_conditional_counts through emb_ivf_ann (16 entries) spills to
+    # r7 and should HEAD the r7 window.
     return {
         # --- r6 part 0: NEW this round (insert new queries HERE) ---
         "e_pareto_share": e_pareto_share,
