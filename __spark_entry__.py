@@ -8906,10 +8906,15 @@ def d_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit over the corpus vocabulary: OLS slope of
     log-frequency on log-rank (healthy natural text sits near −1;
     template/boilerplate corpora flatten). The frequency table is
-    vocabulary-sized (bounded), ranked by (count desc, token) for a
-    total order; both logs round to the 1e-6 quantum (transcendental-
-    output rule) and the regression moments are decimal-exact sums —
-    one-row output."""
+    vocabulary-sized, ranked by (count desc, token) for a total order
+    via the two-pass distributed row_number (operators/rank.py) — a
+    100 TB corpus has a ~10⁸-type vocabulary, too big for a one-task
+    sort; both logs round to the 1e-6 quantum (transcendental-output
+    rule) and the regression moments are decimal-exact sums — one-row
+    output."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.rank import (
+        distributed_row_number,
+    )
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
         tokens,
     )
@@ -8920,8 +8925,9 @@ def d_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
-    w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
-    ranked = freq.withColumn("r", F.row_number().over(w).cast("long"))
+    ranked = distributed_row_number(
+        freq, [F.col("f").desc(), F.col("tok").asc()], rank_col="r"
+    )
     lx = F.round(F.log(F.col("r").cast("double")), 6)
     ly = F.round(F.log(F.col("f").cast("double")), 6)
     m = ranked.agg(
@@ -9642,14 +9648,22 @@ def e_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken by user_id). User totals are exact decimal sums; the split
     is hist_var's integer rank rule; the share is one fixed-order IEEE
     division of exact operands. The per-user reduction shrinks events
-    to |users| rows before any sort — the global rank sorts keys, not
-    events."""
+    to |users| rows before any sort, and the rank itself is the
+    two-pass distributed row_number (operators/rank.py) — no
+    single-task global sort at any cardinality."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.rank import (
+        distributed_row_number,
+    )
+
     ev = _t(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(38,6)")).alias("_tv")
     )
-    w = Window.orderBy(F.col("_tv").desc(), F.col("user_id").asc())
-    ranked = totals.withColumn("_rk", F.row_number().over(w))
+    ranked = distributed_row_number(
+        totals,
+        [F.col("_tv").desc(), F.col("user_id").asc()],
+        rank_col="_rk",
+    )
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("_tv").alias("_tot"),
@@ -9699,10 +9713,19 @@ def e_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user total event value — the standard
     inequality measure, via the rank formula on the ASCENDING sort:
     G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. Totals are exact decimal sums
-    quantized to micro-unit BIGINT; Σ(i·xᵢ) routes through
-    decimal(38,0) (rank × 1e12-micro totals would crowd BIGINT);
-    the final combination is fixed-order IEEE over exact operands.
-    The global rank sorts |users| key rows, never events."""
+    quantized to micro-unit BIGINT; each i·xᵢ PRODUCT is decimal —
+    decimal(28,0) micro-total × decimal(10,0) rank, widths chosen so
+    DuckDB's w1+w2 ≤ 38 multiply rule holds and neither engine ever
+    multiplies in BIGINT (Spark would silently wrap past 2^63 where
+    DuckDB errors — the cross-engine divergence class); the final
+    combination is fixed-order IEEE over exact operands. The rank is
+    the two-pass distributed row_number (operators/rank.py): range
+    partition → per-partition counts → offset join — no single-task
+    global sort anywhere, even over |users| key rows."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.rank import (
+        distributed_row_number,
+    )
+
     ev = _t(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(
         F.floor(
@@ -9713,14 +9736,16 @@ def e_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("_q")
     )
-    w = Window.orderBy(F.col("_q").asc(), F.col("user_id").asc())
-    ranked = totals.withColumn("_i", F.row_number().over(w).cast("long"))
+    ranked = distributed_row_number(
+        totals, [F.col("_q").asc(), F.col("user_id").asc()], rank_col="_i"
+    )
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("_q").alias("_sx"),
-        F.sum((F.col("_i") * F.col("_q")).cast("decimal(38,0)")).alias(
-            "_six"
-        ),
+        F.sum(
+            F.col("_q").cast("decimal(28,0)")
+            * F.col("_i").cast("decimal(10,0)")
+        ).alias("_six"),
     )
     nd = F.col("n_users").cast("double")
     gini = (
@@ -9749,7 +9774,7 @@ ranked AS (
 a AS (
   SELECT CAST(count(*) AS BIGINT) AS n_users,
          sum(q) AS sx,
-         sum(CAST(i * q AS DECIMAL(38,0))) AS six
+         sum(CAST(q AS DECIMAL(28,0)) * CAST(i AS DECIMAL(10,0))) AS six
   FROM ranked)
 SELECT n_users,
        CAST(sx AS DOUBLE) / 1e6 AS total_value,
@@ -9938,74 +9963,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
     # staleness (every query re-earns a driver row every ~2-3 rounds).
-    # r6 window (13 new + 4 r6-changed + 11 r5-changed = 28 <= 50 cap):
-    # (1) the 13 NEW r6 queries; (2) changed THIS round — emb_pca
-    # (scalar layout + full literal-pinned oracle), d_dup_components /
-    # d_curation_pipeline (union-find fast path), s_stream_topk
-    # (append-mode); (3) the 11 r5-changed queries the r5 window never
-    # reached (VERDICT r5 ask #2 — emb_semdedup here also carries the
-    # r6 guard-default flip); (4) the r2-checked cohort, oldest rows
-    # first. The window reaches e_dispersion; the r2-cohort tail from
-    # e_conditional_counts through emb_ivf_ann (16 entries) spills to
-    # r7 and should HEAD the r7 window.
+    # r7 window: (0) the 16-entry r2-cohort tail that spilled past the r6
+    # window (VERDICT r6 ask #1 — their driver evidence predates round 3);
+    # (1) NEW r7 queries; (2) changed THIS round — e_gini / e_pareto_share
+    # (decimal-before-multiply + distributed two-pass rank), emb_pca /
+    # emb_outliers (eigenvalue positivity + magnitude-aware overflow
+    # guards), emb_semdedup (GEMM scorer made oracle-replayable),
+    # d_dup_components / d_curation_pipeline (union-find fast path keeps
+    # input id type); (3) the r3-checked cohort, oldest rows first, to
+    # fill position 50. The r3 tail spills to r8 and should head it.
     return {
-        # --- r6 part 0: NEW this round (insert new queries HERE) ---
-        "e_pareto_share": e_pareto_share,
-        "e_gini": e_gini,
-        "x_chop": x_chop,
-        "x_chandelier": x_chandelier,
-        "x_renko": x_renko,
-        "x_cmf": x_cmf,
-        "x_awesome": x_awesome,
-        "x_dpo": x_dpo,
-        "x_vwma": x_vwma,
-        "x_calmar": x_calmar,
-        "d_gopher_rules": d_gopher_rules,
-        "e_stickiness": e_stickiness,
-        "emb_outliers": emb_outliers,
-        # --- r6 part 1: implementation/oracle changed this round ---
-        "emb_pca": emb_pca,
-        "d_dup_components": d_dup_components,
-        "d_curation_pipeline": d_curation_pipeline,
-        "s_stream_topk": s_stream_topk,
-        # --- r6 part 2: changed in r5 but NOT gated that round (the 11
-        # the 46-new-query r5 intake pushed past position 50) ---
-        "x_ema_macd": x_ema_macd,
-        "x_bollinger_bands": x_bollinger_bands,
-        "s_stateful_vwap": s_stateful_vwap,
-        "x_aroon": x_aroon,
-        "x_beta_market": x_beta_market,
-        "x_rolling_beta": x_rolling_beta,
-        "j_asof_tolerance": j_asof_tolerance,
-        "j_asof_orders": j_asof_orders,
-        "emb_semdedup": emb_semdedup,
-        "d_jaccard_pairs": d_jaccard_pairs,
-        "emb_ann_topk": emb_ann_topk,
-        # --- r6 part 3: oldest driver rows (last checked r2; the r5
-        # window never reached them). Tail past position 50 spills
-        # to r7 — head r7 with it. ---
-        "q18_large_orders": q18_large_orders,
-        "q22_idle_rich_customers": q22_idle_rich_customers,
-        "q07_nation_trade": q07_nation_trade,
-        "q08_market_share": q08_market_share,
-        "q09_product_profit": q09_product_profit,
-        "q11_important_parts": q11_important_parts,
-        "q12_priority_lines": q12_priority_lines,
-        "q13_order_distribution": q13_order_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q20_heavy_shippers": q20_heavy_shippers,
-        "q21_sole_blockers": q21_sole_blockers,
-        "e_symbol_stats": e_symbol_stats,
-        "e_daily_rollup": e_daily_rollup,
-        "e_resample_15m": e_resample_15m,
-        "e_dedup_last": e_dedup_last,
-        "e_dedup_first": e_dedup_first,
-        "e_latest_snapshot": e_latest_snapshot,
-        "e_top_movers": e_top_movers,
-        "e_sma20": e_sma20,
-        "e_window_daily_summary": e_window_daily_summary,
-        "e_dispersion": e_dispersion,
+        # --- r7 part 0: the stale r2 cohort (last driver-checked r2) ---
         "e_conditional_counts": e_conditional_counts,
         "e_period_lookback": e_period_lookback,
         "e_tail_limit": e_tail_limit,
@@ -10022,7 +9990,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_bpe_tokens": d_bpe_tokens,
         "d_kgram_fingerprint": d_kgram_fingerprint,
         "emb_ivf_ann": emb_ivf_ann,
-        # --- last checked r3 ---
+        # --- r7 part 1: NEW this round (insert new queries HERE) ---
+        # --- r7 part 2: implementation/oracle changed this round ---
+        "e_gini": e_gini,
+        "e_pareto_share": e_pareto_share,
+        "emb_pca": emb_pca,
+        "emb_outliers": emb_outliers,
+        "emb_semdedup": emb_semdedup,
+        "d_dup_components": d_dup_components,
+        "d_curation_pipeline": d_curation_pipeline,
+        "d_zipf_slope": d_zipf_slope,
+        # --- r7 part 3: oldest remaining driver rows (last checked r3);
+        # the window cuts at position 50, tail spills to r8 ---
         "j_semi_active_customers": j_semi_active_customers,
         "j_anti_inactive_customers": j_anti_inactive_customers,
         "u_union_mixed_schema": u_union_mixed_schema,
@@ -10117,7 +10096,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_lang_agreement": d_lang_agreement,
         "e_event_gaps": e_event_gaps,
         "d_doc_novelty": d_doc_novelty,
-        "d_zipf_slope": d_zipf_slope,
         "x_win_streaks": x_win_streaks,
         "x_risk_ratios": x_risk_ratios,
         "e_value_histogram": e_value_histogram,
@@ -10159,6 +10137,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_heikin_ashi": x_heikin_ashi,
         "x_supertrend": x_supertrend,
         "x_adx": x_adx,
+        # --- last checked r6 (freshest rows) ---
+        "x_chop": x_chop,
+        "x_chandelier": x_chandelier,
+        "x_renko": x_renko,
+        "x_cmf": x_cmf,
+        "x_awesome": x_awesome,
+        "x_dpo": x_dpo,
+        "x_vwma": x_vwma,
+        "x_calmar": x_calmar,
+        "d_gopher_rules": d_gopher_rules,
+        "e_stickiness": e_stickiness,
+        "s_stream_topk": s_stream_topk,
+        "x_ema_macd": x_ema_macd,
+        "x_bollinger_bands": x_bollinger_bands,
+        "s_stateful_vwap": s_stateful_vwap,
+        "x_aroon": x_aroon,
+        "x_beta_market": x_beta_market,
+        "x_rolling_beta": x_rolling_beta,
+        "j_asof_tolerance": j_asof_tolerance,
+        "j_asof_orders": j_asof_orders,
+        "d_jaccard_pairs": d_jaccard_pairs,
+        "emb_ann_topk": emb_ann_topk,
+        "q18_large_orders": q18_large_orders,
+        "q22_idle_rich_customers": q22_idle_rich_customers,
+        "q07_nation_trade": q07_nation_trade,
+        "q08_market_share": q08_market_share,
+        "q09_product_profit": q09_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q12_priority_lines": q12_priority_lines,
+        "q13_order_distribution": q13_order_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_heavy_shippers": q20_heavy_shippers,
+        "q21_sole_blockers": q21_sole_blockers,
+        "e_symbol_stats": e_symbol_stats,
+        "e_daily_rollup": e_daily_rollup,
+        "e_resample_15m": e_resample_15m,
+        "e_dedup_last": e_dedup_last,
+        "e_dedup_first": e_dedup_first,
+        "e_latest_snapshot": e_latest_snapshot,
+        "e_top_movers": e_top_movers,
+        "e_sma20": e_sma20,
+        "e_window_daily_summary": e_window_daily_summary,
+        "e_dispersion": e_dispersion,
     }
 
 
