@@ -9611,6 +9611,7 @@ def _emb_outliers_sql(k: int = 8, top: int = 20) -> str:
 
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
         pca_fit_local,
+        usable_eigenpairs,
     )
 
     sf_dir = os.environ.get(
@@ -9619,6 +9620,9 @@ def _emb_outliers_sql(k: int = 8, top: int = 20) -> str:
     mu, comps, evals, _explained = pca_fit_local(
         f"{sf_dir}/embeddings.parquet", k=k
     )
+    # identical rank-deficiency filter to pca_outlier_scores — both
+    # engines must score with the same truncated eigenbasis
+    comps, evals = usable_eigenpairs(comps, evals)
     projs = []
     for i, comp in enumerate(comps):
         terms = " + ".join(

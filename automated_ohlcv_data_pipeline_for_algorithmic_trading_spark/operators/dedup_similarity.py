@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from .text import tokens
 
@@ -577,8 +578,18 @@ def near_dup_components(
         # (Fixed-round mode never takes this path: its contract is
         # min-within-`rounds`-hops, which the unrolled SQL oracle
         # replays — union-find would overshoot on long chains.)
+        # The fast path must preserve the INPUT id type (string doc ids
+        # are as legitimate as longs) and must not see NULL ids (find()
+        # cannot order them; the distributed equi-join loop simply never
+        # connects them). Both checks ride the same tiny-edge-set scan.
         n_edges = pairs.count()
-        if n_edges <= small_graph_max_edges:
+        has_null_ids = (
+            pairs.filter(
+                F.col(id_a).isNull() | F.col(id_b).isNull()
+            ).limit(1).count()
+            > 0
+        )
+        if n_edges <= small_graph_max_edges and not has_null_ids:
             parent: dict = {}
 
             def find(x):
@@ -602,9 +613,14 @@ def near_dup_components(
                         ra, rb = rb, ra
                     parent[rb] = ra
             rows = [(v, find(v)) for v in parent]
-            return spark.createDataFrame(
-                rows, "doc_id long, keeper_id long"
+            id_type = pairs.schema[id_a].dataType
+            out_schema = StructType(
+                [
+                    StructField("doc_id", id_type, False),
+                    StructField("keeper_id", id_type, False),
+                ]
             )
+            return spark.createDataFrame(rows, out_schema)
     n_part = max(2, min(8, spark.sparkContext.defaultParallelism // 4))
     pairs = pairs.repartition(n_part)
     va = pairs.select(F.col(id_a).alias("v"))

@@ -1560,6 +1560,32 @@ def _pca_eig(cov, k: int):
     return comps, evals, explained
 
 
+def usable_eigenpairs(comps, evals, rel_eps: float = 1e-9):
+    """Drop eigenpairs that are numerically zero (or negative) relative
+    to the leading eigenvalue.  When ``k`` exceeds the effective rank of
+    the covariance, ``eigh`` returns tiny/slightly-negative trailing
+    eigenvalues; dividing projections by them floods a Mahalanobis-style
+    score with inf/NaN garbage (and both Spark and DuckDB sort NaN above
+    every real, so the garbage WINS the top-k).  Keep only
+    ``lam > rel_eps * evals[0]``.  Must be applied identically to the
+    Spark scorer and the literal-pinning oracle builder so both engines
+    score with the same truncated basis.  Raises on a degenerate
+    (non-positive leading eigenvalue) covariance — no direction carries
+    variance, the score is undefined."""
+    import numpy as np
+
+    evals = np.asarray(evals, dtype=np.float64)
+    if evals.size == 0:
+        return comps, evals
+    lead = float(evals[0])
+    if lead <= 0.0:
+        raise ValueError(
+            "degenerate covariance: leading eigenvalue is non-positive"
+        )
+    keep = evals > rel_eps * lead
+    return comps[keep], evals[keep]
+
+
 def _pca_fit(df: DataFrame, k: int, vec_col: str):
     """Distributed PCA fit: exact-integer covariance + means collected
     (bounded: d(d+1)/2 + d rows), then the shared eigh step. Returns
@@ -1615,7 +1641,14 @@ def pca_fit_local(
     x = np.stack(col.to_pandas().to_numpy()).astype(np.float64)
     q = np.floor(x * 1e6 + 0.5).astype(np.int64)
     n = q.shape[0]
-    assert n * 1e12 < 2 ** 62, "int64 Gram headroom exceeded"
+    # Guard the ACTUAL data magnitude, not an implicit |x| <= 1
+    # assumption: each Gram entry is a sum of n products bounded by
+    # max|q|², so int64 holds iff n·m² stays under 2^62.  (The
+    # distributed fit keeps per-batch int64 partials + decimal(38,0)
+    # combine and has no such ceiling — this local replica must FAIL
+    # LOUDLY rather than silently break the bit-parity contract.)
+    m = float(np.abs(q).max()) if n else 0.0
+    assert n * m * m < 2 ** 62, "int64 Gram headroom exceeded"
     g = q.T @ q
     sv = q.sum(axis=0)
     nd = float(n)
@@ -1761,8 +1794,15 @@ def pca_outlier_scores(
     replays the whole query from the same literals.
 
     Output: (rank, id_col, score) — the ``top`` highest-score vectors.
+
+    Rank-deficiency guard: eigenpairs below ``1e-9 × λ₀`` are dropped
+    (:func:`usable_eigenpairs`) — when ``k`` exceeds the covariance's
+    effective rank, the trailing eigenvalues are numerical noise and a
+    ``proj²/λ`` term would be inf/NaN, which both engines sort above
+    every real score. The oracle builder applies the identical filter.
     """
     mu, comps, evals, _explained = _pca_fit(df, k, vec_col)
+    comps, evals = usable_eigenpairs(comps, evals)
     mu_lit = F.array(*[F.lit(float(x)) for x in mu])
     centered = F.zip_with(
         _as_double(F.col(vec_col)), mu_lit, lambda a, b: a - b

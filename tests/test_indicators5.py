@@ -394,3 +394,51 @@ class TestPcaOutliers:
         assert out[0]["rank"] == 1
         assert out[0]["score"] > out[1]["score"]
         assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+class TestPcaRankDeficiency:
+    def test_usable_eigenpairs_filters_noise(self):
+        import numpy as np
+        import pytest as _pt
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            usable_eigenpairs,
+        )
+
+        comps = np.eye(4)
+        evals = np.array([2.0, 1.0, 1e-15, -1e-16])
+        c2, e2 = usable_eigenpairs(comps, evals)
+        assert list(e2) == [2.0, 1.0] and c2.shape == (2, 4)
+        with _pt.raises(ValueError):
+            usable_eigenpairs(comps, np.array([0.0, -1.0]))
+
+    def test_outlier_scores_finite_when_k_exceeds_rank(self, spark):
+        """Vectors living in a 2-D subspace of a 6-D space: k=5 exceeds
+        the covariance's effective rank. Without the eigenvalue guard
+        the proj^2/lambda terms are inf/NaN and flood the top-k (NaN
+        sorts above every real in both engines); with it the scores are
+        finite and the planted outlier still ranks first."""
+        import math
+
+        import numpy as np
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+            pca_outlier_scores,
+        )
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(60, 2)) * 0.2
+        x = np.zeros((60, 6))
+        x[:, 0] = base[:, 0]
+        x[:, 3] = base[:, 1]
+        x[11, 0] = 9.0
+        x[11, 3] = -9.0
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=i, embedding=[float(v) for v in row])
+                for i, row in enumerate(x)
+            ]
+        )
+        out = pca_outlier_scores(df, k=5, top=5).collect()
+        assert out[0]["vec_id"] == 11
+        assert all(math.isfinite(r["score"]) for r in out)

@@ -567,3 +567,43 @@ def test_bpe_token_counts_apply_side(spark):
     # newest=[new,e,s,t]=4; new=[new]=1
     assert out[1]["n_bpe_tokens"] == 1 + 2 + 4 + 1 + 1
     assert out[2]["n_bpe_tokens"] == 2 + 4 + 1 + 1
+
+
+def test_near_dup_components_string_ids_fast_path(spark):
+    """The converged-mode union-find fast path must preserve the INPUT
+    id type (string doc ids are first-class), not hardcode long."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        near_dup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    out_df = near_dup_components(pairs, extend_until_converged=True)
+    assert dict(out_df.dtypes) == {"doc_id": "string", "keeper_id": "string"}
+    out = {r["doc_id"]: r["keeper_id"] for r in out_df.collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_near_dup_components_null_ids_skip_fast_path(spark):
+    """NULL ids cannot be ordered by the driver union-find; the fast
+    path must step aside (the distributed equi-join loop simply never
+    connects a NULL endpoint) instead of raising inside find()."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        near_dup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 9)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: r["keeper_id"]
+        for r in near_dup_components(
+            pairs, extend_until_converged=True
+        ).collect()
+        if r["doc_id"] is not None
+    }
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+    # vertex 9's edge has a NULL peer: it stays its own keeper
+    assert out[9] == 9
