@@ -3539,9 +3539,12 @@ WHERE rank <= {k} ORDER BY query_id, rank
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embeddings table
     (operators/similarity.semdedup): deterministic seeded-k-means
-    clustering, cosine >= 0.4 pairs WITHIN each cluster only (the
-    bucketing that bounds pairwise work to sum(|cell|^2) at 100 TB),
-    keeper = converged component-minimum id. The hot-cell hyperplane
+    clustering, quantized-cosine >= 0.4 pairs WITHIN each cluster only
+    (the bucketing that bounds pairwise work to sum(|cell|^2) at
+    100 TB), keeper = converged component-minimum id. The pair scorer
+    is the per-cell BLAS GEMM (the scale path) — exact and
+    oracle-replayable because the quantized inputs make every dot an
+    order-independent integer. The hot-cell hyperplane
     split guard is ON (default max_cell_size=4096 — no cell at gate
     SFs trips it; the split-engaged path is oracle-pinned by
     tests/test_finance_sketch_scd.py with max_cell_size=32). The
@@ -3620,14 +3623,25 @@ def _semdedup_sql(
   FROM af a LEFT JOIN hotm h ON a.cell = h.cell
             LEFT JOIN sb ON a.vec_id = sb.vec_id)""")
         src = "af2"
+    # pair predicate = cosine of the 1e-6-QUANTIZED vectors: q holds
+    # integer-valued doubles, so list_dot_product is the exact integer
+    # the Spark GEMM/fold scorers compute (order-independent < 2^53),
+    # and dq/(sqrt(sa)*sqrt(sb)) is the same three correctly-rounded
+    # IEEE ops in both engines.
     ctes.append(
-        "n AS (SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb))"
-        f" AS nrm FROM {src})"
+        "n AS (SELECT vec_id, cell,"
+        " list_transform(emb, x -> CAST(floor(x * 1e6 + 0.5) AS DOUBLE))"
+        f" AS q FROM {src})"
+    )
+    ctes.append(
+        "nn AS (SELECT vec_id, cell, q, list_dot_product(q, q) AS sq FROM n)"
     )
     ctes.append(f"""pairs AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {threshold})""")
+  FROM nn a JOIN nn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE a.sq > 0 AND b.sq > 0
+    AND list_dot_product(a.q, b.q) / (sqrt(a.sq) * sqrt(b.sq))
+        >= {threshold})""")
     ctes.extend(_reach_ctes("pairs"))
     with_block = ",\n".join(ctes)
     return f"""

@@ -873,7 +873,7 @@ def semdedup(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    scorer: str = "fold",
+    scorer: str = "blas",
     max_cell_size: int | None = 4096,
     dim: int = 64,
 ) -> DataFrame:
@@ -895,10 +895,17 @@ def semdedup(
     sane quantizer).
 
     Determinism: centroids/assignments replay in SQL
-    (:func:`seeded_centroids`), cosine is the sequential-fold dot, and
-    the keeper is the converged component minimum — so the whole
-    operator has an exact DuckDB oracle (``_semdedup_sql`` in
-    __spark_entry__).
+    (:func:`seeded_centroids`); the pair predicate is the cosine of the
+    1e-6-QUANTIZED vectors — every element is an integer-valued double,
+    so the dot and the squared norms are exact integers for ANY
+    summation order while ``dim·max|q|² < 2^53`` (BLAS pairwise GEMM,
+    Spark's sequential fold, and DuckDB's list_dot_product all produce
+    the same bits), and the final ``dq/(√sa·√sb)`` is three correctly-
+    rounded IEEE ops on identical operands. One scorer therefore serves
+    both the scale path and the oracle (``_semdedup_sql`` in
+    __spark_entry__); ``scorer="blas"`` (default) and ``scorer="fold"``
+    pick identical pair sets by construction (asserted in tests). The
+    keeper is the converged component minimum.
 
     ``max_cell_size`` bounds the quadratic within-cell stage: hot cells
     split into hyperplane-sign sub-cells (:func:`_split_hot_cells`) so
@@ -920,13 +927,24 @@ def semdedup(
     )
     if max_cell_size is not None:
         assignments = _split_hot_cells(assignments, max_cell_size, dim=dim)
+    # Shared exact scorer: quantize once (integer-valued doubles), carry
+    # the exact squared norm. dq and sq are order-independent integers,
+    # so the BLAS and fold paths decide IDENTICAL pair sets and the
+    # DuckDB oracle replays either.
+    quant = assignments.withColumn(
+        "_qv",
+        F.transform(
+            F.col("vec"),
+            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("double"),
+        ),
+    ).withColumn("_sq", dot(F.col("_qv"), F.col("_qv")))
+    id_type = assignments.schema["vec_id"].dataType.simpleString()
     if scorer == "blas":
         # scale path: one numpy GEMM per cell instead of 64-term fold
         # dots per pair (measured 83 s -> seconds at 200k x 64-dim,
-        # SCALE_RESULTS.md). BLAS pairwise summation is not the
-        # sequential fold, so borderline cosines a few ulp from the
-        # threshold may flip vs the SQL oracle — keep the default
-        # scorer="fold" for oracle-checked runs.
+        # SCALE_RESULTS.md). Exact despite BLAS pairwise summation:
+        # integer-valued float64 inputs keep every partial sum an
+        # integer below 2^53 (asserted), so summation order is moot.
         import numpy as np
         import pandas as pd
 
@@ -936,33 +954,42 @@ def semdedup(
             ids = pdf["vec_id"].to_numpy()
             order = np.argsort(ids)
             ids = ids[order]
-            m = np.stack(pdf["vec"].to_numpy()[order]).astype(np.float64)
-            nrm = pdf["norm"].to_numpy(dtype=np.float64)[order]
+            m = np.stack(pdf["_qv"].to_numpy()[order]).astype(np.float64)
+            mx = float(np.abs(m).max()) if m.size else 0.0
+            assert m.shape[1] * mx * mx < 2.0 ** 53, (
+                "quantized GEMM exactness ceiling exceeded "
+                "(dim · max|q|² must stay below 2^53)"
+            )
+            sq = pdf["_sq"].to_numpy(dtype=np.float64)[order]
+            nrm = np.sqrt(sq)
             g = (m @ m.T) / np.outer(nrm, nrm)
             ia, ib = np.triu_indices(len(ids), k=1)
-            keep = g[ia, ib] >= thr
+            keep = (sq[ia] > 0) & (sq[ib] > 0) & (g[ia, ib] >= thr)
             return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]]})
 
-        pairs = assignments.select("vec_id", "cell", "vec", "norm").groupBy(
+        pairs = quant.select("vec_id", "cell", "_qv", "_sq").groupBy(
             "cell"
-        ).applyInPandas(cell_pairs, schema="doc_a long, doc_b long")
+        ).applyInPandas(cell_pairs, schema=f"doc_a {id_type}, doc_b {id_type}")
     else:
-        a = assignments.select(
+        a = quant.select(
             F.col("vec_id").alias("_ida"),
             F.col("cell"),
-            F.col("vec").alias("_va"),
-            F.col("norm").alias("_na"),
+            F.col("_qv").alias("_qa"),
+            F.col("_sq").alias("_sa"),
         )
-        b = assignments.select(
+        b = quant.select(
             F.col("vec_id").alias("_idb"),
             F.col("cell"),
-            F.col("vec").alias("_vb"),
-            F.col("norm").alias("_nb"),
+            F.col("_qv").alias("_qb"),
+            F.col("_sq").alias("_sb"),
         )
-        cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        cos = dot(F.col("_qa"), F.col("_qb")) / (
+            F.sqrt(F.col("_sa")) * F.sqrt(F.col("_sb"))
+        )
         pairs = (
             a.join(b, "cell")
             .filter(F.col("_ida") < F.col("_idb"))
+            .filter((F.col("_sa") > F.lit(0.0)) & (F.col("_sb") > F.lit(0.0)))
             .withColumn("_cos", cos)
             .filter(F.col("_cos") >= threshold)
             .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
