@@ -3237,6 +3237,119 @@ ORDER BY doc_id, span_start
 """
 
 
+def d_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-frequency dedup (Raffel et al. 2020 §2.2,
+    operators/corpus.line_frequency_filter): drop every line occurring
+    in more than 2 distinct documents — the boilerplate filter that
+    doc-level (exact/MinHash/SimHash) and span-level (d_dup_spans)
+    dedup both miss. The synthetic documents have no newline structure,
+    so lines are deterministic 3-token windows (231 of 7460 distinct
+    lines at sf0.01 are boilerplate under this rule — the filter has
+    real work to do). Per-doc output: line counts + the reassembled
+    clean text (array_sort(struct) == string_agg ORDER BY)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        line_frequency_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return line_frequency_filter(docs, max_docs=2, line_tokens=3).orderBy(
+        "doc_id"
+    )
+
+
+_D_LINE_DEDUP_SQL = rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+l0 AS (SELECT doc_id, ts,
+              unnest(generate_series(0, CAST(ceil(len(ts) / 3.0) AS BIGINT) - 1))
+                AS ln
+       FROM t WHERE len(ts) > 0),
+l AS (SELECT doc_id, CAST(ln AS BIGINT) AS ln,
+             array_to_string(ts[ln * 3 + 1:ln * 3 + 3], ' ') AS line
+      FROM l0),
+f AS (SELECT line, count(DISTINCT doc_id) <= 2 AS keep FROM l GROUP BY line),
+j AS (SELECT l.doc_id, l.ln, l.line, f.keep FROM l JOIN f USING (line)),
+s AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+                                 ORDER BY ln), '') AS clean_text
+      FROM j GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(n_lines, 0) AS n_lines,
+       coalesce(n_kept, 0) AS n_kept,
+       coalesce(n_lines, 0) - coalesce(n_kept, 0) AS n_dropped,
+       coalesce(clean_text, '') AS clean_text
+FROM documents d LEFT JOIN s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def e_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — the cost-monitor rollup (reference
+    monitoring/cost_monitor.py:26-77 get_current_month_costs): filter a
+    usage ledger to the CURRENT month and a fixed service whitelist,
+    group by service, sum cost, and band each service against the
+    budget thresholds (the reference's FREE/GOOD/CAUTION/WARNING
+    report, re-expressed on the share of total since absolute dollar
+    bands don't transfer to synthetic values). Ledger = events (service
+    = event_type, cost = value); "current month" = the month of the
+    newest event, derived in-query (one tiny agg broadcast back — no
+    wall-clock dependence, replayable). Costs are exact decimal sums;
+    shares are one IEEE division of exact operands."""
+    ev = _t(spark, sf_dir, "events")
+    services = ["click", "view", "purchase", "signup"]
+    cur = ev.agg(F.date_trunc("month", F.max("ts")).alias("_m0"))
+    led = ev.join(
+        F.broadcast(cur),
+        F.date_trunc("month", F.col("ts")) == F.col("_m0"),
+    ).filter(F.col("event_type").isin(services))
+    per = led.groupBy(F.col("event_type").alias("service")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("_c"),
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+    )
+    tot = per.agg(F.sum("_c").alias("_t"))
+    share = F.col("_c").cast("double") / F.col("_t").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "service",
+            F.col("_c").cast("double").alias("cost"),
+            "n_records",
+            share.alias("share"),
+            F.when(F.col("_c") <= 0, F.lit("FREE"))
+            .when(share < 0.10, F.lit("GOOD"))
+            .when(share < 0.35, F.lit("CAUTION"))
+            .otherwise(F.lit("WARNING"))
+            .alias("band"),
+        )
+        .orderBy("service")
+    )
+
+
+_E_COST_ROLLUP_SQL = """
+WITH m AS (SELECT date_trunc('month', max(ts)) AS m0 FROM events),
+led AS (
+  SELECT event_type AS service, CAST(value AS DECIMAL(38,6)) AS v
+  FROM events, m
+  WHERE date_trunc('month', ts) = m0
+    AND event_type IN ('click', 'view', 'purchase', 'signup')),
+per AS (
+  SELECT service, sum(v) AS c, CAST(count(*) AS BIGINT) AS n_records
+  FROM led GROUP BY service),
+tot AS (SELECT sum(c) AS t FROM per)
+SELECT service,
+       CAST(c AS DOUBLE) AS cost,
+       n_records,
+       CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+       CASE WHEN c <= 0 THEN 'FREE'
+            WHEN CAST(c AS DOUBLE) / CAST(t AS DOUBLE) < 0.10 THEN 'GOOD'
+            WHEN CAST(c AS DOUBLE) / CAST(t AS DOUBLE) < 0.35 THEN 'CAUTION'
+            ELSE 'WARNING' END AS band
+FROM per, tot
+ORDER BY service
+"""
+
+
 def d_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (Efraimidis–Spirakis reservoir, md5-derived uniforms): top-20
@@ -10009,6 +10122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_kgram_fingerprint": d_kgram_fingerprint,
         "emb_ivf_ann": emb_ivf_ann,
         # --- r7 part 1: NEW this round (insert new queries HERE) ---
+        "d_line_dedup": d_line_dedup,
+        "e_cost_rollup": e_cost_rollup,
         # --- r7 part 2: implementation/oracle changed this round ---
         "e_gini": e_gini,
         "e_pareto_share": e_pareto_share,
@@ -10395,6 +10510,8 @@ def oracle_sql() -> dict[str, str]:
         "e_retention_cohorts": _E_RETENTION_SQL,
         "d_unigram_xent": _D_XENT_SQL,
         "d_dup_spans": _D_SPANS_SQL,
+        "d_line_dedup": _D_LINE_DEDUP_SQL,
+        "e_cost_rollup": _E_COST_ROLLUP_SQL,
         "x_sma_backtest": _X_BACKTEST_SQL,
         "x_donchian": _X_DONCHIAN_SQL,
         "x_underwater_streak": _X_UNDERWATER_SQL,
@@ -10543,6 +10660,8 @@ HEADLINE_QUERIES = [
     "e_retention_cohorts",
     "d_unigram_xent",
     "d_dup_spans",
+    "d_line_dedup",
+    "e_cost_rollup",
     "x_sma_backtest",
     "x_donchian",
     "x_underwater_streak",

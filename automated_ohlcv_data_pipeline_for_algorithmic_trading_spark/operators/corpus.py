@@ -884,3 +884,106 @@ def bigram_xent(
         n.alias("n_bigrams"),
         ((-s.cast("double")) / n.cast("double")).alias("xent2"),
     )
+
+
+def line_frequency_filter(
+    df: DataFrame,
+    max_docs: int = 2,
+    line_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    splitter: str = "tokens",
+) -> DataFrame:
+    """C4-style line-frequency dedup (Raffel et al. 2020 §2.2: "we
+    discarded ... any line that occurred more than [N times] in the
+    dataset", here counted per distinct DOCUMENT): drop every line whose
+    exact text appears in more than ``max_docs`` distinct documents —
+    the standard boilerplate filter (nav bars, cookie banners, footers)
+    that doc-level and span-level dedup both miss.
+
+    ``splitter="newline"`` uses real ``\\n`` lines (the C4 original,
+    trimmed, empties dropped); ``splitter="tokens"`` derives
+    deterministic fixed-width pseudo-lines of ``line_tokens`` whitespace
+    tokens for corpora without line structure (the synthetic documents
+    table has none) — same downstream shape either way.
+
+    Scale shape (the duplicated_spans recipe): explode lines once, ONE
+    partial-aggregable count-distinct-docs per line text (the hot
+    boilerplate line collapses map-side before the shuffle), join the
+    verdict back, and reassemble kept lines per document with
+    array_sort(struct) — no window, two shuffles total (line count +
+    doc regroup). At 100 TB swap the join key for ``xxhash64(line)`` to
+    shrink the shuffle; the string key keeps the DuckDB oracle exact
+    here (collision-free by construction).
+
+    Output: one row per input document — (id_col, n_lines, n_kept,
+    n_dropped, clean_text) with kept lines rejoined by a single space
+    (newline fidelity is not round-tripped; this operator feeds
+    tokenizers, not renderers).
+    """
+    if splitter == "newline":
+        # NB: pass a single-arg lambda — F.transform feeds (element,
+        # index) to any two-arg callable, and F.trim(col, str) is the
+        # deprecated trim-by-characters form
+        lines_expr = F.filter(
+            F.transform(F.split(F.col(text_col), r"\n"), lambda s: F.trim(s)),
+            lambda s: F.length(s) > 0,
+        )
+    else:
+        ts = tokens(text_col)
+        n_chunks = F.ceil(F.size(ts) / F.lit(line_tokens)).cast("int")
+        lines_expr = F.when(F.size(ts) <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(ts, i * F.lit(line_tokens) + 1, line_tokens)
+                ),
+            )
+        )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    exploded = (
+        df.select(F.col(id_col), lines_expr.alias("_lines"))
+        .repartition(par)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.col("_lines")).alias("_ln", "_line"),
+        )
+    )
+    exploded = exploded.localCheckpoint()  # count + reassembly both consume it
+    freq = (
+        exploded.groupBy("_line")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .select("_line", (F.col("_df") <= max_docs).alias("_keep"))
+    )
+    flagged = exploded.join(freq, "_line")
+    stats = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("_ln"), F.col("_line")),
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

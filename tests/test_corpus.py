@@ -394,3 +394,97 @@ class TestBigramXent:
         docs = [Row(doc_id=1, text="only"), Row(doc_id=2, text="two words")]
         out = {r.doc_id for r in bigram_xent(spark.createDataFrame(docs)).collect()}
         assert out == {2}
+
+
+def test_line_frequency_filter_newline_mode(spark):
+    """C4 rule: a line in more than max_docs distinct docs is dropped
+    everywhere (including every doc that carried it); unique lines
+    survive; repeats WITHIN one doc count once."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        line_frequency_filter,
+    )
+
+    boiler = "accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta\n{boiler}\ngamma"),
+            (2, f"{boiler}\ndelta epsilon\n{boiler}"),
+            (3, f"zeta\n{boiler}"),
+            (4, "eta theta"),
+            (5, "   \n  "),  # whitespace-only -> zero lines
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_frequency_filter(
+            docs, max_docs=2, splitter="newline"
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[1]["n_dropped"] == 1
+    # doc 2 had the boilerplate twice: both positions drop
+    assert out[2]["clean_text"] == "delta epsilon"
+    assert out[2]["n_lines"] == 3 and out[2]["n_dropped"] == 2
+    assert out[3]["clean_text"] == "zeta"
+    assert out[4] ["clean_text"] == "eta theta" and out[4]["n_dropped"] == 0
+    assert out[5]["n_lines"] == 0 and out[5]["clean_text"] == ""
+
+
+def test_line_frequency_filter_token_mode_chunking(spark):
+    """Token mode: fixed-width windows, trailing partial window kept."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        line_frequency_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_frequency_filter(
+            docs, max_docs=5, line_tokens=3
+        ).collect()
+    }
+    assert out[1]["n_lines"] == 3  # "a b c", "d e f", "g"
+    assert out[1]["clean_text"] == "a b c d e f g"
+    assert out[2]["n_lines"] == 0 and out[2]["clean_text"] == ""
+
+
+def test_gopher_then_line_dedup_composition(spark):
+    """The curation-pipeline composition: Gopher rules screen documents,
+    the C4 line filter then strips cross-doc boilerplate from the
+    survivors — the filter must run on gopher-PASSING docs only, and
+    the boilerplate verdict must be computed on that filtered corpus."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        line_frequency_filter,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        gopher_rules,
+    )
+
+    body = " ".join(f"word{i}" for i in range(60))
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{body}\n{boiler}"),
+            (2, f"{boiler}\n{body} extra"),
+            (3, f"{body} more\n{boiler}"),
+            (4, "too short"),  # fails gopher min_words
+        ],
+        "doc_id long, text string",
+    )
+    passing = gopher_rules(docs).filter(F.col("pass_gopher")).select("doc_id")
+    survivors = docs.join(passing, "doc_id")
+    out = {
+        r["doc_id"]: r
+        for r in line_frequency_filter(
+            survivors, max_docs=2, splitter="newline"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}  # doc 4 never reaches the line filter
+    # boilerplate appears in 3 surviving docs > max_docs=2: dropped
+    for d in (1, 2, 3):
+        assert boiler not in out[d]["clean_text"]
+        assert out[d]["n_dropped"] == 1
