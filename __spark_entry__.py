@@ -10090,6 +10090,363 @@ FROM rk ORDER BY user_id, trade_date
 """
 
 
+def x_tsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Strength Index over per-user daily closes
+    (operators/finance.tsi): DOUBLE-smoothed momentum — the ninth
+    recurrence family, and the first NESTED one (the fast EMA pair
+    consumes the slow EMA pair's per-bar output). All four states fold
+    in one grouped-map pass on int64 micro-units; the oracle
+    precomputes the momentum as a lag window column and carries the
+    four BIGINT states through one recursive CTE."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        tsi,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    out = tsi(daily, ["user_id"], "trade_date", slow=25, fast=13)
+    return out.select("user_id", "trade_date", "close", "mtm", "tsi").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_TSI_SQL = f"""
+WITH RECURSIVE d AS ({_SQL_DAILY_OHLCV}),
+src AS (
+  SELECT user_id, trade_date, close,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS q,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM d),
+m AS (
+  SELECT user_id, trade_date, close, rn,
+         q - lag(q) OVER (PARTITION BY user_id ORDER BY trade_date) AS mq
+  FROM src),
+rec AS (
+  SELECT user_id, trade_date, close, rn, mq,
+         mq AS em, abs(mq) AS am, mq AS em2, abs(mq) AS am2
+  FROM m WHERE rn = 2
+  UNION ALL
+  SELECT s.user_id, s.trade_date, s.close, s.rn, s.mq,
+         r.em + CAST(floor(2.0 * (s.mq - r.em) / 26.0) AS BIGINT),
+         r.am + CAST(floor(2.0 * (abs(s.mq) - r.am) / 26.0) AS BIGINT),
+         r.em2 + CAST(floor(2.0 * ((r.em
+             + CAST(floor(2.0 * (s.mq - r.em) / 26.0) AS BIGINT))
+             - r.em2) / 14.0) AS BIGINT),
+         r.am2 + CAST(floor(2.0 * ((r.am
+             + CAST(floor(2.0 * (abs(s.mq) - r.am) / 26.0) AS BIGINT))
+             - r.am2) / 14.0) AS BIGINT)
+  FROM m s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+SELECT user_id, trade_date, close,
+       CAST(mq AS DOUBLE) / 1e6 AS mtm,
+       100.0 * CAST(em2 AS DOUBLE) / CAST(am2 AS DOUBLE) AS tsi
+FROM rec WHERE am2 <> 0
+ORDER BY user_id, trade_date
+"""
+
+
+def x_ppo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentage Price Oscillator: MACD normalized by the slow EMA
+    (100·(EMA12 − EMA26)/EMA26) — comparable across instruments of
+    different price levels where raw MACD is not. Reuses the exact
+    integer EMA fold (ema_macd_exact); the ratio is fixed-order IEEE
+    over the fold's exact states. Positive-price rows only (the
+    daily_returns DQ rule) so the denominator is never zero."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.extension import (
+        apply_per_symbol,
+        ema_macd_exact,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    src = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("timestamp_unix"),
+        F.col("value").alias("close"),
+    )
+    src = src.repartition(spark.sparkContext.defaultParallelism, "user_id")
+    out = apply_per_symbol(
+        src,
+        ema_macd_exact(fast=12, slow=26),
+        "user_id bigint, event_id bigint, timestamp_unix bigint, close double,"
+        " ema_fast double, ema_slow double, macd double",
+        keys=("user_id",),
+        ts_col=("timestamp_unix", "event_id"),
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "timestamp_unix",
+        "close",
+        "macd",
+        (F.lit(100.0) * F.col("macd") / F.col("ema_slow")).alias("ppo"),
+    ).orderBy("user_id", "timestamp_unix", "event_id")
+
+
+_X_PPO_SQL = """
+WITH RECURSIVE src AS (
+  SELECT user_id, event_id, epoch_us(ts) AS timestamp_unix, value AS close,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE value > 0),
+ema AS (
+  SELECT user_id, event_id, timestamp_unix, close, v, rn,
+         v AS e12, v AS e26
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.timestamp_unix, s.close, s.v, s.rn,
+         e.e12 + CAST(floor(2.0 * (s.v - e.e12) / 13.0) AS BIGINT),
+         e.e26 + CAST(floor(2.0 * (s.v - e.e26) / 27.0) AS BIGINT)
+  FROM src s JOIN ema e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+SELECT user_id, event_id, timestamp_unix, close,
+       CAST(e12 - e26 AS DOUBLE) / 1000000.0 AS macd,
+       100.0 * (CAST(e12 - e26 AS DOUBLE) / 1000000.0)
+             / (CAST(e26 AS DOUBLE) / 1000000.0) AS ppo
+FROM ema
+ORDER BY user_id, timestamp_unix, event_id
+"""
+
+
+def x_qstick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QStick(8): the trailing-8-bar mean of (close − open) — candle
+    body momentum (persistent positive = buying pressure). Bodies are
+    exact BIGINT micro-unit diffs; the trailing mean is an exact
+    integer window sum over ONE per-key exchange divided by the window
+    count — partial windows included, like the reference's SMA
+    semantics."""
+    daily = _daily_ohlcv(spark, sf_dir)
+    qd = (
+        F.floor(F.col("close") * F.lit(1e6) + F.lit(0.5))
+        - F.floor(F.col("open") * F.lit(1e6) + F.lit(0.5))
+    ).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("trade_date")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    src = daily.withColumn("_qd", qd)
+    return (
+        src.select(
+            "user_id",
+            "trade_date",
+            "open",
+            "close",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_obs"),
+            (
+                F.sum("_qd").over(w).cast("double")
+                / F.count(F.lit(1)).over(w).cast("double")
+                / F.lit(1e6)
+            ).alias("qstick"),
+        )
+        .orderBy("user_id", "trade_date")
+    )
+
+
+_X_QSTICK_SQL = f"""
+WITH d AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date, open, close,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT)
+           - CAST(floor(open * 1e6 + 0.5) AS BIGINT) AS qd
+  FROM d)
+SELECT user_id, trade_date, open, close,
+       CAST(count(*) OVER w AS BIGINT) AS n_obs,
+       CAST(sum(qd) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)
+         / 1e6 AS qstick
+FROM b
+WINDOW w AS (PARTITION BY user_id ORDER BY trade_date
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, trade_date
+"""
+
+
+def x_rvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Vigor Index (10) with its 4-bar signal line: SMA of the
+    4-bar-weighted candle body over the 4-bar-weighted range —
+    conviction of the close relative to the bar's travel. The weighted
+    numerator/denominator stay exact BIGINT (weights 1-2-2-1 are
+    integers; the /6 normalizations cancel in the ratio); rows with a
+    zero range sum are dropped in both engines (no defined vigor); the
+    signal line is the fixed-order IEEE 1-2-2-1 average of the exact
+    ratio doubles."""
+    daily = _daily_ohlcv(spark, sf_dir)
+    q = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    src = daily.select(
+        "user_id",
+        "trade_date",
+        (q("close") - q("open")).alias("_co"),
+        (q("high") - q("low")).alias("_hl"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("trade_date")
+    num6 = (
+        F.col("_co")
+        + F.lit(2) * F.lag("_co", 1).over(wo)
+        + F.lit(2) * F.lag("_co", 2).over(wo)
+        + F.lag("_co", 3).over(wo)
+    )
+    den6 = (
+        F.col("_hl")
+        + F.lit(2) * F.lag("_hl", 1).over(wo)
+        + F.lit(2) * F.lag("_hl", 2).over(wo)
+        + F.lag("_hl", 3).over(wo)
+    )
+    wn = wo.rowsBetween(-9, Window.currentRow)
+    with_w = (
+        src.withColumn("_n6", num6)
+        .withColumn("_d6", den6)
+        .filter(F.col("_n6").isNotNull())
+        .withColumn("_sn", F.sum("_n6").over(wn))
+        .withColumn("_sd", F.sum("_d6").over(wn))
+        .filter(F.col("_sd") != 0)
+        .withColumn(
+            "rvi", F.col("_sn").cast("double") / F.col("_sd").cast("double")
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("trade_date")
+    signal = (
+        F.col("rvi")
+        + F.lit(2.0) * F.lag("rvi", 1).over(wr)
+        + F.lit(2.0) * F.lag("rvi", 2).over(wr)
+        + F.lag("rvi", 3).over(wr)
+    ) / F.lit(6.0)
+    return with_w.select(
+        "user_id", "trade_date", "rvi", signal.alias("signal")
+    ).orderBy("user_id", "trade_date")
+
+
+_X_RVI_SQL = f"""
+WITH d AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT)
+           - CAST(floor(open * 1e6 + 0.5) AS BIGINT) AS co,
+         CAST(floor(high * 1e6 + 0.5) AS BIGINT)
+           - CAST(floor(low * 1e6 + 0.5) AS BIGINT) AS hl
+  FROM d),
+wts AS (
+  SELECT user_id, trade_date,
+         co + 2 * lag(co, 1) OVER w + 2 * lag(co, 2) OVER w
+            + lag(co, 3) OVER w AS n6,
+         hl + 2 * lag(hl, 1) OVER w + 2 * lag(hl, 2) OVER w
+            + lag(hl, 3) OVER w AS d6
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+sums AS (
+  SELECT user_id, trade_date,
+         sum(n6) OVER ws AS sn, sum(d6) OVER ws AS sd
+  FROM wts WHERE n6 IS NOT NULL
+  WINDOW ws AS (PARTITION BY user_id ORDER BY trade_date
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+r AS (
+  SELECT user_id, trade_date,
+         CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE) AS rvi
+  FROM sums WHERE sd <> 0)
+SELECT user_id, trade_date, rvi,
+       (rvi + 2.0 * lag(rvi, 1) OVER w + 2.0 * lag(rvi, 2) OVER w
+            + lag(rvi, 3) OVER w) / 6.0 AS signal
+FROM r WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+ORDER BY user_id, trade_date
+"""
+
+
+def d_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion (operators/corpus.
+    reciprocal_rank_fusion): BM25 lexical top-50 for a fixed query and
+    embedding-cosine top-50 around a query vector, merged by
+    Reciprocal Rank Fusion — the standard no-calibration combiner for
+    retrieval-augmented curation. Each contribution quantizes to
+    nano-unit BIGINT so the per-doc sum is order-independent and the
+    ranking key is an exact integer; the fusion itself touches only
+    the two bounded top-k lists, never the corpus."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        bm25_topk,
+        reciprocal_rank_fusion,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        brute_force_knn,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, [(1, ["hash", "join", "scan"])], k=50).select(
+        "doc_id", "rank"
+    )
+    ann = brute_force_knn(emb.filter(F.col("vec_id") == 0), emb, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return reciprocal_rank_fusion([bm, ann], top=20)
+
+
+def _rrf_fusion_sql(k: int = 50, top: int = 20, const: float = 60.0) -> str:
+    """DuckDB twin of d_rrf_fusion: the _bm25_sql CTE chain restricted
+    to the single fusion query, the brute-force cosine chain around
+    vec 0, and the nano-quantized RRF combine."""
+    idf = (
+        "floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        " / (CAST(df AS DOUBLE) + 0.5)) * 1e6 + 0.5) / 1e6"
+    )
+    frac = (
+        "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
+        " + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)"
+        " / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    )
+    return f"""
+WITH q(term) AS (VALUES ('hash'), ('join'), ('scan')),
+toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+dt AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY ALL),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tfs GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl) AS total_len),
+dfreq AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+cand AS (
+  SELECT t.doc_id, t.tf, dl.dl, f.df, s.n_docs, s.total_len
+  FROM tfs t JOIN q USING (term) JOIN dl USING (doc_id)
+  JOIN dfreq f USING (term), stats s),
+sc AS (
+  SELECT doc_id,
+         CAST(sum(CAST(floor((({idf}) * ({frac})) * 1e6 + 0.5) / 1e6
+                       AS DECIMAL(38,6))) AS DOUBLE) AS score
+  FROM cand GROUP BY doc_id),
+bmr AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM sc)
+  WHERE rank <= {k}),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+annp AS (
+  SELECT c.vec_id AS doc_id,
+         list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id = 0),
+annr AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+    FROM annp)
+  WHERE rank <= {k}),
+u AS (
+  SELECT doc_id,
+         CAST(floor(1e9 / ({const} + CAST(rank AS DOUBLE)) + 0.5)
+              AS BIGINT) AS c
+  FROM bmr
+  UNION ALL
+  SELECT doc_id,
+         CAST(floor(1e9 / ({const} + CAST(rank AS DOUBLE)) + 0.5)
+              AS BIGINT) AS c
+  FROM annr),
+f AS (SELECT doc_id, sum(c) AS rq, CAST(count(*) AS BIGINT) AS n_sources
+      FROM u GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY rq DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, CAST(rq AS DOUBLE) / 1e9 AS rrf_score, n_sources
+FROM f ORDER BY rq DESC, doc_id LIMIT {top}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
@@ -10124,6 +10481,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r7 part 1: NEW this round (insert new queries HERE) ---
         "d_line_dedup": d_line_dedup,
         "e_cost_rollup": e_cost_rollup,
+        "x_tsi": x_tsi,
+        "x_ppo": x_ppo,
+        "x_qstick": x_qstick,
+        "x_rvi": x_rvi,
+        "d_rrf_fusion": d_rrf_fusion,
         # --- r7 part 2: implementation/oracle changed this round ---
         "e_gini": e_gini,
         "e_pareto_share": e_pareto_share,
@@ -10512,6 +10874,11 @@ def oracle_sql() -> dict[str, str]:
         "d_dup_spans": _D_SPANS_SQL,
         "d_line_dedup": _D_LINE_DEDUP_SQL,
         "e_cost_rollup": _E_COST_ROLLUP_SQL,
+        "x_tsi": _X_TSI_SQL,
+        "x_ppo": _X_PPO_SQL,
+        "x_qstick": _X_QSTICK_SQL,
+        "x_rvi": _X_RVI_SQL,
+        "d_rrf_fusion": _rrf_fusion_sql(),
         "x_sma_backtest": _X_BACKTEST_SQL,
         "x_donchian": _X_DONCHIAN_SQL,
         "x_underwater_streak": _X_UNDERWATER_SQL,
@@ -10662,6 +11029,11 @@ HEADLINE_QUERIES = [
     "d_dup_spans",
     "d_line_dedup",
     "e_cost_rollup",
+    "x_tsi",
+    "x_ppo",
+    "x_qstick",
+    "x_rvi",
+    "d_rrf_fusion",
     "x_sma_backtest",
     "x_donchian",
     "x_underwater_streak",

@@ -987,3 +987,58 @@ def line_frequency_filter(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def reciprocal_rank_fusion(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    const: float = 60.0,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009): merge N retrieval
+    rankings of the same corpus into one list by
+
+        rrf(d) = Σ_r 1 / (const + rank_r(d))
+
+    — the standard hybrid-search combiner (BM25 lexical + embedding
+    ANN) for retrieval-augmented curation: rank fusion needs no score
+    calibration across heterogeneous retrievers, only ranks.
+
+    Scale shape: each input is already a top-k (bounded); the fusion is
+    one union + one hash aggregate over ≤ N·k rows + a TakeOrdered —
+    nothing here ever touches the corpus.
+
+    Determinism: each contribution is quantized to nano-units
+    (``floor(1e9/(const+rank) + 0.5)`` BIGINT) so the per-doc sum is
+    exact-integer (order-independent, any N) and the ranking key is
+    (BIGINT sum desc, id asc) — never a raw float.
+
+    Output: (rank, id_col, rrf_score, n_sources), rank 1..top.
+    """
+    contrib = F.floor(
+        F.lit(1e9) / (F.lit(float(const)) + F.col(rank_col).cast("double"))
+        + F.lit(0.5)
+    ).cast("long")
+    tagged = [
+        r.select(F.col(id_col), contrib.alias("_c")) for r in rankings
+    ]
+    allc = tagged[0]
+    for t in tagged[1:]:
+        allc = allc.unionByName(t)
+    fused = allc.groupBy(id_col).agg(
+        F.sum("_c").alias("_rrf_q"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    w = Window.orderBy(F.col("_rrf_q").desc(), F.col(id_col).asc())
+    return (
+        fused.orderBy(F.col("_rrf_q").desc(), F.col(id_col).asc())
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            id_col,
+            (F.col("_rrf_q").cast("double") / F.lit(1e9)).alias("rrf_score"),
+            "n_sources",
+        )
+    )

@@ -3421,3 +3421,84 @@ def choppiness_index(
         ),
     )
     return out.withColumn("chop", chop)
+
+
+def tsi(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    slow: int = 25,
+    fast: int = 13,
+    close: str = "close",
+) -> DataFrame:
+    """True Strength Index (Blau): DOUBLE-smoothed momentum —
+
+        tsi = 100 · EMA_fast(EMA_slow(Δp)) / EMA_fast(EMA_slow(|Δp|))
+
+    A nested recurrence (four EMA states whose fast stages consume the
+    OUTPUT of the slow stages), folded in ONE grouped-map pass: the
+    momentum diff, both slow EMAs, and both fast EMAs all advance
+    per-bar on int64 micro-unit states, so one shuffle covers what four
+    chained ema_fold calls would do in four.
+
+    Exactness contract (the ema_fold family rule): close quantizes with
+    floor(p·1e6+0.5); every state update is
+    ``s += floor(2.0·(x − s)/(n + 1.0))`` over doubles of integers
+    < 2^53 (IEEE-exact, engine-independent); the final
+    ``100·em2/am2`` is fixed-order IEEE over exact integers. The DuckDB
+    oracle precomputes the momentum as a lag window column and carries
+    the four BIGINT states through a recursive CTE (x_tsi in
+    __spark_entry__).
+
+    Seed: both slow EMAs at the first momentum value (bar 2), both fast
+    EMAs at those seeds. Bar 1 has no momentum and is dropped. The fast
+    stage consumes the UPDATED slow state of the same bar.
+
+    Output: keys + order + close + (mtm, tsi). Bars whose |momentum|
+    EMA state is zero (flat series from the seed on) have no defined
+    TSI and are dropped in BOTH engines (NaN/NULL cross-engine hashing
+    is exactly the ambiguity the registry avoids).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", mtm double, tsi double"
+    )
+    ds, dfst = slow + 1.0, fast + 1.0
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        q = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        m = len(q)
+        mtm_a = np.full(m, np.nan)
+        tsi_a = np.full(m, np.nan)
+        em = am = em2 = am2 = 0
+        ql = q.tolist()
+        for i in range(1, m):
+            mi = ql[i] - ql[i - 1]
+            ai = abs(mi)
+            if i == 1:
+                em, am = mi, ai
+                em2, am2 = em, am
+            else:
+                em += math.floor(2.0 * (mi - em) / ds)
+                am += math.floor(2.0 * (ai - am) / ds)
+                em2 += math.floor(2.0 * (em - em2) / dfst)
+                am2 += math.floor(2.0 * (am - am2) / dfst)
+            mtm_a[i] = mi / 1e6
+            if am2 != 0:
+                tsi_a[i] = 100.0 * em2 / am2
+        out = pdf.assign(mtm=mtm_a, tsi=tsi_a)
+        return out[~np.isnan(tsi_a)]
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)

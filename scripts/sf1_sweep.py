@@ -53,6 +53,19 @@ QUERIES = [
     "j_interval_clicks",
     "emb_pq_ann",
     "emb_semdedup",
+    # round 7 (VERDICT r6 ask #6): the round-6 recurrence/indicator
+    # families (10x fold length per user) plus the distributed-rank
+    # scalar pair (10x per-user totals feeding the two-pass rank) and
+    # the new line-frequency filter (10x replica density inflates every
+    # line's doc-frequency past the threshold — worst-case drop rate)
+    "x_renko",
+    "x_chandelier",
+    "x_chop",
+    "x_cmf",
+    "x_vwma",
+    "e_gini",
+    "e_pareto_share",
+    "d_line_dedup",
 ]
 
 # emb_semdedup at 20k vectors with the registry's n_lists=8 leaves

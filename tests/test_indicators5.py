@@ -442,3 +442,86 @@ class TestPcaRankDeficiency:
         out = pca_outlier_scores(df, k=5, top=5).collect()
         assert out[0]["vec_id"] == 11
         assert all(math.isfinite(r["score"]) for r in out)
+
+
+class TestTsiPpoQstickRvi:
+    def test_tsi_reference_fold(self, spark):
+        """Hand-replay of the nested integer fold on a short series."""
+        import math
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            tsi,
+        )
+
+        closes = [10.0, 11.0, 10.5, 12.0, 12.5, 11.0, 13.0]
+        df = spark.createDataFrame(
+            [(1, i, c) for i, c in enumerate(closes)],
+            "user_id long, d long, close double",
+        )
+        out = {r["d"]: r["tsi"] for r in tsi(df, ["user_id"], "d").collect()}
+        q = [round(c * 1e6) for c in closes]
+        em = am = em2 = am2 = 0
+        want = {}
+        for i in range(1, len(q)):
+            m = q[i] - q[i - 1]
+            a = abs(m)
+            if i == 1:
+                em, am, em2, am2 = m, a, m, a
+            else:
+                em += math.floor(2.0 * (m - em) / 26.0)
+                am += math.floor(2.0 * (a - am) / 26.0)
+                em2 += math.floor(2.0 * (em - em2) / 14.0)
+                am2 += math.floor(2.0 * (am - am2) / 14.0)
+            if am2:
+                want[i] = 100.0 * em2 / am2
+        assert out == want
+        assert out[1] == 100.0  # seed bar: em2 == am2 (positive move)
+
+    def test_tsi_flat_series_dropped(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            tsi,
+        )
+
+        df = spark.createDataFrame(
+            [(1, i, 5.0) for i in range(6)],
+            "user_id long, d long, close double",
+        )
+        assert tsi(df, ["user_id"], "d").count() == 0  # |mtm| EMA stays 0
+
+    def test_qstick_and_rvi_shapes(self, spark, sf_dir):
+        import __spark_entry__ as E
+
+        q = E.x_qstick(spark, sf_dir).limit(200).collect()
+        assert q and all(r["n_obs"] <= 8 for r in q)
+        first = q[0]
+        assert first["n_obs"] == 1
+        assert first["qstick"] == (
+            round(first["close"] * 1e6) - round(first["open"] * 1e6)
+        ) / 1e6
+
+        r = E.x_rvi(spark, sf_dir).limit(200).collect()
+        assert r and all(-1.0 <= row["rvi"] <= 1.0 for row in r)
+        # signal defined only once 3 prior RVI rows exist
+        assert r[0]["signal"] is None and r[1]["signal"] is None
+
+    def test_rrf_fusion_math(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            reciprocal_rank_fusion,
+        )
+
+        a = spark.createDataFrame(
+            [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+        )
+        b = spark.createDataFrame(
+            [(20, 1), (10, 2), (40, 3)], "doc_id long, rank long"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in reciprocal_rank_fusion([a, b], top=10).collect()
+        }
+        q = lambda r: math.floor(1e9 / (60.0 + r) + 0.5)
+        assert out[10]["rrf_score"] == (q(1) + q(2)) / 1e9
+        assert out[20]["rrf_score"] == (q(2) + q(1)) / 1e9
+        assert out[10]["n_sources"] == 2 and out[30]["n_sources"] == 1
+        # 10 and 20 tie exactly (symmetric ranks): doc_id breaks the tie
+        assert out[10]["rank"] == 1 and out[20]["rank"] == 2
