@@ -10447,6 +10447,283 @@ FROM f ORDER BY rq DESC, doc_id LIMIT {top}
 """
 
 
+def x_ultimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ultimate Oscillator (Williams): buying pressure over true range
+    averaged at 7/14/28 bars and blended 4:2:1 — the classic
+    multi-horizon momentum gauge. BP/TR are exact BIGINT micro-unit
+    expressions off one lag; the three averages are exact integer
+    window-sum ratios on ONE per-key exchange; the blend is fixed-order
+    IEEE. Rows emit once the 28-bar window is full (and every TR sum
+    positive) in both engines."""
+    daily = _daily_ohlcv(spark, sf_dir)
+    q = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    wo = Window.partitionBy("user_id").orderBy("trade_date")
+    src = (
+        daily.select(
+            "user_id",
+            "trade_date",
+            q("high").alias("_h"),
+            q("low").alias("_l"),
+            q("close").alias("_c"),
+        )
+        .withColumn("_pc", F.lag("_c").over(wo))
+        .filter(F.col("_pc").isNotNull())
+        .withColumn("_bp", F.col("_c") - F.least("_l", "_pc"))
+        .withColumn(
+            "_tr", F.greatest("_h", "_pc") - F.least("_l", "_pc")
+        )
+        .withColumn("_rn", F.row_number().over(wo))
+    )
+
+    def wsum(col: str, nb: int):
+        w = wo.rowsBetween(-(nb - 1), Window.currentRow)
+        return F.sum(col).over(w)
+
+    with_s = (
+        src.withColumn("_b7", wsum("_bp", 7))
+        .withColumn("_t7", wsum("_tr", 7))
+        .withColumn("_b14", wsum("_bp", 14))
+        .withColumn("_t14", wsum("_tr", 14))
+        .withColumn("_b28", wsum("_bp", 28))
+        .withColumn("_t28", wsum("_tr", 28))
+        .filter(
+            (F.col("_rn") >= 28)
+            & (F.col("_t7") > 0)
+            & (F.col("_t14") > 0)
+            & (F.col("_t28") > 0)
+        )
+    )
+    a = lambda b, t: F.col(b).cast("double") / F.col(t).cast("double")
+    uo = (
+        F.lit(100.0)
+        * (
+            F.lit(4.0) * a("_b7", "_t7")
+            + F.lit(2.0) * a("_b14", "_t14")
+            + a("_b28", "_t28")
+        )
+        / F.lit(7.0)
+    )
+    return with_s.select(
+        "user_id",
+        "trade_date",
+        a("_b7", "_t7").alias("avg7"),
+        a("_b14", "_t14").alias("avg14"),
+        a("_b28", "_t28").alias("avg28"),
+        uo.alias("uo"),
+    ).orderBy("user_id", "trade_date")
+
+
+_X_ULTIMATE_SQL = f"""
+WITH d AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date,
+         CAST(floor(high * 1e6 + 0.5) AS BIGINT) AS h,
+         CAST(floor(low * 1e6 + 0.5) AS BIGINT) AS l,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS c
+  FROM d),
+p AS (
+  SELECT user_id, trade_date, h, l, c,
+         lag(c) OVER (PARTITION BY user_id ORDER BY trade_date) AS pc
+  FROM b),
+t AS (
+  SELECT user_id, trade_date,
+         c - least(l, pc) AS bp,
+         greatest(h, pc) - least(l, pc) AS tr,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM p WHERE pc IS NOT NULL),
+s AS (
+  SELECT user_id, trade_date, rn,
+         sum(bp) OVER w7 AS b7, sum(tr) OVER w7 AS t7,
+         sum(bp) OVER w14 AS b14, sum(tr) OVER w14 AS t14,
+         sum(bp) OVER w28 AS b28, sum(tr) OVER w28 AS t28
+  FROM t
+  WINDOW w7 AS (PARTITION BY user_id ORDER BY trade_date
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         w14 AS (PARTITION BY user_id ORDER BY trade_date
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         w28 AS (PARTITION BY user_id ORDER BY trade_date
+                 ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date,
+       CAST(b7 AS DOUBLE) / CAST(t7 AS DOUBLE) AS avg7,
+       CAST(b14 AS DOUBLE) / CAST(t14 AS DOUBLE) AS avg14,
+       CAST(b28 AS DOUBLE) / CAST(t28 AS DOUBLE) AS avg28,
+       100.0 * (4.0 * (CAST(b7 AS DOUBLE) / CAST(t7 AS DOUBLE))
+                + 2.0 * (CAST(b14 AS DOUBLE) / CAST(t14 AS DOUBLE))
+                + (CAST(b28 AS DOUBLE) / CAST(t28 AS DOUBLE))) / 7.0 AS uo
+FROM s WHERE rn >= 28 AND t7 > 0 AND t14 > 0 AND t28 > 0
+ORDER BY user_id, trade_date
+"""
+
+
+def x_eom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ease of Movement (Arms): midpoint travel scaled by range-per-
+    volume — how far price moved per unit of volume resistance — with
+    its 14-bar SMA. The midpoint quantizes via one shared expression
+    ((h+l)·5e5), travel is a BIGINT lag diff, the per-bar EMV is
+    fixed-order IEEE over exact operands and re-quantized before the
+    SMA so the trailing mean is an exact integer window sum. Zero-range
+    bars carry no EMV and are dropped in both engines."""
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("trade_date")
+    mid_q = F.floor(
+        (F.col("high") + F.col("low")) * F.lit(500000.0) + F.lit(0.5)
+    ).cast("long")
+    hl_q = (
+        F.floor(F.col("high") * F.lit(1e6) + F.lit(0.5))
+        - F.floor(F.col("low") * F.lit(1e6) + F.lit(0.5))
+    ).cast("long")
+    src = (
+        daily.select(
+            "user_id", "trade_date", "volume", mid_q.alias("_m"), hl_q.alias("_hl")
+        )
+        .withColumn("_dm", F.col("_m") - F.lag("_m").over(wo))
+        .filter(F.col("_dm").isNotNull() & (F.col("_hl") > 0))
+        .withColumn(
+            "emv",
+            (F.col("_dm").cast("double") / F.lit(1e6))
+            * (
+                (F.col("_hl").cast("double") / F.lit(1e6))
+                / F.col("volume").cast("double")
+            ),
+        )
+        .withColumn(
+            "_e6", F.floor(F.col("emv") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        )
+    )
+    wn = wo.rowsBetween(-13, Window.currentRow)
+    return src.select(
+        "user_id",
+        "trade_date",
+        "emv",
+        (
+            F.sum("_e6").over(wn).cast("double")
+            / F.count(F.lit(1)).over(wn).cast("double")
+            / F.lit(1e6)
+        ).alias("eom_sma14"),
+    ).orderBy("user_id", "trade_date")
+
+
+_X_EOM_SQL = f"""
+WITH d AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date, volume,
+         CAST(floor((high + low) * 500000.0 + 0.5) AS BIGINT) AS m,
+         CAST(floor(high * 1e6 + 0.5) AS BIGINT)
+           - CAST(floor(low * 1e6 + 0.5) AS BIGINT) AS hl
+  FROM d),
+p AS (
+  SELECT user_id, trade_date, volume, hl,
+         m - lag(m) OVER (PARTITION BY user_id ORDER BY trade_date) AS dm
+  FROM b),
+e AS (
+  SELECT user_id, trade_date,
+         (CAST(dm AS DOUBLE) / 1e6)
+           * ((CAST(hl AS DOUBLE) / 1e6) / CAST(volume AS DOUBLE)) AS emv
+  FROM p WHERE dm IS NOT NULL AND hl > 0),
+q AS (
+  SELECT user_id, trade_date, emv,
+         CAST(floor(emv * 1e6 + 0.5) AS BIGINT) AS e6
+  FROM e)
+SELECT user_id, trade_date, emv,
+       CAST(sum(e6) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)
+         / 1e6 AS eom_sma14
+FROM q
+WINDOW w AS (PARTITION BY user_id ORDER BY trade_date
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, trade_date
+"""
+
+
+def d_softdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style reweighting (He et al. 2024 shape): instead of
+    DROPPING duplicate documents, keep them all and down-weight each by
+    the inverse of its exact-content multiplicity (w = 1/commonness) so
+    a 10-copy page contributes one page of gradient signal. One
+    sha-hash window count per doc — the dedup signal without the
+    information loss of hard dedup; effective_tokens = n_tokens·w is
+    the budget planners consume. Exact: counts are integers, the weight
+    and product are fixed-order IEEE."""
+    docs = _t(spark, sf_dir, "documents")
+    wh = Window.partitionBy(F.sha2(F.col("text"), 256))
+    n_toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    ).cast("long")
+    c = F.count(F.lit(1)).over(wh).cast("long")
+    w = F.lit(1.0) / c.cast("double")
+    return docs.select(
+        "doc_id",
+        c.alias("dup_count"),
+        w.alias("weight"),
+        n_toks.alias("n_tokens"),
+        (n_toks.cast("double") * w).alias("effective_tokens"),
+    ).orderBy("doc_id")
+
+
+_D_SOFTDEDUP_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(count(*) OVER (PARTITION BY sha256(text)) AS BIGINT)
+           AS dup_count,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, dup_count,
+       1.0 / CAST(dup_count AS DOUBLE) AS weight,
+       n_tokens,
+       CAST(n_tokens AS DOUBLE) * (1.0 / CAST(dup_count AS DOUBLE))
+         AS effective_tokens
+FROM c ORDER BY doc_id
+"""
+
+
+def emb_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality report: recall@5 of the LSH index against the exact
+    brute-force top-5, per query — the acceptance metric every ANN
+    deployment is judged by, computed as a composition of two registry
+    operators (the approximate path and its verification twin). Both
+    sides are deterministic, so even the recall REPORT has an exact
+    oracle (the two SQL chains composed)."""
+    bf = emb_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = emb_lsh_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    qs = bf.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _recall_report_sql() -> str:
+    return f"""
+WITH bf AS ({_EMB_ANN_SQL}),
+lsh AS ({_lsh_ann_sql()}),
+hits AS (
+  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM bf b JOIN lsh l
+    ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+  GROUP BY b.query_id)
+SELECT q.query_id,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits USING (query_id)
+ORDER BY query_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
@@ -10486,6 +10763,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_qstick": x_qstick,
         "x_rvi": x_rvi,
         "d_rrf_fusion": d_rrf_fusion,
+        "x_ultimate": x_ultimate,
+        "x_eom": x_eom,
+        "d_softdedup": d_softdedup,
+        "emb_recall_report": emb_recall_report,
         # --- r7 part 2: implementation/oracle changed this round ---
         "e_gini": e_gini,
         "e_pareto_share": e_pareto_share,
@@ -10879,6 +11160,10 @@ def oracle_sql() -> dict[str, str]:
         "x_qstick": _X_QSTICK_SQL,
         "x_rvi": _X_RVI_SQL,
         "d_rrf_fusion": _rrf_fusion_sql(),
+        "x_ultimate": _X_ULTIMATE_SQL,
+        "x_eom": _X_EOM_SQL,
+        "d_softdedup": _D_SOFTDEDUP_SQL,
+        "emb_recall_report": _recall_report_sql(),
         "x_sma_backtest": _X_BACKTEST_SQL,
         "x_donchian": _X_DONCHIAN_SQL,
         "x_underwater_streak": _X_UNDERWATER_SQL,
@@ -11034,6 +11319,10 @@ HEADLINE_QUERIES = [
     "x_qstick",
     "x_rvi",
     "d_rrf_fusion",
+    "x_ultimate",
+    "x_eom",
+    "d_softdedup",
+    "emb_recall_report",
     "x_sma_backtest",
     "x_donchian",
     "x_underwater_streak",
