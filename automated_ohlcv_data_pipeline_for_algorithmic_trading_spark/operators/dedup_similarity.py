@@ -521,7 +521,7 @@ def near_dup_components(
     extend_until_converged: bool = False,
     max_rounds: int = 20,
     broadcast_max_labels: int = 1_000_000,
-    small_graph_max_edges: int = 200_000,
+    small_graph_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Canonical-keeper selection over the near-dup pair graph: every doc
     appearing in ``pairs`` gets a ``keeper_id`` — the minimum doc id
@@ -573,7 +573,11 @@ def near_dup_components(
         # the edges once and run min-root union-find on the driver —
         # the SAME fixed point (every vertex -> min id in its connected
         # component) the converged loop reaches, in one action instead
-        # of ~4 rounds x 4 jobs. 200k edges = a few MB; above it the
+        # of ~4 rounds x 4 jobs. 1M edges = ~16 MB of longs on the
+        # driver — the same bounded-collect class as the 1M-label
+        # broadcast above (the 10x-replica sf1 graph is 691k edges and
+        # took the distributed loop at the old 200k bound: 92 s vs
+        # ~15 s through the fast path); above it the
         # distributed pointer-jumping loop below scales to any graph.
         # (Fixed-round mode never takes this path: its contract is
         # min-within-`rounds`-hops, which the unrolled SQL oracle
