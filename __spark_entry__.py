@@ -10447,6 +10447,69 @@ FROM f ORDER BY rq DESC, doc_id LIMIT {top}
 """
 
 
+def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension join — the one Structured Streaming join
+    mode the family didn't yet cover (stream-stream inner/outer exist):
+    the events stream broadcast-enriched against the static customer
+    dimension, then aggregated per (market segment, event type) into a
+    memory sink, driven to completion with availableNow. The static
+    side is planned as a broadcast per micro-batch — at scale the dim
+    is the small side by construction, so the stream never shuffles
+    for the join. Decimal-routed sums keep the streamed result
+    bit-identical to the batch oracle."""
+    import uuid
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        events_stream_source,
+    )
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
+    )
+
+    tune(spark)
+    with stateful_partitions(spark):
+        ev = events_stream_source(spark, sf_dir)
+        cust = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        agg = (
+            ev.join(F.broadcast(cust), "user_id")
+            .groupBy(
+                F.col("c_mktsegment").alias("mktsegment"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("num_events"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+        with _scratch_ckpt() as ckpt:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+    return spark.table(name).orderBy("mktsegment", "event_type")
+
+
+_S_STREAM_ENRICH_SQL = """
+SELECT c.c_mktsegment AS mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS num_events,
+       CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY mktsegment, e.event_type
+ORDER BY mktsegment, e.event_type
+"""
+
+
 def x_ultimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ultimate Oscillator (Williams): buying pressure over true range
     averaged at 7/14/28 bars and blended 4:2:1 — the classic
@@ -10767,6 +10830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_eom": x_eom,
         "d_softdedup": d_softdedup,
         "emb_recall_report": emb_recall_report,
+        "s_stream_enrich": s_stream_enrich,
         # --- r7 part 2: implementation/oracle changed this round ---
         "e_gini": e_gini,
         "e_pareto_share": e_pareto_share,
@@ -11164,6 +11228,7 @@ def oracle_sql() -> dict[str, str]:
         "x_eom": _X_EOM_SQL,
         "d_softdedup": _D_SOFTDEDUP_SQL,
         "emb_recall_report": _recall_report_sql(),
+        "s_stream_enrich": _S_STREAM_ENRICH_SQL,
         "x_sma_backtest": _X_BACKTEST_SQL,
         "x_donchian": _X_DONCHIAN_SQL,
         "x_underwater_streak": _X_UNDERWATER_SQL,
@@ -11323,6 +11388,7 @@ HEADLINE_QUERIES = [
     "x_eom",
     "d_softdedup",
     "emb_recall_report",
+    "s_stream_enrich",
     "x_sma_backtest",
     "x_donchian",
     "x_underwater_streak",
