@@ -10447,6 +10447,199 @@ FROM f ORDER BY rq DESC, doc_id LIMIT {top}
 """
 
 
+def x_crsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connors RSI (3,2,100) over per-user daily closes — the classic
+    three-component mean-reversion composite:
+
+        crsi = (RSI₃(close) + RSI₂(streak) + PctRank₁₀₀(roc)) / 3
+
+    Exactness: every RSI here is ``100·Σgain/(Σgain+Σloss)`` — the
+    simple-average RSI's avg/avg cancels, so both terms are exact
+    BIGINT micro-unit window sums and the value is ONE IEEE division
+    (flat windows define 50). The streak is a signed run length from
+    an islands pass (sign-change marker → cumulative group → in-group
+    row_number; pure integers). The percent rank compares the current
+    1-day return against its trailing-100 list (CCI's list-window
+    pattern) — returns are raw-double ratios of identical operands, so
+    strict-less comparisons agree bit-for-bit cross-engine without
+    quantization. Rows emit once all three components have their full
+    warm-up (3 deltas / 2 streak deltas / ≥10 trailing returns)."""
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    wo = Window.partitionBy("user_id").orderBy("trade_date")
+    qc = F.floor(F.col("close") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    src = daily.withColumn("_qc", qc).withColumn(
+        "_d", F.col("_qc") - F.lag("_qc").over(wo)
+    )
+    sign = (
+        F.when(F.col("_d") > 0, F.lit(1))
+        .when(F.col("_d") < 0, F.lit(-1))
+        .when(F.col("_d").isNotNull(), F.lit(0))
+    )
+    src = src.withColumn("_sg", sign)
+    chg = F.when(
+        F.col("_sg").isNull()
+        | F.lag("_sg").over(wo).isNull()
+        | (F.col("_sg") != F.lag("_sg").over(wo)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    src = src.withColumn(
+        "_grp",
+        F.sum(chg).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wg = Window.partitionBy("user_id", "_grp").orderBy("trade_date")
+    src = src.withColumn(
+        "_streak",
+        F.when(F.col("_sg") == 0, F.lit(0))
+        .when(
+            F.col("_sg").isNotNull(),
+            F.col("_sg") * F.row_number().over(wg),
+        )
+        .cast("long"),
+    )
+    src = src.withColumn(
+        "_ds", F.col("_streak") - F.lag("_streak").over(wo)
+    ).withColumn(
+        # zero-close previous bars carry no defined return (ANSI mode
+        # would raise on the division) — NULL in both engines
+        "_roc",
+        F.when(
+            F.lag("close").over(wo) != 0,
+            F.col("close") / F.lag("close").over(wo) - F.lit(1.0),
+        ),
+    )
+
+    def _irsi(dcol: str, nb: int, cnt_col: str):
+        w = wo.rowsBetween(-(nb - 1), Window.currentRow)
+        sg = F.sum(
+            F.when(F.col(dcol) > 0, F.col(dcol)).otherwise(F.lit(0))
+        ).over(w)
+        sl = F.sum(
+            F.when(F.col(dcol) < 0, -F.col(dcol)).otherwise(F.lit(0))
+        ).over(w)
+        cnt = F.count(dcol).over(w)
+        val = (
+            F.when(cnt < nb, F.lit(None).cast("double"))
+            .when(sg + sl == 0, F.lit(50.0))
+            .otherwise(
+                F.lit(100.0)
+                * sg.cast("double")
+                / (sg + sl).cast("double")
+            )
+        )
+        return val
+
+    w100 = wo.rowsBetween(-99, Window.currentRow)
+    lst = F.collect_list("_roc").over(w100)
+    cnt_r = F.count("_roc").over(w100)
+    cur = F.col("_roc")
+    cnt_less = F.size(F.filter(lst, lambda x: x < cur))
+    pr = F.when(
+        (cnt_r >= 10) & cur.isNotNull(),
+        F.lit(100.0)
+        * cnt_less.cast("double")
+        / (cnt_r - F.lit(1)).cast("double"),
+    )
+    out = (
+        src.withColumn("rsi3", _irsi("_d", 3, "_c3"))
+        .withColumn("streak_rsi2", _irsi("_ds", 2, "_c2"))
+        .withColumn("pct_rank", pr)
+        .filter(
+            F.col("rsi3").isNotNull()
+            & F.col("streak_rsi2").isNotNull()
+            & F.col("pct_rank").isNotNull()
+        )
+    )
+    crsi = (
+        F.col("rsi3") + F.col("streak_rsi2") + F.col("pct_rank")
+    ) / F.lit(3.0)
+    return out.select(
+        "user_id",
+        "trade_date",
+        "close",
+        F.col("_streak").alias("streak"),
+        "rsi3",
+        "streak_rsi2",
+        "pct_rank",
+        crsi.alias("crsi"),
+    ).orderBy("user_id", "trade_date")
+
+
+_X_CRSI_SQL = f"""
+WITH d AS ({_SQL_DAILY_OHLCV}),
+s0 AS (
+  SELECT user_id, trade_date, close,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS qc
+  FROM d),
+s1 AS (
+  SELECT user_id, trade_date, close, qc,
+         qc - lag(qc) OVER w AS dd,
+         CASE WHEN lag(close) OVER w <> 0
+              THEN close / lag(close) OVER w - 1.0 END AS roc
+  FROM s0 WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+s2 AS (
+  SELECT *, CASE WHEN dd > 0 THEN 1 WHEN dd < 0 THEN -1
+                 WHEN dd IS NOT NULL THEN 0 END AS sg
+  FROM s1),
+s3 AS (
+  SELECT *, CASE WHEN sg IS NULL OR lag(sg) OVER w IS NULL
+                   OR sg <> lag(sg) OVER w THEN 1 ELSE 0 END AS chg
+  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+s4 AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY trade_date
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM s3),
+s5 AS (
+  SELECT *, CAST(CASE WHEN sg = 0 THEN 0
+                 WHEN sg IS NOT NULL THEN sg * row_number() OVER
+                   (PARTITION BY user_id, grp ORDER BY trade_date)
+            END AS BIGINT) AS streak
+  FROM s4),
+s6 AS (
+  SELECT *, streak - lag(streak) OVER
+              (PARTITION BY user_id ORDER BY trade_date) AS ds
+  FROM s5),
+s7 AS (
+  SELECT user_id, trade_date, close, streak, roc,
+         sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) OVER w3 AS g3,
+         sum(CASE WHEN dd < 0 THEN -dd ELSE 0 END) OVER w3 AS l3,
+         count(dd) OVER w3 AS c3,
+         sum(CASE WHEN ds > 0 THEN ds ELSE 0 END) OVER w2 AS g2,
+         sum(CASE WHEN ds < 0 THEN -ds ELSE 0 END) OVER w2 AS l2,
+         count(ds) OVER w2 AS c2,
+         list(roc) OVER w100 AS rl,
+         count(roc) OVER w100 AS cr
+  FROM s6
+  WINDOW w3 AS (PARTITION BY user_id ORDER BY trade_date
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY user_id ORDER BY trade_date
+                ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+         w100 AS (PARTITION BY user_id ORDER BY trade_date
+                  ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)),
+s8 AS (
+  SELECT user_id, trade_date, close, streak,
+         CASE WHEN c3 < 3 THEN NULL WHEN g3 + l3 = 0 THEN 50.0
+              ELSE 100.0 * CAST(g3 AS DOUBLE) / CAST(g3 + l3 AS DOUBLE)
+         END AS rsi3,
+         CASE WHEN c2 < 2 THEN NULL WHEN g2 + l2 = 0 THEN 50.0
+              ELSE 100.0 * CAST(g2 AS DOUBLE) / CAST(g2 + l2 AS DOUBLE)
+         END AS streak_rsi2,
+         CASE WHEN cr >= 10 AND roc IS NOT NULL
+              THEN 100.0 * CAST(len(list_filter(rl, x -> x < roc))
+                               AS DOUBLE)
+                   / CAST(cr - 1 AS DOUBLE)
+         END AS pct_rank
+  FROM s7)
+SELECT user_id, trade_date, close, streak, rsi3, streak_rsi2, pct_rank,
+       (rsi3 + streak_rsi2 + pct_rank) / 3.0 AS crsi
+FROM s8
+WHERE rsi3 IS NOT NULL AND streak_rsi2 IS NOT NULL
+  AND pct_rank IS NOT NULL
+ORDER BY user_id, trade_date
+"""
+
+
 def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STATIC dimension join — the one Structured Streaming join
     mode the family didn't yet cover (stream-stream inner/outer exist):
@@ -10831,6 +11024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_softdedup": d_softdedup,
         "emb_recall_report": emb_recall_report,
         "s_stream_enrich": s_stream_enrich,
+        "x_crsi": x_crsi,
         # --- r7 part 2: implementation/oracle changed this round ---
         "e_gini": e_gini,
         "e_pareto_share": e_pareto_share,
@@ -11229,6 +11423,7 @@ def oracle_sql() -> dict[str, str]:
         "d_softdedup": _D_SOFTDEDUP_SQL,
         "emb_recall_report": _recall_report_sql(),
         "s_stream_enrich": _S_STREAM_ENRICH_SQL,
+        "x_crsi": _X_CRSI_SQL,
         "x_sma_backtest": _X_BACKTEST_SQL,
         "x_donchian": _X_DONCHIAN_SQL,
         "x_underwater_streak": _X_UNDERWATER_SQL,
@@ -11389,6 +11584,7 @@ HEADLINE_QUERIES = [
     "d_softdedup",
     "emb_recall_report",
     "s_stream_enrich",
+    "x_crsi",
     "x_sma_backtest",
     "x_donchian",
     "x_underwater_streak",
