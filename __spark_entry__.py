@@ -10640,6 +10640,78 @@ ORDER BY user_id, trade_date
 """
 
 
+def d_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-score fusion: rank the corpus by three independent
+    quality signals — heuristic quality score (desc), unigram
+    cross-entropy (asc: closer to the corpus LM reads as more natural),
+    and top-bigram repetition fraction (asc) — and fuse the rankings
+    with Reciprocal Rank Fusion into one curation ordering. No score
+    calibration across heterogeneous signals, only ranks (the same
+    argument as hybrid retrieval). Every stage is distributed: each
+    ranking is the two-pass distributed row_number on a quantized
+    BIGINT key (never a raw float), and the fusion is the
+    nano-quantized integer RRF combine. Top-25 'cleanest' documents."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        reciprocal_rank_fusion,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.rank import (
+        distributed_row_number,
+    )
+
+    q6i = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    qs = d_quality_score(spark, sf_dir).select(
+        "doc_id", q6i("quality_score").alias("_k")
+    )
+    xe = d_unigram_xent(spark, sf_dir).select(
+        "doc_id", q6i("xent").alias("_k")
+    )
+    rep = d_repetition(spark, sf_dir).select(
+        "doc_id", q6i("top_bigram_frac").alias("_k")
+    )
+    rankings = [
+        distributed_row_number(
+            qs, [F.col("_k").desc(), F.col("doc_id").asc()], rank_col="rank"
+        ).select("doc_id", "rank"),
+        distributed_row_number(
+            xe, [F.col("_k").asc(), F.col("doc_id").asc()], rank_col="rank"
+        ).select("doc_id", "rank"),
+        distributed_row_number(
+            rep, [F.col("_k").asc(), F.col("doc_id").asc()], rank_col="rank"
+        ).select("doc_id", "rank"),
+    ]
+    return reciprocal_rank_fusion(rankings, top=25)
+
+
+def _quality_fusion_sql(top: int = 25, const: float = 60.0) -> str:
+    contrib = (
+        f"CAST(floor(1e9 / ({const} + CAST(rank AS DOUBLE)) + 0.5)"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH qsrc AS ({_D_QUALITY_SQL}),
+xsrc AS ({_D_XENT_SQL}),
+rsrc AS ({_D_REPETITION_SQL}),
+r1 AS (SELECT doc_id, row_number() OVER (
+         ORDER BY CAST(floor(quality_score * 1e6 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS rank FROM qsrc),
+r2 AS (SELECT doc_id, row_number() OVER (
+         ORDER BY CAST(floor(xent * 1e6 + 0.5) AS BIGINT) ASC,
+                  doc_id ASC) AS rank FROM xsrc),
+r3 AS (SELECT doc_id, row_number() OVER (
+         ORDER BY CAST(floor(top_bigram_frac * 1e6 + 0.5) AS BIGINT) ASC,
+                  doc_id ASC) AS rank FROM rsrc),
+u AS (
+  SELECT doc_id, {contrib} AS c FROM r1
+  UNION ALL SELECT doc_id, {contrib} FROM r2
+  UNION ALL SELECT doc_id, {contrib} FROM r3),
+f AS (SELECT doc_id, sum(c) AS rq, CAST(count(*) AS BIGINT) AS n_sources
+      FROM u GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY rq DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, CAST(rq AS DOUBLE) / 1e9 AS rrf_score, n_sources
+FROM f ORDER BY rq DESC, doc_id LIMIT {top}
+"""
+
+
 def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STATIC dimension join — the one Structured Streaming join
     mode the family didn't yet cover (stream-stream inner/outer exist):
@@ -11028,6 +11100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_recall_report": emb_recall_report,
         "s_stream_enrich": s_stream_enrich,
         "x_crsi": x_crsi,
+        "d_quality_fusion": d_quality_fusion,
         # --- r7 part 2: implementation/oracle changed this round ---
         "e_gini": e_gini,
         "e_pareto_share": e_pareto_share,
@@ -11427,6 +11500,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_recall_report": _recall_report_sql(),
         "s_stream_enrich": _S_STREAM_ENRICH_SQL,
         "x_crsi": _X_CRSI_SQL,
+        "d_quality_fusion": _quality_fusion_sql(),
         "x_sma_backtest": _X_BACKTEST_SQL,
         "x_donchian": _X_DONCHIAN_SQL,
         "x_underwater_streak": _X_UNDERWATER_SQL,
@@ -11588,6 +11662,7 @@ HEADLINE_QUERIES = [
     "emb_recall_report",
     "s_stream_enrich",
     "x_crsi",
+    "d_quality_fusion",
     "x_sma_backtest",
     "x_donchian",
     "x_underwater_streak",
