@@ -525,3 +525,29 @@ class TestTsiPpoQstickRvi:
         assert out[10]["n_sources"] == 2 and out[30]["n_sources"] == 1
         # 10 and 20 tie exactly (symmetric ranks): doc_id breaks the tie
         assert out[10]["rank"] == 1 and out[20]["rank"] == 2
+
+    def test_tsi_partition_invariance(self, spark):
+        """The nested fold sorts inside each group, so the result must
+        not depend on the input's physical partitioning."""
+        import random
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            tsi,
+        )
+
+        rng = random.Random(3)
+        rows = [
+            (u, d, 50.0 + rng.random() * 10)
+            for u in range(5)
+            for d in range(40)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, d long, close double")
+        a = {
+            (r["user_id"], r["d"]): r["tsi"]
+            for r in tsi(df.repartition(13), ["user_id"], "d").collect()
+        }
+        b = {
+            (r["user_id"], r["d"]): r["tsi"]
+            for r in tsi(df.coalesce(1), ["user_id"], "d").collect()
+        }
+        assert a == b and len(a) == 5 * 39
