@@ -10640,6 +10640,103 @@ ORDER BY user_id, trade_date
 """
 
 
+def x_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZigZag swing pivots (3% reversal) over per-user daily closes —
+    the TENTH recurrence family (operators/finance.zigzag_pivots):
+    a pure-integer threshold-reversal state machine, renko's sibling
+    with a DATA-LOCATED output (the pivot is the leg's extreme and its
+    date, not the confirming bar). The recursive oracle carries the
+    direction, the leg extreme+date, and the pre-confirmation min/max
+    trackers — integer arithmetic alone, no IEEE argument anywhere."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        zigzag_pivots,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return zigzag_pivots(daily, ["user_id"], "trade_date", pct_bp=300).orderBy(
+        "user_id", "pivot_date"
+    )
+
+
+def _zigzag_sql(pct_bp: int = 300) -> str:
+    p = pct_bp
+    rev_l0 = (
+        f"(s.cu - least(r.mn, s.cu)) * 10000 >= least(r.mn, s.cu) * {p}"
+    )
+    rev_h0 = (
+        f"(greatest(r.mx, s.cu) - s.cu) * 10000"
+        f" >= greatest(r.mx, s.cu) * {p}"
+    )
+    rev_h1 = f"(r.ext - s.cu) * 10000 >= r.ext * {p}"
+    rev_l1 = f"(s.cu - r.ext) * 10000 >= r.ext * {p}"
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+src AS (
+  SELECT user_id, trade_date, {sql_u6("close")} AS cu,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily WHERE close > 0),
+zz AS (
+  SELECT user_id, trade_date, cu, rn,
+         CAST(0 AS BIGINT) AS dir,
+         cu AS mn, trade_date AS mnd, cu AS mx, trade_date AS mxd,
+         cu AS ext, trade_date AS extd,
+         CAST(NULL AS BIGINT) AS pp, CAST(NULL AS DATE) AS pd,
+         CAST(NULL AS VARCHAR) AS pt
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.trade_date, s.cu, s.rn,
+    CASE WHEN r.dir = 0 THEN
+           CASE WHEN {rev_l0} THEN 1 WHEN {rev_h0} THEN -1 ELSE 0 END
+         WHEN r.dir = 1 THEN CASE WHEN {rev_h1} THEN -1 ELSE 1 END
+         ELSE CASE WHEN {rev_l1} THEN 1 ELSE -1 END
+    END AS dir,
+    CASE WHEN r.dir = 0 THEN least(r.mn, s.cu) ELSE r.mn END AS mn,
+    CASE WHEN r.dir = 0 AND s.cu < r.mn THEN s.trade_date
+         ELSE r.mnd END AS mnd,
+    CASE WHEN r.dir = 0 THEN greatest(r.mx, s.cu) ELSE r.mx END AS mx,
+    CASE WHEN r.dir = 0 AND s.cu > r.mx THEN s.trade_date
+         ELSE r.mxd END AS mxd,
+    CASE WHEN r.dir = 0 THEN
+           CASE WHEN {rev_l0} OR {rev_h0} THEN s.cu ELSE r.ext END
+         WHEN r.dir = 1 THEN
+           CASE WHEN {rev_h1} OR s.cu > r.ext THEN s.cu ELSE r.ext END
+         ELSE CASE WHEN {rev_l1} OR s.cu < r.ext THEN s.cu ELSE r.ext END
+    END AS ext,
+    CASE WHEN r.dir = 0 THEN
+           CASE WHEN {rev_l0} OR {rev_h0} THEN s.trade_date ELSE r.extd END
+         WHEN r.dir = 1 THEN
+           CASE WHEN {rev_h1} OR s.cu > r.ext THEN s.trade_date
+                ELSE r.extd END
+         ELSE CASE WHEN {rev_l1} OR s.cu < r.ext THEN s.trade_date
+                   ELSE r.extd END
+    END AS extd,
+    CASE WHEN r.dir = 0 AND {rev_l0} THEN least(r.mn, s.cu)
+         WHEN r.dir = 0 AND NOT ({rev_l0}) AND {rev_h0}
+           THEN greatest(r.mx, s.cu)
+         WHEN r.dir = 1 AND {rev_h1} THEN r.ext
+         WHEN r.dir = -1 AND {rev_l1} THEN r.ext
+    END AS pp,
+    CASE WHEN r.dir = 0 AND {rev_l0} THEN
+           CASE WHEN s.cu < r.mn THEN s.trade_date ELSE r.mnd END
+         WHEN r.dir = 0 AND NOT ({rev_l0}) AND {rev_h0} THEN
+           CASE WHEN s.cu > r.mx THEN s.trade_date ELSE r.mxd END
+         WHEN r.dir = 1 AND {rev_h1} THEN r.extd
+         WHEN r.dir = -1 AND {rev_l1} THEN r.extd
+    END AS pd,
+    CASE WHEN r.dir = 0 AND {rev_l0} THEN 'L'
+         WHEN r.dir = 0 AND NOT ({rev_l0}) AND {rev_h0} THEN 'H'
+         WHEN r.dir = 1 AND {rev_h1} THEN 'H'
+         WHEN r.dir = -1 AND {rev_l1} THEN 'L'
+    END AS pt
+  FROM src s JOIN zz r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+SELECT user_id, pd AS pivot_date,
+       CAST(pp AS DOUBLE) / 1e6 AS pivot_price,
+       pt AS pivot_type
+FROM zz WHERE pt IS NOT NULL
+ORDER BY user_id, pivot_date
+"""
+
+
 def d_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-score fusion: rank the corpus by three independent
     quality signals — heuristic quality score (desc), unigram
@@ -11101,6 +11198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_enrich": s_stream_enrich,
         "x_crsi": x_crsi,
         "d_quality_fusion": d_quality_fusion,
+        "x_zigzag": x_zigzag,
         # --- r7 part 2: implementation/oracle changed this round ---
         "e_gini": e_gini,
         "e_pareto_share": e_pareto_share,
@@ -11501,6 +11599,7 @@ def oracle_sql() -> dict[str, str]:
         "s_stream_enrich": _S_STREAM_ENRICH_SQL,
         "x_crsi": _X_CRSI_SQL,
         "d_quality_fusion": _quality_fusion_sql(),
+        "x_zigzag": _zigzag_sql(),
         "x_sma_backtest": _X_BACKTEST_SQL,
         "x_donchian": _X_DONCHIAN_SQL,
         "x_underwater_streak": _X_UNDERWATER_SQL,
@@ -11663,6 +11762,7 @@ HEADLINE_QUERIES = [
     "s_stream_enrich",
     "x_crsi",
     "d_quality_fusion",
+    "x_zigzag",
     "x_sma_backtest",
     "x_donchian",
     "x_underwater_streak",

@@ -3502,3 +3502,93 @@ def tsi(
         return out[~np.isnan(tsi_a)]
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def zigzag_pivots(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    pct_bp: int = 300,
+    close: str = "close",
+) -> DataFrame:
+    """ZigZag swing pivots — the TENTH recurrence family: a pure-integer
+    threshold-REVERSAL state machine (like renko, no IEEE argument
+    needed anywhere). A pivot is confirmed when price retraces at least
+    ``pct_bp`` basis points from the running extreme of the current
+    leg; the pivot is the extreme itself (price AND its date), not the
+    confirming bar.
+
+    State (all BIGINT micro-units / order values): leg direction, the
+    current leg's extreme + date, and — before the first confirmation,
+    when direction is unknown — running min/max trackers + dates. The
+    reversal predicate is pure-integer: ``(ext − c)·10000 ≥ ext·pct_bp``
+    (closes are filtered positive, so both sides are nonnegative where
+    they matter). In the direction-unknown phase the trackers update
+    FIRST, then the up-reversal (low pivot) is checked before the
+    down-reversal — mirrored verbatim in the recursive SQL oracle.
+
+    Emits ONLY confirmed pivots: (keys, pivot_date, pivot_price,
+    pivot_type 'H'/'L'). Pivot dates strictly increase per key (each
+    new leg's extreme starts at the confirming bar, after the previous
+    pivot), so (keys, pivot_date) is a total order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.filter(F.col(close) > 0).select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    date_t = dict(src.dtypes)[order_col]
+    key_t = ", ".join(f"{k} {t}" for k, t in src.dtypes if k in key_list)
+    schema = (
+        key_t
+        + f", pivot_date {date_t}, pivot_price double, pivot_type string"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        q = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        dates = pdf[order_col].to_list()
+        kv = [pdf[k].iloc[0] for k in key_list]
+        out = []
+        m = len(q)
+        if m:
+            dirn = 0
+            mn = mx = ext = int(q[0])
+            mnd = mxd = extd = dates[0]
+            for i in range(1, m):
+                c = int(q[i])
+                d = dates[i]
+                if dirn == 0:
+                    if c > mx:
+                        mx, mxd = c, d
+                    if c < mn:
+                        mn, mnd = c, d
+                    if (c - mn) * 10000 >= mn * pct_bp:
+                        out.append((*kv, mnd, mn / 1e6, "L"))
+                        dirn, ext, extd = 1, c, d
+                    elif (mx - c) * 10000 >= mx * pct_bp:
+                        out.append((*kv, mxd, mx / 1e6, "H"))
+                        dirn, ext, extd = -1, c, d
+                elif dirn == 1:
+                    if c > ext:
+                        ext, extd = c, d
+                    elif (ext - c) * 10000 >= ext * pct_bp:
+                        out.append((*kv, extd, ext / 1e6, "H"))
+                        dirn, ext, extd = -1, c, d
+                else:
+                    if c < ext:
+                        ext, extd = c, d
+                    elif (c - ext) * 10000 >= ext * pct_bp:
+                        out.append((*kv, extd, ext / 1e6, "L"))
+                        dirn, ext, extd = 1, c, d
+        return pd.DataFrame(
+            out,
+            columns=[*key_list, "pivot_date", "pivot_price", "pivot_type"],
+        )
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)

@@ -551,3 +551,38 @@ class TestTsiPpoQstickRvi:
             for r in tsi(df.coalesce(1), ["user_id"], "d").collect()
         }
         assert a == b and len(a) == 5 * 39
+
+
+class TestZigZag:
+    def test_hand_built_pivots(self, spark):
+        """10 -> 11 (up >3%: LOW pivot at 10 once 11 hits) -> drops to
+        10.5 (>3% off 11: HIGH pivot at 11) -> rises to 11.2 (>3% off
+        10.5: LOW pivot at 10.5). Extremes, not confirming bars."""
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            zigzag_pivots,
+        )
+
+        closes = [10.0, 10.2, 11.0, 10.8, 10.5, 11.2]
+        df = spark.createDataFrame(
+            [(1, i, c) for i, c in enumerate(closes)],
+            "user_id long, d long, close double",
+        )
+        out = [
+            (r["pivot_date"], r["pivot_price"], r["pivot_type"])
+            for r in zigzag_pivots(df, ["user_id"], "d", pct_bp=300)
+            .orderBy("pivot_date")
+            .collect()
+        ]
+        assert out == [(0, 10.0, "L"), (2, 11.0, "H"), (4, 10.5, "L")]
+
+    def test_no_reversal_no_pivots(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            zigzag_pivots,
+        )
+
+        df = spark.createDataFrame(
+            [(1, i, 10.0 + i * 0.01) for i in range(10)],
+            "user_id long, d long, close double",
+        )
+        # monotone drift under 3% total: direction never confirms
+        assert zigzag_pivots(df, ["user_id"], "d", pct_bp=300).count() == 0
