@@ -488,3 +488,52 @@ def test_gopher_then_line_dedup_composition(spark):
     for d in (1, 2, 3):
         assert boiler not in out[d]["clean_text"]
         assert out[d]["n_dropped"] == 1
+
+
+def test_line_frequency_filter_invariants_random(spark):
+    """Randomized invariants: counts reconcile, kept text is a
+    subsequence of the original lines, no over-frequent line survives
+    anywhere, and the result is partition-invariant."""
+    import random
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        line_frequency_filter,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in line_frequency_filter(df, max_docs=3, line_tokens=2).collect()
+    }
+    # recompute line doc-frequencies in plain python
+    def lines(t):
+        toks = t.split()
+        return [" ".join(toks[i : i + 2]) for i in range(0, len(toks), 2)]
+
+    from collections import defaultdict
+
+    docsets = defaultdict(set)
+    for i, t in docs:
+        for ln in lines(t):
+            docsets[ln].add(i)
+    hot = {ln for ln, s in docsets.items() if len(s) > 3}
+    for i, t in docs:
+        ls = lines(t)
+        r = out[i]
+        assert r["n_lines"] == len(ls)
+        assert r["n_kept"] + r["n_dropped"] == r["n_lines"]
+        want = " ".join(ln for ln in ls if ln not in hot)
+        assert r["clean_text"] == want
+    out2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in line_frequency_filter(
+            df.repartition(7), max_docs=3, line_tokens=2
+        ).collect()
+    }
+    assert out2 == {k: v["clean_text"] for k, v in out.items()}
