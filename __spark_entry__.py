@@ -10640,6 +10640,94 @@ ORDER BY user_id, trade_date
 """
 
 
+def e_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning actives — the standard growth-accounting
+    split: a user is NEW on their first-ever active day, RETURNING on
+    every later one. Shape: distinct (user, day) pairs (one partial-agg
+    shuffle), per-user first day from the SAME reduced table, a
+    user-keyed join of two already-reduced sides, and a per-day count
+    rollup — the raw events never shuffle twice. All-integer outputs."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("d").alias("_f"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy(F.col("d").alias("activity_date"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum(F.when(F.col("d") == F.col("_f"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("d") > F.col("_f"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .orderBy("activity_date")
+    )
+
+
+_E_NEW_RETURNING_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY user_id)
+SELECT d AS activity_date,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(sum(CASE WHEN d = fd THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN d > fd THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users
+FROM ud JOIN f USING (user_id)
+GROUP BY d ORDER BY activity_date
+"""
+
+
+def d_source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: guessed-language share per source —
+    the mix table every multilingual curation pipeline tracks (and the
+    input to mixture_sample quotas). Language ID is the existing
+    function-word heuristic; shares are one IEEE division of exact
+    counts against a broadcast per-source total."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        language_guess,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lg = language_guess(docs, id_cols=("doc_id", "source")).select(
+        "source", "lang_guess"
+    )
+    per = lg.groupBy("source", "lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = per.groupBy("source").agg(F.sum("n_docs").alias("_t"))
+    return (
+        per.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "lang_guess",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double") / F.col("_t").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("source", "lang_guess")
+    )
+
+
+def _source_lang_mix_sql() -> str:
+    return f"""
+WITH lg AS ({_lang_sql()}),
+j AS (SELECT d.source, lg.lang_guess
+      FROM lg JOIN documents d USING (doc_id)),
+per AS (SELECT source, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+        FROM j GROUP BY source, lang_guess),
+tot AS (SELECT source, sum(n_docs) AS t FROM per GROUP BY source)
+SELECT per.source, lang_guess, n_docs,
+       CAST(n_docs AS DOUBLE) / CAST(t AS DOUBLE) AS share
+FROM per JOIN tot USING (source)
+ORDER BY source, lang_guess
+"""
+
+
 def x_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZigZag swing pivots (3% reversal) over per-user daily closes —
     the TENTH recurrence family (operators/finance.zigzag_pivots):
@@ -11199,6 +11287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_crsi": x_crsi,
         "d_quality_fusion": d_quality_fusion,
         "x_zigzag": x_zigzag,
+        "e_new_vs_returning": e_new_vs_returning,
+        "d_source_lang_mix": d_source_lang_mix,
         # --- r7 part 2: implementation/oracle changed this round ---
         "e_gini": e_gini,
         "e_pareto_share": e_pareto_share,
@@ -11600,6 +11690,8 @@ def oracle_sql() -> dict[str, str]:
         "x_crsi": _X_CRSI_SQL,
         "d_quality_fusion": _quality_fusion_sql(),
         "x_zigzag": _zigzag_sql(),
+        "e_new_vs_returning": _E_NEW_RETURNING_SQL,
+        "d_source_lang_mix": _source_lang_mix_sql(),
         "x_sma_backtest": _X_BACKTEST_SQL,
         "x_donchian": _X_DONCHIAN_SQL,
         "x_underwater_streak": _X_UNDERWATER_SQL,
@@ -11763,6 +11855,8 @@ HEADLINE_QUERIES = [
     "x_crsi",
     "d_quality_fusion",
     "x_zigzag",
+    "e_new_vs_returning",
+    "d_source_lang_mix",
     "x_sma_backtest",
     "x_donchian",
     "x_underwater_streak",
