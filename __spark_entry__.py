@@ -10640,6 +10640,91 @@ ORDER BY user_id, trade_date
 """
 
 
+#: Target mixture weights for d_mixture_plan — the knob a data-mixture
+#: owner tunes (pinned identically into the SQL twin). Sources absent
+#: from the map keep their natural share (a rate-1.0 reference point);
+#: the named ones are deliberately up-/down-weighted so the plan has
+#: real work at every SF (testdata sources are src0..src19).
+_MIXTURE_TARGETS = {"src0": 0.20, "src1": 0.10, "src2": 0.02}
+
+
+def d_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning table — the budgeting step between corpus stats
+    and mixture_sample: for each source, its NATURAL token share vs the
+    TARGET share, and the per-source sampling rate that realizes the
+    target from the most-overrepresented source down (rates normalized
+    so the binding source samples at 1.0; a rate > 1 would mean
+    repeating data — surfaced as epochs_needed instead of silently
+    capping). One groupBy over per-doc token counts; everything
+    downstream is fixed-order IEEE arithmetic over the one tiny
+    per-source row set and the pinned target literals."""
+    docs = _t(spark, sf_dir, "documents")
+    n_toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    ).cast("long")
+    per = docs.select("source", n_toks.alias("_nt")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tt"))
+    tgt = F.create_map(
+        *[
+            x
+            for k, v in _MIXTURE_TARGETS.items()
+            for x in (F.lit(k), F.lit(float(v)))
+        ]
+    )
+    natural = F.col("n_tokens").cast("double") / F.col("_tt").cast("double")
+    target = F.coalesce(tgt[F.col("source")], natural)
+    # unnormalized rate: how hard each source must be downsampled so
+    # shares match targets; normalizing by the max makes the binding
+    # source sample at exactly 1.0
+    raw_rate = target / natural
+    w = Window.partitionBy()
+    rate = raw_rate / F.max(raw_rate).over(w)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            natural.alias("natural_share"),
+            target.alias("target_share"),
+            rate.alias("sampling_rate"),
+            (F.lit(1.0) / rate).alias("epochs_needed"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mixture_plan_sql() -> str:
+    pairs = ", ".join(f"('{k}', {v!r})" for k, v in _MIXTURE_TARGETS.items())
+    return f"""
+WITH t AS (SELECT source, CAST(len({_SQL_TOKS}) AS BIGINT) AS nt
+           FROM documents),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM t GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS tt FROM per),
+tgt(source, w) AS (VALUES {pairs}),
+b AS (
+  SELECT per.source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS natural_share,
+         coalesce(tgt.w, CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE))
+           AS target_share
+  FROM per CROSS JOIN tot LEFT JOIN tgt ON per.source = tgt.source),
+r AS (
+  SELECT *, target_share / natural_share AS raw_rate FROM b)
+SELECT source, n_docs, n_tokens, natural_share, target_share,
+       raw_rate / max(raw_rate) OVER () AS sampling_rate,
+       1.0 / (raw_rate / max(raw_rate) OVER ()) AS epochs_needed
+FROM r ORDER BY source
+"""
+
+
 def e_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily new-vs-returning actives — the standard growth-accounting
     split: a user is NEW on their first-ever active day, RETURNING on
@@ -11289,6 +11374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_zigzag": x_zigzag,
         "e_new_vs_returning": e_new_vs_returning,
         "d_source_lang_mix": d_source_lang_mix,
+        "d_mixture_plan": d_mixture_plan,
         # --- r7 part 2: implementation/oracle changed this round ---
         "e_gini": e_gini,
         "e_pareto_share": e_pareto_share,
@@ -11692,6 +11778,7 @@ def oracle_sql() -> dict[str, str]:
         "x_zigzag": _zigzag_sql(),
         "e_new_vs_returning": _E_NEW_RETURNING_SQL,
         "d_source_lang_mix": _source_lang_mix_sql(),
+        "d_mixture_plan": _mixture_plan_sql(),
         "x_sma_backtest": _X_BACKTEST_SQL,
         "x_donchian": _X_DONCHIAN_SQL,
         "x_underwater_streak": _X_UNDERWATER_SQL,
@@ -11857,6 +11944,7 @@ HEADLINE_QUERIES = [
     "x_zigzag",
     "e_new_vs_returning",
     "d_source_lang_mix",
+    "d_mixture_plan",
     "x_sma_backtest",
     "x_donchian",
     "x_underwater_streak",
