@@ -5950,6 +5950,62 @@ def d_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, rounds=6).orderBy("doc_id")
 
 
+def d_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — subword tokens per word under
+    the learned 6-merge BPE segmentation, grouped by the guessed
+    document language. THE cross-lingual tokenizer-quality metric
+    (fertility >> 1 for a language means its text costs proportionally
+    more sequence budget). Pure composition of two oracle-checked
+    operators (bpe_token_counts ⋈ language_guess) with exact integer
+    sums and one IEEE division per language row."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        bpe_token_counts,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        language_guess,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bc = bpe_token_counts(docs, rounds=6)
+    lg = language_guess(docs).select("doc_id", "lang_guess")
+    return (
+        bc.join(lg, "doc_id")
+        .groupBy("lang_guess")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang_guess",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            (
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy("lang_guess")
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    return f"""
+WITH bc AS ({_bpe_tokcount_sql()}),
+lg AS ({_lang_sql()}),
+j AS (SELECT bc.doc_id, lg.lang_guess, bc.n_words, bc.n_bpe_tokens
+      FROM bc JOIN lg USING (doc_id))
+SELECT lang_guess,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(n_bpe_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+         AS fertility
+FROM j GROUP BY lang_guess ORDER BY lang_guess
+"""
+
+
 def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST3 through a REAL stream with a driver oracle: watermarked
     dropDuplicates over (user, event_type, day) inside an availableNow
@@ -11375,6 +11431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_new_vs_returning": e_new_vs_returning,
         "d_source_lang_mix": d_source_lang_mix,
         "d_mixture_plan": d_mixture_plan,
+        "d_bpe_fertility": d_bpe_fertility,
         # --- r7 part 2: implementation/oracle changed this round ---
         "e_gini": e_gini,
         "e_pareto_share": e_pareto_share,
@@ -11779,6 +11836,7 @@ def oracle_sql() -> dict[str, str]:
         "e_new_vs_returning": _E_NEW_RETURNING_SQL,
         "d_source_lang_mix": _source_lang_mix_sql(),
         "d_mixture_plan": _mixture_plan_sql(),
+        "d_bpe_fertility": _bpe_fertility_sql(),
         "x_sma_backtest": _X_BACKTEST_SQL,
         "x_donchian": _X_DONCHIAN_SQL,
         "x_underwater_streak": _X_UNDERWATER_SQL,
@@ -11945,6 +12003,7 @@ HEADLINE_QUERIES = [
     "e_new_vs_returning",
     "d_source_lang_mix",
     "d_mixture_plan",
+    "d_bpe_fertility",
     "x_sma_backtest",
     "x_donchian",
     "x_underwater_streak",
