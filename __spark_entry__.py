@@ -11382,18 +11382,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
     # staleness (every query re-earns a driver row every ~2-3 rounds).
-    # r7 window (16 r2-stale + 17 new + 8 changed = 41, + 9 r3 rows
+    # r7 window (16 r2-stale + 19 new + 8 changed = 43, + 7 r3 rows
     # = 50): (0) the 16-entry r2-cohort tail that spilled past the r6
-    # window (VERDICT r6 ask #1); (1) the 17 NEW r7 queries; (2) changed
+    # window (VERDICT r6 ask #1); (1) the 19 NEW r7 queries; (2) changed
     # THIS round — e_gini / e_pareto_share (decimal-before-multiply +
     # distributed two-pass rank), emb_pca / emb_outliers (eigenvalue
     # positivity + magnitude-aware overflow guards), emb_semdedup
     # (integer-quantized GEMM scorer, now the default), d_dup_components
     # / d_curation_pipeline (union-find keeps input id type; bound
     # raised to 1M edges), d_zipf_slope (distributed rank); (3) r3-
-    # cohort rows through x_atr_daily. r8 must HEAD with the
-    # remaining 35 r3 rows (x_corr_pairs .. e_dq_report), then as many
-    # of the 42 r4 rows as fit (see scripts/staleness.py).
+    # cohort rows through sql_passthrough_volatility. r8 must HEAD
+    # with the remaining 37 r3 rows (d_incremental_dedup .. e_dq_report),
+    # then as many of the 42 r4 rows as fit (see scripts/staleness.py).
     return {
         # --- r7 part 0: the stale r2 cohort (last driver-checked r2) ---
         "e_conditional_counts": e_conditional_counts,
