@@ -11341,14 +11341,17 @@ def emb_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (the two SQL chains composed)."""
     bf = emb_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
     lsh = emb_lsh_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    # both sides are bounded top-k lists (|queries|·k rows) — broadcast
+    # hints keep the comparison SMJ-free in the static plan (AQE would
+    # fix it at runtime; the hint makes the intent explicit)
     hits = (
-        bf.join(lsh, ["query_id", "neighbor_id"])
+        bf.join(F.broadcast(lsh), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
     qs = bf.select("query_id").distinct()
     return (
-        qs.join(hits, "query_id", "left")
+        qs.join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
