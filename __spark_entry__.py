@@ -10966,6 +10966,50 @@ ORDER BY user_id, pivot_date
 """
 
 
+def x_alligator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams Alligator over per-user daily bars
+    (operators/finance.alligator): three Wilder-SMMA states folded in
+    one grouped-map pass on the quantized bar midpoint, each line
+    displaced forward by its classic offset (13/8, 8/5, 5/3) via plain
+    lags over the fold output. The recursive oracle carries the three
+    BIGINT states; the displacement replays as SQL lag."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        alligator,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    return alligator(daily, ["user_id"], "trade_date").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_ALLIGATOR_SQL = f"""
+WITH RECURSIVE d AS ({_SQL_DAILY_OHLCV}),
+src AS (
+  SELECT user_id, trade_date,
+         CAST(floor((high + low) * 500000.0 + 0.5) AS BIGINT) AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM d),
+al AS (
+  SELECT user_id, trade_date, m, rn, m AS j, m AS t, m AS l
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.trade_date, s.m, s.rn,
+         r.j + CAST(floor((s.m - r.j) / 13.0) AS BIGINT),
+         r.t + CAST(floor((s.m - r.t) / 8.0) AS BIGINT),
+         r.l + CAST(floor((s.m - r.l) / 5.0) AS BIGINT)
+  FROM src s JOIN al r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+SELECT user_id, trade_date,
+       CAST(m AS DOUBLE) / 1e6 AS mid,
+       CAST(lag(j, 8) OVER w AS DOUBLE) / 1e6 AS jaw,
+       CAST(lag(t, 5) OVER w AS DOUBLE) / 1e6 AS teeth,
+       CAST(lag(l, 3) OVER w AS DOUBLE) / 1e6 AS lips
+FROM al
+WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+ORDER BY user_id, trade_date
+"""
+
+
 def d_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-score fusion: rank the corpus by three independent
     quality signals — heuristic quality score (desc), unigram
@@ -11385,18 +11429,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
     # staleness (every query re-earns a driver row every ~2-3 rounds).
-    # r7 window (16 r2-stale + 19 new + 8 changed = 43, + 7 r3 rows
+    # r7 window (16 r2-stale + 20 new + 8 changed = 44, + 6 r3 rows
     # = 50): (0) the 16-entry r2-cohort tail that spilled past the r6
-    # window (VERDICT r6 ask #1); (1) the 19 NEW r7 queries; (2) changed
+    # window (VERDICT r6 ask #1); (1) the 20 NEW r7 queries; (2) changed
     # THIS round — e_gini / e_pareto_share (decimal-before-multiply +
     # distributed two-pass rank), emb_pca / emb_outliers (eigenvalue
     # positivity + magnitude-aware overflow guards), emb_semdedup
     # (integer-quantized GEMM scorer, now the default), d_dup_components
     # / d_curation_pipeline (union-find keeps input id type; bound
     # raised to 1M edges), d_zipf_slope (distributed rank); (3) r3-
-    # cohort rows through sql_passthrough_volatility. r8 must HEAD
-    # with the remaining 37 r3 rows (d_incremental_dedup .. e_dq_report),
-    # then as many of the 42 r4 rows as fit (see scripts/staleness.py).
+    # cohort rows through sql_passthrough_daily. r8 must HEAD with
+    # the remaining 38 r3 rows (sql_passthrough_volatility ..
+    # e_dq_report), then as many of the 42 r4 rows as fit
+    # (see scripts/staleness.py).
     return {
         # --- r7 part 0: the stale r2 cohort (last driver-checked r2) ---
         "e_conditional_counts": e_conditional_counts,
@@ -11435,6 +11480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_source_lang_mix": d_source_lang_mix,
         "d_mixture_plan": d_mixture_plan,
         "d_bpe_fertility": d_bpe_fertility,
+        "x_alligator": x_alligator,
         # --- r7 part 2: implementation/oracle changed this round ---
         "e_gini": e_gini,
         "e_pareto_share": e_pareto_share,
@@ -11840,6 +11886,7 @@ def oracle_sql() -> dict[str, str]:
         "d_source_lang_mix": _source_lang_mix_sql(),
         "d_mixture_plan": _mixture_plan_sql(),
         "d_bpe_fertility": _bpe_fertility_sql(),
+        "x_alligator": _X_ALLIGATOR_SQL,
         "x_sma_backtest": _X_BACKTEST_SQL,
         "x_donchian": _X_DONCHIAN_SQL,
         "x_underwater_streak": _X_UNDERWATER_SQL,
@@ -12007,6 +12054,7 @@ HEADLINE_QUERIES = [
     "d_source_lang_mix",
     "d_mixture_plan",
     "d_bpe_fertility",
+    "x_alligator",
     "x_sma_backtest",
     "x_donchian",
     "x_underwater_streak",

@@ -3592,3 +3592,83 @@ def zigzag_pivots(
         )
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def alligator(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    jaw: tuple[int, int] = (13, 8),
+    teeth: tuple[int, int] = (8, 5),
+    lips: tuple[int, int] = (5, 3),
+    high: str = "high",
+    low: str = "low",
+) -> DataFrame:
+    """Williams Alligator: three Wilder-smoothed moving averages (SMMA)
+    of the bar midpoint, each displaced FORWARD by its offset — jaw
+    13/8, teeth 8/5, lips 5/3. The SMMA recurrence
+    ``s += floor((v − s)/n)`` (Wilder's smoothing, the ATR/ADX family
+    coefficient) folds all three states in ONE grouped-map pass on
+    int64 micro-units; the forward displacement means the line shown at
+    bar t is the SMMA computed ``offset`` bars earlier, i.e. a plain
+    ``lag`` over the fold output — window work, not state.
+
+    Exactness: midpoint quantizes via one shared ``(h+l)·5e5``
+    expression; each state update is floor over a double quotient of
+    integers < 2^53 (IEEE-exact both engines); the recursive oracle
+    carries the three BIGINT states and applies the same lags.
+
+    Output: keys + order + (mid, jaw, teeth, lips) — line columns NULL
+    until their displacement has history.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, high, low)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    base_schema = ", ".join(f"{k} {t}" for k, t in src.dtypes)
+    schema = base_schema + ", mid double, _j bigint, _t bigint, _l bigint"
+    nj, nt, nl = jaw[0], teeth[0], lips[0]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        m = np.floor(
+            (pdf[high].to_numpy(dtype=float) + pdf[low].to_numpy(dtype=float))
+            * 500000.0
+            + 0.5
+        ).astype(np.int64)
+        n = len(m)
+        ja = np.empty(n, dtype=np.int64)
+        ta = np.empty(n, dtype=np.int64)
+        la = np.empty(n, dtype=np.int64)
+        j = t = l = 0
+        for i, v in enumerate(m.tolist()):
+            if i == 0:
+                j = t = l = v
+            else:
+                j += math.floor((v - j) / float(nj))
+                t += math.floor((v - t) / float(nt))
+                l += math.floor((v - l) / float(nl))
+            ja[i], ta[i], la[i] = j, t, l
+        return pdf.assign(
+            mid=m / 1e6, _j=ja, _t=ta, _l=la
+        )
+
+    out = src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    w = Window.partitionBy(*key_list).orderBy(order_col)
+    line = lambda c, off: (
+        F.lag(F.col(c), off).over(w).cast("double") / F.lit(1e6)
+    )
+    return out.select(
+        *key_list,
+        order_col,
+        "mid",
+        line("_j", jaw[1]).alias("jaw"),
+        line("_t", teeth[1]).alias("teeth"),
+        line("_l", lips[1]).alias("lips"),
+    )
