@@ -586,3 +586,35 @@ class TestZigZag:
         )
         # monotone drift under 3% total: direction never confirms
         assert zigzag_pivots(df, ["user_id"], "d", pct_bp=300).count() == 0
+
+
+class TestAlligator:
+    def test_hand_replay_and_displacement(self, spark):
+        import math
+
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            alligator,
+        )
+
+        rng_vals = [10.0, 10.4, 10.2, 10.8, 11.0, 10.6, 10.9, 11.2, 11.5, 11.1]
+        df = spark.createDataFrame(
+            [(1, i, c + 0.5, c - 0.5) for i, c in enumerate(rng_vals)],
+            "user_id long, d long, high double, low double",
+        )
+        out = {r["d"]: r for r in alligator(df, ["user_id"], "d").collect()}
+        # replay the three SMMA states on quantized midpoints
+        m = [round((c + 0.5 + c - 0.5) * 5e5) for c in rng_vals]
+        j = t = l = m[0]
+        js, ts, ls = [j], [t], [l]
+        for v in m[1:]:
+            j += math.floor((v - j) / 13.0)
+            t += math.floor((v - t) / 8.0)
+            l += math.floor((v - l) / 5.0)
+            js.append(j)
+            ts.append(t)
+            ls.append(l)
+        for i in range(10):
+            assert out[i]["mid"] == m[i] / 1e6
+            assert out[i]["jaw"] == (js[i - 8] / 1e6 if i >= 8 else None)
+            assert out[i]["teeth"] == (ts[i - 5] / 1e6 if i >= 5 else None)
+            assert out[i]["lips"] == (ls[i - 3] / 1e6 if i >= 3 else None)
