@@ -5286,16 +5286,35 @@ def d_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_split,
     )
 
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        tokens,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
-    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    # ONE tokenize for all four stages: project the token array behind a
+    # repartition exchange and checkpoint it — the minhash stage consumes
+    # it in ITS OWN checkpoint job (ReuseExchange cannot reach across
+    # jobs, so the un-checkpointed variant re-tokenized once per job:
+    # 14.9 s vs 5.0 s cold, equal warm). The quality branch and both
+    # decontamination sides then read the same materialized rows in the
+    # final plan. Hashes unchanged — the token array is byte-identical to
+    # what each stage computed for itself before.
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        docs.select("doc_id", tokens("text").alias("_ts"))
+        .repartition(par, "doc_id")
+        .localCheckpoint()
+    )
+    corpus_t = base.filter(F.col("doc_id") % 50 != 0)
+    bench_t = base.filter(F.col("doc_id") % 50 == 0)
     comp = near_dup_components(
-        minhash_near_dup_pairs(docs, threshold=0.95),
+        minhash_near_dup_pairs(base, threshold=0.95, tokens_col="_ts"),
         rounds=3,
         extend_until_converged=True,
     )
-    q = quality_score(corpus).select("doc_id", "quality_score")
-    cont = decontaminate(corpus, bench, ngram=3).select(
+    q = quality_score(corpus_t, tokens_col="_ts").select("doc_id", "quality_score")
+    cont = decontaminate(corpus_t, bench_t, ngram=3, tokens_col="_ts").select(
         "doc_id", "is_contaminated"
     )
     split = hash_split(corpus.select("doc_id"), "doc_id").select(
@@ -6539,6 +6558,105 @@ def emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cb, codes, vectors = pq_index(emb, m=16, k=16, n_iter=2, dim=64)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return pq_probe(
+        queries_df, cb, codes, vectors, k=5, shortlist_mult=16, m=16, dim=64
+    ).orderBy("query_id", "rank")
+
+
+def _ann_index_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic on-disk location for a persisted ANN index over
+    ``sf_dir``'s embeddings table, keyed by the SOURCE file's size+mtime
+    so a regenerated testdata set can never be probed through a stale
+    index. Lives under the gitignored spark-warehouse/."""
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = "{}-{}-{}-{}".format(
+        kind,
+        os.path.basename(os.path.normpath(sf_dir)),
+        st.st_size,
+        int(st.st_mtime),
+    )
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "ann_index",
+        tag,
+    )
+
+
+def emb_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against the PERSISTED index — the number a 100 TB
+    deployment actually lives on. ``ivf_index`` is the one-off build
+    (here run only when the on-disk artifact is missing or the source
+    table changed); the query itself reads the stored
+    (centroids, assignments) parquet — assignments written
+    ``partitionBy(cell)`` so the probe's cell equi-join prunes unprobed
+    cell partitions at the scan — and ranks the ``n_probe`` nearest
+    cells' members by exact cosine. Same params as ``emb_ivf_ann``, so
+    the probe output is bit-identical to the one-shot path (the
+    lifecycle contract tests pin) and shares its SQL oracle; the bench
+    delta between the two rows IS the amortized fit cost."""
+    import os
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        ivf_index,
+        ivf_probe,
+    )
+
+    idx = _ann_index_dir(sf_dir, "ivf")
+    emb = _t(spark, sf_dir, "embeddings")
+    marker = os.path.join(idx, "_BUILT")
+    if not os.path.exists(marker):
+        cdf, assignments = ivf_index(emb, n_lists=8, n_iter=2)
+        cdf.write.mode("overwrite").parquet(os.path.join(idx, "centroids"))
+        assignments.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(idx, "assignments")
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    cdf = spark.read.parquet(os.path.join(idx, "centroids"))
+    assignments = spark.read.parquet(os.path.join(idx, "assignments"))
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_probe(queries_df, cdf, assignments, k=5, n_probe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+def emb_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ probe against the PERSISTED index (codebooks + compressed
+    codes + rescore vectors): the fused Lloyd fit runs only when the
+    artifact is missing or its source changed; the measured query is
+    the broadcast integer-ADC LUT join over the stored codes plus the
+    exact rescore of the 16x shortlist. Codes are written
+    ``partitionBy(sub)`` (the natural layout for the (sub, cell)
+    equi-join). Same params as ``emb_pq_ann`` — bit-identical output,
+    shared oracle; the bench delta between the rows is the amortized
+    fit."""
+    import os
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        pq_index,
+        pq_probe,
+    )
+
+    idx = _ann_index_dir(sf_dir, "pq")
+    emb = _t(spark, sf_dir, "embeddings")
+    marker = os.path.join(idx, "_BUILT")
+    if not os.path.exists(marker):
+        cb, codes, vectors = pq_index(emb, m=16, k=16, n_iter=2, dim=64)
+        cb.write.mode("overwrite").parquet(os.path.join(idx, "codebooks"))
+        codes.write.mode("overwrite").partitionBy("sub").parquet(
+            os.path.join(idx, "codes")
+        )
+        vectors.write.mode("overwrite").parquet(os.path.join(idx, "vectors"))
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    cb = spark.read.parquet(os.path.join(idx, "codebooks"))
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    vectors = spark.read.parquet(os.path.join(idx, "vectors"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     return pq_probe(
         queries_df, cb, codes, vectors, k=5, shortlist_mult=16, m=16, dim=64
@@ -11429,75 +11547,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
     # staleness (every query re-earns a driver row every ~2-3 rounds).
-    # r7 window (16 r2-stale + 20 new + 8 changed = 44, + 6 r3 rows
-    # = 50): (0) the 16-entry r2-cohort tail that spilled past the r6
-    # window (VERDICT r6 ask #1); (1) the 20 NEW r7 queries; (2) changed
-    # THIS round — e_gini / e_pareto_share (decimal-before-multiply +
-    # distributed two-pass rank), emb_pca / emb_outliers (eigenvalue
-    # positivity + magnitude-aware overflow guards), emb_semdedup
-    # (integer-quantized GEMM scorer, now the default), d_dup_components
-    # / d_curation_pipeline (union-find keeps input id type; bound
-    # raised to 1M edges), d_zipf_slope (distributed rank); (3) r3-
-    # cohort rows through sql_passthrough_daily. r8 must HEAD with
-    # the remaining 38 r3 rows (sql_passthrough_volatility ..
-    # e_dq_report), then as many of the 42 r4 rows as fit
-    # (see scripts/staleness.py).
+    # r8 window (38 r3-stale + NEW + 5 changed + r4 fill = 50): (0) the
+    # full 38-row r3 cohort (VERDICT r7 ask #1 — the only rows whose hard
+    # driver evidence predates round 4); (1) NEW r8 queries (probe-only
+    # ANN lifecycle rows etc.); (2) changed THIS round — the minhash
+    # family (window-min set-group id, candidate spread in
+    # dedup_against_index, shared tokenize base in the curation
+    # pipeline) and x_alligator (displacement folded into the grouped-map
+    # pass, zero post-fold Windows); (3) r4-cohort rows fill to 50.
+    # r9 should head with the remaining r4 rows (see scripts/staleness.py)
+    # and the full-registry hash ledger (SWEEP_HASHES.json) now covers
+    # every entry every round regardless of window position.
     return {
-        # --- r7 part 0: the stale r2 cohort (last driver-checked r2) ---
-        "e_conditional_counts": e_conditional_counts,
-        "e_period_lookback": e_period_lookback,
-        "e_tail_limit": e_tail_limit,
-        "d_token_stats": d_token_stats,
-        "d_quality_score": d_quality_score,
-        "d_language_guess": d_language_guess,
-        "d_fingerprint": d_fingerprint,
-        "d_exact_dedup": d_exact_dedup,
-        "d_minhash_neardup": d_minhash_neardup,
-        "d_simhash": d_simhash,
-        "d_simhash_pairs": d_simhash_pairs,
-        "emb_lsh_ann": emb_lsh_ann,
-        "emb_cosine_neardup": emb_cosine_neardup,
-        "d_bpe_tokens": d_bpe_tokens,
-        "d_kgram_fingerprint": d_kgram_fingerprint,
-        "emb_ivf_ann": emb_ivf_ann,
-        # --- r7 part 1: NEW this round (insert new queries HERE) ---
-        "d_line_dedup": d_line_dedup,
-        "e_cost_rollup": e_cost_rollup,
-        "x_tsi": x_tsi,
-        "x_ppo": x_ppo,
-        "x_qstick": x_qstick,
-        "x_rvi": x_rvi,
-        "d_rrf_fusion": d_rrf_fusion,
-        "x_ultimate": x_ultimate,
-        "x_eom": x_eom,
-        "d_softdedup": d_softdedup,
-        "emb_recall_report": emb_recall_report,
-        "s_stream_enrich": s_stream_enrich,
-        "x_crsi": x_crsi,
-        "d_quality_fusion": d_quality_fusion,
-        "x_zigzag": x_zigzag,
-        "e_new_vs_returning": e_new_vs_returning,
-        "d_source_lang_mix": d_source_lang_mix,
-        "d_mixture_plan": d_mixture_plan,
-        "d_bpe_fertility": d_bpe_fertility,
-        "x_alligator": x_alligator,
-        # --- r7 part 2: implementation/oracle changed this round ---
-        "e_gini": e_gini,
-        "e_pareto_share": e_pareto_share,
-        "emb_pca": emb_pca,
-        "emb_outliers": emb_outliers,
-        "emb_semdedup": emb_semdedup,
-        "d_dup_components": d_dup_components,
-        "d_curation_pipeline": d_curation_pipeline,
-        "d_zipf_slope": d_zipf_slope,
-        # --- r7 part 3: oldest remaining driver rows (last checked r3);
-        # the window cuts at position 50, tail spills to r8 ---
-        "j_semi_active_customers": j_semi_active_customers,
-        "j_anti_inactive_customers": j_anti_inactive_customers,
-        "u_union_mixed_schema": u_union_mixed_schema,
-        "e_rsi14": e_rsi14,
-        "o_bronze_roundtrip": o_bronze_roundtrip,
-        "sql_passthrough_daily": sql_passthrough_daily,
+        # --- r8 part 0: the stale r3 cohort — the 38 rows whose hard
+        # driver evidence predates round 4 (VERDICT r7 ask #1; ledger
+        # order from scripts/staleness.py). d_incremental_dedup also
+        # changed this round (probe candidate spread + window gid). ---
         "sql_passthrough_volatility": sql_passthrough_volatility,
         "d_incremental_dedup": d_incremental_dedup,
         "x_atr_daily": x_atr_daily,
@@ -11536,7 +11601,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_pack_sequences": d_pack_sequences,
         "emb_label_centroids": emb_label_centroids,
         "e_dq_report": e_dq_report,
-        # --- last checked r4 ---
+        # --- r8 part 1: NEW this round (insert new queries HERE) ---
+        "emb_ivf_probe": emb_ivf_probe,
+        "emb_pq_probe": emb_pq_probe,
+        # --- r8 part 2: implementation changed this round (window-min
+        # set-group id + shared tokenize base + in-fold displacement) ---
+        "d_minhash_neardup": d_minhash_neardup,
+        "d_dup_components": d_dup_components,
+        "d_curation_pipeline": d_curation_pipeline,
+        "x_alligator": x_alligator,
+        "d_quality_score": d_quality_score,
+        # --- r8 part 3: oldest remaining (last checked r4); the window
+        # cuts at position 50 (5 rows in), tail spills to r9 ---
         "e_drift_psi": e_drift_psi,
         "d_mixture_sample": d_mixture_sample,
         "x_vwap_anchored": x_vwap_anchored,
@@ -11579,7 +11655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q10_returned_revenue,
         "q14_promo_share": q14_promo_share,
         "q16_supplier_variety": q16_supplier_variety,
-        # --- last checked r5 (freshest rows) ---
+        # --- last checked r5 ---
         "x_cmo": x_cmo,
         "x_info_ratio": x_info_ratio,
         "x_drawdown_episodes": x_drawdown_episodes,
@@ -11627,7 +11703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_heikin_ashi": x_heikin_ashi,
         "x_supertrend": x_supertrend,
         "x_adx": x_adx,
-        # --- last checked r6 (freshest rows) ---
+        # --- last checked r6 ---
         "x_chop": x_chop,
         "x_chandelier": x_chandelier,
         "x_renko": x_renko,
@@ -11671,6 +11747,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_sma20": e_sma20,
         "e_window_daily_summary": e_window_daily_summary,
         "e_dispersion": e_dispersion,
+        # --- last checked r7-window (freshest driver rows) ---
+        "e_conditional_counts": e_conditional_counts,
+        "e_period_lookback": e_period_lookback,
+        "e_tail_limit": e_tail_limit,
+        "d_token_stats": d_token_stats,
+        "d_language_guess": d_language_guess,
+        "d_fingerprint": d_fingerprint,
+        "d_exact_dedup": d_exact_dedup,
+        "d_simhash": d_simhash,
+        "d_simhash_pairs": d_simhash_pairs,
+        "emb_lsh_ann": emb_lsh_ann,
+        "emb_cosine_neardup": emb_cosine_neardup,
+        "d_bpe_tokens": d_bpe_tokens,
+        "d_kgram_fingerprint": d_kgram_fingerprint,
+        "emb_ivf_ann": emb_ivf_ann,
+        "d_line_dedup": d_line_dedup,
+        "e_cost_rollup": e_cost_rollup,
+        "x_tsi": x_tsi,
+        "x_ppo": x_ppo,
+        "x_qstick": x_qstick,
+        "x_rvi": x_rvi,
+        "d_rrf_fusion": d_rrf_fusion,
+        "x_ultimate": x_ultimate,
+        "x_eom": x_eom,
+        "d_softdedup": d_softdedup,
+        "emb_recall_report": emb_recall_report,
+        "s_stream_enrich": s_stream_enrich,
+        "x_crsi": x_crsi,
+        "d_quality_fusion": d_quality_fusion,
+        "x_zigzag": x_zigzag,
+        "e_new_vs_returning": e_new_vs_returning,
+        "d_source_lang_mix": d_source_lang_mix,
+        "d_mixture_plan": d_mixture_plan,
+        "d_bpe_fertility": d_bpe_fertility,
+        "e_gini": e_gini,
+        "e_pareto_share": e_pareto_share,
+        "emb_pca": emb_pca,
+        "emb_outliers": emb_outliers,
+        "emb_semdedup": emb_semdedup,
+        "d_zipf_slope": d_zipf_slope,
+        "j_semi_active_customers": j_semi_active_customers,
+        "j_anti_inactive_customers": j_anti_inactive_customers,
+        "u_union_mixed_schema": u_union_mixed_schema,
+        "e_rsi14": e_rsi14,
+        "o_bronze_roundtrip": o_bronze_roundtrip,
+        "sql_passthrough_daily": sql_passthrough_daily,
     }
 
 
@@ -11724,6 +11846,10 @@ def oracle_sql() -> dict[str, str]:
         "d_bpe_tokens": _D_BPE_SQL,
         "d_kgram_fingerprint": _D_KGRAM_SQL,
         "emb_ivf_ann": _ivf_ann_sql(),
+        # probe-only lifecycle rows: the stored-index probe is bit-identical
+        # to the one-shot path (pinned by tests), so they replay the same SQL
+        "emb_ivf_probe": _ivf_ann_sql(),
+        "emb_pq_probe": _pq_ann_sql(),
         "emb_semdedup": _semdedup_sql(threshold=0.4),
         "x_keltner": _X_KELTNER_SQL,
         "x_heikin_ashi": _X_HEIKIN_SQL,
@@ -11968,6 +12094,8 @@ HEADLINE_QUERIES = [
     "d_bpe_tokens",
     "d_kgram_fingerprint",
     "emb_ivf_ann",
+    "emb_ivf_probe",
+    "emb_pq_probe",
     "emb_ann_topk",
     "emb_lsh_ann",
     "j_asof_orders",

@@ -103,6 +103,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing token
     ``ngram``-grams with an evaluation benchmark (the overlap test
@@ -118,10 +119,21 @@ def decontaminate(
 
     Output: (id_col, n_shared_grams, is_contaminated) — one row per
     CORPUS document.
+
+    ``tokens_col``: name of a pre-tokenized array<string> column present
+    on BOTH inputs — skips the tokenize and the internal repartitions so
+    a composite pipeline can share one tokenize exchange (ReuseExchange).
     """
     par = corpus.sparkSession.sparkContext.defaultParallelism
 
     def shingles(d: DataFrame) -> DataFrame:
+        if tokens_col is not None:
+            return d.select(
+                id_col,
+                F.explode(
+                    F.array_distinct(token_ngrams(F.col(tokens_col), ngram))
+                ).alias("gram"),
+            )
         # repartition: spread the shingle construction over cores when
         # the input is a single parquet split (local corpora); harmless
         # rebalance at real scale

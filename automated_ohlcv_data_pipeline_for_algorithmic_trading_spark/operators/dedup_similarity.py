@@ -11,7 +11,7 @@ cluster runs, no seed state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -175,6 +175,7 @@ def minhash_near_dup_pairs(
     k: int | None = None,
     bands: int | None = None,
     rows: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-verified.
 
@@ -194,6 +195,13 @@ def minhash_near_dup_pairs(
     the naive per-doc path) while the expensive stages scale with
     distinct content only; the expansion is output-proportional. The
     SQL oracle keeps the straightforward per-doc form.
+
+    ``tokens_col``: pass the name of a pre-tokenized array<string>
+    column (whitespace ``tokens(text)`` semantics) to skip both the
+    tokenize and the internal repartition — the composite-pipeline
+    shape, where one tokenize exchange is shared across stages via
+    ReuseExchange (the ``line_frequency_filter`` recipe). The caller
+    owns partitioning in that case.
     """
     if k is None or bands is None or rows is None:
         auto_k, auto_b, auto_r = lsh_banding_for(threshold)
@@ -206,9 +214,14 @@ def minhash_near_dup_pairs(
     # repartition or Catalyst evaluates it on the unsplit input. Hash-
     # partitioning by id also balances skewed doc sizes.
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks = with_token_set(
-        df.select(id_col, text_col).repartition(par, id_col), text_col
-    )
+    if tokens_col is None:
+        toks = with_token_set(
+            df.select(id_col, text_col).repartition(par, id_col), text_col
+        )
+    else:
+        toks = df.select(
+            id_col, F.array_distinct(F.col(tokens_col)).alias("token_set")
+        )
     # One md5 per token, shared by grouping, signatures AND verification.
     # Jaccard only needs intersection/union SIZES, which are preserved
     # by any injective token mapping — hash each distinct token to a
@@ -223,19 +236,25 @@ def minhash_near_dup_pairs(
             lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
         )
     )
-    hashed = (
-        toks.select(F.col(id_col).alias("_id"), hset.alias("hset"))
-        .withColumn("_sk", F.md5(F.array_join("hset", ",")))
-        # compact (id, ~|tokens| longs); cut the raw-text lineage once —
-        # grouping, signatures, verification and both expansions all
-        # re-consume this, not the tokenizer
+    hashed = toks.select(F.col(id_col).alias("_id"), hset.alias("hset")).withColumn(
+        "_sk", F.md5(F.array_join("hset", ","))
+    )
+    # (member id, its set-group id, set size) — one row per doc. The
+    # set-group id is a window min over the set key: ONE exchange and no
+    # join-back (the former groupBy+broadcast-join needed the pre-collapse
+    # rows checkpointed to avoid a double tokenize; the window form makes
+    # that checkpoint unnecessary — 5.8 -> 2.1 s cold for the index twin
+    # at sf0.1). withg stays checkpointed: signatures, verification and
+    # both expansions all re-consume it, and it cuts the raw-text lineage.
+    withg = (
+        hashed.select(
+            "_id",
+            F.min("_id").over(Window.partitionBy("_sk")).alias("_gid"),
+            F.size("hset").alias("_sz"),
+            "hset",
+        )
         .localCheckpoint()
     )
-    grp = hashed.groupBy("_sk").agg(
-        F.min("_id").alias("_gid"), F.min(F.size("hset")).alias("_sz")
-    )
-    # (member id, its set-group id, set size) — one row per doc
-    withg = hashed.join(grp, "_sk").select("_id", "_gid", "_sz", "hset").localCheckpoint()
     reps = withg.filter(F.col("_id") == F.col("_gid")).select("_gid", "hset")
     coeffs = _uhash_coeffs(k)
     m = F.col("_h") % MINHASH_P
@@ -754,6 +773,7 @@ def minhash_index(
     k: int | None = None,
     bands: int | None = None,
     rows: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The persistable MinHash-LSH index: ONE row per document —
     (doc_id, gid, sz, hset, bands) — written once and probed by every
@@ -789,22 +809,30 @@ def minhash_index(
         bands = auto_b if bands is None else bands
         rows = auto_r if rows is None else rows
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks = with_token_set(
-        df.select(id_col, text_col).repartition(par, id_col), text_col
-    )
+    if tokens_col is None:
+        toks = with_token_set(
+            df.select(id_col, text_col).repartition(par, id_col), text_col
+        )
+    else:
+        toks = df.select(
+            id_col, F.array_distinct(F.col(tokens_col)).alias("token_set")
+        )
     hset = F.array_sort(
         F.transform(
             F.col("token_set"),
             lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
         )
     )
-    hashed = (
-        toks.select(F.col(id_col).alias("doc_id"), hset.alias("hset"))
-        .withColumn("_sk", F.md5(F.array_join("hset", ",")))
-        .localCheckpoint()
+    hashed = toks.select(F.col(id_col).alias("doc_id"), hset.alias("hset")).withColumn(
+        "_sk", F.md5(F.array_join("hset", ","))
     )
-    grp = hashed.groupBy("_sk").agg(F.min("doc_id").alias("gid"))
-    withg = hashed.join(grp, "_sk")
+    # gid via window min over the set key (one exchange, no groupBy+join
+    # back, no pre-collapse checkpoint — 5.8 -> 2.1 s cold at sf0.1); the
+    # signature branch and the membership branch both sit above the SAME
+    # _sk exchange, so ReuseExchange runs the tokenize once.
+    withg = hashed.select(
+        "doc_id", F.min("doc_id").over(Window.partitionBy("_sk")).alias("gid"), "hset"
+    )
     reps = withg.filter(F.col("doc_id") == F.col("gid")).select("gid", "hset")
     coeffs = _uhash_coeffs(k)
     m = F.col("_h") % MINHASH_P
@@ -882,6 +910,7 @@ def dedup_against_index(
     if broadcast_new:
         nbands = F.broadcast(nbands)
     ibands = idx_reps.select("_ig", "_isz", F.explode("bands").alias("band"))
+    par = new_docs.sparkSession.sparkContext.defaultParallelism
     cand = (
         ibands.join(nbands, "band")
         .filter(
@@ -890,6 +919,11 @@ def dedup_against_index(
         )
         .select("_ng", "_ig")
         .distinct()
+        # candidates are small in BYTES (two longs) so AQE coalesces the
+        # post-distinct exchange to ~2 tasks, but verification is per-row
+        # HEAVY (array_intersect over token hash sets) — spread it
+        # explicitly, same lesson as minhash_near_dup_pairs.
+        .repartition(par)
     )
     nv = new_reps.select("_ng", "_nset")
     pairs = (

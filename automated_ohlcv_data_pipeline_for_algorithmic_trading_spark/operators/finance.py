@@ -3609,17 +3609,21 @@ def alligator(
     13/8, teeth 8/5, lips 5/3. The SMMA recurrence
     ``s += floor((v − s)/n)`` (Wilder's smoothing, the ATR/ADX family
     coefficient) folds all three states in ONE grouped-map pass on
-    int64 micro-units; the forward displacement means the line shown at
-    bar t is the SMMA computed ``offset`` bars earlier, i.e. a plain
-    ``lag`` over the fold output — window work, not state.
+    int64 micro-units. The fold already holds the group in ``order_col``
+    order, so the forward displacement (line shown at bar t = state
+    computed ``offset`` bars earlier) is an in-fold array shift — the
+    plan has NO post-fold Window at all (the lag formulation left three
+    Window operators, one per distinct lag frame, over the fold output).
 
     Exactness: midpoint quantizes via one shared ``(h+l)·5e5``
     expression; each state update is floor over a double quotient of
-    integers < 2^53 (IEEE-exact both engines); the recursive oracle
-    carries the three BIGINT states and applies the same lags.
+    integers < 2^53 (IEEE-exact both engines); the division by 1e6 is
+    the same int64/1e6 IEEE op the lag form applied. The recursive
+    oracle carries the three BIGINT states and applies SQL lags — same
+    values, NULL until the displacement has history (the shift emits
+    pandas NA, which Arrow carries as null, not NaN).
 
-    Output: keys + order + (mid, jaw, teeth, lips) — line columns NULL
-    until their displacement has history.
+    Output: keys + order + (mid, jaw, teeth, lips).
     """
     import math
 
@@ -3632,8 +3636,9 @@ def alligator(
         df.sparkSession.sparkContext.defaultParallelism, *key_list
     )
     base_schema = ", ".join(f"{k} {t}" for k, t in src.dtypes)
-    schema = base_schema + ", mid double, _j bigint, _t bigint, _l bigint"
+    schema = base_schema + ", mid double, jaw double, teeth double, lips double"
     nj, nt, nl = jaw[0], teeth[0], lips[0]
+    oj, ot, ol = jaw[1], teeth[1], lips[1]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([*key_list, order_col])
@@ -3655,20 +3660,24 @@ def alligator(
                 t += math.floor((v - t) / float(nt))
                 l += math.floor((v - l) / float(nl))
             ja[i], ta[i], la[i] = j, t, l
+
+        def disp(states: np.ndarray, off: int) -> pd.array:
+            # displaced line = state `off` bars back, / 1e6 — masked
+            # Float64 so the missing head is NULL (NaN would hash-split
+            # from the SQL lag's NULL)
+            vals = np.zeros(n, dtype=float)
+            mask = np.zeros(n, dtype=bool)
+            if off < n:
+                vals[off:] = states[: n - off] / 1e6
+            mask[: min(off, n)] = True
+            return pd.arrays.FloatingArray(vals, mask)
+
         return pdf.assign(
-            mid=m / 1e6, _j=ja, _t=ta, _l=la
+            mid=m / 1e6,
+            jaw=disp(ja, oj),
+            teeth=disp(ta, ot),
+            lips=disp(la, ol),
         )
 
     out = src.groupBy(*key_list).applyInPandas(fold, schema=schema)
-    w = Window.partitionBy(*key_list).orderBy(order_col)
-    line = lambda c, off: (
-        F.lag(F.col(c), off).over(w).cast("double") / F.lit(1e6)
-    )
-    return out.select(
-        *key_list,
-        order_col,
-        "mid",
-        line("_j", jaw[1]).alias("jaw"),
-        line("_t", teeth[1]).alias("teeth"),
-        line("_l", lips[1]).alias("lips"),
-    )
+    return out.select(*key_list, order_col, "mid", "jaw", "teeth", "lips")

@@ -83,10 +83,19 @@ def _hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t)))
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_cols=("doc_id",)) -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols=("doc_id",),
+    tokens_col: str | None = None,
+) -> DataFrame:
     """Quality scoring: length/stopword/distinct ratios and a composite
-    score in [0,1]. Every ratio is one exact integer division -> stable."""
-    toks = tokens(text_col)
+    score in [0,1]. Every ratio is one exact integer division -> stable.
+
+    ``tokens_col``: name of a pre-tokenized array<string> column (same
+    whitespace ``tokens()`` semantics) — used by composite pipelines that
+    share ONE tokenize exchange across stages (ReuseExchange)."""
+    toks = F.col(tokens_col) if tokens_col is not None else tokens(text_col)
     n = F.size(toks)
     stop_ratio = F.when(n > 0, _hits(toks, STOPWORDS).cast("double") / n).otherwise(
         F.lit(0.0)
