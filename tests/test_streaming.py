@@ -331,3 +331,94 @@ def test_checkpoint_resume_consumes_only_new_files(spark, tmp_path):
     assert out.count() == 30  # A not reprocessed, B+C appended once
     assert out.select("id").distinct().count() == 30
     assert out.agg(F.min("id"), F.max("id")).collect()[0] == (0, 29)
+
+
+def test_stream_join_outer_state_is_watermark_bounded(spark, tmp_path):
+    """The left-outer interval join must EVICT state as the watermark
+    advances — the eviction itself, not just the emitted rows (those are
+    oracle-checked by s_stream_join_outer). Eight hourly files stream in
+    one per micro-batch; with a 10-minute watermark delay and a
+    30-minute join interval the state horizon is under an hour, so the
+    per-batch state-store row count must plateau at ~one file's worth
+    and NEVER approach the cumulative input."""
+    import os
+
+    from datetime import datetime, timedelta
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    base = datetime(2024, 1, 1)
+    n_hours, per_hour = 8, 40
+    for h in range(n_hours):
+        rows = []
+        for i in range(per_hour):
+            ts = base + timedelta(hours=h, minutes=i % 60)
+            # half the views get a purchase 5 min later, half never match
+            rows.append((i % 10, h * 1000 + i, "view", ts))
+            if i % 2 == 0:
+                rows.append(
+                    (i % 10, h * 1000 + 500 + i, "purchase",
+                     ts + timedelta(minutes=5))
+                )
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}_stage_{h}")
+        import glob
+        import shutil
+
+        [part] = glob.glob(f"{src}_stage_{h}/part-*.parquet")
+        shutil.move(part, os.path.join(src, f"h{h}.parquet"))
+
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+
+    def side(event_type, prefix):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "10 minutes")
+        )
+
+    views, buys = side("view", "view"), side("purchase", "buy")
+    joined = views.join(
+        buys,
+        (F.col("view_user") == F.col("buy_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    with stateful_partitions(spark):
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progresses
+        if p["numInputRows"] > 0
+    ]
+    total_input = sum(p["numInputRows"] for p in progresses)
+    assert len(state_rows) >= 4, f"expected multiple micro-batches, got {state_rows}"
+    # bounded: the plateau holds ~one watermark horizon of BOTH sides,
+    # nowhere near the cumulative input
+    assert max(state_rows) < total_input / 2, (state_rows, total_input)
+    assert max(state_rows) <= 4 * per_hour, state_rows
+    # eviction observed: once the watermark horizon fills (batch 2) the
+    # state count is FLAT — each batch admits one hour and evicts one
+    # hour (without eviction it would grow by ~60-108 rows per batch)
+    assert state_rows[-1] <= state_rows[1], state_rows
+    assert max(state_rows[1:]) - min(state_rows[1:]) <= per_hour, state_rows
