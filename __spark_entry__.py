@@ -7190,6 +7190,151 @@ ORDER BY g.user_id, g.trade_date
 """
 
 
+def x_vidya(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chande's VIDYA over per-user daily closes
+    (operators/finance.vidya): the KAMA-family adaptive EMA whose
+    per-step coefficient is the 9-bar Chande Momentum Oscillator. su/sd
+    are window-computable BIGINT frame sums, so the oracle precomputes
+    cmo6/a6 as window columns and its recursive CTE carries one BIGINT
+    state — the data-dependent-coefficient recipe shared with x_kama."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        vidya,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select("user_id", "trade_date", "close")
+    out = vidya(daily, ["user_id"], "trade_date", n=9, s=12)
+    return out.select("user_id", "trade_date", "close", "cmo", "vidya").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _vidya_sql(n: int = 9, s: int = 12) -> str:
+    f6 = 2_000_000 // (s + 1)
+    cmo6 = (
+        "(CASE WHEN tot = 0 OR tot IS NULL THEN 0 "
+        "ELSE (abs(su - sd) * 1000000) // tot END)"
+    )
+    a6 = f"(({cmo6} * {f6}) // 1000000)"
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date, close,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS pu,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+d AS (
+  SELECT *,
+         CASE WHEN pu - lag(pu) OVER v > 0
+              THEN pu - lag(pu) OVER v ELSE 0 END AS up,
+         CASE WHEN lag(pu) OVER v - pu > 0
+              THEN lag(pu) OVER v - pu ELSE 0 END AS dn
+  FROM b WINDOW v AS (PARTITION BY user_id ORDER BY rn)),
+w AS MATERIALIZED (
+  SELECT *,
+         sum(up) OVER f AS su, sum(dn) OVER f AS sd,
+         sum(up) OVER f + sum(dn) OVER f AS tot
+  FROM d WINDOW f AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)),
+g AS MATERIALIZED (
+  SELECT user_id, trade_date, close, pu, rn,
+         CASE WHEN rn > {n} THEN {cmo6} END AS cmo6,
+         CASE WHEN rn > {n} THEN {a6} END AS a6
+  FROM w),
+st AS (
+  SELECT user_id, rn, pu AS v FROM g WHERE rn = {n}
+  UNION ALL
+  SELECT c.user_id, c.rn,
+         CASE WHEN c.pu >= p.v
+              THEN p.v + (c.a6 * (c.pu - p.v)) // 1000000
+              ELSE p.v - (c.a6 * (p.v - c.pu)) // 1000000 END AS v
+  FROM g c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1)
+SELECT g.user_id, g.trade_date, g.close,
+       CAST(g.cmo6 AS DOUBLE) / 1000000.0 AS cmo,
+       CAST(st.v AS DOUBLE) / 1000000.0 AS vidya
+FROM g LEFT JOIN st ON g.user_id = st.user_id AND g.rn = st.rn
+ORDER BY g.user_id, g.trade_date
+"""
+
+
+def x_klinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Klinger Volume Oscillator over per-user daily bars
+    (operators/finance.klinger): integer trend/cumulative-measurement
+    state machine feeding a micro-unit volume force, smoothed by
+    34/55-bar integer EMA folds with a 13-bar signal EMA — four BIGINT
+    states in ONE grouped-map pass. trend/dm/lag(dm) are
+    window-computable, so the recursive oracle carries only the four
+    states (the x_kama data-dependent recipe, deeper state)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        klinger,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    out = klinger(daily, ["user_id"], "trade_date")
+    return out.select("user_id", "trade_date", "kvo", "signal").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _klinger_sql(fast: int = 34, slow: int = 55, sig: int = 13) -> str:
+    def ema_case(prev: str, v: str, n: int) -> str:
+        return (
+            f"(CASE WHEN {v} >= {prev} THEN {prev} + (2 * ({v} - {prev})) // {n + 1}"
+            f" ELSE {prev} - (2 * ({prev} - {v})) // {n + 1} END)"
+        )
+
+    def vf(cm: str) -> str:
+        r6 = f"((2 * c.dm * 1000000) // {cm})"
+        return (
+            f"(CASE WHEN {cm} > 0"
+            f" THEN c.trend * c.vol * abs({r6} - 1000000) * 100 ELSE 0 END)"
+        )
+
+    cm_step = "(CASE WHEN c.trend = c.lt THEN p.cm + c.dm ELSE c.ld + c.dm END)"
+    cm_seed = "(c.ld + c.dm)"
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date, volume AS vol,
+         CAST(floor(high * 1e6 + 0.5) AS BIGINT)
+           + CAST(floor(low * 1e6 + 0.5) AS BIGINT)
+           + CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS hlc,
+         CAST(floor(high * 1e6 + 0.5) AS BIGINT)
+           - CAST(floor(low * 1e6 + 0.5) AS BIGINT) AS dm,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+t AS (
+  SELECT *,
+         CASE WHEN hlc > lag(hlc) OVER v THEN 1 ELSE -1 END AS trend,
+         lag(dm) OVER v AS ld
+  FROM b WINDOW v AS (PARTITION BY user_id ORDER BY rn)),
+g AS MATERIALIZED (
+  SELECT user_id, trade_date, vol, dm, rn, trend, ld,
+         lag(trend) OVER (PARTITION BY user_id ORDER BY rn) AS lt
+  FROM t),
+st AS (
+  SELECT c.user_id, c.rn, {cm_seed} AS cm,
+         {vf(cm_seed)} AS e_f, {vf(cm_seed)} AS e_s,
+         CAST(0 AS BIGINT) AS e_g
+  FROM g c WHERE c.rn = 2
+  UNION ALL
+  SELECT user_id, rn, cm, e_f, e_s,
+         {ema_case("e_g0", "(e_f - e_s)", sig)} AS e_g
+  FROM (
+    SELECT q.user_id, q.rn, q.cm, q.e_g AS e_g0,
+           {ema_case("q.e_f0", "q.vf6", fast)} AS e_f,
+           {ema_case("q.e_s0", "q.vf6", slow)} AS e_s
+    FROM (
+      SELECT c.user_id, c.rn, {cm_step} AS cm, {vf(cm_step)} AS vf6,
+             p.e_f AS e_f0, p.e_s AS e_s0, p.e_g
+      FROM g c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1) q
+  ) r)
+SELECT g.user_id, g.trade_date,
+       CAST(st.e_f - st.e_s AS DOUBLE) / 1000000.0 AS kvo,
+       CAST(st.e_g AS DOUBLE) / 1000000.0 AS signal
+FROM g LEFT JOIN st ON g.user_id = st.user_id AND g.rn = st.rn
+ORDER BY g.user_id, g.trade_date
+"""
+
 
 def s_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER interval join — the
@@ -10822,6 +10967,53 @@ ORDER BY user_id, trade_date
 _MIXTURE_TARGETS = {"src0": 0.20, "src1": 0.10, "src2": 0.02}
 
 
+def d_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (operators/corpus.unimax_plan):
+    water-fill the corpus-total token budget across languages with a
+    2-epoch cap per language — closed form (rank by cap ascending; the
+    capped prefix is the monotone predicate B − cumcap_i ≥ cap_i·(n−i);
+    water level = one floor division), so the paper's sequential loop
+    is two window passes + a scalar aggregate. All divisions BIGINT
+    floor-div in micro-units — bit-identical in the oracle. The
+    mixture-planning twin of d_mixture_plan on the language axis."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        unimax_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unimax_plan(docs, "lang", "text", epochs_max=2).orderBy("lang")
+
+
+_D_UNIMAX_SQL = f"""
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+r AS (
+  SELECT *, 2 * n_tokens AS cap_tokens,
+         row_number() OVER w AS i,
+         sum(2 * n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cs,
+         count(*) OVER () AS n,
+         sum(n_tokens) OVER () AS b
+  FROM per WINDOW w AS (ORDER BY 2 * n_tokens ASC, lang ASC)),
+c AS (SELECT *, (b - cs) >= cap_tokens * (n - i) AS capped FROM r),
+s AS (SELECT coalesce(max(CASE WHEN capped THEN i END), 0) AS k,
+             coalesce(max(CASE WHEN capped THEN cs END), 0) AS csk,
+             max(n) AS nn, max(b) AS bb FROM c)
+SELECT lang, n_docs, n_tokens, cap_tokens,
+       CAST(alloc6 AS DOUBLE) / 1e6 AS alloc_tokens,
+       CAST(CASE WHEN n_tokens > 0 THEN alloc6 // n_tokens ELSE 0 END
+            AS DOUBLE) / 1e6 AS epochs
+FROM (
+  SELECT c.lang, c.n_docs, c.n_tokens, c.cap_tokens,
+         CASE WHEN c.i <= s.k THEN c.cap_tokens * 1000000
+              ELSE ((s.bb - s.csk) * 1000000) // (s.nn - s.k) END AS alloc6
+  FROM c, s)
+ORDER BY lang
+"""
+
+
 def d_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture planning table — the budgeting step between corpus stats
     and mixture_sample: for each source, its NATURAL token share vs the
@@ -11604,6 +11796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r8 part 1: NEW this round (insert new queries HERE) ---
         "emb_ivf_probe": emb_ivf_probe,
         "emb_pq_probe": emb_pq_probe,
+        "x_vidya": x_vidya,
+        "x_klinger": x_klinger,
+        "d_unimax_plan": d_unimax_plan,
         # --- r8 part 2: implementation changed this round (window-min
         # set-group id + shared tokenize base + in-fold displacement) ---
         "d_minhash_neardup": d_minhash_neardup,
@@ -11850,6 +12045,9 @@ def oracle_sql() -> dict[str, str]:
         # to the one-shot path (pinned by tests), so they replay the same SQL
         "emb_ivf_probe": _ivf_ann_sql(),
         "emb_pq_probe": _pq_ann_sql(),
+        "x_vidya": _vidya_sql(),
+        "x_klinger": _klinger_sql(),
+        "d_unimax_plan": _D_UNIMAX_SQL,
         "emb_semdedup": _semdedup_sql(threshold=0.4),
         "x_keltner": _X_KELTNER_SQL,
         "x_heikin_ashi": _X_HEIKIN_SQL,
@@ -12096,6 +12294,9 @@ HEADLINE_QUERIES = [
     "emb_ivf_ann",
     "emb_ivf_probe",
     "emb_pq_probe",
+    "x_vidya",
+    "x_klinger",
+    "d_unimax_plan",
     "emb_ann_topk",
     "emb_lsh_ann",
     "j_asof_orders",

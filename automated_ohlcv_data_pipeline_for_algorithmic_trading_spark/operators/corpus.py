@@ -1069,3 +1069,100 @@ def reciprocal_rank_fusion(
             "n_sources",
         )
     )
+
+
+def unimax_plan(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    epochs_max: int = 2,
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling"): distribute a total
+    training-token budget across languages as uniformly as possible,
+    capping every language at ``epochs_max`` epochs of its own corpus —
+    the sampling plan that stops low-resource languages from being
+    over-epoched and high-resource ones from dominating the mixture.
+
+    Water-filling in CLOSED FORM instead of the paper's sequential
+    loop: sort languages by cap ascending (cap_l = epochs_max ·
+    tokens_l). A language ranked i caps out iff the budget left after
+    granting every cap through i still funds cap_i for all n−i heavier
+    languages — ``B − cumcap_i ≥ cap_i · (n−i)``. With ascending caps
+    that predicate is monotone, so the last true rank k fixes the water
+    level L = (B − cumcap_k)/(n−k) and alloc_l = min(cap_l, L). This is
+    exactly the loop's fixed point, but it is two window passes + one
+    scalar aggregate — no driver iteration, any number of languages.
+
+    Exactness: token counts / caps / cumulative sums are BIGINT; the
+    water level and the per-language epochs are single floor divisions
+    in micro-units — bit-identical cross-engine. ``budget_tokens``
+    defaults to the corpus total (average one epoch).
+
+    Output: (lang, n_docs, n_tokens, cap_tokens, alloc_tokens, epochs),
+    alloc summing to the budget (up to the n·1e-6 floor slack).
+    """
+    per_lang = (
+        df.select(F.col(lang_col).alias("lang"), F.size(tokens(text_col)).alias("_nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+        .withColumn("cap_tokens", F.lit(epochs_max) * F.col("n_tokens"))
+    )
+    w_rank = Window.orderBy(F.col("cap_tokens").asc(), F.col("lang").asc())
+    w_all = Window.partitionBy()
+    ranked = per_lang.select(
+        "*",
+        F.row_number().over(w_rank).alias("_i"),
+        F.sum("cap_tokens").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)).alias("_cs"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        (
+            F.lit(budget_tokens).cast("long")
+            if budget_tokens is not None
+            else F.sum("n_tokens").over(w_all)
+        ).alias("_b"),
+    )
+    # the per-language table is tiny BY NATURE (one row per language);
+    # the ungrouped rank window is a deliberate single-partition pass
+    # over it, and the scalar (k, level) reduction broadcasts back
+    capped = ranked.withColumn(
+        "_capped", (F.col("_b") - F.col("_cs")) >= F.col("cap_tokens") * (F.col("_n") - F.col("_i"))
+    )
+    scal = capped.agg(
+        F.max(F.when(F.col("_capped"), F.col("_i"))).alias("_k"),
+        F.max(F.when(F.col("_capped"), F.col("_cs"))).alias("_csk"),
+        F.max("_n").alias("_nn"),
+        F.max("_b").alias("_bb"),
+    ).select(
+        F.coalesce("_k", F.lit(0)).alias("_k"),
+        F.coalesce("_csk", F.lit(0)).alias("_csk"),
+        "_nn",
+        "_bb",
+    )
+    joined = capped.join(F.broadcast(scal))
+    # every division is a BIGINT floor division (`div`) on nonnegative
+    # operands — identical to DuckDB's `//`; a double divide + floor
+    # can disagree in the last ulp at integer boundaries
+    level6 = F.expr("((_bb - _csk) * 1000000L) div (_nn - _k)")
+    alloc6 = F.when(
+        F.col("_i") <= F.col("_k"), F.col("cap_tokens") * F.lit(1_000_000)
+    ).otherwise(level6)
+    staged = joined.select(
+        "lang", "n_docs", "n_tokens", "cap_tokens", alloc6.alias("_alloc6")
+    )
+    return staged.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "cap_tokens",
+        (F.col("_alloc6").cast("double") / 1e6).alias("alloc_tokens"),
+        (
+            F.when(
+                F.col("n_tokens") > 0, F.expr("_alloc6 div n_tokens")
+            ).otherwise(F.lit(0)).cast("double")
+            / 1e6
+        ).alias("epochs"),
+    )

@@ -1932,6 +1932,189 @@ def kama(
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
 
 
+def vidya(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 9,
+    s: int = 12,
+    close: str = "close",
+) -> DataFrame:
+    """Chande's Variable Index Dynamic Average — the KAMA-family
+    adaptive EMA whose per-step coefficient is volatility-gated by the
+    Chande Momentum Oscillator instead of the efficiency ratio:
+
+        cmo_t = |su − sd| / (su + sd)    (n-bar up/down move sums; 0 on
+                                          a flat window)
+        v_t   = v_{t−1} + (2/(s+1)) · cmo_t · (p_t − v_{t−1})
+
+    Same structural split as :func:`kama`: the coefficient is
+    WINDOW-computable (su/sd are frame sums of the quantized moves), so
+    only the single state v folds sequentially; the SQL oracle
+    precomputes cmo as a window column and its recursive CTE carries
+    one BIGINT state.
+
+    Integer micro-unit arithmetic throughout (the KAMA recipe):
+    cmo6 = (|su−sd|·1e6)//(su+sd), a6 = (cmo6·f6)//1e6 with
+    f6 = 2e6//(s+1), v ±= (a6·|p−v|)//1e6 — every step exact BIGINT,
+    bit-identical cross-engine. Seed: v = price at bar n; bars 1..n−1
+    emit NULL (warm-up).
+
+    Output: keys + order + close + (cmo, vidya).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    f6 = 2_000_000 // (s + 1)
+    src = df.select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", cmo double, vidya double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        p = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        m = len(p)
+        cmo_a = np.full(m, np.nan)
+        va = np.full(m, np.nan)
+        if m > n:
+            d = np.diff(p)  # d[i] = p_{i+1} - p_i
+            up = np.where(d > 0, d, 0)
+            dn = np.where(d < 0, -d, 0)
+            cu = np.concatenate(([0], np.cumsum(up)))
+            cd = np.concatenate(([0], np.cumsum(dn)))
+            su_v = cu[n:] - cu[:-n]  # n-move sums for bars n..m-1
+            sd_v = cd[n:] - cd[:-n]
+            tot = su_v + sd_v
+            cmo6_v = np.where(
+                tot == 0, 0,
+                (np.abs(su_v - sd_v) * 1_000_000) // np.maximum(tot, 1),
+            )
+            a6_v = (cmo6_v * f6) // 1_000_000
+            v = int(p[n - 1])
+            va[n - 1] = v / 1e6
+            pl, a6l = p[n:].tolist(), a6_v.tolist()
+            vv = [0] * (m - n)
+            for i, (pi, a6) in enumerate(zip(pl, a6l)):
+                delta = pi - v
+                if delta >= 0:
+                    v += (a6 * delta) // 1_000_000
+                else:
+                    v -= (a6 * (-delta)) // 1_000_000
+                vv[i] = v
+            cmo_a[n:] = cmo6_v / 1e6
+            va[n:] = np.asarray(vv, dtype=np.float64) / 1e6
+
+        def masked(x):
+            return pd.arrays.FloatingArray(x, np.isnan(x))
+
+        return pdf.assign(cmo=masked(cmo_a), vidya=masked(va))
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def klinger(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    fast: int = 34,
+    slow: int = 55,
+    sig: int = 13,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    volume: str = "volume",
+) -> DataFrame:
+    """Klinger Volume Oscillator: volume force smoothed by a fast/slow
+    EMA pair, plus a signal EMA of the oscillator.
+
+        trend_t = +1 if (h+l+c)_t > (h+l+c)_{t−1} else −1
+        cm_t    = cm_{t−1} + dm_t  if trend unchanged
+                  dm_{t−1} + dm_t  otherwise          (dm = high − low)
+        vf_t    = volume · |2·dm_t/cm_t − 1| · trend_t · 100
+        kvo     = ema_fast(vf) − ema_slow(vf);  signal = ema_sig(kvo)
+
+    Exactness: trend/dm/cm are a pure-INTEGER state machine (the renko
+    class — no IEEE argument needed); vf quantizes the ratio to
+    micro-units BEFORE the volume product (cm ≥ dm always, so
+    r6 = (2·dm·1e6)//cm ∈ [0, 2e6] and vf6 = trend·vol·|r6−1e6|·100
+    stays < 2^60 for any BIGINT volume the daily rollup produces); each
+    EMA is the branch-on-sign integer fold e ±= (2·|v−e|)//(n+1) (the
+    KAMA recipe — DuckDB ``//`` truncates, so magnitudes stay
+    nonnegative). All four states (cm, e_fast, e_slow, e_sig) fold in
+    ONE grouped-map pass; trend/dm/lag(dm) are window-computable, so
+    the recursive oracle carries only the four BIGINT states.
+
+    Seeds: vf defined from bar 2 (trend needs a previous bar); both vf
+    EMAs seed with the first vf, the signal EMA with the first kvo
+    (= 0). Bar 1 emits NULLs. A zero cm (flat dm pair) defines vf = 0.
+
+    Output: keys + order + (kvo, signal).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, high, low, close, volume)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    base_schema = ", ".join(f"{k} {t}" for k, t in src.dtypes)
+    schema = base_schema + ", kvo double, signal double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        h = np.floor(pdf[high].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        l = np.floor(pdf[low].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        c = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        vol = pdf[volume].to_numpy(dtype=np.int64)
+        m = len(h)
+        kvo_a = np.full(m, np.nan)
+        sig_a = np.full(m, np.nan)
+        if m >= 2:
+            hlc = (h + l + c).tolist()
+            dm = (h - l).tolist()
+            voll = vol.tolist()
+            cm = e_f = e_s = e_g = 0
+            prev_trend = 0
+
+            def ema_step(e: int, v: int, n: int) -> int:
+                d = v - e
+                if d >= 0:
+                    return e + (2 * d) // (n + 1)
+                return e - (2 * (-d)) // (n + 1)
+
+            for i in range(1, m):
+                trend = 1 if hlc[i] > hlc[i - 1] else -1
+                cm = (cm if trend == prev_trend else dm[i - 1]) + dm[i]
+                if cm > 0:
+                    r6 = (2 * dm[i] * 1_000_000) // cm
+                    vf6 = trend * voll[i] * abs(r6 - 1_000_000) * 100
+                else:
+                    vf6 = 0
+                if i == 1:
+                    e_f = e_s = vf6
+                    e_g = 0  # first kvo = e_f - e_s = 0
+                else:
+                    e_f = ema_step(e_f, vf6, fast)
+                    e_s = ema_step(e_s, vf6, slow)
+                    e_g = ema_step(e_g, e_f - e_s, sig)
+                kvo_a[i] = (e_f - e_s) / 1e6
+                sig_a[i] = e_g / 1e6
+                prev_trend = trend
+
+        def masked(x):
+            return pd.arrays.FloatingArray(x, np.isnan(x))
+
+        return pdf.assign(kvo=masked(kvo_a), signal=masked(sig_a))
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
 def chande_momentum(
     df: DataFrame,
     keys: Sequence[str],

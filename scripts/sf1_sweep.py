@@ -66,6 +66,18 @@ QUERIES = [
     "e_gini",
     "e_pareto_share",
     "d_line_dedup",
+    # round 8 (VERDICT r7 ask #6): the r7 newcomers that had no sf1 row
+    # yet (signal-fusion ranks, fertility scalars, the recall report's
+    # double top-k, the mixture planner, the first-seen cohort split)
+    # plus the new probe-only ANN lifecycle rows (stored-index probe
+    # latency under a 10x corpus)
+    "d_quality_fusion",
+    "d_bpe_fertility",
+    "emb_recall_report",
+    "d_mixture_plan",
+    "e_new_vs_returning",
+    "emb_ivf_probe",
+    "emb_pq_probe",
 ]
 
 # emb_semdedup at 20k vectors with the registry's n_lists=8 leaves
@@ -140,7 +152,7 @@ def build() -> None:
                 shutil.copyfile(f"{SRC}/{t}.parquet", p)
 
 
-def spark_walls() -> list[tuple[str, float]]:
+def spark_walls(only: list[str] | None = None) -> list[tuple[str, float]]:
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry_mod
 
@@ -150,6 +162,8 @@ def spark_walls() -> list[tuple[str, float]]:
     qs = entry_mod.queries()
     out = []
     runs = [(n, qs[n]) for n in QUERIES] + list(EXTRA_WALLS.items())
+    if only:
+        runs = [(n, fn) for n, fn in runs if n in only]
     for name, fn in runs:
         fn(spark, SRC).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.perf_counter()
@@ -166,7 +180,7 @@ def main() -> None:
     # are now separable and parity is per-query so a slow DuckDB replay
     # can be identified and timed out individually):
     #   python scripts/sf1_sweep.py build          # just the data dirs
-    #   python scripts/sf1_sweep.py walls          # build + spark walls
+    #   python scripts/sf1_sweep.py walls [q...]   # build + spark walls
     #   python scripts/sf1_sweep.py parity [q...]  # per-query oracle runs
     #   python scripts/sf1_sweep.py                # everything
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -174,7 +188,7 @@ def main() -> None:
         build()
         print("build done", flush=True)
     if mode in ("walls", "all"):
-        walls = spark_walls()
+        walls = spark_walls(sys.argv[2:] if mode == "walls" else None)
         print("\n| query | sf1 wall s |\n|---|---|", flush=True)
         for name, dt in walls:
             print(f"| {name} | {dt:.2f} |", flush=True)

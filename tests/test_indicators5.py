@@ -618,3 +618,155 @@ class TestAlligator:
             assert out[i]["jaw"] == (js[i - 8] / 1e6 if i >= 8 else None)
             assert out[i]["teeth"] == (ts[i - 5] / 1e6 if i >= 5 else None)
             assert out[i]["lips"] == (ls[i - 3] / 1e6 if i >= 3 else None)
+
+
+class TestVidya:
+    def test_hand_replay(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            vidya,
+        )
+
+        n, s = 3, 4
+        closes = [10.0, 10.2, 10.1, 10.5, 10.4, 10.9, 11.0, 10.7]
+        df = spark.createDataFrame(
+            [(1, i, c) for i, c in enumerate(closes)],
+            "user_id long, d long, close double",
+        )
+        out = {r["d"]: r for r in vidya(df, ["user_id"], "d", n=n, s=s).collect()}
+        p = [round(c * 1e6) for c in closes]
+        f6 = 2_000_000 // (s + 1)
+        v = p[n - 1]
+        exp_v = {n - 1: v}
+        exp_cmo = {}
+        for i in range(n, len(p)):
+            d = [p[j + 1] - p[j] for j in range(i - n, i)]
+            su = sum(x for x in d if x > 0)
+            sd = sum(-x for x in d if x < 0)
+            cmo6 = 0 if su + sd == 0 else (abs(su - sd) * 1_000_000) // (su + sd)
+            a6 = (cmo6 * f6) // 1_000_000
+            delta = p[i] - v
+            if delta >= 0:
+                v += (a6 * delta) // 1_000_000
+            else:
+                v -= (a6 * (-delta)) // 1_000_000
+            exp_v[i] = v
+            exp_cmo[i] = cmo6
+        for i in range(len(p)):
+            if i < n - 1:
+                assert out[i]["vidya"] is None and out[i]["cmo"] is None
+            elif i == n - 1:
+                assert out[i]["vidya"] == exp_v[i] / 1e6
+                assert out[i]["cmo"] is None
+            else:
+                assert out[i]["vidya"] == exp_v[i] / 1e6
+                assert out[i]["cmo"] == exp_cmo[i] / 1e6
+
+    def test_flat_series_tracks_nothing(self, spark):
+        # flat window -> cmo 0 -> alpha 0 -> vidya frozen at the seed
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            vidya,
+        )
+
+        df = spark.createDataFrame(
+            [(1, i, 5.0) for i in range(8)], "user_id long, d long, close double"
+        )
+        rows = vidya(df, ["user_id"], "d", n=3, s=4).collect()
+        assert all(r["vidya"] == 5.0 for r in rows if r["vidya"] is not None)
+        assert all(r["cmo"] == 0.0 for r in rows if r["cmo"] is not None)
+
+
+class TestKlinger:
+    def test_hand_replay(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            klinger,
+        )
+
+        bars = [  # (high, low, close, volume)
+            (10.5, 9.5, 10.0, 100),
+            (10.8, 10.0, 10.6, 150),
+            (10.7, 10.1, 10.2, 120),
+            (11.0, 10.3, 10.9, 200),
+            (11.2, 10.8, 11.0, 180),
+            (11.1, 10.5, 10.6, 160),
+        ]
+        df = spark.createDataFrame(
+            [(1, i, h, l, c, v) for i, (h, l, c, v) in enumerate(bars)],
+            "user_id long, d long, high double, low double, close double,"
+            " volume long",
+        )
+        out = {
+            r["d"]: r
+            for r in klinger(df, ["user_id"], "d", fast=3, slow=5, sig=2).collect()
+        }
+        h = [round(b[0] * 1e6) for b in bars]
+        l = [round(b[1] * 1e6) for b in bars]
+        c = [round(b[2] * 1e6) for b in bars]
+        vol = [b[3] for b in bars]
+        hlc = [h[i] + l[i] + c[i] for i in range(6)]
+        dm = [h[i] - l[i] for i in range(6)]
+
+        def ema(e, v, n):
+            d = v - e
+            return e + (2 * d) // (n + 1) if d >= 0 else e - (2 * (-d)) // (n + 1)
+
+        cm = ef = es = eg = 0
+        pt = 0
+        for i in range(1, 6):
+            t = 1 if hlc[i] > hlc[i - 1] else -1
+            cm = (cm if t == pt else dm[i - 1]) + dm[i]
+            vf6 = (
+                t * vol[i] * abs((2 * dm[i] * 1_000_000) // cm - 1_000_000) * 100
+                if cm > 0
+                else 0
+            )
+            if i == 1:
+                ef = es = vf6
+                eg = 0
+            else:
+                ef = ema(ef, vf6, 3)
+                es = ema(es, vf6, 5)
+                eg = ema(eg, ef - es, 2)
+            assert out[i]["kvo"] == (ef - es) / 1e6, i
+            assert out[i]["signal"] == eg / 1e6, i
+            pt = t
+        assert out[0]["kvo"] is None and out[0]["signal"] is None
+
+
+class TestUnimaxPlan:
+    def test_water_fill_caps_and_level(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            unimax_plan,
+        )
+
+        # langs with 1 / 2 / 17 tokens; budget = 20 total, cap = 2 epochs
+        docs = spark.createDataFrame(
+            [
+                (1, "a", "x"),
+                (2, "b", "x y"),
+                (3, "c", " ".join(["w"] * 17)),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        out = {r["lang"]: r for r in unimax_plan(docs, "lang", "text").collect()}
+        # caps: a=2, b=4, c=34. B=20. rank asc: a,b,c.
+        # a capped? 20-2 >= 2*2 -> yes. b capped? 20-6 >= 4*1 -> yes.
+        # c: level = (20-6)/1 = 14 < 34 -> c gets 14.
+        assert out["a"]["alloc_tokens"] == 2.0 and out["a"]["epochs"] == 2.0
+        assert out["b"]["alloc_tokens"] == 4.0 and out["b"]["epochs"] == 2.0
+        assert out["c"]["alloc_tokens"] == 14.0
+        assert abs(out["c"]["epochs"] - 14 / 17) < 1e-6
+        # allocations exhaust the budget
+        assert sum(r["alloc_tokens"] for r in out.values()) == 20.0
+
+    def test_uniform_corpus_gets_one_epoch_each(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            unimax_plan,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"l{i % 4}", "a b c d e") for i in range(40)],
+            "doc_id long, lang string, text string",
+        )
+        rows = unimax_plan(docs, "lang", "text").collect()
+        assert all(r["epochs"] == 1.0 for r in rows)
+        assert all(r["alloc_tokens"] == r["n_tokens"] for r in rows)
