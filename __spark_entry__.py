@@ -3504,6 +3504,45 @@ ORDER BY doc_id
 """
 
 
+def d_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination fractions
+    (operators/corpus.contamination_report) — the triage view over the
+    binary d_decontaminate verdict: what SHARE of each flagged doc's
+    distinct 3-grams appears in the benchmark (GPT-3 appendix C's
+    dirtiness measure; near-1.0 = verbatim copy, a few percent = shared
+    boilerplate). Broadcast benchmark shingles, map-side filter for the
+    clean majority, BIGINT floor-div fraction, bounded top-50."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        contamination_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corp = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_report(corp, bench, ngram=3, top=50).orderBy(
+        F.desc("overlap_frac"), F.asc("doc_id")
+    )
+
+
+_D_CONTAM_REPORT_SQL = rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct({_SQL_TRIGRAMS})) AS gram FROM t),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+per AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(bg.gram) AS BIGINT) AS n_shared_grams
+  FROM g LEFT JOIN bg USING (gram)
+  WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id)
+SELECT doc_id, n_grams, n_shared_grams,
+       CAST((n_shared_grams * 1000000) // n_grams AS DOUBLE) / 1e6
+         AS overlap_frac
+FROM per WHERE n_shared_grams > 0
+ORDER BY overlap_frac DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 def j_interval_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join as a bucketed equi-join: every click inside
     a 2-hour window opened by the same user's signup event. The theta
@@ -5537,8 +5576,7 @@ def d_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
-_D_PACK_SQL = rf"""
-WITH RECURSIVE src AS (
+_PACK_CTES = rf"""src AS (
   SELECT doc_id AS id, least(len(ts), 512) AS t, doc_id % 8 AS shard,
          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
   FROM (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents)),
@@ -5551,10 +5589,46 @@ pack AS (
               THEN s.t ELSE p.fill + s.t END,
          CASE WHEN p.fill + s.t > 512 AND p.fill > 0
               THEN p.seq_idx + 1 ELSE p.seq_idx END
-  FROM src s JOIN pack p ON s.shard = p.shard AND s.rn = p.rn + 1)
+  FROM src s JOIN pack p ON s.shard = p.shard AND s.rn = p.rn + 1)"""
+
+_D_PACK_SQL = rf"""
+WITH RECURSIVE {_PACK_CTES}
 SELECT id, shard, seq_idx, t AS n_tokens
 FROM pack ORDER BY id
 """
+
+_D_PACK_EFF_SQL = rf"""
+WITH RECURSIVE {_PACK_CTES}
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(seq_idx) + 1 AS BIGINT) AS n_sequences,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       floor(CAST(sum(t) AS DOUBLE)
+             / CAST((max(seq_idx) + 1) * 512 AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS fill_ratio,
+       CAST((max(seq_idx) + 1) * 512 - sum(t) AS BIGINT) AS pad_tokens
+FROM pack GROUP BY shard ORDER BY shard
+"""
+
+
+def d_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (operators/corpus.packing_efficiency)
+    over the d_pack_sequences output: per shard, sequence count, fill
+    ratio against the 512-token budget, and the padding a trainer would
+    burn — the go/no-go metric for a packing config before a 100 TB
+    tokenization run. One groupBy over the fold output; the oracle
+    reuses the per-shard recursive packing CTE and aggregates it."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    packed = pack_sequences(
+        docs.repartition(par, "doc_id"), "doc_id", "text", budget=512, n_shards=8
+    )
+    return packing_efficiency(packed, budget=512).orderBy("shard")
 
 
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11799,6 +11873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_vidya": x_vidya,
         "x_klinger": x_klinger,
         "d_unimax_plan": d_unimax_plan,
+        "d_packing_efficiency": d_packing_efficiency,
+        "d_contamination_report": d_contamination_report,
         # --- r8 part 2: implementation changed this round (window-min
         # set-group id + shared tokenize base + in-fold displacement) ---
         "d_minhash_neardup": d_minhash_neardup,
@@ -12048,6 +12124,8 @@ def oracle_sql() -> dict[str, str]:
         "x_vidya": _vidya_sql(),
         "x_klinger": _klinger_sql(),
         "d_unimax_plan": _D_UNIMAX_SQL,
+        "d_packing_efficiency": _D_PACK_EFF_SQL,
+        "d_contamination_report": _D_CONTAM_REPORT_SQL,
         "emb_semdedup": _semdedup_sql(threshold=0.4),
         "x_keltner": _X_KELTNER_SQL,
         "x_heikin_ashi": _X_HEIKIN_SQL,
@@ -12297,6 +12375,8 @@ HEADLINE_QUERIES = [
     "x_vidya",
     "x_klinger",
     "d_unimax_plan",
+    "d_packing_efficiency",
+    "d_contamination_report",
     "emb_ann_topk",
     "emb_lsh_ann",
     "j_asof_orders",

@@ -1166,3 +1166,99 @@ def unimax_plan(
             / 1e6
         ).alias("epochs"),
     )
+
+
+def packing_efficiency(
+    packed: DataFrame, budget: int = 512, shard_col: str = "shard"
+) -> DataFrame:
+    """Packing-efficiency report over :func:`pack_sequences` output: per
+    shard, how many sequences the budget produced, how full they are,
+    and how much padding a trainer would burn. The go/no-go metric for
+    a packing config — fill below ~0.9 means the budget or the doc-length
+    distribution needs attention before a 100 TB tokenization run.
+
+    fill_ratio = total_tokens / (n_sequences · budget), one exact
+    integer division quantized to 1e-6 (both operands BIGINT).
+
+    Output: (shard, n_docs, n_sequences, total_tokens, fill_ratio,
+    pad_tokens), one row per shard.
+    """
+    agg = packed.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max("seq_idx") + 1).cast("long").alias("n_sequences"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    cap = F.col("n_sequences") * F.lit(budget)
+    fill6 = F.floor(
+        F.col("total_tokens").cast("double") / cap.cast("double") * 1e6 + F.lit(0.5)
+    )
+    return agg.select(
+        F.col(shard_col),
+        "n_docs",
+        "n_sequences",
+        "total_tokens",
+        (fill6 / 1e6).alias("fill_ratio"),
+        (cap - F.col("total_tokens")).cast("long").alias("pad_tokens"),
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    top: int = 50,
+) -> DataFrame:
+    """Per-document contamination FRACTIONS — the triage view on top of
+    the binary :func:`decontaminate` verdict: for every flagged corpus
+    document, what share of its distinct ``ngram``-grams appears in the
+    benchmark. Near-full overlap means a verbatim benchmark copy
+    (drop); a few percent usually means a shared boilerplate phrase
+    (review) — the distinction n-gram-overlap decontamination reports
+    act on (GPT-3 appendix C's "dirtiness" measure).
+
+    Same scale shape as decontaminate: benchmark shingles DISTINCT'd
+    and broadcast, zero-overlap documents filtered map-side; only hit
+    documents reach the final top-``top`` (TakeOrdered, never a full
+    sort). overlap_frac is one BIGINT floor division in micro-units.
+
+    Output: (id_col, n_grams, n_shared_grams, overlap_frac), top rows
+    by (overlap_frac desc, id asc).
+    """
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        corpus.select(id_col, text_col)
+        .repartition(par, id_col)
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(token_ngrams(tokens(text_col), ngram))
+            ).alias("gram"),
+        )
+    )
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(
+                F.array_distinct(token_ngrams(tokens(text_col), ngram))
+            ).alias("gram")
+        ).distinct()
+    )
+    per_doc = grams.join(bench_grams.withColumn("_hit", F.lit(1)), "gram", "left").groupBy(
+        id_col
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_shared_grams"),
+    )
+    frac6 = F.expr("(n_shared_grams * 1000000L) div n_grams")
+    return (
+        per_doc.filter(F.col("n_shared_grams") > 0)
+        .select(
+            id_col,
+            "n_grams",
+            "n_shared_grams",
+            (frac6.cast("double") / 1e6).alias("overlap_frac"),
+        )
+        .orderBy(F.desc("overlap_frac"), F.asc(id_col))
+        .limit(top)
+    )

@@ -537,3 +537,69 @@ def test_line_frequency_filter_invariants_random(spark):
         ).collect()
     }
     assert out2 == {k: v["clean_text"] for k, v in out.items()}
+
+
+class TestPackingEfficiency:
+    def test_fill_and_padding(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            pack_sequences,
+            packing_efficiency,
+        )
+
+        # one shard; docs of 3/3/3 tokens, budget 5 -> seqs [3+?]:
+        # d0(3) fills seq0; d1(3) overflows -> seq1; d2(3) -> seq2
+        docs = spark.createDataFrame(
+            [(i * 8, "a b c") for i in range(3)],  # ids 0,8,16 -> shard 0
+            "doc_id long, text string",
+        )
+        packed = pack_sequences(docs, budget=5, n_shards=8)
+        out = packing_efficiency(packed, budget=5).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_docs"] == 3 and r["n_sequences"] == 3
+        assert r["total_tokens"] == 9
+        assert r["pad_tokens"] == 15 - 9
+        assert r["fill_ratio"] == 0.6
+
+    def test_perfect_fill(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            pack_sequences,
+            packing_efficiency,
+        )
+
+        docs = spark.createDataFrame(
+            [(i * 8, "a b c d e") for i in range(4)],
+            "doc_id long, text string",
+        )
+        packed = pack_sequences(docs, budget=5, n_shards=8)
+        r = packing_efficiency(packed, budget=5).collect()[0]
+        assert r["fill_ratio"] == 1.0 and r["pad_tokens"] == 0
+
+
+class TestContaminationReport:
+    def test_fractions_and_ranking(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+            contamination_report,
+        )
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),   # verbatim: frac 1.0
+                (2, "x the quick brown y z"),       # 1 of 4 grams shared
+                (3, "totally clean text here now"), # 0 shared -> excluded
+            ],
+            "doc_id long, text string",
+        )
+        rows = contamination_report(corpus, bench, ngram=3, top=50).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        assert set(by_id) == {1, 2}
+        assert by_id[1]["overlap_frac"] == 1.0
+        assert by_id[1]["n_grams"] == 3 and by_id[1]["n_shared_grams"] == 3
+        assert by_id[2]["n_grams"] == 4 and by_id[2]["n_shared_grams"] == 1
+        assert by_id[2]["overlap_frac"] == 0.25
+        # ranked by fraction desc
+        assert rows[0]["doc_id"] == 1
