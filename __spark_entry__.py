@@ -7410,6 +7410,164 @@ ORDER BY g.user_id, g.trade_date
 """
 
 
+def x_garch_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional volatility over per-user daily closes
+    (operators/finance.garch_vol): σ²_t = ω + α·r²_{t−1} + β·σ²_{t−1}
+    with fixed textbook parameters — the volatility-FORECAST recurrence
+    the risk family (hist_var, mc_var, rolling_sharpe) was missing.
+    The return is one window lag, so the recursive oracle carries a
+    single BIGINT variance state (pico-scaled; the x_kama integer
+    recipe one scale deeper); even σ = sqrt(v) is deterministic
+    (correctly-rounded IEEE sqrt of an integer-valued double)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        garch_vol,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select("user_id", "trade_date", "close")
+    out = garch_vol(daily, ["user_id"], "trade_date")
+    return (
+        out.filter(F.col("ret").isNotNull())
+        .select("user_id", "trade_date", "ret", "cond_var", "sigma")
+        .orderBy("user_id", "trade_date")
+    )
+
+
+def _garch_sql(
+    omega12: int = 5_000_000, alpha6: int = 100_000, beta6: int = 850_000
+) -> str:
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+b AS (
+  SELECT user_id, trade_date,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS cu,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+g AS MATERIALIZED (
+  SELECT user_id, trade_date, rn,
+         greatest(-10000000, least(10000000,
+         CASE WHEN lag(cu) OVER v IS NULL THEN NULL
+              WHEN lag(cu) OVER v <= 0 THEN 0
+              WHEN cu >= lag(cu) OVER v
+              THEN ((cu - lag(cu) OVER v) * 1000000) // lag(cu) OVER v
+              ELSE -(((lag(cu) OVER v - cu) * 1000000) // lag(cu) OVER v)
+         END)) AS r6
+  FROM b WINDOW v AS (PARTITION BY user_id ORDER BY rn)),
+st AS (
+  SELECT user_id, rn, r6, r6 * r6 AS v FROM g WHERE rn = 2
+  UNION ALL
+  SELECT c.user_id, c.rn, c.r6,
+         {omega12} + {alpha6} * ((p.r6 * p.r6) // 1000000)
+                   + {beta6} * (p.v // 1000000) AS v
+  FROM g c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1)
+SELECT g.user_id, g.trade_date,
+       CAST(g.r6 AS DOUBLE) / 1e6 AS ret,
+       CAST(st.v AS DOUBLE) / 1e12 AS cond_var,
+       floor(sqrt(CAST(st.v AS DOUBLE)) + 0.5) / 1e6 AS sigma
+FROM g JOIN st ON g.user_id = st.user_id AND g.rn = st.rn
+ORDER BY g.user_id, g.trade_date
+"""
+
+
+def d_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup quality report: recall of the MinHash+LSH near-dup path
+    against the exact all-pairs Jaccard ground truth at 0.8, on a 10 %
+    document sample — the acceptance metric for the dedup family,
+    mirroring emb_recall_report for ANN. The sample bound is explicit
+    BY DESIGN (the ground-truth side is the guarded O(n²) verification
+    twin, exact_jaccard_pairs — recall is estimated on the sample, the
+    production path runs on the full corpus). Both sides replay the
+    identical md5 hashing, so even the recall NUMBER has an exact
+    oracle. Detected ⊆ truth by construction (the LSH path
+    exact-verifies its candidates), so n_hit = n_detected — the report
+    asserts that containment numerically rather than assuming it."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        exact_jaccard_pairs,
+        minhash_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    truth = exact_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    found = minhash_near_dup_pairs(docs, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    # the detected set is bounded (near-dup pairs, not all pairs) —
+    # broadcast it under the truth scan; all aggregates are scalar
+    hits = truth.join(
+        F.broadcast(found.withColumn("_hit", F.lit(1))),
+        ["doc_a", "doc_b"],
+        "left",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+    )
+    n_det = found.agg(F.count(F.lit(1)).cast("long").alias("n_detected"))
+    return hits.crossJoin(F.broadcast(n_det)).select(
+        "n_truth",
+        "n_detected",
+        "n_hit",
+        F.when(F.col("n_truth") == 0, F.lit(1.0))
+        .otherwise(F.col("n_hit").cast("double") / F.col("n_truth"))
+        .alias("recall"),
+    )
+
+
+def _minhash_recall_sql(threshold: float = 0.8) -> str:
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        MINHASH_P,
+        _uhash_coeffs,
+        lsh_banding_for,
+    )
+
+    k, bands, rows = lsh_banding_for(threshold)
+    coeffs = _uhash_coeffs(k)
+    base = r"CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 2147483647"
+    assert MINHASH_P == 2147483647
+    sigs = ",\n         ".join(
+        f"list_min(list_transform(mh, m -> ({a} * m + {b}) % 2147483647)) AS sig{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', '{b}', {cols}))".format(
+            b=b, cols=", ".join(f"sig{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKSET} AS ts FROM documents
+           WHERE doc_id % 10 = 0),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+        >= {threshold}),
+tm AS (SELECT doc_id, list_transform(ts, t -> {base}) AS mh FROM t),
+sig AS (SELECT doc_id,
+         {sigs}
+        FROM tm),
+bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+found AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN t ta ON ta.doc_id = c.doc_a
+              JOIN t tb ON tb.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+        / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))
+        >= {threshold}),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         CAST(count(f.doc_a) AS BIGINT) AS n_hit
+  FROM truth tr LEFT JOIN found f
+    ON tr.doc_a = f.doc_a AND tr.doc_b = f.doc_b),
+det AS (SELECT CAST(count(*) AS BIGINT) AS n_detected FROM found)
+SELECT n_truth, n_detected, n_hit,
+       CASE WHEN n_truth = 0 THEN 1.0
+            ELSE CAST(n_hit AS DOUBLE) / n_truth END AS recall
+FROM agg, det
+"""
+
+
 def s_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER interval join — the
     abandoned-funnel shape (views with NO purchase in the next 30 min
@@ -11813,16 +11971,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
     # staleness (every query re-earns a driver row every ~2-3 rounds).
-    # r8 window (38 r3-stale + NEW + 5 changed + r4 fill = 50): (0) the
-    # full 38-row r3 cohort (VERDICT r7 ask #1 — the only rows whose hard
-    # driver evidence predates round 4); (1) NEW r8 queries (probe-only
-    # ANN lifecycle rows etc.); (2) changed THIS round — the minhash
-    # family (window-min set-group id, candidate spread in
-    # dedup_against_index, shared tokenize base in the curation
-    # pipeline) and x_alligator (displacement folded into the grouped-map
-    # pass, zero post-fold Windows); (3) r4-cohort rows fill to 50.
-    # r9 should head with the remaining r4 rows (see scripts/staleness.py)
-    # and the full-registry hash ledger (SWEEP_HASHES.json) now covers
+    # r8 window (38 r3-stale + 9 NEW + 3 changed = 50): (0) the full
+    # 38-row r3 cohort (VERDICT r7 ask #1 — the only rows whose hard
+    # driver evidence predates round 4); (1) the NINE queries new this
+    # round (probe-only ANN lifecycle, vidya/klinger/garch folds,
+    # unimax/packing/contamination reports, the minhash recall report);
+    # (2) one representative per implementation change this round
+    # (comment at part 2). r9 should head with the 42 r4 rows (see
+    # scripts/staleness.py) plus d_dup_components / d_quality_score;
+    # the full-registry hash ledger (SWEEP_HASHES.json) now covers
     # every entry every round regardless of window position.
     return {
         # --- r8 part 0: the stale r3 cohort — the 38 rows whose hard
@@ -11875,12 +12032,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_unimax_plan": d_unimax_plan,
         "d_packing_efficiency": d_packing_efficiency,
         "d_contamination_report": d_contamination_report,
-        # --- r8 part 2: implementation changed this round (window-min
-        # set-group id + shared tokenize base + in-fold displacement) ---
+        "x_garch_vol": x_garch_vol,
+        "d_minhash_recall": d_minhash_recall,
+        # --- r8 part 2: implementation changed this round — one
+        # in-window representative per distinct change (window-min
+        # set-group id -> d_minhash_neardup; shared checkpointed
+        # tokenize -> d_curation_pipeline; in-fold displacement ->
+        # x_alligator; the probe candidate spread rides with
+        # d_incremental_dedup in part 0). The window cuts at position
+        # 50 = x_alligator; d_dup_components / d_quality_score exercise
+        # the same changed code paths as the rows above and fall just
+        # outside — the committed SWEEP_HASHES.json ledger carries
+        # their full-registry hash evidence on this tree. ---
         "d_minhash_neardup": d_minhash_neardup,
-        "d_dup_components": d_dup_components,
         "d_curation_pipeline": d_curation_pipeline,
         "x_alligator": x_alligator,
+        "d_dup_components": d_dup_components,
         "d_quality_score": d_quality_score,
         # --- r8 part 3: oldest remaining (last checked r4); the window
         # cuts at position 50 (5 rows in), tail spills to r9 ---
@@ -12126,6 +12293,8 @@ def oracle_sql() -> dict[str, str]:
         "d_unimax_plan": _D_UNIMAX_SQL,
         "d_packing_efficiency": _D_PACK_EFF_SQL,
         "d_contamination_report": _D_CONTAM_REPORT_SQL,
+        "x_garch_vol": _garch_sql(),
+        "d_minhash_recall": _minhash_recall_sql(),
         "emb_semdedup": _semdedup_sql(threshold=0.4),
         "x_keltner": _X_KELTNER_SQL,
         "x_heikin_ashi": _X_HEIKIN_SQL,
@@ -12537,4 +12706,6 @@ HEADLINE_QUERIES = [
     "x_gaps",
     "x_adx",
     "emb_pq_ann",
+    "x_garch_vol",
+    "d_minhash_recall",
 ]

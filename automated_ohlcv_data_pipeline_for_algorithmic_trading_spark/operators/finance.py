@@ -81,6 +81,7 @@ __all__ = [
     "monte_carlo_var",
     "mass_index",
     "event_study",
+    "garch_vol",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -3864,3 +3865,102 @@ def alligator(
 
     out = src.groupBy(*key_list).applyInPandas(fold, schema=schema)
     return out.select(*key_list, order_col, "mid", "jaw", "teeth", "lips")
+
+
+def garch_vol(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    omega12: int = 5_000_000,
+    alpha6: int = 100_000,
+    beta6: int = 850_000,
+    close: str = "close",
+) -> DataFrame:
+    """GARCH(1,1) conditional volatility with fixed (calibrated
+    elsewhere) parameters — the volatility-forecast recurrence next to
+    the indicator families:
+
+        r_t        = (p_t − p_{t−1}) / p_{t−1}
+        σ²_t       = ω + α·r²_{t−1} + β·σ²_{t−1}      (t ≥ 3)
+        σ²_2       = r²_2                              (seed: first obs)
+
+    Exactness (the KAMA/VIDYA integer recipe, one deeper scale): prices
+    quantize to micro BIGINT; the return is a branch-on-sign integer
+    ratio r6 = ±((|Δp|·1e6) // p_prev) so dividends stay nonnegative
+    (DuckDB ``//`` truncates, Python floors — they agree only on
+    nonnegative operands), capped at ±1000 % (the beta_vs_market
+    ret_cap convention — synthetic ticks gap harder than any real
+    instrument, and the cap also bounds every product below); the
+    variance state lives at 1e12 scale (v = r6² is already
+    pico-scaled) and each step is
+    v = ω12 + α6·(r6²_{prev} // 1e6) + β6·(v // 1e6) — divide BEFORE
+    multiply, so with r6 ≤ 1e7 every term stays under ~1e14 ≪ 2^63;
+    every step exact BIGINT, bit-identical cross-engine. σ reports as
+    floor(sqrt(v) + 0.5)/1e6: sqrt of an integer-valued double < 2^53
+    is correctly rounded per IEEE-754 on both engines, so even the
+    square root is deterministic.
+
+    The return is window-computable (one lag), so the SQL oracle's
+    recursive CTE carries one BIGINT state (plus the lagged r6).
+    Bar 1 emits NULLs (no return); a non-positive previous price
+    defines r = 0 (synthetic-data guard). Defaults: ω = 5e-6,
+    α = 0.10, β = 0.85 (unconditional daily vol = 1 %).
+
+    Output: keys + order + (ret, cond_var, sigma).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    base_schema = ", ".join(f"{k} {t}" for k, t in src.dtypes)
+    schema = base_schema + ", ret double, cond_var double, sigma double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values([*key_list, order_col])
+        p = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        m = len(p)
+        ret_a = np.full(m, np.nan)
+        var_a = np.full(m, np.nan)
+        sig_a = np.full(m, np.nan)
+        if m >= 2:
+            pl = p.tolist()
+            v = 0
+            r_prev = 0
+            for i in range(1, m):
+                pp, pc = pl[i - 1], pl[i]
+                if pp <= 0:
+                    r6 = 0
+                elif pc >= pp:
+                    r6 = ((pc - pp) * 1_000_000) // pp
+                else:
+                    r6 = -(((pp - pc) * 1_000_000) // pp)
+                r6 = max(-10_000_000, min(10_000_000, r6))
+                if i == 1:
+                    v = r6 * r6
+                else:
+                    v = (
+                        omega12
+                        + alpha6 * ((r_prev * r_prev) // 1_000_000)
+                        + beta6 * (v // 1_000_000)
+                    )
+                ret_a[i] = r6 / 1e6
+                var_a[i] = v / 1e12
+                sig_a[i] = math.floor(math.sqrt(float(v)) + 0.5) / 1e6
+                r_prev = r6
+
+        def masked(x):
+            return pd.arrays.FloatingArray(x, np.isnan(x))
+
+        return pdf.assign(
+            ret=masked(ret_a), cond_var=masked(var_a), sigma=masked(sig_a)
+        )
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)

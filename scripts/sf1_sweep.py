@@ -78,6 +78,19 @@ QUERIES = [
     "e_new_vs_returning",
     "emb_ivf_probe",
     "emb_pq_probe",
+    # round 8 newcomers: the GARCH fold (10x per-user recursion depth),
+    # the two pipeline reports (10x corpus through packing /
+    # contamination), the UniMax planner, and the dedup recall report —
+    # whose ground-truth side is the guarded O(n^2) twin over the 10%
+    # sample (5k docs at sf1 -> 12.5M exact pairs: the wall shows what
+    # the sample bound buys)
+    "x_garch_vol",
+    "x_vidya",
+    "x_klinger",
+    "d_unimax_plan",
+    "d_packing_efficiency",
+    "d_contamination_report",
+    "d_minhash_recall",
 ]
 
 # emb_semdedup at 20k vectors with the registry's n_lists=8 leaves

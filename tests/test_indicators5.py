@@ -770,3 +770,77 @@ class TestUnimaxPlan:
         rows = unimax_plan(docs, "lang", "text").collect()
         assert all(r["epochs"] == 1.0 for r in rows)
         assert all(r["alloc_tokens"] == r["n_tokens"] for r in rows)
+
+
+class TestGarchVol:
+    def test_hand_replay(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            garch_vol,
+        )
+
+        closes = [10.0, 10.2, 9.9, 10.5, 10.4, 11.0]
+        omega12, alpha6, beta6 = 5_000_000, 100_000, 850_000
+        df = spark.createDataFrame(
+            [(1, i, c) for i, c in enumerate(closes)],
+            "user_id long, d long, close double",
+        )
+        out = {
+            r["d"]: r for r in garch_vol(df, ["user_id"], "d").collect()
+        }
+        p = [round(c * 1e6) for c in closes]
+        v = 0
+        r_prev = 0
+        for i in range(1, len(p)):
+            pp, pc = p[i - 1], p[i]
+            if pc >= pp:
+                r6 = ((pc - pp) * 1_000_000) // pp
+            else:
+                r6 = -(((pp - pc) * 1_000_000) // pp)
+            r6 = max(-10_000_000, min(10_000_000, r6))
+            if i == 1:
+                v = r6 * r6
+            else:
+                v = (
+                    omega12
+                    + alpha6 * ((r_prev * r_prev) // 1_000_000)
+                    + beta6 * (v // 1_000_000)
+                )
+            assert out[i]["ret"] == r6 / 1e6
+            assert out[i]["cond_var"] == v / 1e12
+            assert out[i]["sigma"] == math.floor(math.sqrt(v) + 0.5) / 1e6
+            r_prev = r6
+        assert out[0]["ret"] is None and out[0]["cond_var"] is None
+
+    def test_flat_series_decays_to_omega_floor(self, spark):
+        # zero returns: v_t = omega + beta * v_{t-1} with v_2 = 0 ->
+        # v stays at the pure-omega accumulation, sigma tiny but > 0
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            garch_vol,
+        )
+
+        df = spark.createDataFrame(
+            [(1, i, 5.0) for i in range(6)],
+            "user_id long, d long, close double",
+        )
+        rows = {r["d"]: r for r in garch_vol(df, ["user_id"], "d").collect()}
+        assert rows[1]["cond_var"] == 0.0
+        v = 0
+        for i in range(2, 6):
+            v = 5_000_000 + 850_000 * (v // 1_000_000)
+            assert rows[i]["cond_var"] == v / 1e12
+        assert all(r["ret"] == 0.0 for d, r in rows.items() if d >= 1)
+
+    def test_return_cap_bounds_state(self, spark):
+        # a 100x gap caps at +-1000% so the integer state cannot overflow
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            garch_vol,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0, 1.0), (1, 1, 100.0), (1, 2, 0.5)],
+            "user_id long, d long, close double",
+        )
+        rows = {r["d"]: r for r in garch_vol(df, ["user_id"], "d").collect()}
+        assert rows[1]["ret"] == 10.0  # capped, raw would be 99.0
+        assert rows[1]["cond_var"] == 100.0  # (1e7)^2 / 1e12
+        assert rows[2]["ret"] == -0.995

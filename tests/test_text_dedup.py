@@ -607,3 +607,51 @@ def test_near_dup_components_null_ids_skip_fast_path(spark):
     assert out[1] == 1 and out[2] == 1 and out[3] == 1
     # vertex 9's edge has a NULL peer: it stays its own keeper
     assert out[9] == 9
+
+
+class TestMinhashRecall:
+    def test_detected_is_subset_of_truth_and_recall_bounded(self, spark):
+        """The recall report's invariant: the LSH path exact-verifies its
+        candidates with the SAME jaccard as the ground truth, so every
+        detected pair is a truth pair (n_hit == n_detected, recall <= 1);
+        banding can only MISS pairs, never invent them."""
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+            exact_jaccard_pairs,
+            minhash_near_dup_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [
+                (0, base),
+                (1, base + " extra"),           # near-dup of 0
+                (2, base.replace("quick", "slow")),  # near-dup of 0
+                (3, "completely different text about spark shuffles"),
+                (4, base),                      # exact dup of 0
+            ],
+            "doc_id long, text string",
+        )
+        truth = {
+            (r["doc_a"], r["doc_b"])
+            for r in exact_jaccard_pairs(docs, threshold=0.8).collect()
+        }
+        found = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_near_dup_pairs(docs, threshold=0.8).collect()
+        }
+        assert found <= truth
+        assert (0, 4) in truth  # the exact dup is always ground truth
+        assert (0, 4) in found  # identical signatures always collide
+        assert len(truth) > 0
+
+    def test_registry_report_math(self, spark, sf_dir):
+        import __spark_entry__ as E
+
+        row = E.d_minhash_recall(spark, sf_dir).collect()[0]
+        assert row["n_hit"] == row["n_detected"]  # containment
+        assert row["n_hit"] <= row["n_truth"]
+        expected = (
+            1.0 if row["n_truth"] == 0 else row["n_hit"] / row["n_truth"]
+        )
+        assert row["recall"] == expected
+        assert 0.0 <= row["recall"] <= 1.0
