@@ -31,14 +31,22 @@ def main() -> None:
 Known-benign BroadcastNestedLoopJoins (each broadcasts a
 deliberately tiny side — a scalar bound or a handful of rows —
 never a fact table): e_period_lookback (scalar cutoff),
-emb_ann_topk (10-row query set), emb_ivf_ann (centroid table),
-emb_lsh_ann (plane-id expansion rows), emb_sq8_ann (10-row query
-set + scale constants), d_tfidf_topk / d_unigram_xent (one-row
-corpus totals), d_ccnet_buckets / e_rfm_segments (one-row quantile
-cut scalars), emb_hard_negatives (labels-row centroid table under a
+emb_ann_topk (10-row query set), emb_ivf_ann / emb_ivf_probe
+(centroid table), emb_lsh_ann (plane-id expansion rows),
+emb_sq8_ann (10-row query set + scale constants),
+d_tfidf_topk / d_unigram_xent / d_bigram_xent / d_dsir_weights /
+d_bm25_topk / e_cost_rollup / d_mixture_plan / d_unimax_plan
+(one-row corpus/total/water-level scalars), d_ccnet_buckets /
+e_rfm_segments (one-row quantile cut scalars), e_value_histogram /
+e_pareto_share (one-row min-max / grand-total bounds),
+emb_hard_negatives (labels-row centroid table under a
 != predicate), emb_silhouette (centroid table),
 e_funnel_conversion (per-stage scalar mins),
 e_rolling_hll_wau (one-row max-day bound),
+d_rrf_fusion / emb_recall_report (bounded per-list top-k rows),
+d_minhash_recall (the guarded O(n^2) ground-truth twin's
+inequality pair join over the explicit 10% sample, plus 1-row
+report cross joins — quadratic BY DESIGN, see the query docstring),
 q11_important_parts / q22_idle_rich_customers (one-row
 scalar-subquery cross joins, the TPC-H shapes).
 """,
