@@ -11967,6 +11967,53 @@ ORDER BY query_id
 """
 
 
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index (n_probe=3 of 8 lists) against the
+    exact brute-force top-5 — the acceptance metric for the ANN path
+    that actually scales to 100 TB (the partition-pruned inverted
+    file), complementing emb_recall_report's LSH number. Shows the
+    recall cost of probing 3/8 cells; raising n_probe trades scan
+    width for recall with the same index. Deterministic on both sides
+    (seeded Lloyd fit), so the report has an exact oracle."""
+    bf = emb_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = emb_ivf_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(F.broadcast(ivf), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    qs = bf.select("query_id").distinct()
+    return (
+        qs.join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ivf_recall_sql() -> str:
+    return f"""
+WITH bf AS ({_EMB_ANN_SQL}),
+ivf AS ({_ivf_ann_sql()}),
+hits AS (
+  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM bf b JOIN ivf l
+    ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+  GROUP BY b.query_id)
+SELECT q.query_id,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits USING (query_id)
+ORDER BY query_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
@@ -12034,16 +12081,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_contamination_report": d_contamination_report,
         "x_garch_vol": x_garch_vol,
         "d_minhash_recall": d_minhash_recall,
+        "emb_ivf_recall": emb_ivf_recall,
         # --- r8 part 2: implementation changed this round — one
         # in-window representative per distinct change (window-min
         # set-group id -> d_minhash_neardup; shared checkpointed
-        # tokenize -> d_curation_pipeline; in-fold displacement ->
-        # x_alligator; the probe candidate spread rides with
-        # d_incremental_dedup in part 0). The window cuts at position
-        # 50 = x_alligator; d_dup_components / d_quality_score exercise
-        # the same changed code paths as the rows above and fall just
-        # outside — the committed SWEEP_HASHES.json ledger carries
-        # their full-registry hash evidence on this tree. ---
+        # tokenize -> d_curation_pipeline; the probe candidate spread
+        # rides with d_incremental_dedup in part 0). The window cuts
+        # at position 50 = d_curation_pipeline; x_alligator (in-fold
+        # displacement, hash-unchanged + hand-replay tested) and
+        # d_dup_components / d_quality_score (same changed code paths
+        # as the in-window rows) fall just outside and head r9 — the
+        # committed SWEEP_HASHES.json ledger carries their
+        # full-registry hash evidence on this tree. ---
         "d_minhash_neardup": d_minhash_neardup,
         "d_curation_pipeline": d_curation_pipeline,
         "x_alligator": x_alligator,
@@ -12449,6 +12498,7 @@ def oracle_sql() -> dict[str, str]:
         "x_eom": _X_EOM_SQL,
         "d_softdedup": _D_SOFTDEDUP_SQL,
         "emb_recall_report": _recall_report_sql(),
+        "emb_ivf_recall": _ivf_recall_sql(),
         "s_stream_enrich": _S_STREAM_ENRICH_SQL,
         "x_crsi": _X_CRSI_SQL,
         "d_quality_fusion": _quality_fusion_sql(),
@@ -12708,4 +12758,5 @@ HEADLINE_QUERIES = [
     "emb_pq_ann",
     "x_garch_vol",
     "d_minhash_recall",
+    "emb_ivf_recall",
 ]

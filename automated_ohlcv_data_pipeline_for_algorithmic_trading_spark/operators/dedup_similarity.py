@@ -366,10 +366,17 @@ def exact_jaccard_pairs(
             f" LSH) at scale or pass max_rows explicitly"
         )
     toks = with_token_set(df.select(id_col, text_col), text_col)
-    a = toks.select(F.col(id_col).alias("doc_a"), F.col("token_set").alias("set_a"))
+    # the inequality join broadcasts one side; the STREAM side of a
+    # bounded input is typically ONE parquet split — spread it so the
+    # O(n^2) intersect work uses every core, not one (5k docs on one
+    # task ran minutes; spread it's seconds)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = toks.select(
+        F.col(id_col).alias("doc_a"), F.col("token_set").alias("set_a")
+    ).repartition(par)
     b = toks.select(F.col(id_col).alias("doc_b"), F.col("token_set").alias("set_b"))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
         .withColumn("jaccard", jaccard(F.col("set_a"), F.col("set_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", (F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"))

@@ -470,3 +470,16 @@ class TestEmbeddingDrift:
         for r in embedding_drift(df, df).collect():
             assert r.smd == 0.0
             assert r.mean_a == r.mean_b
+
+
+def test_ivf_recall_report_math(spark, sf_dir):
+    """The emb_ivf_recall registry report: per-query hit counts are
+    bounded by k, recall is hits/5, and the report covers exactly the
+    brute-force query set (left join keeps zero-hit queries)."""
+    import __spark_entry__ as E
+
+    rows = E.emb_ivf_recall(spark, sf_dir).collect()
+    assert len(rows) == 10  # the vec_id < 10 query set
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_at_5"] == r["n_hits"] / 5.0
