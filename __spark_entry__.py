@@ -12023,6 +12023,196 @@ ORDER BY g.user_id, g.trade_date
 """
 
 
+def e_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint screen over per-user daily mean
+    price (operators/windows.cusum_drift) — Page's sequential drift
+    test, the monitoring primitive next to e_zscore_anomaly (pointwise)
+    and e_drift_psi (distributional). The clamped recurrence
+    s_t = max(0, s_{t-1} + d_t) is NOT folded: it has the closed form
+    c_t − min(0, prefix-min(c)), so the whole operator is two window
+    passes over one per-user exchange — native exprs, no grouped-map,
+    and the oracle is the same two windows (no recursion). Increments
+    are micro BIGINT (order-exact prefix sums); μ/σ come from exact
+    decimal whole-series sums."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windows import (
+        cusum_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("trade_date")
+    ).agg(davg("value", "px"))
+    out = cusum_drift(daily, ["user_id"], "trade_date", "px")
+    return out.orderBy("user_id", "trade_date")
+
+
+_E_CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date, {sql_davg('value')} AS px
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT user_id, trade_date, px,
+         CAST(floor(px * 1e6 + 0.5) AS BIGINT) AS v6,
+         CAST(count(px) OVER wa AS DOUBLE) AS n,
+         CAST(sum(CAST(px AS DECIMAL(38,6))) OVER wa AS DOUBLE) AS sx,
+         CAST(sum(CAST(px * px AS DECIMAL(38,6))) OVER wa AS DOUBLE) AS sxx
+  FROM daily WINDOW wa AS (PARTITION BY user_id)),
+par AS (
+  SELECT user_id, trade_date, px, v6,
+         CAST(floor(sx / n * 1e6 + 0.5) AS BIGINT) AS mu6,
+         CASE WHEN n < 2.0 OR (n * sxx - sx * sx) / (n * (n - 1.0)) <= 0.0
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+                              * 1e6 + 0.5) AS BIGINT) END AS sig6
+  FROM st),
+run AS (
+  SELECT user_id, trade_date, px, sig6, sig6 * 4 AS h6,
+         sum(v6 - mu6 - (sig6 * 1) // 2) OVER wr AS cp,
+         sum(mu6 - v6 - (sig6 * 1) // 2) OVER wr AS cn
+  FROM par
+  WINDOW wr AS (PARTITION BY user_id ORDER BY trade_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s AS (
+  SELECT user_id, trade_date, px, sig6, h6,
+         cp - least(CAST(0 AS BIGINT), min(cp) OVER wr) AS sp,
+         cn - least(CAST(0 AS BIGINT), min(cn) OVER wr) AS sn
+  FROM run
+  WINDOW wr AS (PARTITION BY user_id ORDER BY trade_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, trade_date, px,
+       CAST(sp AS DOUBLE) / 1e6 AS cusum_pos,
+       CAST(sn AS DOUBLE) / 1e6 AS cusum_neg,
+       sig6 > 0 AND sp > h6 AS alarm_pos,
+       sig6 > 0 AND sn > h6 AS alarm_neg
+FROM s ORDER BY user_id, trade_date
+"""
+
+
+def s_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming two-sided CUSUM drift monitor — the production
+    monitoring shape: per-user μ/σ CALIBRATED OFFLINE on the batch
+    table (exact decimal sums), broadcast-joined onto the live stream,
+    then a stateful fold (applyInPandasWithState, one BIGINT pair per
+    user) raises alarms online. The within-batch fold is the Lindley
+    closed form with carry-in state — vectorized numpy, no per-row
+    loop — and integer micro-unit increments make the streamed result
+    bit-identical to the batch windowed-SQL replay (the s_stateful_vwap
+    determinism contract, applied to a clamped recurrence)."""
+    import uuid
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        events_stream_source,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.stateful import (
+        streaming_cusum,
+    )
+
+    tune(spark)
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
+    )
+
+    # batch calibration: one tiny row per user (the offline half)
+    ev_b = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    stats = ev_b.groupBy("user_id").agg(
+        F.count(v).cast("double").alias("_n"),
+        F.sum(v.cast("decimal(38,6)")).cast("double").alias("_sx"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("_sxx"),
+    )
+    var = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")) / (
+        F.col("_n") * (F.col("_n") - F.lit(1.0))
+    )
+    sig6 = F.when((F.col("_n") < 2.0) | (var <= 0.0), F.lit(0).cast("long")).otherwise(
+        F.floor(F.sqrt(var) * 1e6 + F.lit(0.5)).cast("long")
+    )
+    ref = stats.select(
+        "user_id",
+        F.floor(F.col("_sx") / F.col("_n") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("mu6"),
+        sig6.alias("sig6"),
+    ).select(
+        "user_id",
+        "mu6",
+        "sig6",
+        (F.col("sig6") / 2).cast("long").alias("k6"),
+        (F.col("sig6") * 4).cast("long").alias("h6"),
+    )
+
+    with stateful_partitions(spark):
+        ev = (
+            events_stream_source(spark, sf_dir)
+            .select(
+                "user_id",
+                "event_id",
+                F.unix_micros(F.col("ts")).alias("timestamp_unix"),
+                F.floor(F.col("value") * 1e6 + F.lit(0.5))
+                .cast("long")
+                .alias("v6"),
+            )
+            .join(F.broadcast(ref), "user_id")  # stream-static join
+        )
+        name = f"stream_cusum_{uuid.uuid4().hex[:8]}"
+        with _scratch_ckpt() as ckpt:
+            q = (
+                streaming_cusum(ev)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id", "timestamp_unix", "event_id")
+
+
+_S_CUSUM_SQL = """
+WITH src AS (
+  SELECT user_id, event_id, epoch_us(ts) AS timestamp_unix,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6, value
+  FROM events),
+st AS (
+  SELECT user_id,
+         CAST(count(value) AS DOUBLE) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM src GROUP BY user_id),
+ref AS (
+  SELECT user_id,
+         CAST(floor(sx / n * 1e6 + 0.5) AS BIGINT) AS mu6,
+         CASE WHEN n < 2.0 OR (n * sxx - sx * sx) / (n * (n - 1.0)) <= 0.0
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+                              * 1e6 + 0.5) AS BIGINT) END AS sig6
+  FROM st),
+par AS (
+  SELECT user_id, mu6, sig6, sig6 // 2 AS k6, sig6 * 4 AS h6 FROM ref),
+run AS (
+  SELECT s.user_id, s.event_id, s.timestamp_unix, p.sig6, p.h6,
+         sum(s.v6 - p.mu6 - p.k6) OVER wr AS cp,
+         sum(p.mu6 - s.v6 - p.k6) OVER wr AS cn
+  FROM src s JOIN par p USING (user_id)
+  WINDOW wr AS (PARTITION BY s.user_id
+                ORDER BY s.timestamp_unix, s.event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+sfin AS (
+  SELECT user_id, event_id, timestamp_unix, sig6, h6,
+         cp - least(CAST(0 AS BIGINT), min(cp) OVER wr) AS sp,
+         cn - least(CAST(0 AS BIGINT), min(cn) OVER wr) AS sn
+  FROM run
+  WINDOW wr AS (PARTITION BY user_id ORDER BY timestamp_unix, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, timestamp_unix,
+       CAST(sp AS DOUBLE) / 1e6 AS cusum_pos,
+       CAST(sn AS DOUBLE) / 1e6 AS cusum_neg,
+       sig6 > 0 AND sp > h6 AS alarm_pos,
+       sig6 > 0 AND sn > h6 AS alarm_neg
+FROM sfin ORDER BY user_id, timestamp_unix, event_id
+"""
+
+
 def d_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup impact report: duplicate-cluster size histogram over the
     converged component decisions — n_clusters / n_docs / n_removable
@@ -12206,6 +12396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed-path and r4-stale rows ---
         "x_holt_linear": x_holt_linear,
         "d_dup_cluster_stats": d_dup_cluster_stats,
+        "e_cusum_drift": e_cusum_drift,
+        "s_stream_cusum": s_stream_cusum,
         "x_alligator": x_alligator,
         "d_dup_components": d_dup_components,
         "d_quality_score": d_quality_score,
@@ -12612,6 +12804,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_recall": _ivf_recall_sql(),
         "x_holt_linear": _holt_sql(),
         "d_dup_cluster_stats": _dup_cluster_stats_sql(),
+        "e_cusum_drift": _E_CUSUM_SQL,
+        "s_stream_cusum": _S_CUSUM_SQL,
         "s_stream_enrich": _S_STREAM_ENRICH_SQL,
         "x_crsi": _X_CRSI_SQL,
         "d_quality_fusion": _quality_fusion_sql(),
@@ -12874,4 +13068,6 @@ HEADLINE_QUERIES = [
     "emb_ivf_recall",
     "x_holt_linear",
     "d_dup_cluster_stats",
+    "e_cusum_drift",
+    "s_stream_cusum",
 ]

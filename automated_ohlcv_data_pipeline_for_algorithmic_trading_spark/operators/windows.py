@@ -339,3 +339,85 @@ def stoch_rsi(
         / (hi - lo).cast("double"),
     )
     return out.withColumn("stoch_rsi", srsi).drop("_rq")
+
+
+def cusum_drift(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    k_sigma_halves: int = 1,
+    h_sigmas: int = 4,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint/drift screen — the sequential test a
+    monitoring layer runs over per-key series (Page 1954):
+
+        s⁺_t = max(0, s⁺_{t−1} + (x_t − μ − k))
+        s⁻_t = max(0, s⁻_{t−1} + (μ − x_t − k))      alarm when s > h
+
+    with slack k = σ/2 and threshold h = 4σ by default.
+
+    STAYS JVM-SIDE: the clamped recurrence has a closed form —
+    s_t = c_t − min(0, min_{j≤t} c_j) with c the prefix sum of the
+    increments — so both sides are two window passes over ONE per-key
+    exchange (cumulative BIGINT sum + running min), no grouped-map fold
+    and no recursion anywhere. The SQL oracle is the same two windows.
+
+    Exactness: increments quantize to micro BIGINT before any
+    accumulation (integer prefix sums are order-exact); μ and σ come
+    from exact decimal whole-series sums (the rolling_zscore recipe)
+    and quantize once. Keys with σ = 0 (constant series or n < 2) get
+    k = h = 0 and never alarm (a zero-variance series cannot drift).
+
+    Output: keys + order + value + (cusum_pos, cusum_neg, alarm_pos,
+    alarm_neg).
+    """
+    dec = "decimal(38,6)"
+    w_all = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_run = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    v = F.col(value_col)
+    v6 = F.floor(v * 1e6 + F.lit(0.5)).cast("long")
+    n = F.count(v).over(w_all).cast("double")
+    sx = F.sum(v.cast(dec)).over(w_all).cast("double")
+    sxx = F.sum((v * v).cast(dec)).over(w_all).cast("double")
+    var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    mu6 = F.floor(sx / n * 1e6 + F.lit(0.5)).cast("long")
+    sig6 = F.when(
+        (n < 2.0) | (var <= 0.0), F.lit(0).cast("long")
+    ).otherwise(F.floor(F.sqrt(var) * 1e6 + F.lit(0.5)).cast("long"))
+    base = df.select(
+        *keys,
+        order_col,
+        value_col,
+        v6.alias("_v6"),
+        mu6.alias("_mu6"),
+        sig6.alias("_sig6"),
+    )
+    k6 = (F.col("_sig6") * k_sigma_halves / 2).cast("long")  # sig6 >= 0
+    h6 = (F.col("_sig6") * h_sigmas).cast("long")
+    dp = F.col("_v6") - F.col("_mu6") - k6
+    dn = F.col("_mu6") - F.col("_v6") - k6
+    stepped = base.select(
+        *keys,
+        order_col,
+        value_col,
+        F.sum(dp).over(w_run).alias("_cp"),
+        F.sum(dn).over(w_run).alias("_cn"),
+        h6.alias("_h6"),
+        F.col("_sig6"),
+    )
+    sp = F.col("_cp") - F.least(F.lit(0), F.min("_cp").over(w_run))
+    sn = F.col("_cn") - F.least(F.lit(0), F.min("_cn").over(w_run))
+    return stepped.select(
+        *keys,
+        order_col,
+        value_col,
+        (sp / 1e6).alias("cusum_pos"),
+        (sn / 1e6).alias("cusum_neg"),
+        ((F.col("_sig6") > 0) & (sp > F.col("_h6"))).alias("alarm_pos"),
+        ((F.col("_sig6") > 0) & (sn > F.col("_h6"))).alias("alarm_neg"),
+    )

@@ -43,7 +43,9 @@ emb_hard_negatives (labels-row centroid table under a
 != predicate), emb_silhouette (centroid table),
 e_funnel_conversion (per-stage scalar mins),
 e_rolling_hll_wau (one-row max-day bound),
-d_rrf_fusion / emb_recall_report (bounded per-list top-k rows),
+d_rrf_fusion / emb_recall_report / emb_ivf_recall (bounded
+per-list top-k rows; the IVF side also inherits its parent's
+centroid-table sites),
 d_minhash_recall (the guarded O(n^2) ground-truth twin's
 inequality pair join over the explicit 10% sample, plus 1-row
 report cross joins — quadratic BY DESIGN, see the query docstring),

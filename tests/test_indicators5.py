@@ -891,3 +891,60 @@ class TestHoltLinear:
         assert all(r["level"] == 7.0 for r in rows)
         assert all(r["trend"] == 0.0 for r in rows)
         assert all(r["forecast"] == 7.0 for r in rows)
+
+
+class TestCusumDrift:
+    def test_closed_form_matches_naive_recurrence(self, spark):
+        """The window closed form c_t - min(0, prefix-min(c)) must equal
+        the textbook clamped recurrence s_t = max(0, s_{t-1} + d_t) —
+        replayed here in plain Python on the quantized increments."""
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windows import (
+            cusum_drift,
+        )
+
+        # 30 stable bars then a sustained +1.0 level shift: enough
+        # post-shift mass for the positive CUSUM to cross h = 4 sigma
+        # (a short shift inflates sigma faster than it accumulates
+        # drift and never alarms — by design)
+        vals = [10.0 + 0.05 * ((i % 3) - 1) for i in range(30)] + [
+            11.0 + 0.05 * ((i % 3) - 1) for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            [(1, i, v) for i, v in enumerate(vals)],
+            "user_id long, d long, px double",
+        )
+        out = {r["d"]: r for r in cusum_drift(df, ["user_id"], "d", "px").collect()}
+        # replicate mu/sigma exactly as the operator computes them
+        import math
+
+        n = float(len(vals))
+        sx, sxx = sum(vals), sum(v * v for v in vals)
+        var = (n * sxx - sx * sx) / (n * (n - 1.0))
+        mu6 = math.floor(sx / n * 1e6 + 0.5)
+        sig6 = math.floor(math.sqrt(var) * 1e6 + 0.5)
+        k6 = sig6 // 2
+        h6 = sig6 * 4
+        sp = sn = 0
+        for i, v in enumerate(vals):
+            v6 = math.floor(v * 1e6 + 0.5)
+            sp = max(0, sp + (v6 - mu6 - k6))
+            sn = max(0, sn + (mu6 - v6 - k6))
+            assert out[i]["cusum_pos"] == sp / 1e6
+            assert out[i]["cusum_neg"] == sn / 1e6
+            assert out[i]["alarm_pos"] == (sig6 > 0 and sp > h6)
+            assert out[i]["alarm_neg"] == (sig6 > 0 and sn > h6)
+        # the level shift at t=4 must have tripped the positive side
+        assert any(out[i]["alarm_pos"] for i in range(len(vals)))
+
+    def test_constant_series_never_alarms(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windows import (
+            cusum_drift,
+        )
+
+        df = spark.createDataFrame(
+            [(1, i, 5.0) for i in range(8)],
+            "user_id long, d long, px double",
+        )
+        rows = cusum_drift(df, ["user_id"], "d", "px").collect()
+        assert all(not r["alarm_pos"] and not r["alarm_neg"] for r in rows)
+        assert all(r["cusum_pos"] == 0.0 and r["cusum_neg"] == 0.0 for r in rows)

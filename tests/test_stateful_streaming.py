@@ -70,3 +70,61 @@ def test_vwap_state_survives_batches(spark, tmp_path):
     # batch 2 continues from batch 1's state: (3000 + 8000) / 400
     assert rows[1704099900]["vwap"] == 27.5
     assert rows[1704099900]["cum_volume"] == 400
+
+
+def test_cusum_closed_form_carries_state_across_batches():
+    """Drive _cusum_fn directly with two frames and a carried state:
+    the vectorized Lindley closed form with carry-in must equal the
+    naive per-row clamped recurrence run over the concatenation."""
+    import pandas as pd
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.stateful import (
+        _cusum_fn,
+    )
+
+    mu6, k6, h6, sig6 = 10_000_000, 500_000, 4_000_000, 1_000_000
+    vals = [9_800_000, 12_000_000, 13_000_000, 9_000_000, 9_100_000,
+            14_000_000, 14_500_000, 8_000_000]
+
+    def frame(chunk, start):
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(chunk),
+                "event_id": list(range(start, start + len(chunk))),
+                "timestamp_unix": list(range(start, start + len(chunk))),
+                "v6": chunk,
+                "mu6": [mu6] * len(chunk),
+                "k6": [k6] * len(chunk),
+                "h6": [h6] * len(chunk),
+                "sig6": [sig6] * len(chunk),
+            }
+        )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    out1 = list(_cusum_fn((1,), iter([frame(vals[:3], 0)]), st))[0]
+    out2 = list(_cusum_fn((1,), iter([frame(vals[3:], 3)]), st))[0]
+    got = pd.concat([out1, out2]).reset_index(drop=True)
+
+    sp = sn = 0
+    for i, v6 in enumerate(vals):
+        sp = max(0, sp + (v6 - mu6 - k6))
+        sn = max(0, sn + (mu6 - v6 - k6))
+        assert got.loc[i, "cusum_pos"] == sp / 1e6
+        assert got.loc[i, "cusum_neg"] == sn / 1e6
+        assert bool(got.loc[i, "alarm_pos"]) == (sp > h6)
+        assert bool(got.loc[i, "alarm_neg"]) == (sn > h6)
+    # the fixture must exercise BOTH a clamp-to-zero and an alarm
+    assert any(got["alarm_pos"]) and any(got["cusum_pos"] == 0.0)
