@@ -91,6 +91,14 @@ QUERIES = [
     "d_packing_efficiency",
     "d_contamination_report",
     "d_minhash_recall",
+    # late round 8: the ANN/dedup recall twins, the Holt fold, the
+    # cluster-size report, and the CUSUM pair (closed-form batch windows
+    # + batch-calibrated streaming monitor)
+    "emb_ivf_recall",
+    "x_holt_linear",
+    "d_dup_cluster_stats",
+    "e_cusum_drift",
+    "s_stream_cusum",
 ]
 
 # emb_semdedup at 20k vectors with the registry's n_lists=8 leaves
