@@ -12088,6 +12088,58 @@ FROM s ORDER BY user_id, trade_date
 """
 
 
+def d_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe — the sketch that completes the
+    trio next to HLL (distinct) and CMS (frequency): the 90 % corpus
+    split builds a fixed-size mergeable bit array (one row per non-zero
+    32-bit word, <= m/32 rows however large the corpus), then EVERY
+    document probes it map-side (broadcast join) for "was this exact
+    payload already ingested?" — corpus members must all report true
+    (no false negatives, demonstrated on every corpus row), the held-out
+    batch reports false modulo ~1e-9 false-positive odds, no shuffle of
+    the corpus anywhere, and the salted-md5 positions replay exactly in
+    SQL so even false-positive verdicts would be bit-identical
+    cross-engine (operators/sketch.bloom_sketch / bloom_might_contain)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+        bloom_might_contain,
+        bloom_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = bloom_sketch(docs.filter(F.col("doc_id") % 10 != 0), "text")
+    probes = docs.select("doc_id", "text")
+    return bloom_might_contain(
+        sk, probes, "text", id_cols=["doc_id"]
+    ).orderBy("doc_id")
+
+
+_D_BLOOM_SQL = """
+WITH corpus AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+pos AS (
+  SELECT (CAST('0x' || substr(md5('bloom' || i || '|' || text), 1, 8)
+          AS BIGINT) % 1048576) AS p
+  FROM corpus, generate_series(0, 4) t(i)),
+words AS (
+  SELECT p // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY p // 32),
+probe AS (
+  SELECT doc_id,
+         (CAST('0x' || substr(md5('bloom' || i || '|' || text), 1, 8)
+          AS BIGINT) % 1048576) AS p
+  FROM documents, generate_series(0, 4) t(i)),
+hits AS (
+  SELECT pr.doc_id,
+         CASE WHEN w.bits IS NOT NULL
+                   AND (w.bits & (CAST(1 AS BIGINT)
+                                  << CAST(pr.p % 32 AS INT))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM probe pr LEFT JOIN words w ON pr.p // 32 = w.word)
+SELECT doc_id, sum(hit) = 5 AS in_filter
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def s_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming two-sided CUSUM drift monitor — the production
     monitoring shape: per-user μ/σ CALIBRATED OFFLINE on the batch
@@ -12398,6 +12450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dup_cluster_stats": d_dup_cluster_stats,
         "e_cusum_drift": e_cusum_drift,
         "s_stream_cusum": s_stream_cusum,
+        "d_bloom_membership": d_bloom_membership,
         "x_alligator": x_alligator,
         "d_dup_components": d_dup_components,
         "d_quality_score": d_quality_score,
@@ -12806,6 +12859,7 @@ def oracle_sql() -> dict[str, str]:
         "d_dup_cluster_stats": _dup_cluster_stats_sql(),
         "e_cusum_drift": _E_CUSUM_SQL,
         "s_stream_cusum": _S_CUSUM_SQL,
+        "d_bloom_membership": _D_BLOOM_SQL,
         "s_stream_enrich": _S_STREAM_ENRICH_SQL,
         "x_crsi": _X_CRSI_SQL,
         "d_quality_fusion": _quality_fusion_sql(),
@@ -13070,4 +13124,5 @@ HEADLINE_QUERIES = [
     "d_dup_cluster_stats",
     "e_cusum_drift",
     "s_stream_cusum",
+    "d_bloom_membership",
 ]

@@ -35,6 +35,9 @@ __all__ = [
     "cms_sketch",
     "cms_estimate",
     "merge_cms",
+    "bloom_sketch",
+    "merge_bloom",
+    "bloom_might_contain",
 ]
 
 #: md5 hex chars used for the hash (15 chars = 60 bits, fits BIGINT both
@@ -283,3 +286,106 @@ def hll_estimate_cols(p: int = 8):
         F.expr(f"shiftleft(cast(1 as bigint), {_HASH_BITS - p + 1} - r)")
     ).cast("long")
     return n_present.alias("n_present"), z_num.alias("z_num")
+
+
+# --- Bloom filter (mergeable membership sketch) -----------------------------
+#
+# Completes the sketch trio next to HLL (distinct) and CMS (frequency):
+# a fixed-size bit array answering "might this value be in the set?"
+# with NO false negatives. Represented relationally as one row per
+# non-zero 32-bit WORD — (word BIGINT, bits BIGINT with only the low 32
+# bits used) — so the merge law is a groupBy(word).bit_or and a filter
+# can be persisted/unioned like the HLL register tables. 32-bit words
+# (not 64) keep every shifted constant strictly positive on BOTH
+# engines (1 << 63 wraps negative in any BIGINT).
+
+
+def _bloom_pos(c: Column, i: int, m_bits: int) -> Column:
+    """Position of hash ``i``: md5 under a per-hash salt, first 8 hex
+    chars (32 bits, exact in BIGINT), mod the filter width — the _cms_col
+    recipe with a 'bloom' salt family."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(f"bloom{i}"), c.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % F.lit(m_bits)).cast("long")
+
+
+def bloom_sketch(
+    df: DataFrame, col: Column | str, m_bits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """Build the filter: k salted md5 positions per value, OR-folded into
+    32-bit words. Output: (word, bits) — one row per non-zero word,
+    <= m_bits/32 rows total regardless of input size (the sketch
+    contract). Map-side combinable: bit_or is associative-commutative,
+    so the partial aggregation absorbs any skew."""
+    c = F.col(col) if isinstance(col, str) else col
+    vals = df.filter(c.isNotNull()).select(c.alias("_v"))
+    pos = vals.select(
+        F.explode(F.array(*[_bloom_pos(F.col("_v"), i, m_bits) for i in range(k)])).alias(
+            "_pos"
+        )
+    )
+    return (
+        pos.select(
+            F.expr("_pos div 32").cast("long").alias("word"),
+            (F.col("_pos") % 32).cast("int").alias("_bit"),
+        )
+        .groupBy("word")
+        # shiftleft's python wrapper only takes a literal shift — use the
+        # SQL form for a column shift
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")).alias("bits"))
+    )
+
+
+def merge_bloom(*sketches: DataFrame) -> DataFrame:
+    """OR-merge word tables from disjoint slices — the Bloom merge law
+    (exactly the filter you would have built over the union)."""
+    out = sketches[0]
+    for other in sketches[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_might_contain(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: Column | str,
+    id_cols: "list[str] | None" = None,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Probe the filter: a value is (possibly) present iff ALL k of its
+    bit positions are set. The sketch is <= m_bits/32 rows — broadcast,
+    so the probe is one map-side join however large the probe set. No
+    false negatives by construction; false-positive odds ~(1-e^{-kn/m})^k.
+    Output: id_cols + in_filter (boolean)."""
+    c = F.col(col) if isinstance(col, str) else col
+    ids = id_cols or []
+    pos = probes.select(
+        *ids,
+        F.explode(
+            F.array(*[_bloom_pos(c, i, m_bits) for i in range(k)])
+        ).alias("_pos"),
+    ).select(
+        *ids,
+        F.expr("_pos div 32").cast("long").alias("word"),
+        (F.col("_pos") % 32).cast("int").alias("_bit"),
+    )
+    joined = pos.join(F.broadcast(sketch), "word", "left")
+    hit = (
+        F.col("bits").isNotNull()
+        & (
+            F.col("bits").bitwiseAND(
+                F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")
+            )
+            != 0
+        )
+    ).cast("int")
+    return (
+        joined.groupBy(*ids)
+        .agg((F.sum(hit) == F.lit(k)).alias("in_filter"))
+    )

@@ -99,6 +99,7 @@ QUERIES = [
     "d_dup_cluster_stats",
     "e_cusum_drift",
     "s_stream_cusum",
+    "d_bloom_membership",
 ]
 
 # emb_semdedup at 20k vectors with the registry's n_lists=8 leaves

@@ -836,3 +836,56 @@ class TestSupertrend:
             ).collect()
         }
         assert {d: r["trend"] for d, r in out.items()} == again
+
+
+class TestBloom:
+    def test_no_false_negatives_and_merge_law(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+            bloom_might_contain,
+            bloom_sketch,
+            merge_bloom,
+        )
+
+        a = spark.createDataFrame(
+            [(f"doc-{i}",) for i in range(50)], "text string"
+        )
+        b = spark.createDataFrame(
+            [(f"doc-{i}",) for i in range(50, 100)], "text string"
+        )
+        sk_a, sk_b = bloom_sketch(a, "text"), bloom_sketch(b, "text")
+        merged = merge_bloom(sk_a, sk_b)
+        # merge law: OR-merge == filter built over the union
+        union_sk = bloom_sketch(a.unionByName(b), "text")
+        got = {r["word"]: r["bits"] for r in merged.collect()}
+        want = {r["word"]: r["bits"] for r in union_sk.collect()}
+        assert got == want
+        # no false negatives: every inserted value probes true
+        probes = a.unionByName(b).select(
+            F.col("text").alias("probe_id"), "text"
+        )
+        rows = bloom_might_contain(
+            merged, probes, "text", id_cols=["probe_id"]
+        ).collect()
+        assert all(r["in_filter"] for r in rows)
+
+    def test_absent_values_mostly_miss_and_size_is_bounded(self, spark):
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+            bloom_might_contain,
+            bloom_sketch,
+        )
+
+        corpus = spark.createDataFrame(
+            [(f"doc-{i}",) for i in range(200)], "text string"
+        )
+        sk = bloom_sketch(corpus, "text")
+        # the sketch contract: row count bounded by m/32, not input size
+        assert sk.count() <= (1 << 20) // 32
+        absent = spark.createDataFrame(
+            [(f"other-{i}",) for i in range(200)], "text string"
+        )
+        rows = bloom_might_contain(
+            sk, absent.select(F.col("text").alias("probe_id"), "text"),
+            "text", id_cols=["probe_id"],
+        ).collect()
+        # fp odds ~(1-e^{-kn/m})^k ~ 1e-15 at n=200, m=2^20: all miss
+        assert all(not r["in_filter"] for r in rows)
