@@ -12088,6 +12088,71 @@ FROM s ORDER BY user_id, trade_date
 """
 
 
+#: Benford first-digit probabilities log10(1+1/d), micro-quantized in
+#: PYTHON once and embedded as literals on BOTH engines (no cross-engine
+#: log10 anywhere); they sum to exactly 1e6.
+_BENFORD_P6 = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def e_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over positive event values — the
+    classic forensic DQ screen for financial data (fabricated or
+    re-scaled numbers break the log-uniform leading-digit law). The
+    first digit comes from INTEGER arithmetic (micro-quantize, then the
+    first character of the BIGINT's canonical decimal string — no
+    engine-dependent double formatting, no log10: the Benford
+    probabilities are Python-precomputed literals on both engines).
+    One groupBy + a one-row total broadcast. Output: digit, n, share,
+    benford_p, abs_dev."""
+    ev = _t(spark, sf_dir, "events")
+    v6 = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    digit = F.substring(F.col("_v6").cast("string"), 1, 1).cast("int")
+    hist = (
+        ev.select(v6.alias("_v6"))
+        .filter(F.col("_v6") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = hist.agg(F.sum("n").cast("long").alias("_total"))
+    p6 = F.element_at(
+        F.array(*[F.lit(p) for p in _BENFORD_P6]), F.col("digit")
+    )
+    share = F.col("n").cast("double") / F.col("_total")
+    bp = p6.cast("double") / F.lit(1e6)
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            share.alias("share"),
+            bp.alias("benford_p"),
+            F.abs(share - bp).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+_E_BENFORD_SQL = f"""
+WITH v AS (
+  SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6 FROM events),
+hist AS (
+  SELECT CAST(substr(CAST(v6 AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM v WHERE v6 > 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM hist),
+p AS (SELECT unnest([{", ".join(str(p) for p in _BENFORD_P6)}]) AS p6,
+             unnest([1,2,3,4,5,6,7,8,9]) AS digit)
+SELECT h.digit, h.n,
+       CAST(h.n AS DOUBLE) / t.total AS share,
+       CAST(p.p6 AS DOUBLE) / 1e6 AS benford_p,
+       abs(CAST(h.n AS DOUBLE) / t.total
+           - CAST(p.p6 AS DOUBLE) / 1e6) AS abs_dev
+FROM hist h JOIN p ON h.digit = p.digit CROSS JOIN tot t
+ORDER BY h.digit
+"""
+
+
 def d_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership probe — the sketch that completes the
     trio next to HLL (distinct) and CMS (frequency): the 90 % corpus
@@ -12451,6 +12516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_cusum_drift": e_cusum_drift,
         "s_stream_cusum": s_stream_cusum,
         "d_bloom_membership": d_bloom_membership,
+        "e_benford_digits": e_benford_digits,
         "x_alligator": x_alligator,
         "d_dup_components": d_dup_components,
         "d_quality_score": d_quality_score,
@@ -12860,6 +12926,7 @@ def oracle_sql() -> dict[str, str]:
         "e_cusum_drift": _E_CUSUM_SQL,
         "s_stream_cusum": _S_CUSUM_SQL,
         "d_bloom_membership": _D_BLOOM_SQL,
+        "e_benford_digits": _E_BENFORD_SQL,
         "s_stream_enrich": _S_STREAM_ENRICH_SQL,
         "x_crsi": _X_CRSI_SQL,
         "d_quality_fusion": _quality_fusion_sql(),
@@ -13125,4 +13192,5 @@ HEADLINE_QUERIES = [
     "e_cusum_drift",
     "s_stream_cusum",
     "d_bloom_membership",
+    "e_benford_digits",
 ]

@@ -102,3 +102,22 @@ def test_close_only_alias_coalescing(spark):
     assert out["A"]["timestamp"] == out["B"]["timestamp"]  # s == ms epoch
     assert out["B"]["volume"] == 0  # defaulted
     assert out["C"]["year"] == 2024 and out["C"]["month"] == 1
+
+
+class TestBenfordDigits:
+    def test_probabilities_and_mass_balance(self, spark, sf_dir):
+        """The report's invariants: benford_p sums to exactly 1.0 (the
+        quantized constants sum to 1e6 by construction), shares sum to
+        1.0 over the observed digits, every digit is 1-9."""
+        import __spark_entry__ as E
+
+        rows = E.e_benford_digits(spark, sf_dir).collect()
+        assert all(1 <= r["digit"] <= 9 for r in rows)
+        assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
+        total = sum(r["n"] for r in rows)
+        for r in rows:
+            assert r["share"] == r["n"] / total
+            assert r["abs_dev"] == abs(r["share"] - r["benford_p"])
+        from __spark_entry__ import _BENFORD_P6
+
+        assert sum(_BENFORD_P6) == 1_000_000
