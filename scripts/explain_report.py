@@ -35,8 +35,8 @@ emb_ann_topk (10-row query set), emb_ivf_ann / emb_ivf_probe
 (centroid table), emb_lsh_ann (plane-id expansion rows),
 emb_sq8_ann (10-row query set + scale constants),
 d_tfidf_topk / d_unigram_xent / d_bigram_xent / d_dsir_weights /
-d_bm25_topk / e_cost_rollup / d_mixture_plan / d_unimax_plan
-(one-row corpus/total/water-level scalars), d_ccnet_buckets /
+d_bm25_topk / e_cost_rollup / d_mixture_plan / d_unimax_plan /
+e_benford_digits (one-row corpus/total/water-level scalars), d_ccnet_buckets /
 e_rfm_segments (one-row quantile cut scalars), e_value_histogram /
 e_pareto_share (one-row min-max / grand-total bounds),
 emb_hard_negatives (labels-row centroid table under a
