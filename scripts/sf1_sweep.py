@@ -100,6 +100,7 @@ QUERIES = [
     "e_cusum_drift",
     "s_stream_cusum",
     "d_bloom_membership",
+    "e_benford_digits",
 ]
 
 # emb_semdedup at 20k vectors with the registry's n_lists=8 leaves
