@@ -12088,6 +12088,98 @@ FROM s ORDER BY user_id, trade_date
 """
 
 
+_VOCAB_KS = [16, 64, 256, 1024, 4096]
+
+
+def d_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budget report: for each
+    candidate vocab size k, the share of all gram OCCURRENCES covered
+    by the top-k types (and so the OOV rate a k-type vocabulary would
+    pay). Types are token BIGRAMS (the synthetic corpus has a ~31-word
+    unigram vocabulary — bigrams give the curve a real tail; on a real
+    corpus pass unigrams or BPE pieces through the same shape).
+    Frequencies rank by (count desc, gram) through the two-pass
+    distributed row_number (operators/rank.py — a 100 TB corpus has a
+    ~10⁸-type vocabulary, too big for a one-task sort), then ONE
+    conditional aggregate computes every k simultaneously; no
+    per-k scan. Pure integer counts; the only doubles are the final
+    ratios."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        token_ngrams,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.rank import (
+        distributed_row_number,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    freq = (
+        docs.select("text")
+        .repartition(par)
+        .select(F.explode(token_ngrams(tokens("text"), 2)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    ranked = distributed_row_number(
+        freq, [F.col("f").desc(), F.col("tok").asc()], rank_col="r"
+    )
+    agg = ranked.agg(
+        F.sum("f").cast("long").alias("total_occ"),
+        *[
+            F.sum(F.when(F.col("r") <= k, F.col("f")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"_c{k}")
+            for k in _VOCAB_KS
+        ],
+        *[
+            F.sum(F.when(F.col("r") <= k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_t{k}")
+            for k in _VOCAB_KS
+        ],
+    )
+    stack = ", ".join(f"{k}, _c{k}, _t{k}" for k in _VOCAB_KS)
+    rows = agg.select(
+        F.expr(
+            f"stack({len(_VOCAB_KS)}, {stack}) AS (k, covered, vocab_types)"
+        ),
+        "total_occ",
+    )
+    cov = F.col("covered").cast("double") / F.col("total_occ")
+    return rows.select(
+        F.col("k").cast("long").alias("k"),
+        "vocab_types",
+        "covered",
+        cov.alias("coverage"),
+        (F.lit(1.0) - cov).alias("oov_rate"),
+    ).orderBy("k")
+
+
+_D_VOCAB_COVERAGE_SQL = rf"""
+WITH t AS (SELECT doc_id, {{toks}} AS ts FROM documents),
+freq AS (
+  SELECT tk AS tok, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest({{bigrams}}) AS tk FROM t) GROUP BY tk),
+ranked AS (
+  SELECT tok, f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq),
+tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_occ FROM freq),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _VOCAB_KS)}]) AS k),
+cov AS (
+  SELECT k,
+         CAST(sum(CASE WHEN r <= k THEN f ELSE 0 END) AS BIGINT) AS covered,
+         CAST(sum(CASE WHEN r <= k THEN 1 ELSE 0 END) AS BIGINT)
+           AS vocab_types
+  FROM ranked, ks GROUP BY k)
+SELECT CAST(k AS BIGINT) AS k, vocab_types, covered,
+       CAST(covered AS DOUBLE) / total_occ AS coverage,
+       1.0 - CAST(covered AS DOUBLE) / total_occ AS oov_rate
+FROM cov, tot ORDER BY k
+"""
+
+
 #: Benford first-digit probabilities log10(1+1/d), micro-quantized in
 #: PYTHON once and embedded as literals on BOTH engines (no cross-engine
 #: log10 anywhere); they sum to exactly 1e6.
@@ -12517,6 +12609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_cusum": s_stream_cusum,
         "d_bloom_membership": d_bloom_membership,
         "e_benford_digits": e_benford_digits,
+        "d_vocab_coverage": d_vocab_coverage,
         "x_alligator": x_alligator,
         "d_dup_components": d_dup_components,
         "d_quality_score": d_quality_score,
@@ -12927,6 +13020,7 @@ def oracle_sql() -> dict[str, str]:
         "s_stream_cusum": _S_CUSUM_SQL,
         "d_bloom_membership": _D_BLOOM_SQL,
         "e_benford_digits": _E_BENFORD_SQL,
+        "d_vocab_coverage": _D_VOCAB_COVERAGE_SQL.format(toks=_SQL_TOKS, bigrams=_SQL_BIGRAMS),
         "s_stream_enrich": _S_STREAM_ENRICH_SQL,
         "x_crsi": _X_CRSI_SQL,
         "d_quality_fusion": _quality_fusion_sql(),
@@ -13193,4 +13287,5 @@ HEADLINE_QUERIES = [
     "s_stream_cusum",
     "d_bloom_membership",
     "e_benford_digits",
+    "d_vocab_coverage",
 ]

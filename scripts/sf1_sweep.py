@@ -101,6 +101,7 @@ QUERIES = [
     "s_stream_cusum",
     "d_bloom_membership",
     "e_benford_digits",
+    "d_vocab_coverage",
 ]
 
 # emb_semdedup at 20k vectors with the registry's n_lists=8 leaves

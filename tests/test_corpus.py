@@ -603,3 +603,24 @@ class TestContaminationReport:
         assert by_id[2]["overlap_frac"] == 0.25
         # ranked by fraction desc
         assert rows[0]["doc_id"] == 1
+
+
+class TestVocabCoverage:
+    def test_curve_is_monotone_and_mass_balanced(self, spark, sf_dir):
+        import __spark_entry__ as E
+
+        rows = E.d_vocab_coverage(spark, sf_dir).collect()
+        from __spark_entry__ import _VOCAB_KS
+
+        assert [r["k"] for r in rows] == _VOCAB_KS
+        for r in rows:
+            assert r["vocab_types"] <= r["k"]
+            assert 0.0 < r["coverage"] <= 1.0
+            assert r["oov_rate"] == 1.0 - r["coverage"]
+        # coverage is monotone non-decreasing in k
+        covs = [r["coverage"] for r in rows]
+        assert covs == sorted(covs)
+        # once k exceeds the vocabulary, coverage is exactly 1
+        last = rows[-1]
+        if last["vocab_types"] < last["k"]:
+            assert last["coverage"] == 1.0
