@@ -2637,18 +2637,22 @@ def d_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(docs, threshold=0.95).orderBy("doc_a", "doc_b")
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes(threshold: float, where: str = "") -> str:
+    """Shared DuckDB replay of the MinHash chain for ``threshold`` —
+    token sets -> one 48-bit md5 base hash per token (mod P) -> k affine
+    mixes -> band keys -> DISTINCT candidates -> CTEs ``t`` (doc_id, ts)
+    and ``cand`` (doc_a, doc_b). The exact scheme minhash_signatures
+    computes JVM-side; threshold-adaptive banding mirrors
+    lsh_banding_for. ONE generator for every minhash oracle (the recall
+    report and the near-dup query must never drift apart)."""
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
         MINHASH_P,
         _uhash_coeffs,
         lsh_banding_for,
     )
 
-    # mirror the threshold-adaptive banding the Spark query resolves to
-    k, bands, rows = lsh_banding_for(0.95)
+    k, bands, rows = lsh_banding_for(threshold)
     coeffs = _uhash_coeffs(k)
-    # one 48-bit md5 base hash per token (mod P), k affine mixes — the
-    # exact scheme minhash_signatures computes JVM-side
     base = r"CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 2147483647"
     assert MINHASH_P == 2147483647
     sigs = ",\n         ".join(
@@ -2661,15 +2665,19 @@ def _minhash_sql() -> str:
         )
         for b in range(bands)
     )
-    return rf"""
-WITH t AS (SELECT doc_id, {_SQL_TOKSET} AS ts FROM documents),
+    return rf"""t AS (SELECT doc_id, {_SQL_TOKSET} AS ts FROM documents {where}),
 tm AS (SELECT doc_id, list_transform(ts, t -> {base}) AS mh FROM t),
 sig AS (SELECT doc_id,
          {sigs}
         FROM tm),
 bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_sql() -> str:
+    return rf"""
+WITH {_minhash_ctes(0.95)},
 verified AS (
   SELECT doc_a, doc_b,
          CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
@@ -7486,22 +7494,32 @@ def d_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    truth = exact_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    truth = exact_jaccard_pairs(docs, threshold=0.8).select(
+        "doc_a", "doc_b", F.lit(1).alias("_t")
+    )
     found = minhash_near_dup_pairs(docs, threshold=0.8).select(
-        "doc_a", "doc_b"
+        "doc_a", "doc_b", F.lit(1).alias("_f")
     )
-    # the detected set is bounded (near-dup pairs, not all pairs) —
-    # broadcast it under the truth scan; all aggregates are scalar
-    hits = truth.join(
-        F.broadcast(found.withColumn("_hit", F.lit(1))),
-        ["doc_a", "doc_b"],
-        "left",
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_truth"),
-        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+    # ONE full-outer pass: each expensive subtree (the all-pairs twin,
+    # the LSH chain) appears exactly once in the plan — a separate
+    # count(found) cross-joined back would re-run the band self-join
+    # and verification a second time. The detected set is bounded
+    # (near-dup pairs, not all pairs) — broadcast it under the truth
+    # side; all aggregates are scalar.
+    joined = truth.join(
+        F.broadcast(found), ["doc_a", "doc_b"], "full_outer"
     )
-    n_det = found.agg(F.count(F.lit(1)).cast("long").alias("n_detected"))
-    return hits.crossJoin(F.broadcast(n_det)).select(
+    report = joined.agg(
+        F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce("_f", F.lit(0))).cast("long").alias("n_detected"),
+        F.sum(
+            F.when(F.col("_t").isNotNull() & F.col("_f").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return report.select(
         "n_truth",
         "n_detected",
         "n_hit",
@@ -7512,42 +7530,14 @@ def d_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_recall_sql(threshold: float = 0.8) -> str:
-    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
-        MINHASH_P,
-        _uhash_coeffs,
-        lsh_banding_for,
-    )
-
-    k, bands, rows = lsh_banding_for(threshold)
-    coeffs = _uhash_coeffs(k)
-    base = r"CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 2147483647"
-    assert MINHASH_P == 2147483647
-    sigs = ",\n         ".join(
-        f"list_min(list_transform(mh, m -> ({a} * m + {b}) % 2147483647)) AS sig{i}"
-        for i, (a, b) in enumerate(coeffs)
-    )
-    band_exprs = ", ".join(
-        "md5(concat_ws('|', '{b}', {cols}))".format(
-            b=b, cols=", ".join(f"sig{b * rows + r}" for r in range(rows))
-        )
-        for b in range(bands)
-    )
     return rf"""
-WITH t AS (SELECT doc_id, {_SQL_TOKSET} AS ts FROM documents
-           WHERE doc_id % 10 = 0),
+WITH {_minhash_ctes(threshold, "WHERE doc_id % 10 = 0")},
 truth AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM t a JOIN t b ON a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
         / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
         >= {threshold}),
-tm AS (SELECT doc_id, list_transform(ts, t -> {base}) AS mh FROM t),
-sig AS (SELECT doc_id,
-         {sigs}
-        FROM tm),
-bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
 found AS (
   SELECT c.doc_a, c.doc_b
   FROM cand c JOIN t ta ON ta.doc_id = c.doc_a
@@ -11926,24 +11916,25 @@ def emb_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides are deterministic, so even the recall REPORT has an exact
     oracle (the two SQL chains composed)."""
     bf = emb_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    lsh = emb_lsh_ann(spark, sf_dir).select("query_id", "neighbor_id")
-    # both sides are bounded top-k lists (|queries|·k rows) — broadcast
-    # hints keep the comparison SMJ-free in the static plan (AQE would
-    # fix it at runtime; the hint makes the intent explicit)
-    hits = (
-        bf.join(F.broadcast(lsh), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    lsh = emb_lsh_ann(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
-    qs = bf.select("query_id").distinct()
+    # left join + groupBy: both sides are bounded top-k lists and bf
+    # appears ONCE in the plan (it has exactly k rows per query, so the
+    # groupBy emits every query incl. zero-hit ones); the broadcast hint
+    # keeps the comparison SMJ-free in the static plan
     return (
-        qs.join(F.broadcast(hits), "query_id", "left")
+        bf.join(F.broadcast(lsh), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits")
+        )
         .select(
             "query_id",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            (
-                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(5.0)
-            ).alias("recall_at_5"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
         )
         .orderBy("query_id")
     )
@@ -12292,7 +12283,7 @@ hits AS (
                                   << CAST(pr.p % 32 AS INT))) <> 0
               THEN 1 ELSE 0 END AS hit
   FROM probe pr LEFT JOIN words w ON pr.p // 32 = w.word)
-SELECT doc_id, sum(hit) = 5 AS in_filter
+SELECT doc_id, min(hit) = 1 AS in_filter
 FROM hits GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -12321,7 +12312,13 @@ def s_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_partitions,
     )
 
-    # batch calibration: one tiny row per user (the offline half)
+    # batch calibration: one tiny row per user (the offline half).
+    # The n/sx/sxx expressions deliberately inline the functions/exact.py
+    # davg/dstddev discipline instead of calling them: the monitor needs
+    # the n<2 / var<=0 branch decided BEFORE sqrt and the result
+    # quantized to BIGINT micro-units for the integer fold — the shared
+    # helpers return post-sqrt doubles. Keep the decimal(38,6) casts in
+    # lockstep with functions/exact.py if that module's scale changes.
     ev_b = _t(spark, sf_dir, "events")
     v = F.col("value")
     stats = ev_b.groupBy("user_id").agg(
@@ -12444,10 +12441,10 @@ def d_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sizes.groupBy("cluster_size")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_clusters"),
-            (F.count(F.lit(1)) * F.first("cluster_size"))
+            (F.count(F.lit(1)) * F.col("cluster_size"))
             .cast("long")
             .alias("n_docs"),
-            (F.count(F.lit(1)) * (F.first("cluster_size") - F.lit(1)))
+            (F.count(F.lit(1)) * (F.col("cluster_size") - F.lit(1)))
             .cast("long")
             .alias("n_removable"),
         )
@@ -12478,21 +12475,24 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     width for recall with the same index. Deterministic on both sides
     (seeded Lloyd fit), so the report has an exact oracle."""
     bf = emb_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = emb_ivf_ann(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        bf.join(F.broadcast(ivf), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    ivf = emb_ivf_ann(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
-    qs = bf.select("query_id").distinct()
+    # left join + groupBy: bf appears ONCE in the plan (it has exactly
+    # k rows per query, so the groupBy emits every query incl. zero-hit
+    # ones — no second evaluation for a distinct query list)
     return (
-        qs.join(F.broadcast(hits), "query_id", "left")
+        bf.join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits")
+        )
         .select(
             "query_id",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            (
-                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(5.0)
-            ).alias("recall_at_5"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
         )
         .orderBy("query_id")
     )

@@ -375,8 +375,14 @@ def exact_jaccard_pairs(
         F.col(id_col).alias("doc_a"), F.col("token_set").alias("set_a")
     ).repartition(par)
     b = toks.select(F.col(id_col).alias("doc_b"), F.col("token_set").alias("set_b"))
+    # hint the broadcast only inside the DEFAULT guard bound — a caller
+    # who explicitly raised max_rows past it opted into a big input, and
+    # force-broadcasting that side would hit the broadcast size limit
+    # where the planner-chosen join still completes
+    if probe <= EXACT_PAIRS_MAX_ROWS:
+        b = F.broadcast(b)
     return (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
         .withColumn("jaccard", jaccard(F.col("set_a"), F.col("set_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", (F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"))

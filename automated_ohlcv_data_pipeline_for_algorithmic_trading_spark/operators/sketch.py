@@ -363,8 +363,14 @@ def bloom_might_contain(
     so the probe is one map-side join however large the probe set. No
     false negatives by construction; false-positive odds ~(1-e^{-kn/m})^k.
     Output: id_cols + in_filter (boolean)."""
+    if not id_cols:
+        raise ValueError(
+            "bloom_might_contain needs id_cols: the verdict is ALL of a"
+            " group's k positions hitting, so rows must group by a probe"
+            " identity (an empty grouping would AND every probe together)"
+        )
     c = F.col(col) if isinstance(col, str) else col
-    ids = id_cols or []
+    ids = list(id_cols)
     pos = probes.select(
         *ids,
         F.explode(
@@ -385,7 +391,11 @@ def bloom_might_contain(
             != 0
         )
     ).cast("int")
+    # min, not sum == k: a duplicated probe id contributes k rows PER
+    # OCCURRENCE, and sum == k would turn a present value into a false
+    # negative — min(hit) == 1 is "every position of every occurrence
+    # hit", duplicate-safe and still exactly the k-position AND
     return (
         joined.groupBy(*ids)
-        .agg((F.sum(hit) == F.lit(k)).alias("in_filter"))
+        .agg((F.min(hit) == F.lit(1)).alias("in_filter"))
     )

@@ -889,3 +889,31 @@ class TestBloom:
         ).collect()
         # fp odds ~(1-e^{-kn/m})^k ~ 1e-15 at n=200, m=2^20: all miss
         assert all(not r["in_filter"] for r in rows)
+
+
+def test_bloom_probe_is_duplicate_safe_and_requires_ids(spark):
+    """A probe id appearing twice must NOT flip a present value to a
+    false negative (the min-of-hits form); omitting id_cols is an error,
+    not a silent global AND."""
+    import pytest
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+        bloom_might_contain,
+        bloom_sketch,
+    )
+
+    corpus = spark.createDataFrame([("alpha",), ("beta",)], "text string")
+    sk = bloom_sketch(corpus, "text")
+    dup_probes = spark.createDataFrame(
+        [(1, "alpha"), (1, "alpha"), (2, "missing")],
+        "probe_id long, text string",
+    )
+    rows = {
+        r["probe_id"]: r["in_filter"]
+        for r in bloom_might_contain(
+            sk, dup_probes, "text", id_cols=["probe_id"]
+        ).collect()
+    }
+    assert rows[1] is True and rows[2] is False
+    with pytest.raises(ValueError):
+        bloom_might_contain(sk, dup_probes, "text")
