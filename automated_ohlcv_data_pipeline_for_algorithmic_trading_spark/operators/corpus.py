@@ -30,6 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .rank import distributed_running_sum
 from .text import token_ngrams, tokens
 
 
@@ -678,10 +679,13 @@ def ccnet_buckets(
     # cut lineage once (same discipline as unigram_xent's dt)
     x = x.localCheckpoint()
     hist = x.groupBy("_xq").agg(F.count(F.lit(1)).alias("_cnt"))
-    wcum = Window.orderBy("_xq").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("_ccum", F.sum("_cnt").over(wcum))
-    tot = x.agg(F.count(F.lit(1)).alias("_n"))
-    j = cum.crossJoin(F.broadcast(tot))
+    # two-pass distributed prefix sum over the bounded histogram
+    # (operators/rank.py) — the doc total N falls out of the offset
+    # fold as a literal, so the previous one-row total cross join is
+    # gone along with the ungrouped window
+    j = distributed_running_sum(
+        hist, [F.col("_xq").asc()], "_cnt", "_ccum", total_col="_n"
+    )
     c1 = j.filter(F.col("_ccum") * 3 >= F.col("_n")).agg(
         F.min("_xq").alias("_c1")
     )
@@ -1057,17 +1061,31 @@ def reciprocal_rank_fusion(
         F.sum("_c").alias("_rrf_q"),
         F.count(F.lit(1)).cast("long").alias("n_sources"),
     )
-    w = Window.orderBy(F.col("_rrf_q").desc(), F.col(id_col).asc())
-    return (
+    # top-k via TakeOrdered, then number the <= top survivors from ONE
+    # scalar aggregate: array_sort on struct(-score, id) is exactly the
+    # (score desc, id asc) rank order (BIGINT negation is exact), and
+    # posexplode's position is the rank — no ungrouped window, no
+    # single-partition WindowExec on the hot path
+    top_rows = (
         fused.orderBy(F.col("_rrf_q").desc(), F.col(id_col).asc())
         .limit(top)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .select(
-            "rank",
-            id_col,
-            (F.col("_rrf_q").cast("double") / F.lit(1e9)).alias("rrf_score"),
-            "n_sources",
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("_rrf_q")).alias("_nq"),
+                        F.col(id_col).alias("_id"),
+                        F.col("n_sources").alias("_ns"),
+                    )
+                )
+            ).alias("_a")
         )
+    )
+    return top_rows.select(F.posexplode("_a").alias("_i0", "_s")).select(
+        (F.col("_i0") + 1).cast("long").alias("rank"),
+        F.col("_s._id").alias(id_col),
+        ((-F.col("_s._nq")).cast("double") / F.lit(1e9)).alias("rrf_score"),
+        F.col("_s._ns").alias("n_sources"),
     )
 
 
@@ -1112,22 +1130,48 @@ def unimax_plan(
         )
         .withColumn("cap_tokens", F.lit(epochs_max) * F.col("n_tokens"))
     )
-    w_rank = Window.orderBy(F.col("cap_tokens").asc(), F.col("lang").asc())
-    w_all = Window.partitionBy()
-    ranked = per_lang.select(
-        "*",
-        F.row_number().over(w_rank).alias("_i"),
-        F.sum("cap_tokens").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)).alias("_cs"),
-        F.count(F.lit(1)).over(w_all).alias("_n"),
+    # the per-language table is tiny BY NATURE (one row per language),
+    # so rank / prefix-sum / totals all come from ONE scalar aggregate:
+    # pack the rows into a sorted array (array_sort on the struct is
+    # exactly ORDER BY cap_tokens, lang — lang is unique, later fields
+    # never compared), posexplode for the rank, and higher-order
+    # F.aggregate over array prefixes for the cumulative cap (O(n²)
+    # element ops on an n-languages array — trivial, JVM-side, and no
+    # ungrouped window anywhere in the plan)
+    packed = per_lang.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cap_tokens").alias("_ck"),
+                    F.col("lang").alias("_lg"),
+                    F.col("n_docs").alias("_nd"),
+                    F.col("n_tokens").alias("_nt"),
+                )
+            )
+        ).alias("_a")
+    )
+    ex = packed.select("_a", F.posexplode("_a").alias("_i0", "_s"))
+    ranked = ex.select(
+        F.col("_s._lg").alias("lang"),
+        F.col("_s._nd").alias("n_docs"),
+        F.col("_s._nt").alias("n_tokens"),
+        F.col("_s._ck").alias("cap_tokens"),
+        (F.col("_i0") + 1).alias("_i"),
+        F.aggregate(
+            F.slice("_a", F.lit(1), F.col("_i0") + 1),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + s["_ck"],
+        ).alias("_cs"),
+        F.size("_a").cast("long").alias("_n"),
         (
             F.lit(budget_tokens).cast("long")
             if budget_tokens is not None
-            else F.sum("n_tokens").over(w_all)
+            else F.aggregate(
+                "_a", F.lit(0).cast("long"), lambda acc, s: acc + s["_nt"]
+            )
         ).alias("_b"),
     )
-    # the per-language table is tiny BY NATURE (one row per language);
-    # the ungrouped rank window is a deliberate single-partition pass
-    # over it, and the scalar (k, level) reduction broadcasts back
+    # the scalar (k, level) reduction broadcasts back
     capped = ranked.withColumn(
         "_capped", (F.col("_b") - F.col("_cs")) >= F.col("cap_tokens") * (F.col("_n") - F.col("_i"))
     )

@@ -3204,24 +3204,28 @@ def event_study(
     avg_ret = F.col("_s").cast("double") / F.col("n_obs").cast("double") / F.lit(
         1e6
     )
-    wo = Window.orderBy("offset").rowsBetween(Window.unboundedPreceding, 0)
-    car = (
-        F.sum(
-            F.floor(
-                F.col("_s").cast("double") / F.col("n_obs").cast("double")
-                + F.lit(0.5)
-            ).cast("long")
-        )
-        .over(wo)
-        .cast("double")
-        / F.lit(1e6)
+    # cumulative abnormal return = running BIGINT sum of the quantized
+    # per-offset mean over the (bounded, distinct-keyed) offset table —
+    # the two-pass distributed prefix sum from operators/rank.py, not an
+    # ungrouped window
+    from .rank import distributed_running_sum
+
+    staged = agg.withColumn(
+        "_avg6",
+        F.floor(
+            F.col("_s").cast("double") / F.col("n_obs").cast("double")
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    cum = distributed_running_sum(
+        staged, [F.col("offset").asc()], "_avg6", "_car6"
     )
     return (
-        agg.select(
+        cum.select(
             "offset",
             "n_obs",
             avg_ret.alias("avg_ret"),
-            car.alias("car"),
+            (F.col("_car6").cast("double") / F.lit(1e6)).alias("car"),
         )
         .orderBy("offset")
     )

@@ -20,8 +20,10 @@ is bit-identical in any engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .rank import distributed_running_sum
 
 __all__ = ["quantile_bucket"]
 
@@ -47,9 +49,12 @@ def quantile_bucket(
     hist = df.filter(v.isNotNull()).groupBy(v.alias("_v")).agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    wcum = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("_ccum", F.sum("_cnt").over(wcum)).withColumn(
-        "_n", F.sum("_cnt").over(Window.partitionBy())
+    # two-pass distributed prefix sum over the bounded histogram (the
+    # grouped keys are distinct, so "_v" alone is a total order); the
+    # grand total rides along as a literal — no ungrouped window, no
+    # single-task sort however many distinct values exist
+    cum = distributed_running_sum(
+        hist, [F.col("_v").asc()], "_cnt", "_ccum", total_col="_n"
     )
     cuts = cum.agg(
         *[

@@ -13,10 +13,11 @@ two-pass replacement:
    assignment; range sampling is not contractually deterministic across
    recomputation).
 3. Count rows per partition — the only "global" data is one (pid, count)
-   row per partition, prefix-summed with a window over P rows (P ≈
-   shuffle partitions, never data-sized).
-4. Broadcast the offsets back and add a PER-PARTITION ``row_number``
-   (``PARTITION BY pid`` — a keyed, distributed window).
+   row per partition (P ≈ shuffle partitions, never data-sized),
+   collected and prefix-summed driver-side.
+4. Inline the offsets as a literal pid->offset map and add a
+   PER-PARTITION ``row_number`` (``PARTITION BY pid`` — a keyed,
+   distributed window; no ungrouped WindowExec anywhere).
 
 The result is bit-identical to the global ``row_number`` whenever the
 full sort key is a total order (callers append a unique tie-break column,
@@ -34,10 +35,9 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["distributed_row_number"]
+__all__ = ["distributed_row_number", "distributed_running_sum"]
 
 _PID = "__dr_pid"
-_OFF = "__dr_off"
 
 
 def distributed_row_number(
@@ -55,9 +55,9 @@ def distributed_row_number(
 
     The input is localCheckpoint-ed (materialized once, lineage cut) so
     the per-partition counts and the per-partition local ranks are
-    computed over the SAME range assignment.  Driver-side data: none;
-    the offset table is one row per partition and stays a DataFrame
-    (broadcast-joined back).
+    computed over the SAME range assignment.  Driver-side data: one
+    (pid, count) row per partition — bounded at ``num_partitions``,
+    never data-sized — folded into a literal pid->offset map.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -70,25 +70,107 @@ def distributed_row_number(
         .localCheckpoint()
     )
 
-    # One row per range partition; the prefix-sum window runs over P rows
-    # (32-ish), never over the data.
-    counts = stamped.groupBy(_PID).agg(F.count(F.lit(1)).alias("_c"))
-    off_w = (
-        Window.orderBy(_PID)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        _PID,
-        F.coalesce(F.sum("_c").over(off_w), F.lit(0)).cast("long").alias(_OFF),
+    # One count row per range partition — bounded at ``num_partitions``
+    # BY CONSTRUCTION, so the prefix sum is a driver-side fold over a
+    # P-row collect (same bounded-artifact class as the centroid
+    # tables), inlined back as a literal pid->offset map.  ``stamped``
+    # is already materialized by the localCheckpoint, so this triggers
+    # no recomputation; vs the previous unpartitioned-window + broadcast
+    # join it removes one Exchange AND the WindowExec "No Partition
+    # Defined" warning that fired 6x per ranked query (a
+    # forgot-partitionBy heuristic crying wolf on a 32-row table — a
+    # foldable partitionBy(lit) is optimizer-stripped, so the honest
+    # fix is to not plan a window at all).
+    counts = stamped.groupBy(_PID).agg(F.count(F.lit(1)).alias("_c")).collect()
+    acc = 0
+    off_pairs: list[Column] = []
+    for row in sorted(counts, key=lambda r: r[_PID]):
+        off_pairs += [F.lit(row[_PID]), F.lit(acc)]
+        acc += row["_c"]
+    # empty input -> no partitions -> every offset is 0 (an argless
+    # create_map() is map<void,void> and cannot be indexed)
+    off_map = (
+        F.create_map(*off_pairs)[F.col(_PID)]
+        if off_pairs
+        else F.lit(0)
     )
 
     local_w = Window.partitionBy(_PID).orderBy(*order_by)
-    ranked = (
-        stamped.join(F.broadcast(offsets), _PID)
-        .withColumn(
-            rank_col,
-            (F.col(_OFF) + F.row_number().over(local_w)).cast("long"),
-        )
-        .drop(_PID, _OFF)
-    )
+    ranked = stamped.withColumn(
+        rank_col,
+        (
+            F.coalesce(off_map, F.lit(0)).cast("long")
+            + F.row_number().over(local_w)
+        ).cast("long"),
+    ).drop(_PID)
     return ranked
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_col: str,
+    out_col: str = "_csum",
+    num_partitions: Optional[int] = None,
+    total_col: Optional[str] = None,
+) -> DataFrame:
+    """Append ``out_col`` = running BIGINT sum of ``value_col`` over the
+    total order ``order_by`` — the ``distributed_row_number`` machinery
+    applied to ``sum`` instead of ``row_number``.
+
+    ``sum(v) OVER (ORDER BY ...)`` with no PARTITION BY is the same
+    single-task scale bug as the ungrouped row_number (and fires the
+    same WindowExec warning): Spark sorts the whole input in one
+    partition.  Here: range-partition on the key, pin the assignment
+    (localCheckpoint), per-partition value totals collected driver-side
+    (bounded at ``num_partitions`` rows), inlined as a literal
+    pid->offset map, then a per-partition keyed cumulative window.
+    Bit-identical to the global running sum for BIGINT values under a
+    total order (integer addition is associative; callers pass distinct
+    keys or append a tie-break)."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    order_by = list(order_by)
+
+    stamped = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = (
+        stamped.groupBy(_PID)
+        .agg(F.sum(value_col).cast("long").alias("_s"))
+        .collect()
+    )
+    acc = 0
+    off_pairs: list[Column] = []
+    for row in sorted(totals, key=lambda r: r[_PID]):
+        off_pairs += [F.lit(row[_PID]), F.lit(acc)]
+        acc += row["_s"] or 0
+    # empty input -> no partitions -> every offset is 0 (an argless
+    # create_map() is map<void,void> and cannot be indexed)
+    off_map = (
+        F.create_map(*off_pairs)[F.col(_PID)]
+        if off_pairs
+        else F.lit(0)
+    )
+
+    local_w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = stamped.withColumn(
+        out_col,
+        (
+            F.coalesce(off_map, F.lit(0)).cast("long")
+            + F.sum(value_col).over(local_w).cast("long")
+        ).cast("long"),
+    ).drop(_PID)
+    if total_col is not None:
+        # the grand total fell out of the offset fold — a driver-known
+        # constant, so it inlines as a literal (no second pass, no
+        # one-row cross join)
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out

@@ -172,11 +172,19 @@ def seeded_centroids(
         "_h", F.md5(F.col("_vid").cast("string").cast("binary"))
     )
     # bottom-k by hash (TakeOrdered — no full sort at scale), then number
-    # the k seed rows; the window spans only n_lists rows.
+    # the k seed rows from ONE scalar aggregate: array_sort on the
+    # (_h, _vid, _x) struct is exactly ORDER BY _h, _vid (md5 is unique,
+    # later fields never compared) and posexplode's position is the
+    # 0-based cell id — no ungrouped window over the seeds.
     seeds = seeded.orderBy("_h", "_vid").limit(n_lists)
-    w0 = Window.orderBy("_h", "_vid")
-    cents = seeds.withColumn("cell", F.row_number().over(w0) - 1).select(
-        "cell", F.col("_x").alias("centroid")
+    cents = (
+        seeds.agg(
+            F.array_sort(
+                F.collect_list(F.struct("_h", "_vid", "_x"))
+            ).alias("_a")
+        )
+        .select(F.posexplode("_a").alias("cell", "_s"))
+        .select("cell", F.col("_s._x").alias("centroid"))
     )
     for _ in range(n_iter):
         assigned = _assign_cells(base, cents)
@@ -1072,10 +1080,17 @@ def _pq_fit(base: DataFrame, el: DataFrame, k: int, n_iter: int, d: int) -> Data
         "_h", F.md5(F.col("_vid").cast("string").cast("binary"))
     )
     seeds = seeded.orderBy("_h", "_vid").limit(k)
-    w0 = Window.orderBy("_h", "_vid")
-    seat = seeds.withColumn("cell", F.row_number().over(w0) - 1)
+    # number the k seed rows via the sorted-array pack (see ivf_index) —
+    # position = 0-based cell id, no ungrouped window
+    seat = (
+        seeds.agg(
+            F.array_sort(F.collect_list(F.struct("_h", "_vid"))).alias("_a")
+        )
+        .select(F.posexplode("_a").alias("cell", "_s"))
+        .select(F.col("_s._vid").alias("_vid"), "cell")
+    )
     cents = (
-        el.join(F.broadcast(seat.select("_vid", "cell")), "_vid")
+        el.join(F.broadcast(seat), "_vid")
         .select("sub", "cell", F.col("_sx").alias("centroid"))
     )
 
@@ -1845,9 +1860,25 @@ def pca_outlier_scores(
         .orderBy(F.col("_s").desc(), F.col(id_col).asc())
         .limit(top)
     )
-    w = Window.orderBy(F.col("_s").desc(), F.col(id_col).asc())
-    return top_rows.select(
-        F.row_number().over(w).cast("long").alias("rank"),
-        id_col,
-        q6("_s", "score"),
+    # rank the <= top survivors from one scalar aggregate: struct sorts
+    # ascending by (-score, id) — IEEE negation is exact and the score
+    # is a nonnegative quadratic form, so this is exactly (score desc,
+    # id asc); posexplode position + 1 = rank. No ungrouped window.
+    return (
+        top_rows.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("_s")).alias("_ns"),
+                        F.col(id_col).alias("_id"),
+                    )
+                )
+            ).alias("_a")
+        )
+        .select(F.posexplode("_a").alias("_i0", "_t"))
+        .select(
+            (F.col("_i0") + 1).cast("long").alias("rank"),
+            F.col("_t._id").alias(id_col),
+            q6(-F.col("_t._ns"), "score"),
+        )
     )

@@ -371,19 +371,27 @@ def bloom_might_contain(
         )
     c = F.col(col) if isinstance(col, str) else col
     ids = list(id_cols)
+    # NULL probes are never "in" the filter: the build side drops NULLs
+    # (bloom_sketch filters isNotNull), and SQL string concatenation
+    # propagates NULL — but Spark's concat_ws SKIPS nulls, so without
+    # this flag a NULL probe would hash the bare salt strings and could
+    # report a false positive the SQL twin can never report.
     pos = probes.select(
         *ids,
+        c.isNull().alias("_pnull"),
         F.explode(
             F.array(*[_bloom_pos(c, i, m_bits) for i in range(k)])
         ).alias("_pos"),
     ).select(
         *ids,
+        "_pnull",
         F.expr("_pos div 32").cast("long").alias("word"),
         (F.col("_pos") % 32).cast("int").alias("_bit"),
     )
     joined = pos.join(F.broadcast(sketch), "word", "left")
     hit = (
-        F.col("bits").isNotNull()
+        (~F.col("_pnull"))
+        & F.col("bits").isNotNull()
         & (
             F.col("bits").bitwiseAND(
                 F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")

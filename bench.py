@@ -167,6 +167,73 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     query_only = {k: v for k, v in timings.items() if k != "etl_bronze_silver_500sym"}
+
+    # --- committed full per-query artifact (VERDICT r8 ask #3): the
+    # driver's BENCH_r*.json keeps only a truncated output tail, so the
+    # COMPLETE query->seconds map plus sitting metadata goes to
+    # BENCH_LOCAL_r{N}.json at the repo root, with a same-file ratio
+    # diff against the previous committed map (median per-query ratio
+    # over comparable >0.5 s queries — the number that separates code
+    # regressions from the documented 1.1-1.4x cross-sitting VM drift).
+    import glob
+    import re
+    import statistics
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    corr = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", f))
+    ]
+    rnd = int(
+        os.environ.get("SPARK_GRAFT_ROUND", (max(corr) + 1) if corr else 0)
+    )
+    prev_files = sorted(
+        f
+        for f in glob.glob(os.path.join(root, "BENCH_LOCAL_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", f)) and int(m.group(1)) < rnd
+    )
+    ratio_info = None
+    if prev_files:
+        with open(prev_files[-1]) as fh:
+            prev = json.load(fh)
+        prev_q = prev.get("queries", {})
+        ratios = sorted(
+            timings[k] / prev_q[k]
+            for k in timings
+            if prev_q.get(k, 0) > 0.5 and timings[k] > 0.5
+        )
+        ratio_info = {
+            "prev_file": os.path.basename(prev_files[-1]),
+            "n_compared": len(ratios),
+            "median_ratio": round(statistics.median(ratios), 3)
+            if ratios
+            else None,
+            "p90_ratio": round(ratios[int(len(ratios) * 0.9)], 3)
+            if ratios
+            else None,
+        }
+    artifact = {
+        "round": rnd,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "sf": sf_num,
+        "cpus": os.cpu_count(),
+        "n_queries": len(query_only),
+        "total_sec": total,
+        "mean_query_sec": round(sum(query_only.values()) / len(query_only), 3),
+        "median_query_sec": round(
+            statistics.median(query_only.values()), 3
+        ),
+        "max_query_sec": round(max(query_only.values()), 3),
+        "etl_sec": timings.get("etl_bronze_silver_500sym"),
+        "stream_startup_sec": startup,
+        "ratio_vs_prev": ratio_info,
+        "queries": dict(sorted(timings.items())),
+        "stream_net_of_startup": dict(sorted(stream_net.items())),
+    }
+    with open(os.path.join(root, f"BENCH_LOCAL_r{rnd:02d}.json"), "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=False)
+        fh.write("\n")
     print(
         json.dumps(
             {

@@ -31,6 +31,18 @@ spark.stop()
 EOF
 
 if [[ "${1:-}" != "fast" ]]; then
+  # VERDICT r8 ask #2: the committed SWEEP_HASHES.json ledger must be
+  # stamped on the tree it claims to describe. Refuse to run the
+  # stamping sweep if anything is modified beyond the gate's own
+  # artifacts (ledger / log / bench artifact / driver progress file) —
+  # commit first, then run the full gate.
+  dirty=$(git status --porcelain | grep -vE ' (SWEEP_HASHES\.json|PREFLIGHT\.log|PROGRESS\.jsonl|BENCH_LOCAL_r[0-9]+\.json)$' || true)
+  if [[ -n "$dirty" ]]; then
+    echo "preflight: REFUSING to stamp SWEEP_HASHES.json on a dirty tree." >&2
+    echo "Commit these first (or run 'preflight.sh fast'):" >&2
+    echo "$dirty" >&2
+    exit 1
+  fi
   echo "== preflight: sf0.01 oracle sweep (driver t2 mirror) =="
   python scripts/verify_local.py
 fi

@@ -143,11 +143,25 @@ def main() -> int:
                 ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
                 cwd="/root/repo",
             ).stdout.strip()
+            # dirty = any modification OTHER than the gate's own
+            # artifacts (this ledger, the preflight log, the bench
+            # artifact, the driver's progress file) — those are
+            # rewritten by the gate itself and committed immediately
+            # after, so counting them would make every stamp
+            # self-dirtying (the exact trust gap VERDICT r8 flagged)
+            _own = ("SWEEP_HASHES.json", "PREFLIGHT.log", "PROGRESS.jsonl")
+            status = subprocess.run(
+                ["git", "status", "--porcelain"], capture_output=True,
+                text=True, cwd="/root/repo",
+            ).stdout.splitlines()
             dirty = bool(
-                subprocess.run(
-                    ["git", "status", "--porcelain"], capture_output=True,
-                    text=True, cwd="/root/repo",
-                ).stdout.strip()
+                [
+                    ln
+                    for ln in status
+                    if ln.strip()
+                    and not ln[3:].startswith(_own)
+                    and not ln[3:].startswith("BENCH_LOCAL_r")
+                ]
             )
         except Exception:  # noqa: BLE001
             sha, dirty = "unknown", True

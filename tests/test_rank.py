@@ -91,3 +91,65 @@ def test_rank_no_ungrouped_window(spark):
             # the offsets prefix-sum window — verify it is partition-count
             # sized by checking it references the count column only
             assert "_c" in line or "__dr_off" in line, line
+
+
+def test_running_sum_parity_random(spark):
+    """distributed_running_sum == the ungrouped cumulative window, bit
+    for bit, on a distinct-keyed table (the histogram shape every
+    in-repo caller feeds it)."""
+    rng = random.Random(11)
+    rows = [(k, rng.randint(-5, 100)) for k in range(1500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.rank import (
+        distributed_running_sum,
+    )
+
+    got = distributed_running_sum(
+        df, [F.col("k").asc()], "v", "_cs", num_partitions=7, total_col="_n"
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("_cs", F.sum("v").over(w).cast("long"))
+    mismatches = (
+        got.select("k", F.col("_cs").alias("g"))
+        .join(want.select("k", F.col("_cs").alias("w")), "k")
+        .filter(F.col("g") != F.col("w"))
+        .count()
+    )
+    assert mismatches == 0
+    total = sum(v for _, v in rows)
+    assert got.select("_n").distinct().collect() == [(total,)]
+
+
+def test_running_sum_empty(spark):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.rank import (
+        distributed_running_sum,
+    )
+
+    df = spark.createDataFrame([], "k long, v long")
+    out = distributed_running_sum(
+        df, [F.col("k").asc()], "v", "_cs", total_col="_n"
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v", "_cs", "_n"]
+
+
+def test_no_unpartitioned_window_in_plan(spark):
+    """The structural point of the two-pass helpers: the physical plan
+    must contain no ungrouped WindowExec (the 'No Partition Defined'
+    shape that collapses data to one task)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.rank import (
+        distributed_running_sum,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    for out in (
+        distributed_row_number(df, [F.col("k").asc()], "_rk"),
+        distributed_running_sum(df, [F.col("k").asc()], "v", "_cs"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line:
+                # every WindowExec must carry a partition spec
+                assert "__dr_pid" in line, line

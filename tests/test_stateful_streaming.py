@@ -128,3 +128,66 @@ def test_cusum_closed_form_carries_state_across_batches():
         assert bool(got.loc[i, "alarm_neg"]) == (sn > h6)
     # the fixture must exercise BOTH a clamp-to-zero and an alarm
     assert any(got["alarm_pos"]) and any(got["cusum_pos"] == 0.0)
+
+
+def test_stateful_fold_state_is_key_bounded(spark, tmp_path):
+    """applyInPandasWithState state must be ONE row per key, flat across
+    micro-batches — the grouped-fold mirror of
+    test_stream_join_outer_state_is_watermark_bounded. Eight files
+    stream one per batch for 5 symbols; the state-store row count must
+    plateau at 5 (the key count) and never track the cumulative input
+    (a fold that appended per-row state instead of folding would grow
+    linearly)."""
+    import os
+    import time
+
+    n_files, n_syms = 8, 5
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    base = 1704099300
+    now = time.time()
+    for b in range(n_files):
+        data = {}
+        for s in range(n_syms):
+            sym = f"NSE:S{s}-EQ"
+            candles = [
+                [float(base + 300 * (b * 4 + i)), 10, 11, 9, 10.0 + b, 100.0]
+                for i in range(4)
+            ]
+            data[sym] = {
+                "symbol": sym,
+                "resolution": "5",
+                "candles": candles,
+            }
+        f = raw / f"b{b}.json"
+        f.write_text(json.dumps({"data": data}))
+        os.utime(f, (now - 600 + b * 60, now - 600 + b * 60))
+
+    stream = (
+        spark.readStream.schema(RAW_ENVELOPE_SCHEMA)
+        .option("multiLine", "true")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(raw))
+    )
+    vwap = streaming_vwap(bronze_to_silver(stream, dedup=None))
+    q = (
+        vwap.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progresses
+        if p["numInputRows"] > 0
+    ]
+    total_input = sum(p["numInputRows"] for p in progresses)
+    assert len(state_rows) >= n_files, (state_rows, total_input)
+    # one raw envelope row per file at the source (candles explode later)
+    assert total_input == n_files
+    # one state row per key from the FIRST batch on, dead flat: the
+    # fold compacts, it never accumulates rows
+    assert state_rows[0] == n_syms, state_rows
+    assert set(state_rows) == {n_syms}, state_rows

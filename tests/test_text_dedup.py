@@ -673,3 +673,35 @@ class TestDupClusterStats:
         for r in rows:
             assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
             assert r["cluster_size"] >= 2  # singletons never enter the graph
+
+
+class TestDupComponentsLifecycle:
+    def test_probe_matches_one_shot_bit_identical(self, spark, sf_dir):
+        """The persisted-decisions lifecycle contract (the emb_ivf_probe
+        pattern applied to dedup): build-once parquet + probe row must
+        return exactly the one-shot chain's rows, and the stats report
+        must aggregate the SAME decision set."""
+        import os
+
+        import __spark_entry__ as E
+
+        one_shot = E.d_dup_components(spark, sf_dir).collect()
+        probe = E.d_dup_components_probe(spark, sf_dir).collect()
+        assert probe == one_shot
+        # the artifact exists and is keyed on the source file
+        idx = E._dup_index_dir(sf_dir, 0.95)
+        assert os.path.exists(os.path.join(idx, "_BUILT"))
+        # the stats report reads the same stored decisions: its doc mass
+        # equals the component vertex count
+        stats = E.d_dup_cluster_stats(spark, sf_dir).collect()
+        assert sum(r["n_docs"] for r in stats) == len(one_shot)
+
+    def test_stale_index_is_rebuilt_on_source_change(self, spark, sf_dir, tmp_path):
+        """A different source path (size/mtime key) must yield a
+        DIFFERENT index dir — a regenerated corpus can never be probed
+        through a stale decision set."""
+        import __spark_entry__ as E
+
+        a = E._dup_index_dir(sf_dir, 0.95)
+        b = E._dup_index_dir(sf_dir, 0.80)
+        assert a != b  # threshold is part of the key
