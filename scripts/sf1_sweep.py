@@ -97,6 +97,10 @@ QUERIES = [
     "emb_ivf_recall",
     "x_holt_linear",
     "d_dup_cluster_stats",
+    # round 9: the persisted dedup-components lifecycle — the probe row
+    # reads the stored decision parquet (the chain cost amortizes the
+    # way the ANN fit does); cluster stats above now also reads it
+    "d_dup_components_probe",
     "e_cusum_drift",
     "s_stream_cusum",
     "d_bloom_membership",
