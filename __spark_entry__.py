@@ -12593,6 +12593,593 @@ ORDER BY query_id
 """
 
 
+# --- round 9 additions -----------------------------------------------------
+
+
+def x_fractals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams fractal pivots over per-user daily bars: a bar is a
+    fractal HIGH iff its high strictly exceeds the two bars on each
+    side (symmetric 5-bar pattern; lows mirror). Pure lag/lead
+    comparisons — all four neighbors and both flags share ONE per-user
+    exchange+sort; edge bars (fewer than two neighbors) are false via
+    3VL AND + coalesce, identical in both engines."""
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+    fh = F.coalesce(
+        (F.col("high") > F.lag("high", 1).over(w))
+        & (F.col("high") > F.lag("high", 2).over(w))
+        & (F.col("high") > F.lead("high", 1).over(w))
+        & (F.col("high") > F.lead("high", 2).over(w)),
+        F.lit(False),
+    )
+    fl = F.coalesce(
+        (F.col("low") < F.lag("low", 1).over(w))
+        & (F.col("low") < F.lag("low", 2).over(w))
+        & (F.col("low") < F.lead("low", 1).over(w))
+        & (F.col("low") < F.lead("low", 2).over(w)),
+        F.lit(False),
+    )
+    return daily.select(
+        "user_id",
+        "trade_date",
+        "high",
+        "low",
+        fh.alias("fractal_high"),
+        fl.alias("fractal_low"),
+    ).orderBy("user_id", "trade_date")
+
+
+_X_FRACTALS_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV})
+SELECT user_id, trade_date, high, low,
+       coalesce(high > lag(high, 1) OVER w AND high > lag(high, 2) OVER w
+            AND high > lead(high, 1) OVER w AND high > lead(high, 2) OVER w,
+            FALSE) AS fractal_high,
+       coalesce(low < lag(low, 1) OVER w AND low < lag(low, 2) OVER w
+            AND low < lead(low, 1) OVER w AND low < lead(low, 2) OVER w,
+            FALSE) AS fractal_low
+FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+ORDER BY user_id, trade_date
+"""
+
+
+def x_rvol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative volume: today's volume over the trailing 20-bar average
+    (EXCLUDING today — the practitioner definition; including it would
+    dampen exactly the spikes the ratio exists to flag). rvol stays a
+    ratio of exact BIGINTs — volume·count/sum with every operand under
+    2^53, so the double division is bit-identical cross-engine. First
+    bar has no history -> NULL rvol, false flag."""
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+    prior = w.rowsBetween(-20, -1)
+    s = F.sum("volume").over(prior).cast("long")
+    c = F.count(F.lit(1)).over(prior).cast("long")
+    rvol = (
+        (F.col("volume") * c).cast("double") / s.cast("double")
+    )
+    return daily.select(
+        "user_id",
+        "trade_date",
+        "volume",
+        rvol.alias("rvol"),
+        F.coalesce(rvol >= F.lit(1.5), F.lit(False)).alias("volume_spike"),
+    ).orderBy("user_id", "trade_date")
+
+
+_X_RVOL_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+c AS (
+  SELECT user_id, trade_date, volume,
+         CAST(volume * count(*) OVER f AS DOUBLE)
+           / CAST(sum(volume) OVER f AS DOUBLE) AS rvol
+  FROM daily
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT user_id, trade_date, volume, rvol,
+       coalesce(rvol >= 1.5, FALSE) AS volume_spike
+FROM c ORDER BY user_id, trade_date
+"""
+
+
+def x_squeeze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTM squeeze: Bollinger bands (20, 2 sigma) INSIDE Keltner
+    channels (20, 1.5 x TR mean) flags a volatility compression — the
+    setup screen that precedes breakout entries. Composes the existing
+    keltner_channels operator with the e_cusum_drift variance recipe
+    (decimal-exact sx/sxx windows, one double sqrt), so every band is
+    bit-identical in windowed SQL; ALL windows share one per-user
+    exchange+sort."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        keltner_channels,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    kc = keltner_channels(
+        daily, ["user_id"], "trade_date", n=20, m=20, mult=1.5
+    )
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+    f = w.rowsBetween(-19, 0)
+    dec = "decimal(38,6)"
+    sx = F.sum(F.col("close").cast(dec)).over(f).cast("double")
+    sxx = (
+        F.sum((F.col("close") * F.col("close")).cast(dec))
+        .over(f)
+        .cast("double")
+    )
+    n = F.count(F.lit(1)).over(f).cast("double")
+    var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    sd = F.when((n >= F.lit(2.0)) & (var > F.lit(0.0)), F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    out = (
+        kc.withColumn("bb_mid", sx / n)
+        .withColumn("bb_upper", F.col("bb_mid") + F.lit(2.0) * sd)
+        .withColumn("bb_lower", F.col("bb_mid") - F.lit(2.0) * sd)
+        .withColumn(
+            "squeeze_on",
+            (F.col("bb_upper") < F.col("kc_upper"))
+            & (F.col("bb_lower") > F.col("kc_lower")),
+        )
+    )
+    return out.select(
+        "user_id",
+        "trade_date",
+        "close",
+        "bb_upper",
+        "bb_lower",
+        "kc_upper",
+        "kc_lower",
+        "squeeze_on",
+    ).orderBy("user_id", "trade_date")
+
+
+_X_SQUEEZE_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+t AS (
+  SELECT user_id, trade_date, high, low, close,
+         (high + low + close) / 3.0 AS tp,
+         CASE WHEN lag(close) OVER w IS NULL THEN high - low
+              ELSE greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) END AS tr
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)),
+b AS (
+  SELECT user_id, trade_date, close,
+         CAST(sum(CAST(tp AS DECIMAL(38,6))) OVER f AS DOUBLE)
+           / CAST(count(*) OVER f AS DOUBLE) AS kc_mid,
+         CAST(sum(CAST(tr AS DECIMAL(38,6))) OVER f AS DOUBLE)
+           / CAST(count(*) OVER f AS DOUBLE) * 1.5 AS band,
+         CAST(sum(CAST(close AS DECIMAL(38,6))) OVER f AS DOUBLE) AS sx,
+         CAST(sum(CAST(close * close AS DECIMAL(38,6))) OVER f AS DOUBLE)
+           AS sxx,
+         CAST(count(*) OVER f AS DOUBLE) AS n
+  FROM t
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+s AS (
+  SELECT user_id, trade_date, close,
+         kc_mid + band AS kc_upper, kc_mid - band AS kc_lower,
+         sx / n AS bb_mid,
+         CASE WHEN n >= 2.0 AND (n * sxx - sx * sx) / (n * (n - 1.0)) > 0.0
+              THEN sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+              ELSE 0.0 END AS sd
+  FROM b)
+SELECT user_id, trade_date, close,
+       bb_mid + 2.0 * sd AS bb_upper,
+       bb_mid - 2.0 * sd AS bb_lower,
+       kc_upper, kc_lower,
+       bb_mid + 2.0 * sd < kc_upper AND bb_mid - 2.0 * sd > kc_lower
+           AS squeeze_on
+FROM s ORDER BY user_id, trade_date
+"""
+
+
+def e_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen: per-user median / MAD over daily mean
+    values, flagging |x − med| > 3·1.4826·MAD — the outlier rule that
+    does not let the outliers poison their own threshold (unlike the
+    z-score screen, whose mean and sigma they inflate). Exact DISCRETE
+    medians: micro-quantized values ranked per key (keyed windows — one
+    exchange, three sorts), lower-median element at rank (n+1) div 2,
+    all comparisons BIGINT (k = 1.4826 enters as the integer 14826) —
+    bit-identical cross-engine, no interpolation anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("trade_date")
+    ).agg(davg("value", "px"))
+    v6 = F.floor(F.col("px") * 1e6 + F.lit(0.5)).cast("long")
+    wu = Window.partitionBy("user_id")
+    b = daily.withColumn("_v6", v6).withColumn(
+        "_cnt", F.count(F.lit(1)).over(wu)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("_v6", "trade_date")
+    )
+    pos = F.expr("(_cnt + 1) div 2")
+    m = b.withColumn("_rn", rn).withColumn(
+        "_med6", F.max(F.when(F.col("_rn") == pos, F.col("_v6"))).over(wu)
+    )
+    d = m.withColumn("_dev6", F.abs(F.col("_v6") - F.col("_med6")))
+    rn2 = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("_dev6", "trade_date")
+    )
+    mm = d.withColumn("_rn2", rn2).withColumn(
+        "_mad6", F.max(F.when(F.col("_rn2") == pos, F.col("_dev6"))).over(wu)
+    )
+    return mm.select(
+        "user_id",
+        "trade_date",
+        "px",
+        (F.col("_med6").cast("double") / 1e6).alias("med"),
+        (F.col("_mad6").cast("double") / 1e6).alias("mad"),
+        (
+            F.col("_dev6") * F.lit(10000)
+            > F.lit(3) * F.lit(14826) * F.col("_mad6")
+        ).alias("is_anomaly"),
+    ).orderBy("user_id", "trade_date")
+
+
+_E_MAD_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date, {sql_davg('value')} AS px
+  FROM events GROUP BY 1, 2),
+b AS (
+  SELECT user_id, trade_date, px,
+         CAST(floor(px * 1e6 + 0.5) AS BIGINT) AS v6,
+         count(*) OVER (PARTITION BY user_id) AS cnt,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY CAST(floor(px * 1e6 + 0.5) AS BIGINT), trade_date)
+           AS rn
+  FROM daily),
+m AS (
+  SELECT *, max(CASE WHEN rn = (cnt + 1) // 2 THEN v6 END)
+              OVER (PARTITION BY user_id) AS med6
+  FROM b),
+d AS (
+  SELECT *, abs(v6 - med6) AS dev6,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY abs(v6 - med6), trade_date) AS rn2
+  FROM m),
+mm AS (
+  SELECT *, max(CASE WHEN rn2 = (cnt + 1) // 2 THEN dev6 END)
+              OVER (PARTITION BY user_id) AS mad6
+  FROM d)
+SELECT user_id, trade_date, px,
+       CAST(med6 AS DOUBLE) / 1e6 AS med,
+       CAST(mad6 AS DOUBLE) / 1e6 AS mad,
+       dev6 * 10000 > 3 * 14826 * mad6 AS is_anomaly
+FROM mm ORDER BY user_id, trade_date
+"""
+
+
+def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance — for every view event, the
+    same user's NEXT purchase with ts >= view ts but no later than 7
+    days (earliest wins; equal-timestamp ties break on the smallest
+    event_id; out-of-tolerance matches yield NULLs — the abandoned
+    funnel). The direction the backward pair (j_asof_orders) cannot
+    express; same non-quadratic union + ordered-window-fill machinery
+    (operators/joins.asof_join, direction="forward") — one shuffle, no
+    range join. Nullable BIGINT match columns cast to DOUBLE on both
+    engines (the x_scd2_history rule)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+    )
+    out = asof_join(
+        views,
+        buys,
+        ["user_id"],
+        "ts",
+        "p_ts",
+        direction="forward",
+        tiebreak="p_id",
+        tolerance="7 days",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("p_id_asof").cast("double").alias("next_purchase_id"),
+        F.col("p_value_asof").alias("next_purchase_value"),
+    ).orderBy("event_id")
+
+
+_J_ASOF_FWD_SQL = """
+SELECT v.event_id, v.user_id, v.ts,
+       CAST(p.event_id AS DOUBLE) AS next_purchase_id,
+       p.value AS next_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 7 DAY
+QUALIFY row_number() OVER (
+    PARTITION BY v.event_id ORDER BY p.ts ASC, p.event_id ASC) = 1
+ORDER BY v.event_id
+"""
+
+
+def d_dedup_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup removal plan over the PERSISTED component
+    decisions: for each source, how many docs sit in duplicate
+    clusters, how many a keeper-wins delete would remove, and the
+    character mass reclaimed — the go/no-go sheet a corpus owner signs
+    before the 100 TB delete. Third consumer of the stored decision
+    parquet (after the probe and the cluster-size report): the chain
+    runs once per corpus version, every report is a cheap join of the
+    decisions back to the docs."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    comp = _dup_components_persisted(spark, sf_dir)
+    j = docs.join(comp, "doc_id", "left")
+    removed = F.col("keeper_id").isNotNull() & (
+        F.col("keeper_id") != F.col("doc_id")
+    )
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("keeper_id").cast("long").alias("n_clustered"),
+        F.sum(F.when(removed, 1).otherwise(0)).cast("long").alias("n_remove"),
+        F.sum(F.when(removed, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_removed"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_clustered",
+        "n_remove",
+        "chars_removed",
+        (F.col("n_remove").cast("double") / F.col("n_docs").cast("double"))
+        .alias("removal_rate"),
+    ).orderBy("source")
+
+
+def _dedup_removal_plan_sql() -> str:
+    return f"""
+WITH RECURSIVE {_components_ctes()},
+j AS (
+  SELECT d.doc_id, d.source, d.n_chars, c.keeper_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(keeper_id) AS BIGINT) AS n_clustered,
+         CAST(sum(CASE WHEN keeper_id IS NOT NULL AND keeper_id <> doc_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_remove,
+         CAST(sum(CASE WHEN keeper_id IS NOT NULL AND keeper_id <> doc_id
+                       THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed
+  FROM j GROUP BY source)
+SELECT source, n_docs, n_clustered, n_remove, chars_removed,
+       CAST(n_remove AS DOUBLE) / CAST(n_docs AS DOUBLE) AS removal_rate
+FROM agg ORDER BY source
+"""
+
+
+
+def x_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tillson T3 (10) over per-user daily closes: three nested
+    generalized-DEMA stages = ONE six-state chained-EMA fold — the
+    deepest EMA chain in the indicator family (operators/finance.t3_ma;
+    dema/tema carry three states). Exact BIGINT states, v=0.7 GD
+    coefficients as integer millis, one division at the end; the
+    recursive-CTE oracle carries (e1..e6) with linear-size lateral
+    aliases."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        t3_ma,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    return t3_ma(daily, ["user_id"], "trade_date", n=10).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _t3_sql(n: int = 10) -> str:
+    d = float(n + 1)
+    steps = ",\n           ".join(
+        f"p.e{k} + CAST(floor(2.0 * ({'c.v' if k == 1 else f'ne{k-1}'}"
+        f" - p.e{k}) / {d}) AS BIGINT) AS ne{k}"
+        for k in range(1, 7)
+    )
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+src AS (
+  SELECT user_id, trade_date, close, {sql_u6("close")} AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+st AS (
+  SELECT user_id, trade_date, close, v, rn,
+         v AS e1, v AS e2, v AS e3, v AS e4, v AS e5, v AS e6
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT user_id, trade_date, close, v, rn,
+         ne1 AS e1, ne2 AS e2, ne3 AS e3, ne4 AS e4, ne5 AS e5, ne6 AS e6
+  FROM (
+    SELECT c.user_id, c.trade_date, c.close, c.v, c.rn,
+           {steps}
+    FROM src c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1))
+SELECT user_id, trade_date, close,
+       CAST(-343 * e6 + 2499 * e5 - 6069 * e4 + 4913 * e3 AS DOUBLE) / 1e9
+           AS t3
+FROM st ORDER BY user_id, trade_date
+"""
+
+
+def s_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom membership screen: a fixed-size filter built once
+    from the known-user corpus (even user_id), then EVERY event in the
+    stream probes it via k=5 broadcast stream-static joins — the
+    verdict is per-row columnar (no stateful op, no shuffle of the
+    stream for the probe), and only the final daily known/unknown
+    counts are a watermarked windowed aggregation. This is the 100 TB
+    "route events by seen-before" shape: the sketch is <= m/32 rows
+    whatever the corpus, and the salted-md5 positions replay exactly in
+    the batch SQL oracle (operators/sketch.bloom_sketch; the
+    streaming twin of d_bloom_membership, as s_stream_hll twins
+    d_hll_users)."""
+    import uuid
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+        _bloom_pos,
+        bloom_sketch,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        events_stream_source,
+    )
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
+    )
+
+    tune(spark)
+    ev_b = _t(spark, sf_dir, "events")
+    # build once, pin: the static side of a stream-static join is
+    # re-evaluated every micro-batch otherwise
+    sk = bloom_sketch(
+        ev_b.filter(F.col("user_id") % 2 == 0), "user_id"
+    ).localCheckpoint()
+    k, m_bits = 5, 1 << 20
+    with stateful_partitions(spark):
+        probe = events_stream_source(spark, sf_dir).select(
+            "event_id", "user_id", F.col("ts").alias("ts")
+        ).withWatermark("ts", "1 day")
+        known = F.col("user_id").isNotNull()
+        for i in range(k):
+            probe = probe.withColumn(
+                f"_p{i}", _bloom_pos(F.col("user_id"), i, m_bits)
+            ).withColumn(
+                f"_w{i}", F.expr(f"_p{i} div 32").cast("long")
+            ).withColumn(
+                f"_t{i}", (F.col(f"_p{i}") % 32).cast("int")
+            )
+            ski = sk.select(
+                F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+            )
+            probe = probe.join(F.broadcast(ski), f"_w{i}", "left")
+            known = known & (
+                F.col(f"_b{i}").isNotNull()
+                & (
+                    F.col(f"_b{i}").bitwiseAND(
+                        F.expr(f"shiftleft(CAST(1 AS BIGINT), _t{i})")
+                    )
+                    != 0
+                )
+            )
+        agg = (
+            probe.withColumn("known_user", known)
+            .groupBy(F.window("ts", "1 day").alias("w"), "known_user")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                F.col("w.start").alias("bucket_start"),
+                "known_user",
+                "n_events",
+            )
+        )
+        name = f"stream_bloom_{uuid.uuid4().hex[:8]}"
+        with _scratch_ckpt() as ckpt:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+    return spark.table(name).orderBy("bucket_start", "known_user")
+
+
+_S_STREAM_BLOOM_SQL = """
+WITH members AS (SELECT user_id FROM events WHERE user_id % 2 = 0),
+pos AS (
+  SELECT (CAST('0x' || substr(md5('bloom' || i || '|' || user_id), 1, 8)
+          AS BIGINT) % 1048576) AS p
+  FROM members, generate_series(0, 4) t(i)),
+words AS (
+  SELECT p // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY p // 32),
+probe AS (
+  SELECT event_id,
+         (CAST('0x' || substr(md5('bloom' || i || '|' || user_id), 1, 8)
+          AS BIGINT) % 1048576) AS p
+  FROM events, generate_series(0, 4) t(i)),
+hits AS (
+  SELECT e.event_id,
+         min(CASE WHEN w.bits IS NOT NULL
+                   AND (w.bits & (CAST(1 AS BIGINT)
+                                  << CAST(e.p % 32 AS INT))) <> 0
+                  THEN 1 ELSE 0 END) AS hit
+  FROM probe e LEFT JOIN words w ON w.word = e.p // 32
+  GROUP BY e.event_id),
+v AS (
+  SELECT ev.ts, ev.user_id IS NOT NULL AND h.hit = 1 AS known_user
+  FROM events ev JOIN hits h USING (event_id))
+SELECT time_bucket(INTERVAL '1 day', ts, TIMESTAMP '2000-01-01 00:00:00')
+           AS bucket_start,
+       known_user,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM v GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+
+def x_mcginley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McGinley Dynamic (10) over per-user daily closes — the
+    THIRTEENTH recurrence family: the update divides by a quartic of
+    the state's own distance from price (state-dependent nonlinear
+    divisor; every prior family is state-affine). Double-state fold
+    with a bit-portable oracle: the recurrence uses only IEEE +,−,×,÷
+    in a fixed shape, so the recursive CTE replays it exactly — no
+    micro-unit quantization needed (operators/finance.mcginley_dynamic
+    documents why)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        mcginley_dynamic,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    return mcginley_dynamic(daily, ["user_id"], "trade_date", n=10).orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_MCGINLEY_SQL = f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+src AS (
+  SELECT user_id, trade_date, close,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+st AS (
+  SELECT user_id, trade_date, close, rn, CAST(close AS DOUBLE) AS md
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT user_id, trade_date, close, rn, nmd AS md FROM (
+    SELECT c.user_id, c.trade_date, c.close, c.rn,
+           least(4.0, greatest(0.25, c.close / p.md)) AS q,
+           q * q AS q2,
+           greatest(1.0, 6.0 * (q2 * q2)) AS d,
+           CASE WHEN p.md <= 0.0 THEN CAST(c.close AS DOUBLE)
+                ELSE p.md + (c.close - p.md) / d END AS nmd
+    FROM src c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1))
+SELECT user_id, trade_date, close, md AS mcginley
+FROM st ORDER BY user_id, trade_date
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
@@ -12628,6 +13215,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_recall": d_minhash_recall,
         "x_alligator": x_alligator,
         # --- r9 part 2: NEW this round (insert new queries HERE) ---
+        "x_fractals": x_fractals,
+        "x_rvol": x_rvol,
+        "x_squeeze": x_squeeze,
+        "e_mad_anomaly": e_mad_anomaly,
+        "j_asof_forward": j_asof_forward,
+        "d_dedup_removal_plan": d_dedup_removal_plan,
+        "x_t3": x_t3,
+        "s_stream_bloom": s_stream_bloom,
+        "x_mcginley": x_mcginley,
         # --- r9 part 3: the r4-stale cohort (scripts/staleness.py 9
         # order); the 50-row window cuts partway through — the tail
         # spills to r10. ---
@@ -13033,6 +13629,15 @@ def oracle_sql() -> dict[str, str]:
         "d_dup_components": _components_sql(),
         # probe-only lifecycle twin — bit-identical output, same oracle
         "d_dup_components_probe": _components_sql(),
+        "d_dedup_removal_plan": _dedup_removal_plan_sql(),
+        "x_fractals": _X_FRACTALS_SQL,
+        "x_rvol": _X_RVOL_SQL,
+        "x_squeeze": _X_SQUEEZE_SQL,
+        "e_mad_anomaly": _E_MAD_SQL,
+        "j_asof_forward": _J_ASOF_FWD_SQL,
+        "x_t3": _t3_sql(),
+        "s_stream_bloom": _S_STREAM_BLOOM_SQL,
+        "x_mcginley": _X_MCGINLEY_SQL,
         "s_stream_sessions": _S_SESSIONS_SQL,
         "s_stream_join": _S_JOIN_SQL,
         "x_ema_macd": _X_EMA_MACD_SQL,
@@ -13217,6 +13822,15 @@ HEADLINE_QUERIES = [
     "j_interval_clicks",
     "d_dup_components",
     "d_dup_components_probe",
+    "d_dedup_removal_plan",
+    "x_fractals",
+    "x_rvol",
+    "x_squeeze",
+    "e_mad_anomaly",
+    "j_asof_forward",
+    "x_t3",
+    "s_stream_bloom",
+    "x_mcginley",
     "s_stream_sessions",
     "s_stream_join",
     "x_ema_macd",

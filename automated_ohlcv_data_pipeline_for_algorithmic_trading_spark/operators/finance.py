@@ -2660,6 +2660,133 @@ def dema_tema(
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
 
 
+def t3_ma(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 10,
+    close: str = "close",
+) -> DataFrame:
+    """Tillson T3 moving average: three nested generalized-DEMA stages
+    GD(x) = (1+v)·EMA(x) − v·EMA(EMA(x)) at v = 0.7 — algebraically a
+    fixed linear combination of the SIX chained EMA states
+    e1 = EMA(x), e_{k+1} = EMA(e_k):
+
+        t3 = c1·e6 + c2·e5 + c3·e4 + c4·e3
+        c1 = −v³   c2 = 3v² + 3v³   c3 = −6v² − 3v − 3v³
+        c4 = 1 + 3v + v³ + 3v²      (Σc = 1)
+
+    The deepest chained-EMA fold in the family (dema/tema carry three
+    states; this carries six). Exactness: the dema_tema integer recipe
+    per state (micro-unit BIGINT, floor(2.0·(x−e)/(n+1.0)) steps); at
+    v = 0.7 the coefficients ×1000 are exact integers (−343, 2499,
+    −6069, 4913), so t3 is ONE BIGINT linear combination divided once
+    at the end (states ≤ 1e9 micro-units × 6069 < 2^63 with room).
+    Recursive-CTE oracle carries (e1..e6).
+
+    Output: keys, order_col, close, t3.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + ", t3 double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        v = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        m = len(v)
+        t3_a = np.empty(m, dtype=np.int64)
+        e = [0] * 6
+        for i, vi in enumerate(v.tolist()):
+            if i == 0:
+                e = [vi] * 6
+            else:
+                prev = vi
+                for k in range(6):
+                    e[k] += math.floor(2.0 * (prev - e[k]) / (n + 1.0))
+                    prev = e[k]
+            t3_a[i] = -343 * e[5] + 2499 * e[4] - 6069 * e[3] + 4913 * e[2]
+        return pdf.assign(t3=t3_a / 1e9)
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def mcginley_dynamic(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int = 10,
+    k: float = 0.6,
+    close: str = "close",
+) -> DataFrame:
+    """McGinley Dynamic (McGinley 1990): a moving average whose
+    smoothing speed adapts to how far price has run from it —
+
+        md += (p − md) / (k·n · (p/md)⁴)
+
+    The divisor is a function of the average's OWN state: falls behind
+    (p/md grows) → the quartic shrinks the divisor → it accelerates;
+    price reverts → it slows. A state-dependent NONLINEAR divisor is a
+    recurrence shape none of the twelve existing fold families has
+    (EMA chains, Wilder smoothers, clamped Lindley sums, GARCH products
+    are all state-affine).
+
+    Exactness WITHOUT integer states: the update uses only IEEE
+    +,−,×,÷ in a fixed expression shape — no pow/exp/log (the quartic
+    is two explicit multiplications), no rounding — so a DOUBLE-state
+    recursive CTE replays it bit-identically (the integer micro-unit
+    recipe exists to dodge engine-specific transcendentals and
+    half-tie rounding; a recurrence with neither needs neither).
+    p/md is clamped to [0.25, 4] and the divisor floors at 1: below 1
+    the quartic doesn't just accelerate, it OVERSHOOTS (at q = 0.25 the
+    raw step is ~43x the gap — one 75% bar would fling the state far
+    past price and negative); the floor lets a step reach price but
+    never pass it, so positive inputs keep a positive state. A
+    non-positive state still resets to price as a belt for signed
+    inputs.
+
+    Output: keys, order_col, close, mcginley.
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", mcginley double"
+    )
+    kn = k * n
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        v = pdf[close].to_numpy(dtype=float)
+        out = np.empty(len(v), dtype=float)
+        md = 0.0
+        for i, p in enumerate(v.tolist()):
+            if i == 0 or md <= 0.0:
+                md = p
+            else:
+                q = p / md
+                q = 4.0 if q > 4.0 else (0.25 if q < 0.25 else q)
+                q2 = q * q
+                d = kn * (q2 * q2)
+                md = md + (p - md) / (d if d > 1.0 else 1.0)
+            out[i] = md
+        return pdf.assign(mcginley=out)
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
 def linreg_slope(
     df: DataFrame,
     keys: Sequence[str],

@@ -101,6 +101,21 @@ QUERIES = [
     # reads the stored decision parquet (the chain cost amortizes the
     # way the ANN fit does); cluster stats above now also reads it
     "d_dup_components_probe",
+    # round 9 newcomers: window indicators (fractals/rvol/squeeze), the
+    # robust MAD screen (3 keyed sorts per user at 10x depth), the
+    # forward as-of funnel join (10x rows per user through the union
+    # fill), the six-state T3 fold, the removal plan (decision join at
+    # 10x corpus), and the streaming bloom probe (5 broadcast joins on
+    # a 10x stream)
+    "x_fractals",
+    "x_rvol",
+    "x_squeeze",
+    "e_mad_anomaly",
+    "j_asof_forward",
+    "d_dedup_removal_plan",
+    "x_t3",
+    "s_stream_bloom",
+    "x_mcginley",
     "e_cusum_drift",
     "s_stream_cusum",
     "d_bloom_membership",
