@@ -13180,6 +13180,596 @@ FROM st ORDER BY user_id, trade_date
 
 
 
+def x_vwap_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored VWAP bands: the day-anchored VWAP plus/minus 2
+    volume-weighted standard deviations — the institutional
+    mean-reversion envelope on top of x_vwap_anchored. Three cumulative
+    decimal sums (v, p·v, p²·v) on ONE per-(user, day) exchange+sort;
+    the weighted variance is E[p²] − vwap² with every double op in the
+    same shape on both engines (lateral-alias reuse in SQL = column
+    reuse in Spark), one IEEE sqrt."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.to_date("ts").alias("trade_date"),
+        F.unix_micros(F.col("ts")).alias("timestamp_unix"),
+        F.col("value").alias("close"),
+        F.expr("event_id % 100 + 1").cast("long").alias("volume"),
+    )
+    w = Window.partitionBy("user_id", "trade_date").orderBy(
+        "timestamp_unix", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    dec = "decimal(38,6)"
+    sv = F.sum("volume").over(w).cast("long")
+    swv = F.sum((F.col("close") * F.col("volume")).cast(dec)).over(w).cast(
+        "double"
+    )
+    swv2 = (
+        F.sum((F.col("close") * F.col("close") * F.col("volume")).cast(dec))
+        .over(w)
+        .cast("double")
+    )
+    staged = ev.select(
+        "user_id",
+        "trade_date",
+        "event_id",
+        "timestamp_unix",
+        "close",
+        sv.alias("_sv"),
+        swv.alias("_swv"),
+        swv2.alias("_swv2"),
+    ).withColumn("vwap", F.col("_swv") / F.col("_sv"))
+    var = F.col("_swv2") / F.col("_sv") - F.col("vwap") * F.col("vwap")
+    sd = F.when(var > F.lit(0.0), F.sqrt(var)).otherwise(F.lit(0.0))
+    return (
+        staged.withColumn("_sd", sd)
+        .select(
+            "user_id",
+            "trade_date",
+            "event_id",
+            "timestamp_unix",
+            "close",
+            "vwap",
+            (F.col("vwap") + F.lit(2.0) * F.col("_sd")).alias("vwap_upper"),
+            (F.col("vwap") - F.lit(2.0) * F.col("_sd")).alias("vwap_lower"),
+        )
+        .orderBy("user_id", "timestamp_unix", "event_id")
+    )
+
+
+_X_VWAP_BANDS_SQL = """
+WITH src AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date, event_id,
+         epoch_us(ts) AS timestamp_unix, value AS close,
+         event_id % 100 + 1 AS volume
+  FROM events),
+c AS (
+  SELECT user_id, trade_date, event_id, timestamp_unix, close,
+         CAST(sum(volume) OVER w AS BIGINT) AS sv,
+         CAST(sum(CAST(close * volume AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             AS swv,
+         CAST(sum(CAST(close * close * volume AS DECIMAL(38,6))) OVER w
+              AS DOUBLE) AS swv2
+  FROM src
+  WINDOW w AS (PARTITION BY user_id, trade_date
+               ORDER BY timestamp_unix, event_id
+               ROWS UNBOUNDED PRECEDING)),
+s AS (
+  SELECT user_id, trade_date, event_id, timestamp_unix, close,
+         swv / sv AS vwap,
+         CASE WHEN swv2 / sv - (swv / sv) * (swv / sv) > 0.0
+              THEN sqrt(swv2 / sv - (swv / sv) * (swv / sv))
+              ELSE 0.0 END AS sd
+  FROM c)
+SELECT user_id, trade_date, event_id, timestamp_unix, close, vwap,
+       vwap + 2.0 * sd AS vwap_upper,
+       vwap - 2.0 * sd AS vwap_lower
+FROM s ORDER BY user_id, timestamp_unix, event_id
+"""
+
+
+def x_elder_impulse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder Impulse System over per-user daily bars: bar color from the
+    EMA(13) slope AND the MACD(12,26,9) histogram slope — both rising =
+    green, both falling = red, mixed = blue. One four-state integer
+    fold (operators/finance.elder_impulse_states — the signal line is
+    an EMA over the DERIVED macd series, chained in the same pass),
+    then two keyed lags for the label; the oracle is a 4-state
+    recursive CTE plus the same lag CASE."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        elder_impulse_states,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    st = elder_impulse_states(daily, ["user_id"], "trade_date")
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+    rising = F.coalesce(
+        (F.col("ema13") > F.lag("ema13").over(w))
+        & (F.col("hist") > F.lag("hist").over(w)),
+        F.lit(False),
+    )
+    falling = F.coalesce(
+        (F.col("ema13") < F.lag("ema13").over(w))
+        & (F.col("hist") < F.lag("hist").over(w)),
+        F.lit(False),
+    )
+    impulse = (
+        F.when(rising, F.lit("green"))
+        .when(falling, F.lit("red"))
+        .otherwise(F.lit("blue"))
+    )
+    return st.select(
+        "user_id",
+        "trade_date",
+        "close",
+        "ema13",
+        "macd",
+        "hist",
+        impulse.alias("impulse"),
+    ).orderBy("user_id", "trade_date")
+
+
+def _elder_impulse_sql() -> str:
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+src AS (
+  SELECT user_id, trade_date, close, {sql_u6("close")} AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+st AS (
+  SELECT user_id, trade_date, close, v, rn,
+         v AS e13, v AS e12, v AS e26, CAST(0 AS BIGINT) AS sig
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT user_id, trade_date, close, v, rn,
+         ne13 AS e13, ne12 AS e12, ne26 AS e26, nsig AS sig
+  FROM (
+    SELECT c.user_id, c.trade_date, c.close, c.v, c.rn,
+           p.e13 + CAST(floor(2.0 * (c.v - p.e13) / 14.0) AS BIGINT) AS ne13,
+           p.e12 + CAST(floor(2.0 * (c.v - p.e12) / 13.0) AS BIGINT) AS ne12,
+           p.e26 + CAST(floor(2.0 * (c.v - p.e26) / 27.0) AS BIGINT) AS ne26,
+           p.sig + CAST(floor(2.0 * ((ne12 - ne26) - p.sig) / 10.0)
+                        AS BIGINT) AS nsig
+    FROM src c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1)),
+o AS (
+  SELECT user_id, trade_date, close,
+         CAST(e13 AS DOUBLE) / 1e6 AS ema13,
+         CAST(e12 - e26 AS DOUBLE) / 1e6 AS macd,
+         CAST(e12 - e26 - sig AS DOUBLE) / 1e6 AS hist
+  FROM st)
+SELECT user_id, trade_date, close, ema13, macd, hist,
+       CASE WHEN coalesce(ema13 > lag(ema13) OVER w
+                      AND hist > lag(hist) OVER w, FALSE) THEN 'green'
+            WHEN coalesce(ema13 < lag(ema13) OVER w
+                      AND hist < lag(hist) OVER w, FALSE) THEN 'red'
+            ELSE 'blue' END AS impulse
+FROM o WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+ORDER BY user_id, trade_date
+"""
+
+
+def e_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate burst screen: a user-day is a burst when its event
+    count exceeds 3x the trailing 28-present-days mean AND at least 5
+    events landed (the absolute floor keeps one-event days out of the
+    denominator trap). The comparison is pure BIGINT cross-multiplied
+    integers — cnt·n_prior > 3·sum_prior — so the flag is bit-identical
+    cross-engine; the reported trailing_avg is one double division of
+    exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("trade_date")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+    prior = w.rowsBetween(-28, -1)
+    s = F.sum("n_events").over(prior).cast("long")
+    c = F.count(F.lit(1)).over(prior).cast("long")
+    burst = F.coalesce(
+        (F.col("n_events") * c > F.lit(3) * s) & (F.col("n_events") >= 5),
+        F.lit(False),
+    )
+    return daily.select(
+        "user_id",
+        "trade_date",
+        "n_events",
+        (s.cast("double") / c.cast("double")).alias("trailing_avg"),
+        burst.alias("is_burst"),
+    ).orderBy("user_id", "trade_date")
+
+
+_E_BURST_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT user_id, trade_date, n_events,
+         CAST(sum(n_events) OVER f AS BIGINT) AS s,
+         CAST(count(*) OVER f AS BIGINT) AS c
+  FROM daily
+  WINDOW f AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+SELECT user_id, trade_date, n_events,
+       CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS trailing_avg,
+       coalesce(n_events * c > 3 * s AND n_events >= 5, FALSE) AS is_burst
+FROM c ORDER BY user_id, trade_date
+"""
+
+
+_CURVE_PCTS = [70, 80, 90, 95]
+
+
+def d_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup aggressiveness curve: near-dup pair and affected-document
+    counts at similarity thresholds 0.70/0.80/0.90/0.95 from ONE
+    LSH+verify pass — candidates generated at the LOWEST threshold
+    (recall holds for every higher one; the size-compatibility prune is
+    output-preserving at >= 0.70), exact Jaccard computed once per
+    candidate, then one conditional aggregate per statistic. The report
+    a corpus owner reads to pick the threshold BEFORE committing to a
+    100 TB dedup pass — estimated on an explicit 50 % document sample
+    BY DESIGN (the d_minhash_recall rule: estimation reports sample,
+    production passes don't; a 0.70-banded candidate set over a
+    template-heavy corpus is pair-mass-quadratic in corpus size, and
+    the threshold decision needs ratios, not totals). All comparisons
+    are integer (quantized j6 vs percent·10⁴)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        minhash_group_rep_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # DISTINCT-SET level, counted combinatorially: the member-level
+    # expansion is quadratic in replica count (the sf1 build's 10x
+    # exact-dup clusters turned it into a 348 s wall), but every member
+    # pair's Jaccard is determined by its (group, group) rep pair — so
+    # cross-group pairs count as m_a·m_b and within-group identity
+    # pairs as C(m, 2), with no expansion materialized anywhere. The
+    # oracle keeps the straightforward per-doc form.
+    withg, rep_pairs = minhash_group_rep_pairs(
+        docs.filter(F.col("doc_id") % 2 == 0), threshold=0.70
+    )
+    groups = withg.groupBy("_gid").agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.max("_sz").alias("_tok"),
+    )
+    rp = (
+        rep_pairs.select(
+            "_ga",
+            "_gb",
+            F.floor(F.col("jaccard") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("_j6"),
+        )
+        .join(groups.select(F.col("_gid").alias("_ga"), F.col("_m").alias("_mA")), "_ga")
+        .join(groups.select(F.col("_gid").alias("_gb"), F.col("_m").alias("_mB")), "_gb")
+    )
+    pair_agg = rp.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_j6") >= p * 10000, F.col("_mA") * F.col("_mB")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"_p{p}")
+            for p in _CURVE_PCTS
+        ]
+    )
+    # per-group best cross-pair similarity, for the affected-doc count
+    gmax = (
+        rp.select(F.col("_ga").alias("_gid"), "_j6")
+        .unionByName(rp.select(F.col("_gb").alias("_gid"), "_j6"))
+        .groupBy("_gid")
+        .agg(F.max("_j6").alias("_gj6"))
+    )
+    gfull = groups.join(gmax, "_gid", "left")
+    intra_dup = (F.col("_m") >= 2) & (F.col("_tok") > 0)
+    group_agg = gfull.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    intra_dup, F.expr("_m * (_m - 1) div 2")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_intra"),
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        intra_dup | (F.col("_gj6") >= p * 10000), F.col("_m")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"_d{p}")
+            for p in _CURVE_PCTS
+        ],
+    )
+    stack = ", ".join(
+        f"{p}, _p{p} + _intra, _d{p}" for p in _CURVE_PCTS
+    )
+    return (
+        pair_agg.join(group_agg)
+        .select(
+            F.expr(
+                f"stack({len(_CURVE_PCTS)}, {stack})"
+                " AS (pct, n_pairs, n_docs)"
+            )
+        )
+        .select(
+            (F.col("pct").cast("double") / 100.0).alias("threshold"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _threshold_curve_sql() -> str:
+    pcts = ", ".join(str(p) for p in _CURVE_PCTS)
+    return rf"""
+WITH {_minhash_ctes(0.70, "WHERE doc_id % 2 = 0")},
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(floor(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+              / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))
+              * 1e6 + 0.5) AS BIGINT) AS j6
+  FROM cand JOIN t ta ON ta.doc_id = doc_a JOIN t tb ON tb.doc_id = doc_b
+  WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+        / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))
+        >= 0.70),
+ks AS (SELECT unnest([{pcts}]) AS pct),
+pa AS (
+  SELECT pct, CAST(sum(CASE WHEN j6 >= pct * 10000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pairs
+  FROM verified, ks GROUP BY pct),
+ex AS (SELECT j6, unnest([doc_a, doc_b]) AS d FROM verified),
+da AS (
+  SELECT pct, CAST(count(DISTINCT CASE WHEN j6 >= pct * 10000 THEN d END)
+                   AS BIGINT) AS n_docs
+  FROM ex, ks GROUP BY pct)
+SELECT CAST(pct AS DOUBLE) / 100.0 AS threshold, n_pairs, n_docs
+FROM pa JOIN da USING (pct) ORDER BY threshold
+"""
+
+
+
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the multimodal plumbing — the UDTF
+    shape (one media row -> many frame rows) over Arrow mapInPandas,
+    with documents wrapped as binary payloads (text_as_media) and the
+    deterministic fake decoder (1 byte ~ 1 ms, frame digest =
+    md5(payload + '@' + offset)). The oracle replays the sampling
+    grid and digests in SQL, validating the binary round trip AND the
+    row-expanding operator shape (operators/multimodal.frame_sample;
+    the third driver-checked multimodal row after features and
+    phash)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = text_as_media(docs)
+    return frame_sample(media, every_ms=1000, fake=True).orderBy(
+        "media_id", "frame_offset_ms"
+    )
+
+
+_M_FRAME_SQL = """
+SELECT doc_id AS media_id,
+       off AS frame_offset_ms,
+       md5(text || '@' || off) AS frame_md5
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, octet_length(CAST(text AS BLOB)), 1000)) AS off
+  FROM documents)
+ORDER BY media_id, frame_offset_ms
+"""
+
+
+def j_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal NEAREST-neighbor join: for every view, the same user's
+    closest purchase in time in EITHER direction — the attribution
+    question ("which purchase does this view belong to") that neither
+    the backward nor the forward as-of alone answers. Composes TWO
+    asof_join passes (backward: latest <=, tie -> largest event id;
+    forward: earliest >=, tie -> smallest) and picks the smaller
+    absolute gap, preferring the backward match on exact distance ties
+    — each pass is the non-quadratic union + ordered-window fill, so
+    the whole join is two shuffles, no range join. Nullable BIGINT
+    match ids cast to DOUBLE (the x_scd2_history rule)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        # asof_join keeps only VALUE columns of the matched row — carry
+        # the timestamp as a value column too (the gap needs it)
+        F.col("ts").alias("p_when"),
+        F.col("event_id").alias("p_id"),
+    )
+    back = asof_join(
+        views, buys, ["user_id"], "ts", "p_ts", direction="backward",
+        tiebreak="p_id",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("p_id_asof").alias("_bid"),
+        F.col("p_when_asof").alias("_bts"),
+    )
+    fwd = asof_join(
+        views, buys, ["user_id"], "ts", "p_ts", direction="forward",
+        tiebreak="p_id",
+    ).select(
+        F.col("event_id"),
+        F.col("p_id_asof").alias("_fid"),
+        F.col("p_when_asof").alias("_fts"),
+    )
+    j = back.join(fwd, "event_id")
+    db = F.unix_micros("ts") - F.unix_micros("_bts")
+    df_ = F.unix_micros("_fts") - F.unix_micros("ts")
+    pick_back = F.col("_bts").isNotNull() & (
+        F.col("_fts").isNull() | (db <= df_)
+    )
+    nearest_id = F.when(pick_back, F.col("_bid")).otherwise(F.col("_fid"))
+    gap = F.when(pick_back, -db).otherwise(df_)
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nearest_id.cast("double").alias("nearest_purchase_id"),
+        (gap.cast("double") / F.lit(1e6)).alias("gap_seconds"),
+    ).orderBy("event_id")
+
+
+_J_NEAREST_SQL = """
+WITH views AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+buys AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+         WHERE event_type = 'purchase'),
+back AS (
+  SELECT v.event_id, v.user_id, v.ts, p.p_id AS bid, p.p_ts AS bts
+  FROM views v LEFT JOIN buys p
+    ON p.user_id = v.user_id AND p.p_ts <= v.ts
+  QUALIFY row_number() OVER (PARTITION BY v.event_id
+                             ORDER BY p.p_ts DESC, p.p_id DESC) = 1),
+fwd AS (
+  SELECT v.event_id, p.p_id AS fid, p.p_ts AS fts
+  FROM views v LEFT JOIN buys p
+    ON p.user_id = v.user_id AND p.p_ts >= v.ts
+  QUALIFY row_number() OVER (PARTITION BY v.event_id
+                             ORDER BY p.p_ts ASC, p.p_id ASC) = 1)
+SELECT b.event_id, b.user_id, b.ts,
+       CAST(CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                   epoch_us(b.ts) - epoch_us(bts)
+                   <= epoch_us(fts) - epoch_us(b.ts))
+                 THEN bid ELSE fid END AS DOUBLE) AS nearest_purchase_id,
+       CAST(CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                   epoch_us(b.ts) - epoch_us(bts)
+                   <= epoch_us(fts) - epoch_us(b.ts))
+                 THEN -(epoch_us(b.ts) - epoch_us(bts))
+                 ELSE epoch_us(fts) - epoch_us(b.ts) END AS DOUBLE) / 1e6
+           AS gap_seconds
+FROM back b JOIN fwd f USING (event_id)
+ORDER BY b.event_id
+"""
+
+
+def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: near-duplicate pair counts at
+    0.9 between every (source, source) pair — "which sources copy each
+    other", the provenance question behind licensing and dedup-priority
+    calls. Counted COMBINATORIALLY at the distinct-set level
+    (minhash_group_rep_pairs + per-group source composition: identity
+    pairs are m_s·m_s' across sources and C(m,2) within; cross-group
+    pairs multiply the two groups' per-source counts), on the explicit
+    50 % sample the estimation reports use — no member-level pair is
+    ever materialized. Oracle: the straightforward per-doc form."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        minhash_group_rep_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % 2 == 0)
+    withg, rep_pairs = minhash_group_rep_pairs(sample, threshold=0.9)
+    gs = (
+        withg.join(
+            sample.select(F.col("doc_id").alias("_id"), "source"), "_id"
+        )
+        .groupBy("_gid", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_m"),
+            F.max("_sz").alias("_tok"),
+        )
+    )
+    # identity pairs inside one group (j = 1.0 by construction; empty
+    # token sets never pair, mirroring the member-level expansion)
+    ga, gb = gs.alias("a"), gs.alias("b")
+    intra = (
+        ga.join(
+            gb,
+            (F.col("a._gid") == F.col("b._gid"))
+            & (F.col("a.source") <= F.col("b.source")),
+        )
+        .filter(F.col("a._tok") > 0)
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.when(
+                F.col("a.source") == F.col("b.source"),
+                F.expr("a._m * (a._m - 1) div 2"),
+            )
+            .otherwise(F.col("a._m") * F.col("b._m"))
+            .cast("long")
+            .alias("_n"),
+        )
+    )
+    # cross-group pairs inherit the verified rep-pair similarity
+    rp = rep_pairs.filter(F.col("jaccard") >= 0.9).select("_ga", "_gb")
+    cross = (
+        rp.join(
+            gs.select(
+                F.col("_gid").alias("_ga"),
+                F.col("source").alias("_sa"),
+                F.col("_m").alias("_ma"),
+            ),
+            "_ga",
+        )
+        .join(
+            gs.select(
+                F.col("_gid").alias("_gb"),
+                F.col("source").alias("_sb"),
+                F.col("_m").alias("_mb"),
+            ),
+            "_gb",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            (F.col("_ma") * F.col("_mb")).cast("long").alias("_n"),
+        )
+    )
+    return (
+        intra.unionByName(cross)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("_n").cast("long").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _source_overlap_sql() -> str:
+    return rf"""
+WITH {_minhash_ctes(0.9, "WHERE doc_id % 2 = 0")},
+verified AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN t ta ON ta.doc_id = doc_a JOIN t tb ON tb.doc_id = doc_b
+  WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+        / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))
+        >= 0.9),
+srcd AS (SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM verified v
+JOIN srcd sa ON sa.doc_id = v.doc_a
+JOIN srcd sb ON sb.doc_id = v.doc_b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
@@ -13224,6 +13814,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_t3": x_t3,
         "s_stream_bloom": s_stream_bloom,
         "x_mcginley": x_mcginley,
+        "x_vwap_bands": x_vwap_bands,
+        "x_elder_impulse": x_elder_impulse,
+        "e_burst_detection": e_burst_detection,
+        "d_threshold_curve": d_threshold_curve,
+        "m_frame_sample": m_frame_sample,
+        "j_nearest_event": j_nearest_event,
+        "d_source_overlap": d_source_overlap,
         # --- r9 part 3: the r4-stale cohort (scripts/staleness.py 9
         # order); the 50-row window cuts partway through — the tail
         # spills to r10. ---
@@ -13638,6 +14235,13 @@ def oracle_sql() -> dict[str, str]:
         "x_t3": _t3_sql(),
         "s_stream_bloom": _S_STREAM_BLOOM_SQL,
         "x_mcginley": _X_MCGINLEY_SQL,
+        "x_vwap_bands": _X_VWAP_BANDS_SQL,
+        "x_elder_impulse": _elder_impulse_sql(),
+        "e_burst_detection": _E_BURST_SQL,
+        "d_threshold_curve": _threshold_curve_sql(),
+        "m_frame_sample": _M_FRAME_SQL,
+        "j_nearest_event": _J_NEAREST_SQL,
+        "d_source_overlap": _source_overlap_sql(),
         "s_stream_sessions": _S_SESSIONS_SQL,
         "s_stream_join": _S_JOIN_SQL,
         "x_ema_macd": _X_EMA_MACD_SQL,
@@ -13831,6 +14435,13 @@ HEADLINE_QUERIES = [
     "x_t3",
     "s_stream_bloom",
     "x_mcginley",
+    "x_vwap_bands",
+    "x_elder_impulse",
+    "e_burst_detection",
+    "d_threshold_curve",
+    "m_frame_sample",
+    "j_nearest_event",
+    "d_source_overlap",
     "s_stream_sessions",
     "s_stream_join",
     "x_ema_macd",

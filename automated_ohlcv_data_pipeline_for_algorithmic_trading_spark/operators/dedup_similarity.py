@@ -167,7 +167,7 @@ def lsh_banding_for(threshold: float) -> tuple[int, int, int]:
     return MINHASH_K, LSH_BANDS, LSH_ROWS
 
 
-def minhash_near_dup_pairs(
+def minhash_group_rep_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -176,8 +176,18 @@ def minhash_near_dup_pairs(
     bands: int | None = None,
     rows: int | None = None,
     tokens_col: str | None = None,
-) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs, exact-verified.
+) -> "tuple[DataFrame, DataFrame]":
+    """MinHash-LSH chain up to exact verification, at the DISTINCT-SET
+    level: returns ``(withg, rep_pairs)`` where ``withg`` is one row per
+    doc (``_id``, set-group ``_gid``, token-set size ``_sz``, ``hset``)
+    and ``rep_pairs`` is the verified (``_ga``, ``_gb``, ``jaccard``)
+    pair set between distinct-set REPRESENTATIVES. Aggregate-only
+    consumers (the threshold curve) read these directly — counting
+    member pairs combinatorially (m_a*m_b, C(m,2)) instead of
+    materializing the member-level expansion, which is quadratic in
+    replica count. :func:`minhash_near_dup_pairs` adds the expansion.
+
+    MinHash-LSH near-duplicate pairs, exact-verified.
 
     Pipeline: token sets -> collapse docs with IDENTICAL token sets ->
     k minhash signatures per distinct set -> band keys -> self-join on
@@ -308,6 +318,25 @@ def minhash_near_dup_pairs(
         .withColumn("jaccard", jaccard(F.col("set_a"), F.col("set_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("_ga", "_gb", (F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"))
+    )
+    return withg, rep_pairs
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    k: int | None = None,
+    bands: int | None = None,
+    rows: int | None = None,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Member-level near-dup pairs: :func:`minhash_group_rep_pairs`
+    plus the expansion back over set members (the original public
+    surface; see that function's docstring for the chain)."""
+    withg, rep_pairs = minhash_group_rep_pairs(
+        df, text_col, id_col, threshold, k, bands, rows, tokens_col
     )
     # Expansion. Within a set-group every member pair has Jaccard exactly
     # 1.0 (nonempty sets; empty sets define Jaccard 0 and never emit, just

@@ -2718,6 +2718,67 @@ def t3_ma(
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
 
 
+def elder_impulse_states(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    close: str = "close",
+) -> DataFrame:
+    """Elder Impulse System states: EMA(13) of close plus the
+    MACD(12,26,9) histogram — the two slopes Elder's bar coloring
+    reads (both rising = green / both falling = red / mixed = blue;
+    the caller derives the label with two lags over this output).
+
+    One fold, FOUR integer micro-unit states (e13, e12, e26, sig9):
+    the trend EMA and the MACD pair use the standard exact recipe; the
+    signal line is an EMA OVER A DERIVED SERIES (e12 − e26), folded in
+    the same pass — a chained recurrence on an intermediate, not on
+    price. First bar: macd = sig = hist = 0 by construction.
+
+    Output: keys, order_col, close, ema13, macd, hist (all exact
+    micro-unit multiples, divided once).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    schema = src.schema.simpleString()[7:-1].replace(":", " ") + (
+        ", ema13 double, macd double, hist double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        v = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(np.int64)
+        m = len(v)
+        ema13_a = np.empty(m, dtype=np.int64)
+        macd_a = np.empty(m, dtype=np.int64)
+        hist_a = np.empty(m, dtype=np.int64)
+        e13 = e12 = e26 = sig = 0
+        for i, vi in enumerate(v.tolist()):
+            if i == 0:
+                e13 = e12 = e26 = vi
+                sig = 0
+            else:
+                e13 += math.floor(2.0 * (vi - e13) / 14.0)
+                e12 += math.floor(2.0 * (vi - e12) / 13.0)
+                e26 += math.floor(2.0 * (vi - e26) / 27.0)
+                sig += math.floor(2.0 * ((e12 - e26) - sig) / 10.0)
+            ema13_a[i] = e13
+            macd_a[i] = e12 - e26
+            hist_a[i] = e12 - e26 - sig
+        return pdf.assign(
+            ema13=ema13_a / 1e6, macd=macd_a / 1e6, hist=hist_a / 1e6
+        )
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
 def mcginley_dynamic(
     df: DataFrame,
     keys: Sequence[str],

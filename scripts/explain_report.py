@@ -50,7 +50,12 @@ d_minhash_recall (the guarded O(n^2) ground-truth twin's
 inequality pair join over the explicit 10% sample, plus 1-row
 report cross joins — quadratic BY DESIGN, see the query docstring),
 q11_important_parts / q22_idle_rich_customers (one-row
-scalar-subquery cross joins, the TPC-H shapes).
+scalar-subquery cross joins, the TPC-H shapes),
+d_threshold_curve (two one-row aggregate frames cross-joined
+before the stack — the report's four output rows),
+d_unimax_plan (the sorted-array pack is one row; the scalar
+(k, level) reduction broadcasts back as one row — round 9
+replaced its ungrouped windows with these).
 """,
     ]
     for name in E.HEADLINE_QUERIES:

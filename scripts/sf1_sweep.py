@@ -116,6 +116,13 @@ QUERIES = [
     "x_t3",
     "s_stream_bloom",
     "x_mcginley",
+    "x_vwap_bands",
+    "x_elder_impulse",
+    "e_burst_detection",
+    "d_threshold_curve",
+    "m_frame_sample",
+    "j_nearest_event",
+    "d_source_overlap",
     "e_cusum_drift",
     "s_stream_cusum",
     "d_bloom_membership",

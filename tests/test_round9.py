@@ -203,3 +203,166 @@ def test_mcginley_hand_replay_and_adaptivity(spark):
     for i, g in enumerate(got):
         assert min(vals[: i + 1]) - 1e-9 <= g <= max(vals[: i + 1]) + 1e-9
     assert all(x > 0 for x in got)
+
+
+def test_vwap_bands_geometry(spark, sf_dir):
+    rows = E.x_vwap_bands(spark, sf_dir).collect()
+    assert rows
+    first_of_day = set()
+    for r in rows:
+        key = (r["user_id"], r["trade_date"])
+        assert r["vwap_upper"] >= r["vwap"] >= r["vwap_lower"]
+        if key not in first_of_day:
+            first_of_day.add(key)
+            # anchor bar: vwap ~= close and ~zero dispersion (the
+            # decimal(38,6) sums round p*v to 6 dp, so exact equality
+            # holds only up to the quantization epsilon)
+            assert abs(r["vwap"] - r["close"]) < 1e-5
+            assert r["vwap_upper"] - r["vwap_lower"] < 1e-2
+
+
+def test_elder_impulse_hand_replay(spark):
+    import math
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        elder_impulse_states,
+    )
+
+    vals = [10.0, 11.0, 12.0, 11.5, 10.0, 9.0, 9.5, 10.5]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, rn long, close double")
+    got = (
+        elder_impulse_states(df, ["user_id"], "rn").orderBy("rn").collect()
+    )
+    e13 = e12 = e26 = sig = 0
+    for i, v in enumerate(vals):
+        vi = math.floor(v * 1e6 + 0.5)
+        if i == 0:
+            e13 = e12 = e26 = vi
+            sig = 0
+        else:
+            e13 += math.floor(2.0 * (vi - e13) / 14.0)
+            e12 += math.floor(2.0 * (vi - e12) / 13.0)
+            e26 += math.floor(2.0 * (vi - e26) / 27.0)
+            sig += math.floor(2.0 * ((e12 - e26) - sig) / 10.0)
+        assert got[i]["ema13"] == e13 / 1e6
+        assert got[i]["macd"] == (e12 - e26) / 1e6
+        assert got[i]["hist"] == (e12 - e26 - sig) / 1e6
+    # first bar: macd and hist are 0 by construction
+    assert got[0]["macd"] == 0.0 and got[0]["hist"] == 0.0
+
+
+def test_burst_flags_only_the_spike(spark):
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for d in range(35):
+        n = 100 if d == 30 else 10
+        for i in range(n):
+            rows.append(
+                (7, datetime.datetime.combine(
+                    base + datetime.timedelta(days=d),
+                    datetime.time(hour=i % 24),
+                ))
+            )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    # drive the same shape the query uses, on the constructed frame
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        "user_id", F.to_date("ts").alias("trade_date")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+    prior = w.rowsBetween(-28, -1)
+    s = F.sum("n_events").over(prior).cast("long")
+    c = F.count(F.lit(1)).over(prior).cast("long")
+    burst = F.coalesce(
+        (F.col("n_events") * c > F.lit(3) * s) & (F.col("n_events") >= 5),
+        F.lit(False),
+    )
+    out = daily.select("trade_date", burst.alias("b")).orderBy("trade_date").collect()
+    flagged = [r["trade_date"] for r in out if r["b"]]
+    assert flagged == [base + datetime.timedelta(days=30)]
+
+
+def test_threshold_curve_monotone_and_consistent(spark, sf_dir):
+    curve = {
+        round(r["threshold"], 2): r
+        for r in E.d_threshold_curve(spark, sf_dir).collect()
+    }
+    assert sorted(curve) == [0.7, 0.8, 0.9, 0.95]
+    ts = sorted(curve)
+    for a, b in zip(ts, ts[1:]):
+        assert curve[a]["n_pairs"] >= curve[b]["n_pairs"]
+        assert curve[a]["n_docs"] >= curve[b]["n_docs"]
+    # cross-check against the exact O(n^2) twin on the same 50% sample:
+    # at the fixture scale the guarded all-pairs baseline is tractable,
+    # and each curve point must count at most the true pair count (LSH
+    # banding is recall-bounded) and exactly match where recall is 1
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        exact_jaccard_pairs,
+    )
+
+    docs = E._t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    for t in ts:
+        n_true = exact_jaccard_pairs(docs, threshold=t).count()
+        assert curve[t]["n_pairs"] <= n_true
+    # the fixture corpus's near-dups are extreme (exact replicas +
+    # templates), so recall at the top threshold is 1 in practice
+    n95 = exact_jaccard_pairs(docs, threshold=0.95).count()
+    assert curve[0.95]["n_pairs"] == n95
+
+
+def test_frame_sample_grid(spark, sf_dir):
+    rows = E.m_frame_sample(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: len(r["text"].encode("utf-8"))
+        for r in E._t(spark, sf_dir, "documents").collect()
+    }
+    per_doc: dict = {}
+    for r in rows:
+        assert r["frame_offset_ms"] % 1000 == 0
+        assert r["frame_offset_ms"] < docs[r["media_id"]]
+        per_doc[r["media_id"]] = per_doc.get(r["media_id"], 0) + 1
+    for mid, n in per_doc.items():
+        assert n == -(-docs[mid] // 1000)  # ceil(bytes/1000)
+
+
+def test_nearest_event_is_truly_nearest(spark, sf_dir):
+    out = E.j_nearest_event(spark, sf_dir).collect()
+    ev = E._t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    buys: dict = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            buys.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for r in out[:300]:
+        cands = buys.get(r["user_id"], [])
+        if not cands:
+            assert r["nearest_purchase_id"] is None
+            continue
+        best_gap = min(abs((b["ts"] - r["ts"]).total_seconds()) for b in cands)
+        assert abs(abs(r["gap_seconds"]) - best_gap) < 1e-6
+        checked += 1
+    assert checked > 0
+
+
+def test_source_overlap_mass_equals_member_expansion(spark, sf_dir):
+    """The combinatorial matrix must total EXACTLY the member-level
+    expansion's pair count — same chain, two counting strategies."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        minhash_near_dup_pairs,
+    )
+
+    matrix = E.d_source_overlap(spark, sf_dir).collect()
+    sample = E._t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    n_member = minhash_near_dup_pairs(sample, threshold=0.9).count()
+    assert sum(r["n_pairs"] for r in matrix) == n_member
+    for r in matrix:
+        assert r["source_a"] <= r["source_b"]
+        assert r["n_pairs"] > 0
