@@ -2718,6 +2718,92 @@ def t3_ma(
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
 
 
+def holt_winters(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    period: int = 7,
+    alpha6: int = 300_000,
+    gamma6: int = 100_000,
+    delta6: int = 300_000,
+    close: str = "close",
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (level + trend +
+    ``period`` seasonal components) — the full forecasting triple on
+    top of :func:`holt_linear`:
+
+        l_t = α·(y_t − s_{t−p}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = γ·(l_t − l_{t−1}) + (1−γ)·b_{t−1}
+        s_t = δ·(y_t − l_t) + (1−δ)·s_{t−p}
+        ŷ_{t+1|t} = l_t + b_t + s_{t+1−p}
+
+    Seeds: l_1 = y_1, b_1 = 0, every seasonal slot 0 (the flat-start
+    convention — the seasonal profile learns over the first cycles;
+    classic textbook seeding needs a whole first season buffered, which
+    a streaming-shaped fold deliberately avoids).
+
+    Exactness: the holt_linear recipe with ``period`` extra BIGINT
+    states — every numerator can be negative, so every division
+    branches on sign; the SQL oracle's recursive CTE carries
+    (l, b, s0..s_{p−1}) and updates exactly one seasonal column per
+    row (a CASE per column).
+
+    Output: keys + order + close + (level, trend, season, forecast).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    base_schema = ", ".join(f"{k} {t}" for k, t in src.dtypes)
+    schema = base_schema + (
+        ", level double, trend double, season double, forecast double"
+    )
+    ca6 = 1_000_000 - alpha6
+    cg6 = 1_000_000 - gamma6
+    cd6 = 1_000_000 - delta6
+
+    def sdiv(num: int) -> int:
+        if num >= 0:
+            return num // 1_000_000
+        return -((-num) // 1_000_000)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        p = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        m = len(p)
+        lv = np.empty(m, dtype=np.int64)
+        tr = np.empty(m, dtype=np.int64)
+        se = np.empty(m, dtype=np.int64)
+        fc = np.empty(m, dtype=np.int64)
+        l = b = 0
+        s = [0] * period
+        for i, y in enumerate(p.tolist()):
+            slot = i % period
+            if i == 0:
+                l, b = y, 0
+            else:
+                sold = s[slot]
+                l_prev = l
+                l = sdiv(alpha6 * (y - sold) + ca6 * (l + b))
+                b = sdiv(gamma6 * (l - l_prev) + cg6 * b)
+                s[slot] = sdiv(delta6 * (y - l) + cd6 * sold)
+            lv[i] = l
+            tr[i] = b
+            se[i] = s[slot]
+            fc[i] = l + b + s[(i + 1) % period]
+        return pdf.assign(
+            level=lv / 1e6, trend=tr / 1e6, season=se / 1e6, forecast=fc / 1e6
+        )
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
 def elder_impulse_states(
     df: DataFrame,
     keys: Sequence[str],

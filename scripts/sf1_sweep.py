@@ -123,6 +123,8 @@ QUERIES = [
     "m_frame_sample",
     "j_nearest_event",
     "d_source_overlap",
+    "o_bucketed_join",
+    "x_holt_winters",
     "e_cusum_drift",
     "s_stream_cusum",
     "d_bloom_membership",
