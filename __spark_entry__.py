@@ -13409,7 +13409,7 @@ def d_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     output-preserving at >= 0.70), exact Jaccard computed once per
     candidate, then one conditional aggregate per statistic. The report
     a corpus owner reads to pick the threshold BEFORE committing to a
-    100 TB dedup pass — estimated on an explicit 50 % document sample
+    100 TB dedup pass — estimated on an explicit 1/4 document sample
     BY DESIGN (the d_minhash_recall rule: estimation reports sample,
     production passes don't; a 0.70-banded candidate set over a
     template-heavy corpus is pair-mass-quadratic in corpus size, and
@@ -13428,7 +13428,7 @@ def d_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs as C(m, 2), with no expansion materialized anywhere. The
     # oracle keeps the straightforward per-doc form.
     withg, rep_pairs = minhash_group_rep_pairs(
-        docs.filter(F.col("doc_id") % 2 == 0), threshold=0.70
+        docs.filter(F.col("doc_id") % 4 == 0), threshold=0.70
     )
     groups = withg.groupBy("_gid").agg(
         F.count(F.lit(1)).cast("long").alias("_m"),
@@ -13517,7 +13517,7 @@ def d_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _threshold_curve_sql() -> str:
     pcts = ", ".join(str(p) for p in _CURVE_PCTS)
     return rf"""
-WITH {_minhash_ctes(0.70, "WHERE doc_id % 2 = 0")},
+WITH {_minhash_ctes(0.70, "WHERE doc_id % 4 = 0")},
 verified AS (
   SELECT doc_a, doc_b,
          CAST(floor(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)

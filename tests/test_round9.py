@@ -304,7 +304,7 @@ def test_threshold_curve_monotone_and_consistent(spark, sf_dir):
         exact_jaccard_pairs,
     )
 
-    docs = E._t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    docs = E._t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
     for t in ts:
         n_true = exact_jaccard_pairs(docs, threshold=t).count()
         assert curve[t]["n_pairs"] <= n_true
