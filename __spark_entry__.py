@@ -13916,6 +13916,112 @@ ORDER BY g.user_id, g.trade_date
 
 
 
+def x_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-model backtest — the evaluation layer for the
+    forecasting family, as the recall reports are for ANN/dedup: per
+    user, one-step-ahead MAE of the NAIVE (carry-forward), Holt
+    (level+trend) and Holt-Winters (seasonal) forecasters over the same
+    daily series, plus the champion label. Errors requantize to
+    micro-unit BIGINTs BEFORE summing (every |y−ŷ| is a micro multiple,
+    but micro multiples are not exact binary doubles — an integer sum
+    is order-free where a double sum is not), so the report is
+    bit-identical cross-engine; champions tie-break
+    naive > holt > holt_winters (prefer the simpler model)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        holt_linear,
+        holt_winters,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    h = holt_linear(daily, ["user_id"], "trade_date").select(
+        "user_id", "trade_date", "close", F.col("forecast").alias("_fh")
+    )
+    w = holt_winters(daily, ["user_id"], "trade_date", period=7).select(
+        "user_id", "trade_date", F.col("forecast").alias("_fw")
+    )
+    j = h.join(w, ["user_id", "trade_date"])
+    win = Window.partitionBy("user_id").orderBy("trade_date")
+
+    def err6(pred) -> "F.Column":
+        return F.floor(
+            F.abs(F.col("close") - pred) * 1e6 + F.lit(0.5)
+        ).cast("long")
+
+    staged = j.select(
+        "user_id",
+        err6(F.lag("close").over(win)).alias("_en"),
+        err6(F.lag("_fh").over(win)).alias("_eh"),
+        err6(F.lag("_fw").over(win)).alias("_ew"),
+    ).filter(F.col("_en").isNotNull())
+    agg = staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_evals"),
+        F.sum("_en").cast("long").alias("_sn"),
+        F.sum("_eh").cast("long").alias("_sh"),
+        F.sum("_ew").cast("long").alias("_sw"),
+    )
+    champion = (
+        F.when(
+            (F.col("_sn") <= F.col("_sh")) & (F.col("_sn") <= F.col("_sw")),
+            F.lit("naive"),
+        )
+        .when(F.col("_sh") <= F.col("_sw"), F.lit("holt"))
+        .otherwise(F.lit("holt_winters"))
+    )
+    return agg.select(
+        "user_id",
+        "n_evals",
+        (F.col("_sn").cast("double") / F.col("n_evals") / 1e6).alias(
+            "mae_naive"
+        ),
+        (F.col("_sh").cast("double") / F.col("n_evals") / 1e6).alias(
+            "mae_holt"
+        ),
+        (F.col("_sw").cast("double") / F.col("n_evals") / 1e6).alias(
+            "mae_holt_winters"
+        ),
+        champion.alias("champion"),
+    ).orderBy("user_id")
+
+
+def _forecast_backtest_sql() -> str:
+    holt = _holt_sql().strip().rstrip()
+    hw = _holt_winters_sql().strip().rstrip()
+    return f"""
+WITH h AS ({holt}),
+w AS ({hw}),
+j AS (
+  SELECT h.user_id, h.trade_date, h.close,
+         lag(h.close) OVER win AS pn,
+         lag(h.forecast) OVER win AS ph,
+         lag(w.forecast) OVER win AS pw
+  FROM h JOIN w ON h.user_id = w.user_id AND h.trade_date = w.trade_date
+  WINDOW win AS (PARTITION BY h.user_id ORDER BY h.trade_date)),
+e AS (
+  SELECT user_id,
+         CAST(floor(abs(close - pn) * 1e6 + 0.5) AS BIGINT) AS en,
+         CAST(floor(abs(close - ph) * 1e6 + 0.5) AS BIGINT) AS eh,
+         CAST(floor(abs(close - pw) * 1e6 + 0.5) AS BIGINT) AS ew
+  FROM j WHERE pn IS NOT NULL),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_evals,
+         CAST(sum(en) AS BIGINT) AS sn,
+         CAST(sum(eh) AS BIGINT) AS sh,
+         CAST(sum(ew) AS BIGINT) AS sw
+  FROM e GROUP BY user_id)
+SELECT user_id, n_evals,
+       CAST(sn AS DOUBLE) / n_evals / 1e6 AS mae_naive,
+       CAST(sh AS DOUBLE) / n_evals / 1e6 AS mae_holt,
+       CAST(sw AS DOUBLE) / n_evals / 1e6 AS mae_holt_winters,
+       CASE WHEN sn <= sh AND sn <= sw THEN 'naive'
+            WHEN sh <= sw THEN 'holt'
+            ELSE 'holt_winters' END AS champion
+FROM agg ORDER BY user_id
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
@@ -13969,6 +14075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_source_overlap": d_source_overlap,
         "o_bucketed_join": o_bucketed_join,
         "x_holt_winters": x_holt_winters,
+        "x_forecast_backtest": x_forecast_backtest,
         # --- r9 part 3: the r4-stale cohort (scripts/staleness.py 9
         # order); the 50-row window cuts partway through — the tail
         # spills to r10. ---
@@ -14392,6 +14499,7 @@ def oracle_sql() -> dict[str, str]:
         "d_source_overlap": _source_overlap_sql(),
         "o_bucketed_join": _O_BUCKETED_SQL,
         "x_holt_winters": _holt_winters_sql(),
+        "x_forecast_backtest": _forecast_backtest_sql(),
         "s_stream_sessions": _S_SESSIONS_SQL,
         "s_stream_join": _S_JOIN_SQL,
         "x_ema_macd": _X_EMA_MACD_SQL,
@@ -14594,6 +14702,7 @@ HEADLINE_QUERIES = [
     "d_source_overlap",
     "o_bucketed_join",
     "x_holt_winters",
+    "x_forecast_backtest",
     "s_stream_sessions",
     "s_stream_join",
     "x_ema_macd",

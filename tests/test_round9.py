@@ -440,3 +440,20 @@ def test_holt_winters_hand_replay_and_seasonality(spark):
         abs(got[i]["forecast"] - vals[i + 1]) for i in range(28, 41)
     ]
     assert max(late_err) < 1.5
+
+
+def test_forecast_backtest_champion_is_argmin(spark, sf_dir):
+    rows = E.x_forecast_backtest(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        maes = {
+            "naive": r["mae_naive"],
+            "holt": r["mae_holt"],
+            "holt_winters": r["mae_holt_winters"],
+        }
+        best = min(maes.values())
+        assert abs(maes[r["champion"]] - best) < 1e-12
+        # tie preference: a simpler model never loses a tie
+        if maes["naive"] == best:
+            assert r["champion"] == "naive"
+        assert r["n_evals"] > 0 and all(v >= 0 for v in maes.values())
