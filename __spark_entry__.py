@@ -14306,7 +14306,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_packing_efficiency": d_packing_efficiency,
         "d_contamination_report": d_contamination_report,
         "x_garch_vol": x_garch_vol,
-        "d_minhash_recall": d_minhash_recall,
         "emb_ivf_recall": emb_ivf_recall,
         "d_minhash_neardup": d_minhash_neardup,
         "d_curation_pipeline": d_curation_pipeline,
