@@ -29,10 +29,35 @@ from __future__ import annotations
 
 import os
 import re
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["ensure_bucketed"]
+__all__ = ["ensure_bucketed", "write_bucketed", "read_table"]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a catalog table bucketed (and optionally sorted) by key.
+
+    Sorting within buckets additionally removes the Sort from
+    SortMergeJoin and makes per-key window scans sequential I/O.
+    The low-level primitive; :func:`ensure_bucketed` wraps it with the
+    build-once staleness key and cross-session re-registration."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
 
 _ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
