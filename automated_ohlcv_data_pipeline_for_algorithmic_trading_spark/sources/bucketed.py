@@ -70,6 +70,27 @@ def _safe(s: str) -> str:
     return re.sub(r"[^A-Za-z0-9_]", "_", s)
 
 
+def _register(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    schema_ddl: str,
+    key: str,
+    n_buckets: int,
+) -> None:
+    """Metadata-only CREATE TABLE over already-bucketed files.
+
+    The column list comes from ``StructType.toDDL()`` (Catalyst's own
+    DDL printer: backquoted names, correct nested-type syntax) — a
+    hand-rolled ``simpleString`` rewrite silently mangles struct inner
+    colons and reserved column names (round-9 ADVICE)."""
+    spark.sql(
+        f"CREATE TABLE {name} ({schema_ddl}) USING PARQUET"
+        f" CLUSTERED BY (`{key}`) SORTED BY (`{key}`)"
+        f" INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
 def ensure_bucketed(
     spark: SparkSession,
     df: DataFrame,
@@ -83,46 +104,74 @@ def ensure_bucketed(
     ``source_path`` is the file whose (size, mtime) keys the layout —
     a regenerated source can never be read through stale buckets. The
     bucketed write itself is the one-time shuffle; every later call
-    (same or new session) is metadata-only.
+    (same or new session) is metadata-only. Concurrency-safe: the
+    build happens in a process-private temp directory that is renamed
+    into place atomically, so a concurrent reader either sees the
+    complete layout (with its `_BUILT` marker) or none of it — never a
+    half-written directory. Stale layouts of the SAME source (older
+    size+mtime tags, e.g. after testdata regeneration) are pruned when
+    a new version is built, so the warehouse does not grow without
+    bound across rounds.
     """
     st = os.stat(source_path)
     base = os.path.basename(source_path).split(".")[0]
-    tag = _safe(
-        "{}_{}_{}_{}".format(
+    prefix = _safe(
+        "{}_{}".format(
             base,
             os.path.basename(os.path.normpath(os.path.dirname(source_path))),
-            st.st_size,
-            int(st.st_mtime),
         )
     )
+    tag = _safe("{}_{}_{}".format(prefix, st.st_size, int(st.st_mtime)))
     name = f"bkt_{tag}"
     path = os.path.join(_ROOT, name)
     marker = os.path.join(path, "_BUILT")
+    schema_ddl = df.schema.toDDL()
     if not spark.catalog.tableExists(name):
         if os.path.exists(marker):
             # files exist from an earlier session: metadata-only
             # re-registration with the same bucket spec
-            ddl = df.schema.simpleString()[7:-1].replace(":", " ")
-            spark.sql(
-                f"CREATE TABLE {name} ({ddl}) USING PARQUET"
-                f" CLUSTERED BY ({key}) SORTED BY ({key})"
-                f" INTO {n_buckets} BUCKETS LOCATION '{path}'"
-            )
+            _register(spark, name, path, schema_ddl, key, n_buckets)
         else:
+            import shutil
+
             from pyspark.sql import functions as F
 
             # one shuffle to align writer partitions with bucket ids
             # (same Murmur3 hash) -> exactly ONE file per bucket, which
             # is the layout Spark's SMJ planner can trust for BOTH
-            # exchange AND sort elimination
+            # exchange AND sort elimination. Built under a pid-private
+            # temp name, marked, then renamed into place — rename is
+            # the commit point; a losing racer just discards its copy.
+            tmp_name = f"{name}__build{os.getpid()}"
+            tmp_path = os.path.join(_ROOT, tmp_name)
             (
                 df.repartition(n_buckets, F.col(key))
                 .write.mode("overwrite")
                 .bucketBy(n_buckets, key)
                 .sortBy(key)
-                .option("path", path)
-                .saveAsTable(name)
+                .option("path", tmp_path)
+                .saveAsTable(tmp_name)
             )
-            with open(marker, "w") as fh:
+            with open(os.path.join(tmp_path, "_BUILT"), "w") as fh:
                 fh.write("ok\n")
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+            try:
+                os.rename(tmp_path, path)
+            except OSError:
+                # another process committed first — use theirs
+                shutil.rmtree(tmp_path, ignore_errors=True)
+            # GC: older layouts of this same source are unreachable
+            # (their size+mtime no longer matches) — drop them so
+            # regeneration across rounds doesn't accumulate full
+            # copies of fact tables under spark-warehouse/bucketed/.
+            for sib in os.listdir(_ROOT):
+                if (
+                    sib.startswith(f"bkt_{prefix}_")
+                    and sib != name
+                    and "__build" not in sib
+                ):
+                    shutil.rmtree(
+                        os.path.join(_ROOT, sib), ignore_errors=True
+                    )
+            _register(spark, name, path, schema_ddl, key, n_buckets)
     return spark.table(name)

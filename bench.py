@@ -231,9 +231,34 @@ def main() -> None:
         "queries": dict(sorted(timings.items())),
         "stream_net_of_startup": dict(sorted(stream_net.items())),
     }
-    with open(os.path.join(root, f"BENCH_LOCAL_r{rnd:02d}.json"), "w") as fh:
-        json.dump(artifact, fh, indent=1, sort_keys=False)
-        fh.write("\n")
+    # Clobber guard (round-9 ADVICE): the round inference
+    # (max CORRECTNESS_r* + 1) is wrong for driver-invoked post-close
+    # re-runs, which would overwrite the builder's committed per-query
+    # map. Only write the repo-root artifact when the round is pinned
+    # explicitly (SPARK_GRAFT_ROUND) or the target does not exist yet;
+    # otherwise divert to a temp name and say so.
+    target = os.path.join(root, f"BENCH_LOCAL_r{rnd:02d}.json")
+    if os.path.exists(target) and "SPARK_GRAFT_ROUND" not in os.environ:
+        import tempfile
+
+        tmp = tempfile.NamedTemporaryFile(
+            mode="w",
+            prefix=f"bench_local_r{rnd:02d}_",
+            suffix=".json",
+            delete=False,
+        )
+        json.dump(artifact, tmp, indent=1, sort_keys=False)
+        tmp.write("\n")
+        tmp.close()
+        print(
+            f"# BENCH_LOCAL_r{rnd:02d}.json exists and SPARK_GRAFT_ROUND"
+            f" is unset — wrote {tmp.name} instead",
+            file=sys.stderr,
+        )
+    else:
+        with open(target, "w") as fh:
+            json.dump(artifact, fh, indent=1, sort_keys=False)
+            fh.write("\n")
     print(
         json.dumps(
             {
