@@ -95,6 +95,17 @@ def get_spark(
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     conf.setdefault("spark.ui.enabled", "false")
     conf.setdefault("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    # Whole-stage-codegen compiled-class cache (STATIC conf, JVM-wide;
+    # default 100 entries). A long-lived session serving many distinct
+    # queries — an interactive/Thrift server, or this repo's 257-query
+    # sweep — cycles far more than 100 generated classes between two
+    # executions of the same query, so every re-execution re-pays Janino
+    # compile + C2 warm-up for EVERY stage; the penalty scales with a
+    # plan's codegen-fragment count and measured 2-2.5x on the iterative
+    # minhash/components chain (8.9 s evicted vs 3.0 s retained,
+    # NOTES round 10). ~5 KB/entry: 10k entries ≈ 50 MB of metaspace —
+    # cheap insurance at any scale.
+    conf.setdefault("spark.sql.codegen.cache.maxEntries", "10000")
     for k, v in (extra or {}).items():
         conf[k] = v
     for k, v in conf.items():
