@@ -3479,10 +3479,11 @@ def event_study(
         1e6
     )
     # cumulative abnormal return = running BIGINT sum of the quantized
-    # per-offset mean over the (bounded, distinct-keyed) offset table —
-    # the two-pass distributed prefix sum from operators/rank.py, not an
-    # ungrouped window
-    from .rank import distributed_running_sum
+    # per-offset mean over the offset table — which has EXACTLY
+    # 2·w+1 distinct-keyed rows, so the lazy packed prefix sum applies
+    # (the eager two-pass machinery cost ~0.6 s of jobs here for a
+    # 7-row fold — the round-9 x_event_study regression)
+    from .rank import packed_running_sum
 
     staged = agg.withColumn(
         "_avg6",
@@ -3491,9 +3492,7 @@ def event_study(
             + F.lit(0.5)
         ).cast("long"),
     )
-    cum = distributed_running_sum(
-        staged, [F.col("offset").asc()], "_avg6", "_car6"
-    )
+    cum = packed_running_sum(staged, "offset", "_avg6", "_car6")
     return (
         cum.select(
             "offset",

@@ -33,15 +33,31 @@ def quantile_bucket(
     value_col: str,
     n_buckets: int = 5,
     out_col: str = "bucket",
+    strategy: str = "packed",
 ) -> DataFrame:
     """Append an exact discrete-quantile bucket (1..n_buckets, 1 =
     smallest values) for the INTEGER column ``value_col``.
 
     One histogram aggregate (map-side combinable, output bounded by the
-    distinct-value count), one cumulative window over that bounded
-    table, ONE conditional-min aggregate producing all k−1 cuts in a
-    single row, then a broadcast compare per input row:
+    distinct-value count), the k−1 cut values from that bounded
+    histogram, then a broadcast compare per input row:
     ``bucket = 1 + Σ_b (value > cut_b)``. NULL values get NULL buckets.
+
+    ``strategy`` picks how the cuts are found:
+
+    - ``"packed"`` (default): sort the histogram into ONE array and run
+      a single in-array fold that carries (running count, k−1 pending
+      cuts) — entirely LAZY (no job until the result is consumed) and
+      one aggregation total. Right whenever the distinct-value count is
+      bounded (score-like integer metrics — this module's headline
+      case); the whole histogram passes through one aggregation buffer.
+    - ``"twopass"``: the distributed prefix sum from operators/rank.py —
+      scales to unbounded distinct-value counts (histogram sharded
+      across partitions) but runs two eager jobs at call time. Use for
+      metrics whose distinct count is row-count-shaped.
+
+    Both produce identical cuts: cut_b = min v with ccum·k ≥ N·b, all
+    integer arithmetic.
     """
     if n_buckets < 2:
         raise ValueError("quantile_bucket: n_buckets must be >= 2")
@@ -49,23 +65,60 @@ def quantile_bucket(
     hist = df.filter(v.isNotNull()).groupBy(v.alias("_v")).agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    # two-pass distributed prefix sum over the bounded histogram (the
-    # grouped keys are distinct, so "_v" alone is a total order); the
-    # grand total rides along as a literal — no ungrouped window, no
-    # single-task sort however many distinct values exist
-    cum = distributed_running_sum(
-        hist, [F.col("_v").asc()], "_cnt", "_ccum", total_col="_n"
-    )
-    cuts = cum.agg(
-        *[
-            F.min(
-                F.when(
-                    F.col("_ccum") * n_buckets >= F.col("_n") * b, F.col("_v")
-                )
-            ).alias(f"_cut{b}")
-            for b in range(1, n_buckets)
-        ]
-    )
+    k = n_buckets
+    if strategy == "twopass":
+        # two-pass distributed prefix sum over the histogram (the
+        # grouped keys are distinct, so "_v" alone is a total order);
+        # the grand total rides along as a literal
+        cum = distributed_running_sum(
+            hist, [F.col("_v").asc()], "_cnt", "_ccum", total_col="_n"
+        )
+        cuts = cum.agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("_ccum") * k >= F.col("_n") * b, F.col("_v")
+                    )
+                ).alias(f"_cut{b}")
+                for b in range(1, k)
+            ]
+        )
+    else:
+        vtype = df.schema[value_col].dataType
+        packed = hist.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_v"), F.col("_cnt")))
+            ).alias("_h")
+        ).select(
+            "_h",
+            F.aggregate(
+                "_h", F.lit(0).cast("long"), lambda a, x: a + x["_cnt"]
+            ).alias("_n"),
+        )
+
+        def _step(acc: Column, x: Column) -> Column:
+            s2 = acc["s"] + x["_cnt"]
+            return F.struct(
+                s2.alias("s"),
+                *[
+                    F.coalesce(
+                        acc[f"c{b}"],
+                        F.when(s2 * k >= F.col("_n") * b, x["_v"]),
+                    ).alias(f"c{b}")
+                    for b in range(1, k)
+                ],
+            )
+
+        init = F.struct(
+            F.lit(0).cast("long").alias("s"),
+            *[
+                F.lit(None).cast(vtype).alias(f"c{b}")
+                for b in range(1, k)
+            ],
+        )
+        cuts = packed.select(F.aggregate("_h", init, _step).alias("_f")).select(
+            *[F.col("_f")[f"c{b}"].alias(f"_cut{b}") for b in range(1, k)]
+        )
     bucket: Column = F.lit(1)
     for b in range(1, n_buckets):
         bucket = bucket + (v > F.col(f"_cut{b}")).cast("int")
