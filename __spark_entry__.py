@@ -13925,20 +13925,110 @@ ORDER BY g.user_id, g.trade_date
 
 
 
+def x_holt_winters_mul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters MULTIPLICATIVE seasonal smoothing (period 7) over
+    per-user daily closes — seasonality as a factor on the level, the
+    standard fourth forecasting contender
+    (operators/finance.holt_winters_multiplicative). The DIVISION-STATE
+    fold shape: the update divides one evolving BIGINT state by another
+    (y/s_old, y/l) — each a sign-branched integer division on clamped
+    positive denominators, so the recursive-CTE oracle replays it
+    bit-identically (VERDICT r9 ask #9)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        holt_winters_multiplicative,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    return holt_winters_multiplicative(
+        daily, ["user_id"], "trade_date", period=7
+    ).orderBy("user_id", "trade_date")
+
+
+def _holt_winters_mul_sql(
+    period: int = 7,
+    alpha6: int = 300_000,
+    gamma6: int = 100_000,
+    delta6: int = 300_000,
+) -> str:
+    ca6 = 1_000_000 - alpha6
+    cg6 = 1_000_000 - gamma6
+    cd6 = 1_000_000 - delta6
+
+    def sdiv(num: str, den: str = "1000000") -> str:
+        return (
+            f"(CASE WHEN ({num}) >= 0 THEN ({num}) // ({den})"
+            f" ELSE -((-({num})) // ({den})) END)"
+        )
+
+    def season_case(slot_expr: str, prefix: str) -> str:
+        whens = " ".join(
+            f"WHEN {j} THEN {prefix}s{j}" for j in range(period)
+        )
+        return f"CASE CAST({slot_expr} AS INT) {whens} END"
+
+    slots = list(range(period))
+    seed_s = ", ".join(f"CAST(1000000 AS BIGINT) AS s{j}" for j in slots)
+    ns_cols = ",\n           ".join(
+        f"CASE WHEN slot = {j} THEN snew ELSE p.s{j} END AS ns{j}"
+        for j in slots
+    )
+    pass_s = ", ".join(f"ns{j} AS s{j}" for j in slots)
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+g AS MATERIALIZED (
+  SELECT user_id, trade_date, close,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS yu,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM daily),
+st AS (
+  SELECT user_id, rn, yu AS l, CAST(0 AS BIGINT) AS b, {seed_s}
+  FROM g WHERE rn = 1
+  UNION ALL
+  SELECT user_id, rn, nl AS l, nb AS b, {pass_s}
+  FROM (
+    SELECT c.user_id, c.rn,
+           CAST((c.rn - 1) % {period} AS INT) AS slot,
+           least(greatest({season_case("slot", "p.")}, 100000),
+                 10000000) AS sold,
+           {sdiv("c.yu * 1000000", "sold")} AS detr,
+           {sdiv(f"{alpha6} * detr + {ca6} * (p.l + p.b)")} AS nl,
+           {sdiv(f"{gamma6} * (nl - p.l) + {cg6} * p.b")} AS nb,
+           least(greatest({sdiv("c.yu * 1000000", "greatest(nl, 1)")},
+                          100000), 10000000) AS ratio,
+           {sdiv(f"{delta6} * ratio + {cd6} * sold")} AS snew,
+           {ns_cols}
+    FROM g c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1))
+SELECT g.user_id, g.trade_date, g.close,
+       CAST(st.l AS DOUBLE) / 1e6 AS level,
+       CAST(st.b AS DOUBLE) / 1e6 AS trend,
+       CAST({season_case("(st.rn - 1) % " + str(period), "st.")} AS DOUBLE)
+           / 1e6 AS season,
+       CAST({sdiv(
+           "(st.l + st.b) * " + season_case("st.rn % " + str(period), "st.")
+       )} AS DOUBLE) / 1e6 AS forecast
+FROM g JOIN st ON g.user_id = st.user_id AND g.rn = st.rn
+ORDER BY g.user_id, g.trade_date
+"""
+
+
 def x_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-model backtest — the evaluation layer for the
     forecasting family, as the recall reports are for ANN/dedup: per
     user, one-step-ahead MAE of the NAIVE (carry-forward), Holt
-    (level+trend) and Holt-Winters (seasonal) forecasters over the same
-    daily series, plus the champion label. Errors requantize to
+    (level+trend), additive Holt-Winters and multiplicative
+    Holt-Winters forecasters over the same daily series, plus the
+    champion label. Errors requantize to
     micro-unit BIGINTs BEFORE summing (every |y−ŷ| is a micro multiple,
     but micro multiples are not exact binary doubles — an integer sum
     is order-free where a double sum is not), so the report is
     bit-identical cross-engine; champions tie-break
-    naive > holt > holt_winters (prefer the simpler model)."""
+    naive > holt > holt_winters > hw_mul (prefer the simpler model)."""
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
         holt_linear,
         holt_winters,
+        holt_winters_multiplicative,
     )
 
     daily = _daily_ohlcv(spark, sf_dir).select(
@@ -13950,7 +14040,12 @@ def x_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = holt_winters(daily, ["user_id"], "trade_date", period=7).select(
         "user_id", "trade_date", F.col("forecast").alias("_fw")
     )
-    j = h.join(w, ["user_id", "trade_date"])
+    m = holt_winters_multiplicative(
+        daily, ["user_id"], "trade_date", period=7
+    ).select("user_id", "trade_date", F.col("forecast").alias("_fm"))
+    j = h.join(w, ["user_id", "trade_date"]).join(
+        m, ["user_id", "trade_date"]
+    )
     win = Window.partitionBy("user_id").orderBy("trade_date")
 
     def err6(pred) -> "F.Column":
@@ -13963,20 +14058,28 @@ def x_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         err6(F.lag("close").over(win)).alias("_en"),
         err6(F.lag("_fh").over(win)).alias("_eh"),
         err6(F.lag("_fw").over(win)).alias("_ew"),
+        err6(F.lag("_fm").over(win)).alias("_em"),
     ).filter(F.col("_en").isNotNull())
     agg = staged.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_evals"),
         F.sum("_en").cast("long").alias("_sn"),
         F.sum("_eh").cast("long").alias("_sh"),
         F.sum("_ew").cast("long").alias("_sw"),
+        F.sum("_em").cast("long").alias("_sm"),
     )
     champion = (
         F.when(
-            (F.col("_sn") <= F.col("_sh")) & (F.col("_sn") <= F.col("_sw")),
+            (F.col("_sn") <= F.col("_sh"))
+            & (F.col("_sn") <= F.col("_sw"))
+            & (F.col("_sn") <= F.col("_sm")),
             F.lit("naive"),
         )
-        .when(F.col("_sh") <= F.col("_sw"), F.lit("holt"))
-        .otherwise(F.lit("holt_winters"))
+        .when(
+            (F.col("_sh") <= F.col("_sw")) & (F.col("_sh") <= F.col("_sm")),
+            F.lit("holt"),
+        )
+        .when(F.col("_sw") <= F.col("_sm"), F.lit("holt_winters"))
+        .otherwise(F.lit("hw_mul"))
     )
     return agg.select(
         "user_id",
@@ -13990,6 +14093,9 @@ def x_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_sw").cast("double") / F.col("n_evals") / 1e6).alias(
             "mae_holt_winters"
         ),
+        (F.col("_sm").cast("double") / F.col("n_evals") / 1e6).alias(
+            "mae_hw_mul"
+        ),
         champion.alias("champion"),
     ).orderBy("user_id")
 
@@ -13997,35 +14103,43 @@ def x_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _forecast_backtest_sql() -> str:
     holt = _holt_sql().strip().rstrip()
     hw = _holt_winters_sql().strip().rstrip()
+    hwm = _holt_winters_mul_sql().strip().rstrip()
     return f"""
 WITH h AS ({holt}),
 w AS ({hw}),
+x AS ({hwm}),
 j AS (
   SELECT h.user_id, h.trade_date, h.close,
          lag(h.close) OVER win AS pn,
          lag(h.forecast) OVER win AS ph,
-         lag(w.forecast) OVER win AS pw
+         lag(w.forecast) OVER win AS pw,
+         lag(x.forecast) OVER win AS pm
   FROM h JOIN w ON h.user_id = w.user_id AND h.trade_date = w.trade_date
+         JOIN x ON h.user_id = x.user_id AND h.trade_date = x.trade_date
   WINDOW win AS (PARTITION BY h.user_id ORDER BY h.trade_date)),
 e AS (
   SELECT user_id,
          CAST(floor(abs(close - pn) * 1e6 + 0.5) AS BIGINT) AS en,
          CAST(floor(abs(close - ph) * 1e6 + 0.5) AS BIGINT) AS eh,
-         CAST(floor(abs(close - pw) * 1e6 + 0.5) AS BIGINT) AS ew
+         CAST(floor(abs(close - pw) * 1e6 + 0.5) AS BIGINT) AS ew,
+         CAST(floor(abs(close - pm) * 1e6 + 0.5) AS BIGINT) AS em
   FROM j WHERE pn IS NOT NULL),
 agg AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n_evals,
          CAST(sum(en) AS BIGINT) AS sn,
          CAST(sum(eh) AS BIGINT) AS sh,
-         CAST(sum(ew) AS BIGINT) AS sw
+         CAST(sum(ew) AS BIGINT) AS sw,
+         CAST(sum(em) AS BIGINT) AS sm
   FROM e GROUP BY user_id)
 SELECT user_id, n_evals,
        CAST(sn AS DOUBLE) / n_evals / 1e6 AS mae_naive,
        CAST(sh AS DOUBLE) / n_evals / 1e6 AS mae_holt,
        CAST(sw AS DOUBLE) / n_evals / 1e6 AS mae_holt_winters,
-       CASE WHEN sn <= sh AND sn <= sw THEN 'naive'
-            WHEN sh <= sw THEN 'holt'
-            ELSE 'holt_winters' END AS champion
+       CAST(sm AS DOUBLE) / n_evals / 1e6 AS mae_hw_mul,
+       CASE WHEN sn <= sh AND sn <= sw AND sn <= sm THEN 'naive'
+            WHEN sh <= sw AND sh <= sm THEN 'holt'
+            WHEN sw <= sm THEN 'holt_winters'
+            ELSE 'hw_mul' END AS champion
 FROM agg ORDER BY user_id
 """
 
@@ -14084,6 +14198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_source_overlap": d_source_overlap,
         "o_bucketed_join": o_bucketed_join,
         "x_holt_winters": x_holt_winters,
+        "x_holt_winters_mul": x_holt_winters_mul,
         "x_forecast_backtest": x_forecast_backtest,
         # --- r9 part 3: the r4-stale cohort (scripts/staleness.py 9
         # order); the 50-row window cuts partway through — the tail
@@ -14507,6 +14622,7 @@ def oracle_sql() -> dict[str, str]:
         "d_source_overlap": _source_overlap_sql(),
         "o_bucketed_join": _O_BUCKETED_SQL,
         "x_holt_winters": _holt_winters_sql(),
+        "x_holt_winters_mul": _holt_winters_mul_sql(),
         "x_forecast_backtest": _forecast_backtest_sql(),
         "s_stream_sessions": _S_SESSIONS_SQL,
         "s_stream_join": _S_JOIN_SQL,
@@ -14710,6 +14826,7 @@ HEADLINE_QUERIES = [
     "d_source_overlap",
     "o_bucketed_join",
     "x_holt_winters",
+    "x_holt_winters_mul",
     "x_forecast_backtest",
     "s_stream_sessions",
     "s_stream_join",

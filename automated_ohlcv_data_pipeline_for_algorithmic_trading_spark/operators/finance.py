@@ -2804,6 +2804,115 @@ def holt_winters(
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
 
 
+def holt_winters_multiplicative(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    period: int = 7,
+    alpha6: int = 300_000,
+    gamma6: int = 100_000,
+    delta6: int = 300_000,
+    close: str = "close",
+) -> DataFrame:
+    """Holt-Winters MULTIPLICATIVE seasonal smoothing — seasonality as
+    a FACTOR on the level rather than an additive offset (the standard
+    fourth forecasting contender; right when seasonal swing scales with
+    the series level, e.g. volume):
+
+        l_t = α·(y_t / s_{t−p}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = γ·(l_t − l_{t−1}) + (1−γ)·b_{t−1}
+        s_t = δ·(y_t / l_t) + (1−δ)·s_{t−p}
+        ŷ_{t+1|t} = (l_t + b_t) · s_{t+1−p}
+
+    Seeds: l_1 = y_1, b_1 = 0, every seasonal factor 1.0 — the flat
+    start, as in the additive form.
+
+    Exactness — the DIVISION-STATE fold shape: unlike every prior
+    family (state-affine EMAs, clamped sums, even McGinley's
+    state-dependent divisor which stays in pure IEEE arithmetic), the
+    multiplicative updates divide one evolving BIGINT state by another
+    and then re-round. The integer recipe extends: prices are µ-units
+    (1e6 = 1.0 price), seasonal factors are µ-ratios (1e6 = factor
+    1.0); each ratio is one sign-branched BIGINT division
+    (q = sign · (|num| // |den|) — floor and truncation agree on
+    magnitudes, so Python and SQL replay identically), and each
+    smoothing combination divides by 1e6 once.
+
+    Stability contract: seasonal FACTORS are clamped to [0.1, 10]
+    (µ-ratio [1e5, 1e7]) — both the stored state and the observed
+    y_t/l_t ratio before smoothing. Multiplicative seasonality is
+    famously divergent on series that touch ~0 or gap by orders of
+    magnitude (a tiny level makes a huge ratio, which shrinks the next
+    detrended level, which explodes the next ratio — the oscillation
+    grows without bound); a factor outside [0.1, 10] means the
+    multiplicative form is mis-specified for the series, and the clamp
+    keeps the fold defined (and every BIGINT product under ~2e17 «
+    2^63: detrended ≤ 10·y, δ·ratio ≤ 3e12, (l+b)·s ≤ 2e17) instead of
+    diverging. The level divisor additionally floors at 1 µ-unit.
+
+    Output: keys + order + close + (level, trend, season, forecast),
+    with ``season`` the active seasonal FACTOR (≈1.0) and ``forecast``
+    the one-step-ahead prediction.
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, close)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    base_schema = ", ".join(f"{k} {t}" for k, t in src.dtypes)
+    schema = base_schema + (
+        ", level double, trend double, season double, forecast double"
+    )
+    ca6 = 1_000_000 - alpha6
+    cg6 = 1_000_000 - gamma6
+    cd6 = 1_000_000 - delta6
+
+    def sdiv(num: int, den: int = 1_000_000) -> int:
+        if num >= 0:
+            return num // den
+        return -((-num) // den)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        p = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        m = len(p)
+        lv = np.empty(m, dtype=np.int64)
+        tr = np.empty(m, dtype=np.int64)
+        se = np.empty(m, dtype=np.int64)
+        fc = np.empty(m, dtype=np.int64)
+        l = b = 0
+        s = [1_000_000] * period
+        for i, y in enumerate(p.tolist()):
+            slot = i % period
+            if i == 0:
+                l, b = y, 0
+            else:
+                sold = min(max(s[slot], 100_000), 10_000_000)
+                detr = sdiv(y * 1_000_000, sold)
+                l_prev = l
+                l = sdiv(alpha6 * detr + ca6 * (l + b))
+                b = sdiv(gamma6 * (l - l_prev) + cg6 * b)
+                ratio = min(
+                    max(sdiv(y * 1_000_000, max(l, 1)), 100_000),
+                    10_000_000,
+                )
+                s[slot] = sdiv(delta6 * ratio + cd6 * sold)
+            lv[i] = l
+            tr[i] = b
+            se[i] = s[slot]
+            fc[i] = sdiv((l + b) * s[(i + 1) % period])
+        return pdf.assign(
+            level=lv / 1e6, trend=tr / 1e6, season=se / 1e6, forecast=fc / 1e6
+        )
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
 def elder_impulse_states(
     df: DataFrame,
     keys: Sequence[str],

@@ -125,6 +125,7 @@ QUERIES = [
     "d_source_overlap",
     "o_bucketed_join",
     "x_holt_winters",
+    "x_holt_winters_mul",
     "x_forecast_backtest",
     "e_cusum_drift",
     "s_stream_cusum",
