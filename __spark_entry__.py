@@ -3612,7 +3612,7 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_assign_ctes(
-    n_lists: int = 8, n_iter: int = 2, dim: int = 64
+    n_lists: int = 8, n_iter: int = 2, dim: int = 64, where: str = ""
 ) -> tuple[list[str], str]:
     """DuckDB replay of the seeded-k-means corpus assignment: same
     md5-bottom-k init, same unrolled Lloyd iterations with decimal-exact
@@ -3645,7 +3645,7 @@ def _ivf_assign_ctes(
 
     ctes = [
         "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
-        " AS emb FROM embeddings)",
+        f" AS emb FROM embeddings {where})",
         f"""c0 AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
              AS cell,
@@ -13134,6 +13134,176 @@ FROM v GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def s_stream_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC dedup — the SemDeDup/ANN analog of the
+    MinHash ingest sink (VERDICT r9 ask #8): the even-tenth of the
+    embeddings table (vec_id % 10 == 0) arrives as four id-monotone
+    micro-batches; each batch probes the PERSISTED IVF index (centroids
+    fit ONCE on the other 90% — the corpus — via the deterministic
+    seeded k-means; assignments appended per batch, never re-assigned)
+    and a vector is dropped iff it has a quantized-cosine ≥ 0.35
+    near-dup in its OWN cell among everything seen before it (corpus ∪
+    smaller-id stream vectors — all batch vectors index, so copies of
+    dropped vectors are still caught). Because batches are id-monotone,
+    the survivor set is batch-size-independent and the whole stream
+    replays as one batch SQL statement: the oracle refits the same
+    centroids (the _ivf_assign_ctes chain on the corpus subset),
+    assigns both halves, and applies the same cell-local smaller-id
+    rule (streaming/pipeline.emb_dedup_ingest_sink; the twelfth
+    oracle-checked streaming query). Output: surviving (vec_id, cell),
+    ordered."""
+    import os
+    import shutil
+    import tempfile
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        ivf_index,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        emb_dedup_ingest_sink,
+    )
+
+    surv, _ = _run_emb_dedup_stream(spark, sf_dir)
+    return surv
+
+
+def _run_emb_dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    threshold: float = 0.35,
+) -> tuple[DataFrame, int]:
+    """Shared runner for the streaming embedding dedup (query +
+    batch-independence / index-growth tests): builds the persisted IVF
+    index on the corpus 90%, streams the holdout 10% as ``n_batches``
+    id-monotone files, and returns (survivors DataFrame pinned via
+    localCheckpoint, final index row count)."""
+    import os
+    import shutil
+    import tempfile
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        ivf_index,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        emb_dedup_ingest_sink,
+    )
+
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    stream_set = emb.select("vec_id", "embedding").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    root = tempfile.mkdtemp(prefix="embdedup_")
+    try:
+        cdf, assignments = ivf_index(corpus, n_lists=8, n_iter=2)
+        cdf.write.mode("overwrite").parquet(f"{root}/index/centroids")
+        assignments.write.mode("overwrite").parquet(
+            f"{root}/index/assignments"
+        )
+        # id-MONOTONE batch files (contiguous id ranges) with strictly
+        # increasing mtimes — the file source processes oldest first, so
+        # the arrival order is the id order and the greedy smaller-id
+        # rule is batch-boundary-free
+        mx = stream_set.agg(F.max("vec_id")).collect()[0][0] or 0
+        os.makedirs(f"{root}/in", exist_ok=True)
+        for i in range(n_batches):
+            lo = (mx + 1) * i // n_batches
+            hi = (mx + 1) * (i + 1) // n_batches
+            tmpd = f"{root}/part{i}"
+            (
+                stream_set.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                )
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(tmpd)
+            )
+            part = next(
+                f for f in os.listdir(tmpd) if f.endswith(".parquet")
+            )
+            dst = f"{root}/in/b{i}.parquet"
+            shutil.move(os.path.join(tmpd, part), dst)
+            os.utime(dst, (1_600_000_000 + i * 10, 1_600_000_000 + i * 10))
+        src = (
+            spark.readStream.schema(stream_set.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/in")
+        )
+        with _scratch_ckpt() as ckpt:
+            q = emb_dedup_ingest_sink(
+                src,
+                f"{root}/index",
+                f"{root}/survivors",
+                ckpt,
+                threshold=threshold,
+                available_now=True,
+            )
+            q.awaitTermination(300)
+        n_index = spark.read.parquet(f"{root}/index/assignments").count()
+        # pin the result before the scratch dirs go away (bounded: the
+        # surviving subset of the 10% holdout)
+        surv = (
+            spark.read.parquet(f"{root}/survivors")
+            .select("vec_id", F.col("cell").cast("int").alias("cell"))
+            .orderBy("vec_id")
+            .localCheckpoint()
+        )
+        return surv, n_index
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _s_stream_emb_dedup_sql(
+    n_lists: int = 8, n_iter: int = 2, dim: int = 64, threshold: float = 0.35
+) -> str:
+    """Batch replay of the streaming embedding dedup: same seeded
+    centroid fit on the corpus subset, same assignment for both halves,
+    same quantized-cosine cell-local smaller-id rule."""
+    d2 = (
+        "list_dot_product(s.emb, s.emb) + list_dot_product(c.centroid, c.centroid)"
+        " - 2.0 * list_dot_product(s.emb, c.centroid)"
+    )
+    ctes, cur = _ivf_assign_ctes(
+        n_lists, n_iter, dim, where="WHERE vec_id % 10 <> 0"
+    )
+    ctes.append(
+        "se AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS emb FROM embeddings WHERE vec_id % 10 = 0)"
+    )
+    ctes.append(f"""sn AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT s.vec_id, s.emb, c.cell,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM se s CROSS JOIN {cur} c)
+  WHERE rn = 1)""")
+    quant = (
+        "list_transform(emb, x -> floor(x * 1e6 + 0.5))"
+    )
+    ctes.append(f"""allq AS (
+  SELECT vec_id, cell, {quant} AS qv,
+         list_dot_product({quant}, {quant}) AS sq,
+         (vec_id % 10 <> 0) AS is_corpus
+  FROM (SELECT vec_id, emb, cell FROM af
+        UNION ALL SELECT vec_id, emb, cell FROM sn))""")
+    ctes.append(f"""dup AS (
+  SELECT DISTINCT s.vec_id
+  FROM allq s JOIN allq o ON o.cell = s.cell
+  WHERE s.is_corpus = FALSE
+    AND (o.is_corpus OR o.vec_id < s.vec_id)
+    AND s.sq > 0 AND o.sq > 0
+    AND list_dot_product(s.qv, o.qv) / (sqrt(s.sq) * sqrt(o.sq))
+        >= {threshold})""")
+    with_block = ",\n".join(ctes)
+    return f"""
+WITH {with_block}
+SELECT vec_id, CAST(cell AS INT) AS cell
+FROM sn WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+ORDER BY vec_id
+"""
+
 
 def x_mcginley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McGinley Dynamic (10) over per-user daily closes — the
@@ -14188,6 +14358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dedup_removal_plan": d_dedup_removal_plan,
         "x_t3": x_t3,
         "s_stream_bloom": s_stream_bloom,
+        "s_stream_emb_dedup": s_stream_emb_dedup,
         "x_mcginley": x_mcginley,
         "x_vwap_bands": x_vwap_bands,
         "x_elder_impulse": x_elder_impulse,
@@ -14612,6 +14783,7 @@ def oracle_sql() -> dict[str, str]:
         "j_asof_forward": _J_ASOF_FWD_SQL,
         "x_t3": _t3_sql(),
         "s_stream_bloom": _S_STREAM_BLOOM_SQL,
+        "s_stream_emb_dedup": _s_stream_emb_dedup_sql(),
         "x_mcginley": _X_MCGINLEY_SQL,
         "x_vwap_bands": _X_VWAP_BANDS_SQL,
         "x_elder_impulse": _elder_impulse_sql(),
@@ -14816,6 +14988,7 @@ HEADLINE_QUERIES = [
     "j_asof_forward",
     "x_t3",
     "s_stream_bloom",
+    "s_stream_emb_dedup",
     "x_mcginley",
     "x_vwap_bands",
     "x_elder_impulse",

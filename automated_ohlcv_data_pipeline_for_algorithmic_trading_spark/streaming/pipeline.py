@@ -321,3 +321,145 @@ def events_stream_daily_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def emb_dedup_ingest_sink(
+    emb_stream: DataFrame,
+    index_dir: str,
+    survivors_dir: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous-ingestion SEMANTIC dedup — the SemDeDup/ANN analog of
+    :func:`dedup_ingest_sink` (VERDICT r9 ask #8): each micro-batch of
+    embedding rows probes the PERSISTED IVF index and the index grows by
+    exactly the batch, so later batches see every earlier vector without
+    any corpus re-embed/re-assign.
+
+    ``index_dir`` layout (built once offline, e.g. via
+    ``operators.similarity.ivf_index`` + two parquet writes):
+
+    - ``centroids/``: (cell int, centroid array<double>) — the coarse
+      quantizer, FIT ONCE on the base corpus and never refit by the
+      stream (refitting would re-shuffle the whole index; daily
+      ingestion lives with quantizer drift until the next offline
+      rebuild, exactly as FAISS/Milvus deployments do);
+    - ``assignments/``: (vec_id, cell, vec, norm) — one row per indexed
+      vector, appended per batch.
+
+    Per batch: assign each new vector to its nearest centroid cell
+    (broadcast centroids — tiny), join batch-vs-index WITHIN the cell
+    only (the IVF prune: a near-dup screen at n_probe=1, the SemDeDup
+    within-cluster convention), score with the exact quantized-cosine
+    predicate shared with ``operators.similarity.semdedup`` (integer-
+    valued doubles — engine- and order-independent), and drop a new
+    vector iff it has a near-dup among {indexed vectors} ∪ {smaller-id
+    vectors of its own batch}. ALL batch vectors (survivors AND
+    dropped) append to the index — the index answers "have we seen
+    something like this", so a later copy of a *dropped* vector is
+    still caught; survivors (vec_id, cell) land in ``survivors_dir``.
+    Because membership of the index is "everything seen", the survivor
+    set equals the batch-free rule "near-dup of the corpus or of any
+    smaller-id stream vector" whenever batches are id-monotone — which
+    makes the whole stream replayable as one batch SQL statement (the
+    s_stream_emb_dedup oracle) and batch-size-independent.
+
+    Zero vectors (norm 0) never match anything (cosine undefined) and
+    always survive, mirroring the batch operators. foreachBatch appends
+    are not transactional across the two sinks — point both at
+    versioned tables when exactly-once growth matters (same caveat as
+    dedup_ingest_sink).
+    """
+    from ..operators.similarity import _as_double, _assign_cells, dot
+
+    spark = emb_stream.sparkSession
+
+    def _quant(df: DataFrame, vcol: str) -> DataFrame:
+        return df.withColumn(
+            "_qv",
+            F.transform(
+                F.col(vcol),
+                lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast(
+                    "double"
+                ),
+            ),
+        ).withColumn("_sq", dot(F.col("_qv"), F.col("_qv")))
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cents = spark.read.parquet(f"{index_dir}/centroids")
+        base = batch.select(
+            F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
+        )
+        assigned = (
+            _assign_cells(base, cents)
+            .select(
+                F.col("_vid").alias("vec_id"),
+                F.col("_cell").alias("cell"),
+                F.col("_x").alias("vec"),
+            )
+            .localCheckpoint()
+        )
+        bq = _quant(assigned, "vec")
+        iq = _quant(
+            spark.read.parquet(f"{index_dir}/assignments"), "vec"
+        ).select(
+            F.col("cell"),
+            F.col("vec_id").alias("_idx_id"),
+            F.col("_qv").alias("_qi"),
+            F.col("_sq").alias("_si"),
+        )
+        cos_idx = dot(F.col("_qv"), F.col("_qi")) / (
+            F.sqrt(F.col("_sq")) * F.sqrt(F.col("_si"))
+        )
+        dup_idx = (
+            bq.join(iq, "cell")
+            .filter((F.col("_sq") > 0.0) & (F.col("_si") > 0.0))
+            .filter(cos_idx >= F.lit(threshold))
+            .select("vec_id")
+            .distinct()
+        )
+        a = bq.select(
+            "cell", F.col("vec_id").alias("_ida"),
+            F.col("_qv").alias("_qa"), F.col("_sq").alias("_sa"),
+        )
+        cos_ab = dot(F.col("_qa"), F.col("_qv")) / (
+            F.sqrt(F.col("_sa")) * F.sqrt(F.col("_sq"))
+        )
+        dup_in_batch = (
+            a.join(bq.select("cell", "vec_id", "_qv", "_sq"), "cell")
+            .filter(F.col("_ida") < F.col("vec_id"))
+            .filter((F.col("_sa") > 0.0) & (F.col("_sq") > 0.0))
+            .filter(cos_ab >= F.lit(threshold))
+            .select("vec_id")
+            .distinct()
+        )
+        dups = dup_idx.unionByName(dup_in_batch).distinct()
+        (
+            assigned.join(dups, "vec_id", "left_anti")
+            .select("vec_id", "cell")
+            .write.mode("append")
+            .parquet(survivors_dir)
+        )
+        (
+            assigned.select(
+                "vec_id",
+                "cell",
+                "vec",
+                F.sqrt(dot(F.col("vec"), F.col("vec"))).alias("norm"),
+            )
+            .write.mode("append")
+            .parquet(f"{index_dir}/assignments")
+        )
+
+    writer = (
+        emb_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

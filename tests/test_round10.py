@@ -130,3 +130,31 @@ def test_quantile_bucket_packed_equals_twopass(spark):
     bs = [bb for _, bb in by_score]
     assert bs == sorted(bs)
     assert bs[0] == 1 and bs[-1] == 5
+
+
+def test_emb_dedup_stream_batch_independence_and_index_growth(spark, sf_dir):
+    """The streaming embedding dedup's survivor set must not depend on
+    how the stream is chopped into micro-batches (the id-monotone
+    contract), and the persisted index must grow by EXACTLY the stream
+    rows — every batch vector indexed once, the corpus never
+    re-assigned."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_corpus = emb.filter(F.col("vec_id") % 10 != 0).count()
+    n_stream = emb.filter(F.col("vec_id") % 10 == 0).count()
+
+    s1, idx1 = E._run_emb_dedup_stream(spark, sf_dir, n_batches=1)
+    s4, idx4 = E._run_emb_dedup_stream(spark, sf_dir, n_batches=4)
+    rows1 = [(r["vec_id"], r["cell"]) for r in s1.collect()]
+    rows4 = [(r["vec_id"], r["cell"]) for r in s4.collect()]
+    assert rows1 == rows4, "survivors depend on batch boundaries"
+    assert idx1 == n_corpus + n_stream
+    assert idx4 == n_corpus + n_stream
+    # dedup actually fires on this data, and survivors are stream-only
+    assert 0 < len(rows4) < n_stream
+    assert all(v % 10 == 0 for v, _ in rows4)
