@@ -14315,6 +14315,490 @@ FROM agg ORDER BY user_id
 
 
 
+
+# ---------------------------------------------------------------------------
+# Round-10 newcomers
+# ---------------------------------------------------------------------------
+
+
+def x_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002) illiquidity: monthly mean of |daily return| per
+    unit of daily dollar volume, per user — the classic price-impact
+    proxy ("how much does one currency unit of flow move the price").
+    Exactness: |ret| and close quantize to micro-units, dollar volume is
+    the exact BIGINT close6·volume, and the per-day ratio is ONE
+    integer division at 1e9 scale (nonnegative operands — floor and
+    truncation agree), so the monthly mean is an order-free integer sum.
+    Returns capped at |ret| <= 10 (the event_study convention)."""
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close", "volume"
+    ).filter(F.col("close") > 0)
+    win = Window.partitionBy("user_id").orderBy("trade_date")
+    ret = F.col("close") / F.lag("close").over(win) - F.lit(1.0)
+    q = (
+        daily.withColumn("_ret", ret)
+        .filter(F.col("_ret").isNotNull() & (F.abs("_ret") <= 10.0))
+        .select(
+            "user_id",
+            F.trunc("trade_date", "month").alias("month"),
+            F.floor(F.abs("_ret") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("_ret6"),
+            (
+                F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("long")
+                * F.col("volume")
+            ).alias("_dvol6"),
+        )
+        .withColumn(
+            "_illiq9", F.expr("_ret6 * 1000000000 div _dvol6")
+        )
+    )
+    return (
+        q.groupBy("user_id", "month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (
+                F.sum("_illiq9").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e9)
+            ).alias("illiq"),
+        )
+        .orderBy("user_id", "month")
+    )
+
+
+_X_AMIHUD_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+r AS (
+  SELECT user_id, trade_date, close, volume,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily WHERE close > 0),
+q AS (
+  SELECT user_id, date_trunc('month', trade_date) AS month,
+         (CAST(floor(abs(ret) * 1e6 + 0.5) AS BIGINT) * 1000000000)
+           // (CAST(floor(close * 1e6 + 0.5) AS BIGINT) * volume) AS illiq9
+  FROM r WHERE ret IS NOT NULL AND abs(ret) <= 10.0)
+SELECT user_id, month, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(illiq9) AS DOUBLE) / count(*) / 1e9 AS illiq
+FROM q GROUP BY user_id, month ORDER BY user_id, month
+"""
+
+
+def x_rsi_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI divergence screen over per-user daily closes: a BEARISH
+    divergence day makes a new 14-day price high while RSI-14 stays
+    under its own 14-day high (momentum not confirming), a BULLISH one
+    mirrors at the lows. Pure keyed windows over the W5 RSI operator;
+    both series quantize to micro-units before the max/min comparisons
+    so the flags are integer-exact, and a day only qualifies once the
+    trailing window holds 14 non-null RSI values. Output: only the
+    divergence days."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.windows import (
+        rsi,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    )
+    r = rsi(daily, ["user_id"], "trade_date", "close", n=14)
+    w = Window.partitionBy("user_id").orderBy("trade_date")
+    prevw = w.rowsBetween(-14, -1)
+    st = r.select(
+        "user_id",
+        "trade_date",
+        "close",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("long").alias("_c6"),
+        F.floor(F.col("rsi_14") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("_r6"),
+    )
+    st = st.select(
+        "user_id",
+        "trade_date",
+        "close",
+        "_c6",
+        "_r6",
+        F.count("_r6").over(prevw).alias("_nh"),
+        F.max("_c6").over(prevw).alias("_cmax"),
+        F.min("_c6").over(prevw).alias("_cmin"),
+        F.max("_r6").over(prevw).alias("_rmax"),
+        F.min("_r6").over(prevw).alias("_rmin"),
+    )
+    bear = (F.col("_c6") > F.col("_cmax")) & (F.col("_r6") < F.col("_rmax"))
+    bull = (F.col("_c6") < F.col("_cmin")) & (F.col("_r6") > F.col("_rmin"))
+    return (
+        st.filter((F.col("_nh") == 14) & F.col("_r6").isNotNull())
+        .withColumn("bearish_div", bear)
+        .withColumn("bullish_div", bull)
+        .filter(F.col("bearish_div") | F.col("bullish_div"))
+        .select(
+            "user_id",
+            "trade_date",
+            "close",
+            (F.col("_r6").cast("double") / 1e6).alias("rsi"),
+            "bearish_div",
+            "bullish_div",
+        )
+        .orderBy("user_id", "trade_date")
+    )
+
+
+_X_RSI_DIVERGENCE_SQL = f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+d AS (
+  SELECT user_id, trade_date, close,
+         close - lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+             AS delta
+  FROM daily),
+g AS (
+  SELECT user_id, trade_date, close,
+         count(delta) OVER w AS n_deltas,
+         avg(CASE WHEN delta IS NOT NULL THEN
+               CASE WHEN delta > 0 THEN delta ELSE 0.0 END END) OVER w
+             AS avg_gain,
+         avg(CASE WHEN delta IS NOT NULL THEN
+               CASE WHEN delta < 0 THEN -delta ELSE 0.0 END END) OVER w
+             AS avg_loss
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+q AS (
+  SELECT user_id, trade_date, close,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS c6,
+         CAST(floor(CASE WHEN n_deltas < 14 THEN NULL
+                         WHEN avg_loss = 0 THEN 100.0
+                         ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END
+                    * 1e6 + 0.5) AS BIGINT) AS r6
+  FROM g),
+st AS (
+  SELECT user_id, trade_date, close, c6, r6,
+         count(r6) OVER pw AS nh,
+         max(c6) OVER pw AS cmax, min(c6) OVER pw AS cmin,
+         max(r6) OVER pw AS rmax, min(r6) OVER pw AS rmin
+  FROM q
+  WINDOW pw AS (PARTITION BY user_id ORDER BY trade_date
+                ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))
+SELECT user_id, trade_date, close,
+       CAST(r6 AS DOUBLE) / 1e6 AS rsi,
+       c6 > cmax AND r6 < rmax AS bearish_div,
+       c6 < cmin AND r6 > rmin AS bullish_div
+FROM st
+WHERE nh = 14 AND r6 IS NOT NULL
+  AND ((c6 > cmax AND r6 < rmax) OR (c6 < cmin AND r6 > rmin))
+ORDER BY user_id, trade_date
+"""
+
+
+_VOL_CONE_HORIZONS = (5, 10, 21)
+
+
+def x_vol_cone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility cone: per user and horizon h ∈ {5, 10, 21} trading
+    days, the distribution (min / q25 / median / q75 / max) of the
+    trailing-h realized volatility over the user's whole history — the
+    chart desks use to judge whether current vol is rich or cheap for
+    its horizon. Exactness: returns quantize to micro-units; each
+    window variance is the exact integer h·Σr² − (Σr)²; the sqrt runs
+    on bit-identical doubles and re-quantizes; and the five order
+    statistics come from ONE sorted in-array pack per (user, horizon)
+    with integer ceil positions ((n·k + 3) div 4) — discrete quantiles,
+    no interpolation, engine-exact. The per-group array is bounded by
+    the user's day count."""
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    ).filter(F.col("close") > 0)
+    win = Window.partitionBy("user_id").orderBy("trade_date")
+    ret = F.col("close") / F.lag("close").over(win) - F.lit(1.0)
+    r = (
+        daily.withColumn("_ret", ret)
+        .filter(F.col("_ret").isNotNull() & (F.abs("_ret") <= 10.0))
+        .select(
+            "user_id",
+            "trade_date",
+            F.floor(F.col("_ret") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("_r6"),
+        )
+    )
+    cols = []
+    for h in _VOL_CONE_HORIZONS:
+        wh = Window.partitionBy("user_id").orderBy("trade_date").rowsBetween(
+            -(h - 1), 0
+        )
+        cnt = F.count("_r6").over(wh)
+        s1 = F.sum("_r6").over(wh)
+        s2 = F.sum(F.col("_r6") * F.col("_r6")).over(wh)
+        var = (F.lit(h) * s2 - s1 * s1).cast("double") / F.lit(
+            float(h * (h - 1))
+        )
+        cols.append(
+            F.when(cnt == h, F.floor(F.sqrt(var) + F.lit(0.5)).cast("long"))
+            .alias(f"_v{h}")
+        )
+    st = r.select("user_id", *cols)
+    stack = ", ".join(f"{h}, _v{h}" for h in _VOL_CONE_HORIZONS)
+    packed = (
+        st.select(
+            "user_id",
+            F.expr(
+                f"stack({len(_VOL_CONE_HORIZONS)}, {stack})"
+                " AS (horizon, vol6)"
+            ),
+        )
+        .filter(F.col("vol6").isNotNull())
+        .groupBy("user_id", "horizon")
+        .agg(F.sort_array(F.collect_list("vol6")).alias("_a"))
+        .withColumn("_n", F.size("_a"))
+    )
+    def _q(k: int):
+        return F.element_at(
+            "_a", ((F.col("_n") * k + F.lit(3)) / 4).cast("int")
+        )
+    return packed.select(
+        "user_id",
+        F.col("horizon").cast("int").alias("horizon"),
+        F.col("_n").cast("long").alias("n_obs"),
+        (F.element_at("_a", 1).cast("double") / 1e6).alias("vol_min"),
+        (_q(1).cast("double") / 1e6).alias("vol_q25"),
+        (_q(2).cast("double") / 1e6).alias("vol_med"),
+        (_q(3).cast("double") / 1e6).alias("vol_q75"),
+        (F.element_at("_a", F.col("_n")).cast("double") / 1e6).alias(
+            "vol_max"
+        ),
+    ).orderBy("user_id", "horizon")
+
+
+def _vol_cone_sql() -> str:
+    per_h = []
+    for h in _VOL_CONE_HORIZONS:
+        per_h.append(f"""
+  SELECT user_id, {h} AS horizon,
+         CASE WHEN count(r6) OVER w{h} = {h} THEN
+           CAST(floor(sqrt(
+             CAST({h} * sum(r6 * r6) OVER w{h}
+                  - sum(r6) OVER w{h} * sum(r6) OVER w{h} AS DOUBLE)
+             / {float(h * (h - 1))}) + 0.5) AS BIGINT)
+         END AS vol6
+  FROM r
+  WINDOW w{h} AS (PARTITION BY user_id ORDER BY trade_date
+                  ROWS BETWEEN {h - 1} PRECEDING AND CURRENT ROW)""")
+    v = " UNION ALL ".join(f"SELECT * FROM ({q})" for q in per_h)
+    return f"""
+WITH daily AS ({_SQL_DAILY_OHLCV}),
+rr AS (
+  SELECT user_id, trade_date,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily WHERE close > 0),
+r AS (
+  SELECT user_id, trade_date,
+         CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS r6
+  FROM rr WHERE ret IS NOT NULL AND abs(ret) <= 10.0),
+v AS ({v}),
+p AS (
+  SELECT user_id, horizon, list_sort(list(vol6)) AS a, count(*) AS n
+  FROM v WHERE vol6 IS NOT NULL GROUP BY user_id, horizon)
+SELECT user_id, CAST(horizon AS INT) AS horizon,
+       CAST(n AS BIGINT) AS n_obs,
+       CAST(a[1] AS DOUBLE) / 1e6 AS vol_min,
+       CAST(a[CAST((n * 1 + 3) // 4 AS INT)] AS DOUBLE) / 1e6 AS vol_q25,
+       CAST(a[CAST((n * 2 + 3) // 4 AS INT)] AS DOUBLE) / 1e6 AS vol_med,
+       CAST(a[CAST((n * 3 + 3) // 4 AS INT)] AS DOUBLE) / 1e6 AS vol_q75,
+       CAST(a[CAST(n AS INT)] AS DOUBLE) / 1e6 AS vol_max
+FROM p ORDER BY user_id, horizon
+"""
+
+
+def d_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution report: exact discrete
+    quantiles (p10/p25/p50/p75/p90) of the whitespace token count, per
+    source — the first chart a corpus owner draws before setting Gopher
+    length cuts, and the grouped twin of the quantile_bucket packed
+    path: ONE sorted in-array pack per source (bounded by docs-per-
+    source), integer ceil positions, no interpolation, engine-exact."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("long")
+    packed = (
+        docs.select("source", n_tok.alias("_t"))
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("_t")).alias("_a"))
+        .withColumn("_n", F.size("_a"))
+    )
+    def _pos(num: int, den: int):
+        return F.element_at(
+            "_a",
+            ((F.col("_n") * num + F.lit(den - 1)) / den).cast("int"),
+        )
+    return packed.select(
+        "source",
+        F.col("_n").cast("long").alias("n_docs"),
+        F.element_at("_a", 1).alias("tok_min"),
+        _pos(1, 10).alias("tok_p10"),
+        _pos(1, 4).alias("tok_p25"),
+        _pos(1, 2).alias("tok_p50"),
+        _pos(3, 4).alias("tok_p75"),
+        _pos(9, 10).alias("tok_p90"),
+        F.element_at("_a", F.col("_n")).alias("tok_max"),
+    ).orderBy("source")
+
+
+_D_LENGTH_QUANTILES_SQL = rf"""
+WITH t AS (
+  SELECT source, CAST(len({_SQL_TOKS}) AS BIGINT) AS nt FROM documents),
+p AS (
+  SELECT source, list_sort(list(nt)) AS a, count(*) AS n
+  FROM t GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       a[1] AS tok_min,
+       a[CAST((n * 1 + 9) // 10 AS INT)] AS tok_p10,
+       a[CAST((n * 1 + 3) // 4 AS INT)] AS tok_p25,
+       a[CAST((n * 1 + 1) // 2 AS INT)] AS tok_p50,
+       a[CAST((n * 3 + 3) // 4 AS INT)] AS tok_p75,
+       a[CAST((n * 9 + 9) // 10 AS INT)] AS tok_p90,
+       a[CAST(n AS INT)] AS tok_max
+FROM p ORDER BY source
+"""
+
+
+def _zorder_terms(xcol: str, ycol: str, op: str, bits: int = 10) -> str:
+    """``bits``-bit x ``bits``-bit Morton interleave as pure integer
+    arithmetic — the same expression text modulo the integer-division
+    operator (Spark ``div`` / DuckDB ``//``), so both engines compute
+    identical z-values."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xcol} {op} {1 << i}) % 2) * {4 ** i}")
+        terms.append(f"(({ycol} {op} {1 << i}) % 2) * {2 * 4 ** i}")
+    return " + ".join(terms)
+
+
+def o_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data skipping report — the lakehouse layout decision
+    quantified: orders keyed by (custkey, order day) are binned into
+    1024 buckets two ways — by Morton/Z-value (bit-interleaved 16+16-bit
+    key, the multi-dimensional clustering Delta/Iceberg OPTIMIZE ZORDER
+    applies) and by custkey ranges alone (the 1-D default) — and a
+    2-D box predicate (a custkey band x a two-year date window) is
+    tested against each bucket's min/max stats, exactly how file-level
+    stats pruning works. Output: per-layout bucket counts, skipped
+    buckets, and the scanned-row fraction — Z wins because BOTH
+    dimensions localize. Pure integer arithmetic end to end (the
+    interleave is explicit shift-free arithmetic identical in both
+    engines); at 100 TB the buckets are parquet files and the skip is
+    a scan-planner file prune, but the stats math is THIS."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("_x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("_y"),
+    )
+    # normalize both dimensions to 10-bit ranks so the interleave mixes
+    # HIGH-order bits of each key whatever its native range (a fixed-
+    # width interleave of narrow keys leaves all the entropy in the low
+    # bits and every row in one bucket); the two maxes are a one-row
+    # broadcast scalar
+    mx = orders.agg(
+        F.max("_x").alias("_mx"), F.max("_y").alias("_my")
+    )
+    scaled = orders.crossJoin(F.broadcast(mx)).select(
+        "_x",
+        "_y",
+        F.expr("_x * 1024 div (_mx + 1)").alias("_x10"),
+        F.expr("_y * 1024 div (_my + 1)").alias("_y10"),
+    )
+    z = F.expr(_zorder_terms("_x10", "_y10", "div"))
+    st = scaled.select(
+        "_x",
+        "_y",
+        (z / 4096).cast("long").alias("_zb"),
+        F.expr("_x10 div 4").alias("_lb"),
+    )
+    bx1, bx2 = 400, 700
+    by1 = 365 * 3
+    by2 = 365 * 5
+    out = []
+    for layout, bcol in (("zorder", "_zb"), ("linear", "_lb")):
+        b = st.groupBy(F.col(bcol).alias("bucket")).agg(
+            F.min("_x").alias("_minx"),
+            F.max("_x").alias("_maxx"),
+            F.min("_y").alias("_miny"),
+            F.max("_y").alias("_maxy"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+        overlap = (
+            (F.col("_maxx") >= bx1)
+            & (F.col("_minx") <= bx2)
+            & (F.col("_maxy") >= by1)
+            & (F.col("_miny") <= by2)
+        )
+        out.append(
+            b.agg(
+                F.lit(layout).alias("layout"),
+                F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                F.sum(F.when(~overlap, 1).otherwise(0))
+                .cast("long")
+                .alias("n_skipped_buckets"),
+                F.sum("_n").cast("long").alias("n_rows"),
+                F.coalesce(F.sum(F.when(overlap, F.col("_n"))), F.lit(0))
+                .cast("long")
+                .alias("n_rows_scanned"),
+            ).withColumn(
+                "scan_frac",
+                F.col("n_rows_scanned").cast("double")
+                / F.col("n_rows").cast("double"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("layout")
+
+
+def _zorder_skipping_sql() -> str:
+    z = _zorder_terms("_x10", "_y10", "//")
+    bx1, bx2, by1, by2 = 400, 700, 365 * 3, 365 * 5
+    return f"""
+WITH src AS (
+  SELECT o_custkey AS _x,
+         date_diff('day', DATE '1992-01-01', o_orderdate) AS _y
+  FROM orders),
+m AS (SELECT max(_x) AS _mx, max(_y) AS _my FROM src),
+sc AS (
+  SELECT _x, _y,
+         _x * 1024 // (_mx + 1) AS _x10,
+         _y * 1024 // (_my + 1) AS _y10
+  FROM src, m),
+st AS (
+  SELECT _x, _y, ({z}) // 4096 AS _zb, _x10 // 4 AS _lb FROM sc),
+b AS (
+  SELECT 'zorder' AS layout, _zb AS bucket,
+         min(_x) AS minx, max(_x) AS maxx,
+         min(_y) AS miny, max(_y) AS maxy,
+         count(*) AS n
+  FROM st GROUP BY _zb
+  UNION ALL
+  SELECT 'linear' AS layout, _lb AS bucket,
+         min(_x), max(_x), min(_y), max(_y), count(*)
+  FROM st GROUP BY _lb)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN NOT (maxx >= {bx1} AND minx <= {bx2}
+                               AND maxy >= {by1} AND miny <= {by2})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_buckets,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN maxx >= {bx1} AND minx <= {bx2}
+                               AND maxy >= {by1} AND miny <= {by2}
+                              THEN n END), 0) AS BIGINT) AS n_rows_scanned,
+       CAST(coalesce(sum(CASE WHEN maxx >= {bx1} AND minx <= {bx2}
+                               AND maxy >= {by1} AND miny <= {by2}
+                              THEN n END), 0) AS DOUBLE)
+         / CAST(sum(n) AS DOUBLE) AS scan_frac
+FROM b GROUP BY layout ORDER BY layout
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
@@ -14370,6 +14854,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_bucketed_join": o_bucketed_join,
         "x_holt_winters": x_holt_winters,
         "x_holt_winters_mul": x_holt_winters_mul,
+        "x_amihud_illiquidity": x_amihud_illiquidity,
+        "x_rsi_divergence": x_rsi_divergence,
+        "x_vol_cone": x_vol_cone,
+        "d_length_quantiles": d_length_quantiles,
+        "o_zorder_skipping": o_zorder_skipping,
         "x_forecast_backtest": x_forecast_backtest,
         # --- r9 part 3: the r4-stale cohort (scripts/staleness.py 9
         # order); the 50-row window cuts partway through — the tail
@@ -14795,6 +15284,11 @@ def oracle_sql() -> dict[str, str]:
         "o_bucketed_join": _O_BUCKETED_SQL,
         "x_holt_winters": _holt_winters_sql(),
         "x_holt_winters_mul": _holt_winters_mul_sql(),
+        "x_amihud_illiquidity": _X_AMIHUD_SQL,
+        "x_rsi_divergence": _X_RSI_DIVERGENCE_SQL,
+        "x_vol_cone": _vol_cone_sql(),
+        "d_length_quantiles": _D_LENGTH_QUANTILES_SQL,
+        "o_zorder_skipping": _zorder_skipping_sql(),
         "x_forecast_backtest": _forecast_backtest_sql(),
         "s_stream_sessions": _S_SESSIONS_SQL,
         "s_stream_join": _S_JOIN_SQL,
@@ -15000,6 +15494,11 @@ HEADLINE_QUERIES = [
     "o_bucketed_join",
     "x_holt_winters",
     "x_holt_winters_mul",
+    "x_amihud_illiquidity",
+    "x_rsi_divergence",
+    "x_vol_cone",
+    "d_length_quantiles",
+    "o_zorder_skipping",
     "x_forecast_backtest",
     "s_stream_sessions",
     "s_stream_join",
