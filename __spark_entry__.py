@@ -13197,10 +13197,25 @@ def _run_emb_dedup_stream(
     )
     root = tempfile.mkdtemp(prefix="embdedup_")
     try:
-        cdf, assignments = ivf_index(corpus, n_lists=8, n_iter=2)
-        cdf.write.mode("overwrite").parquet(f"{root}/index/centroids")
-        assignments.write.mode("overwrite").parquet(
-            f"{root}/index/assignments"
+        # the base IVF index is built ONCE per corpus version (the
+        # emb_ivf_probe `_BUILT` lifecycle) and FILE-COPIED into the
+        # run's scratch dir — the sink mutates its copy (appends every
+        # batch), so the persisted base must stay immutable while the
+        # per-run fit cost amortizes away (measured ~6 s of the 11 s
+        # sf0.1 wall before this)
+        base = _ann_index_dir(sf_dir, "stream_emb")
+        marker = os.path.join(base, "_BUILT")
+        if not os.path.exists(marker):
+            cdf, assignments = ivf_index(corpus, n_lists=8, n_iter=2)
+            cdf.write.mode("overwrite").parquet(f"{base}/centroids")
+            assignments.write.mode("overwrite").parquet(
+                f"{base}/assignments"
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        shutil.copytree(f"{base}/centroids", f"{root}/index/centroids")
+        shutil.copytree(
+            f"{base}/assignments", f"{root}/index/assignments"
         )
         # id-MONOTONE batch files (contiguous id ranges) with strictly
         # increasing mtimes — the file source processes oldest first, so
@@ -13231,7 +13246,11 @@ def _run_emb_dedup_stream(
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{root}/in")
         )
-        with _scratch_ckpt() as ckpt:
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+            stateful_partitions,
+        )
+
+        with stateful_partitions(spark), _scratch_ckpt() as ckpt:
             q = emb_dedup_ingest_sink(
                 src,
                 f"{root}/index",

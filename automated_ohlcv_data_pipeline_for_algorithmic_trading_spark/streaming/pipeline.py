@@ -416,8 +416,11 @@ def emb_dedup_ingest_sink(
         cos_idx = dot(F.col("_qv"), F.col("_qi")) / (
             F.sqrt(F.col("_sq")) * F.sqrt(F.col("_si"))
         )
+        # the landing batch is the small side BY DESIGN (one micro-batch
+        # vs the whole index): broadcast it so the index side is a scan
+        # + broadcast hash join, never a shuffle of the corpus
         dup_idx = (
-            bq.join(iq, "cell")
+            iq.join(F.broadcast(bq), "cell")
             .filter((F.col("_sq") > 0.0) & (F.col("_si") > 0.0))
             .filter(cos_idx >= F.lit(threshold))
             .select("vec_id")
@@ -431,7 +434,7 @@ def emb_dedup_ingest_sink(
             F.sqrt(F.col("_sa")) * F.sqrt(F.col("_sq"))
         )
         dup_in_batch = (
-            a.join(bq.select("cell", "vec_id", "_qv", "_sq"), "cell")
+            a.join(F.broadcast(bq.select("cell", "vec_id", "_qv", "_sq")), "cell")
             .filter(F.col("_ida") < F.col("vec_id"))
             .filter((F.col("_sa") > 0.0) & (F.col("_sq") > 0.0))
             .filter(cos_ab >= F.lit(threshold))

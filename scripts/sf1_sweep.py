@@ -126,6 +126,12 @@ QUERIES = [
     "o_bucketed_join",
     "x_holt_winters",
     "x_holt_winters_mul",
+    "x_amihud_illiquidity",
+    "x_rsi_divergence",
+    "x_vol_cone",
+    "d_length_quantiles",
+    "o_zorder_skipping",
+    "s_stream_emb_dedup",
     "x_forecast_backtest",
     "e_cusum_drift",
     "s_stream_cusum",
