@@ -14828,79 +14828,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the changed-path rows, then new queries, then the r4 cohort
     # in scripts/staleness.py order (the remainder spills to r10).
     return {
-        # --- r9 window part 0: the SEVEN rows that have never had a
-        # driver correctness row (VERDICT r8 ask #1 — all landed after
-        # the r8 window cut; each is ledger-green + sf-parity-verified,
-        # but the hard driver signal must exist). ---
-        "x_holt_linear": x_holt_linear,
-        "d_dup_cluster_stats": d_dup_cluster_stats,
-        "e_cusum_drift": e_cusum_drift,
-        "s_stream_cusum": s_stream_cusum,
-        "d_bloom_membership": d_bloom_membership,
-        "e_benford_digits": e_benford_digits,
-        "d_vocab_coverage": d_vocab_coverage,
-        # --- r9 part 1: changed-path rows this round — the persisted
-        # dedup-components lifecycle (d_dup_components_probe NEW,
-        # d_dup_cluster_stats above now reads the stored decisions,
-        # d_dup_components is the unchanged one-shot twin),
-        # d_quality_score (r8 changed-path, just outside the r8 cut),
-        # d_minhash_recall (ADVICE fix: coalesce-after-agg + dropped
-        # dead broadcast hint), x_alligator (r8 in-fold displacement,
-        # hash-unchanged). ---
-        "d_dup_components_probe": d_dup_components_probe,
-        "d_dup_components": d_dup_components,
-        "d_quality_score": d_quality_score,
-        "d_minhash_recall": d_minhash_recall,
-        "x_alligator": x_alligator,
-        # --- r9 part 2: NEW this round (insert new queries HERE) ---
-        "x_fractals": x_fractals,
-        "x_rvol": x_rvol,
-        "x_squeeze": x_squeeze,
-        "e_mad_anomaly": e_mad_anomaly,
-        "j_asof_forward": j_asof_forward,
-        "d_dedup_removal_plan": d_dedup_removal_plan,
-        "x_t3": x_t3,
-        "s_stream_bloom": s_stream_bloom,
-        "s_stream_emb_dedup": s_stream_emb_dedup,
-        "x_mcginley": x_mcginley,
-        "x_vwap_bands": x_vwap_bands,
-        "x_elder_impulse": x_elder_impulse,
-        "e_burst_detection": e_burst_detection,
+        # --- r10 window part 0: CHANGED-PATH rows (schema/impl moved
+        # this round): the two estimator reports gained a sample_frac
+        # column (VERDICT r9 ask #6), the backtest gained the
+        # multiplicative contender (ask #9), and the two A/B'd
+        # regression fixes (asks #3) — hashes re-earn a driver row. ---
         "d_threshold_curve": d_threshold_curve,
-        "m_frame_sample": m_frame_sample,
-        "j_nearest_event": j_nearest_event,
         "d_source_overlap": d_source_overlap,
-        "o_bucketed_join": o_bucketed_join,
-        "x_holt_winters": x_holt_winters,
+        "x_forecast_backtest": x_forecast_backtest,
+        "e_rfm_segments": e_rfm_segments,
+        "x_event_study": x_event_study,
+        # --- r10 part 1: NEW this round (insert new queries HERE) ---
         "x_holt_winters_mul": x_holt_winters_mul,
+        "s_stream_emb_dedup": s_stream_emb_dedup,
         "x_amihud_illiquidity": x_amihud_illiquidity,
         "x_rsi_divergence": x_rsi_divergence,
         "x_vol_cone": x_vol_cone,
         "d_length_quantiles": d_length_quantiles,
         "o_zorder_skipping": o_zorder_skipping,
-        "x_forecast_backtest": x_forecast_backtest,
-        # --- r9 part 3: the r4-stale cohort (scripts/staleness.py 9
-        # order); the 50-row window cuts partway through — the tail
-        # spills to r10. ---
-        "e_drift_psi": e_drift_psi,
-        "d_mixture_sample": d_mixture_sample,
-        "x_vwap_anchored": x_vwap_anchored,
-        "x_stochastic": x_stochastic,
-        "x_obv_daily": x_obv_daily,
-        "x_returns_ledger": x_returns_ledger,
-        "x_rolling_sharpe": x_rolling_sharpe,
-        "x_candle_flags": x_candle_flags,
-        "emb_sq8_ann": emb_sq8_ann,
-        "o_orc_roundtrip": o_orc_roundtrip,
-        "e_funnel_conversion": e_funnel_conversion,
-        "e_retention_cohorts": e_retention_cohorts,
-        "d_unigram_xent": d_unigram_xent,
-        "d_dup_spans": d_dup_spans,
-        "x_sma_backtest": x_sma_backtest,
-        "x_donchian": x_donchian,
-        "x_underwater_streak": x_underwater_streak,
-        "m_phash_neardup": m_phash_neardup,
-        "d_weighted_sample": d_weighted_sample,
+        # --- r10 part 2: the r4-stale cohort (VERDICT r9 ask #1 —
+        # all 23 entries whose last driver row is round 4, in
+        # scripts/staleness.py order). ---
         "x_ichimoku": x_ichimoku,
         "x_volume_profile": x_volume_profile,
         "e_rolling_hll_wau": e_rolling_hll_wau,
@@ -14924,10 +14872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q10_returned_revenue,
         "q14_promo_share": q14_promo_share,
         "q16_supplier_variety": q16_supplier_variety,
-        # --- remaining registry in staleness order (r5 -> r6 -> r7),
-        # then the 50 rows the r8 driver window just re-greened; the
-        # full-registry SWEEP_HASHES.json ledger covers every entry
-        # every round regardless of window position. ---
+        # --- r10 part 3: the oldest r5-stale entries, filling the
+        # 50-row window (the remaining r5 cohort heads round 11). ---
         "x_cmo": x_cmo,
         "x_info_ratio": x_info_ratio,
         "x_drawdown_episodes": x_drawdown_episodes,
@@ -14940,10 +14886,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_bigram_xent": d_bigram_xent,
         "x_seasonality_dow": x_seasonality_dow,
         "emb_drift": emb_drift,
-        "x_event_study": x_event_study,
         "x_stoch_rsi": x_stoch_rsi,
         "x_mass_index": x_mass_index,
         "x_mc_var": x_mc_var,
+        # --- beyond the driver's 50-query window: previous order ---
+        "x_holt_linear": x_holt_linear,
+        "d_dup_cluster_stats": d_dup_cluster_stats,
+        "e_cusum_drift": e_cusum_drift,
+        "s_stream_cusum": s_stream_cusum,
+        "d_bloom_membership": d_bloom_membership,
+        "e_benford_digits": e_benford_digits,
+        "d_vocab_coverage": d_vocab_coverage,
+        "d_dup_components_probe": d_dup_components_probe,
+        "d_dup_components": d_dup_components,
+        "d_quality_score": d_quality_score,
+        "d_minhash_recall": d_minhash_recall,
+        "x_alligator": x_alligator,
+        "x_fractals": x_fractals,
+        "x_rvol": x_rvol,
+        "x_squeeze": x_squeeze,
+        "e_mad_anomaly": e_mad_anomaly,
+        "j_asof_forward": j_asof_forward,
+        "d_dedup_removal_plan": d_dedup_removal_plan,
+        "x_t3": x_t3,
+        "s_stream_bloom": s_stream_bloom,
+        "x_mcginley": x_mcginley,
+        "x_vwap_bands": x_vwap_bands,
+        "x_elder_impulse": x_elder_impulse,
+        "e_burst_detection": e_burst_detection,
+        "m_frame_sample": m_frame_sample,
+        "j_nearest_event": j_nearest_event,
+        "o_bucketed_join": o_bucketed_join,
+        "x_holt_winters": x_holt_winters,
+        "e_drift_psi": e_drift_psi,
+        "d_mixture_sample": d_mixture_sample,
+        "x_vwap_anchored": x_vwap_anchored,
+        "x_stochastic": x_stochastic,
+        "x_obv_daily": x_obv_daily,
+        "x_returns_ledger": x_returns_ledger,
+        "x_rolling_sharpe": x_rolling_sharpe,
+        "x_candle_flags": x_candle_flags,
+        "emb_sq8_ann": emb_sq8_ann,
+        "o_orc_roundtrip": o_orc_roundtrip,
+        "e_funnel_conversion": e_funnel_conversion,
+        "e_retention_cohorts": e_retention_cohorts,
+        "d_unigram_xent": d_unigram_xent,
+        "d_dup_spans": d_dup_spans,
+        "x_sma_backtest": x_sma_backtest,
+        "x_donchian": x_donchian,
+        "x_underwater_streak": x_underwater_streak,
+        "m_phash_neardup": m_phash_neardup,
+        "d_weighted_sample": d_weighted_sample,
         "x_coppock": x_coppock,
         "x_kst": x_kst,
         "d_span_corruption": d_span_corruption,
@@ -14951,7 +14944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dema_tema": x_dema_tema,
         "x_linreg": x_linreg,
         "x_hist_var": x_hist_var,
-        "e_rfm_segments": e_rfm_segments,
         "emb_covariance": emb_covariance,
         "emb_hard_negatives": emb_hard_negatives,
         "d_ccnet_buckets": d_ccnet_buckets,
