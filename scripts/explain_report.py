@@ -80,7 +80,9 @@ d_threshold_curve (two one-row aggregate frames cross-joined
 before the stack — the report's four output rows),
 d_unimax_plan (the sorted-array pack is one row; the scalar
 (k, level) reduction broadcasts back as one row — round 9
-replaced its ungrouped windows with these).
+replaced its ungrouped windows with these),
+o_zorder_skipping (the one-row (max_x, max_y) rank-normalization
+scalar, cross-joined once per layout branch).
 """,
     ]
     for name in headline:
