@@ -450,6 +450,7 @@ def test_forecast_backtest_champion_is_argmin(spark, sf_dir):
             "naive": r["mae_naive"],
             "holt": r["mae_holt"],
             "holt_winters": r["mae_holt_winters"],
+            "hw_mul": r["mae_hw_mul"],
         }
         best = min(maes.values())
         assert abs(maes[r["champion"]] - best) < 1e-12
