@@ -14818,6 +14818,190 @@ FROM b GROUP BY layout ORDER BY layout
 """
 
 
+
+def x_regime_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bull/bear regime segmentation over per-user daily returns: the
+    online Viterbi forward pass of a sticky two-state HMM in MAX-PLUS
+    integer arithmetic (operators/finance.regime_viterbi — the
+    FIFTEENTH recurrence family; the fold combines states with max
+    instead of a sum, the dynamic-programming algebra). Scores are
+    BIGINT path sums of L1 emissions, so the recursive-CTE oracle
+    replays them with greatest() bit-identically."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        regime_viterbi,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    ).filter(F.col("close") > 0)
+    win = Window.partitionBy("user_id").orderBy("trade_date")
+    ret = F.col("close") / F.lag("close").over(win) - F.lit(1.0)
+    r = (
+        daily.withColumn("_ret", ret)
+        .filter(F.col("_ret").isNotNull() & (F.abs("_ret") <= 10.0))
+        .select(
+            "user_id",
+            "trade_date",
+            F.floor(F.col("_ret") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("ret6"),
+        )
+    )
+    return regime_viterbi(r, ["user_id"], "trade_date").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+_X_REGIME_VITERBI_SQL = f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+rr AS (
+  SELECT user_id, trade_date,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily WHERE close > 0),
+r AS MATERIALIZED (
+  SELECT user_id, trade_date,
+         CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS r6,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM rr WHERE ret IS NOT NULL AND abs(ret) <= 10.0),
+st AS (
+  SELECT user_id, rn, -abs(r6 - 1000) AS su, -abs(r6 + 1000) AS sd
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.rn,
+         greatest(p.su + 50000, p.sd) - abs(c.r6 - 1000),
+         greatest(p.sd + 50000, p.su) - abs(c.r6 + 1000)
+  FROM r c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1)
+SELECT r.user_id, r.trade_date, r.r6 AS ret6,
+       CASE WHEN st.su >= st.sd THEN 0 ELSE 1 END AS regime,
+       CAST(st.su - st.sd AS DOUBLE) / 1e6 AS margin
+FROM r JOIN st ON r.user_id = st.user_id AND r.rn = st.rn
+ORDER BY r.user_id, r.trade_date
+"""
+
+
+
+_HDR_PERMILLE = (500, 900, 990, 999)
+
+
+def e_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-friendly quantile ESTIMATION over the event values via
+    the HDR-histogram sketch (operators/sketch.hdr_sketch — the fourth
+    mergeable sketch): log-spaced buckets with 16 linear sub-buckets
+    per octave, ≤ 657 rows whatever the data volume, merge = one
+    map-side-combinable groupBy. Reports p50/p90/p99/p99.9 as the
+    EXACT VALUE BOUNDS of the covering bucket (guaranteed ≤ 1/16
+    relative error — no silent precision claims: the report carries
+    both edges, not a point estimate). The bucketing uses a generated
+    integer comparison chain for the exponent (no FP log), so the
+    sketch and the report replay exactly in SQL. At 100 TB this is the
+    only quantile structure that aggregates in one bounded-state pass —
+    the exact-percentile twin (e_percentiles) needs a per-group sort."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+        hdr_bucket_bounds,
+        hdr_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    v6 = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    sk = hdr_sketch(ev.select(v6.alias("_v")), "_v")
+    packed = sk.agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("_h")
+    ).select(
+        "_h",
+        F.aggregate(
+            "_h", F.lit(0).cast("long"), lambda a, x: a + x["cnt"]
+        ).alias("_n"),
+    )
+
+    ks = _HDR_PERMILLE
+
+    def _step(acc, x):
+        s2 = acc["s"] + x["cnt"]
+        return F.struct(
+            s2.alias("s"),
+            *[
+                F.coalesce(
+                    acc[f"c{k}"],
+                    F.when(
+                        s2 * 1000 >= F.col("_n") * k, x["bucket"]
+                    ),
+                ).alias(f"c{k}")
+                for k in ks
+            ],
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        *[F.lit(None).cast("int").alias(f"c{k}") for k in ks],
+    )
+    cuts = packed.select(
+        "_n", F.aggregate("_h", init, _step).alias("_f")
+    ).select(
+        "_n", *[F.col("_f")[f"c{k}"].alias(f"c{k}") for k in ks]
+    )
+    stack = ", ".join(f"{k}, c{k}" for k in ks)
+    rows = cuts.select(
+        "_n",
+        F.expr(f"stack({len(ks)}, {stack}) AS (pml, bucket)"),
+    )
+    lo, hi = hdr_bucket_bounds(F.col("bucket"))
+    return rows.select(
+        (F.col("pml").cast("double") / 1000.0).alias("pct"),
+        (lo.cast("double") / 1e6).alias("est_lo"),
+        (hi.cast("double") / 1e6).alias("est_hi"),
+        F.col("_n").cast("long").alias("n_total"),
+    ).orderBy("pct")
+
+
+def _hdr_quantiles_sql(max_e: int = 40) -> str:
+    e_chain = "CASE " + " ".join(
+        f"WHEN v6 >= {1 << e} THEN {e}"
+        for e in range(max_e, 0, -1)
+    ) + " ELSE 0 END"
+    ks = _HDR_PERMILLE
+    cuts = ", ".join(
+        f"min(CASE WHEN ccum * 1000 >= n * {k} THEN bucket END) AS c{k}"
+        for k in ks
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS pml, c{k} AS bucket, n FROM cuts" for k in ks
+    )
+    return f"""
+WITH v AS (
+  SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6 FROM events),
+b AS (
+  SELECT CASE WHEN v6 >= 1
+              THEN ({e_chain}) * 16 + ((v6 * 16) >> ({e_chain})) - 16
+              ELSE -1 END AS bucket
+  FROM v),
+sk AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+c AS (
+  SELECT bucket, cnt,
+         sum(cnt) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ccum,
+         sum(cnt) OVER () AS n
+  FROM sk),
+cuts AS (SELECT {cuts}, max(n) AS n FROM c),
+r AS ({unions}),
+bounds AS (
+  SELECT pml, n,
+         CASE WHEN bucket < 0 THEN 0
+              ELSE ((CAST(1 AS BIGINT) << (bucket // 16))
+                    * (16 + bucket % 16) + 15) // 16 END AS lo,
+         CASE WHEN bucket < 0 THEN 0
+              ELSE ((CAST(1 AS BIGINT) << ((bucket + 1) // 16))
+                    * (16 + (bucket + 1) % 16) + 15) // 16 - 1 END AS hi
+  FROM r)
+SELECT CAST(pml AS DOUBLE) / 1000.0 AS pct,
+       CAST(lo AS DOUBLE) / 1e6 AS est_lo,
+       CAST(hi AS DOUBLE) / 1e6 AS est_hi,
+       CAST(n AS BIGINT) AS n_total
+FROM bounds ORDER BY pct
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
@@ -14846,6 +15030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_vol_cone": x_vol_cone,
         "d_length_quantiles": d_length_quantiles,
         "o_zorder_skipping": o_zorder_skipping,
+        "x_regime_viterbi": x_regime_viterbi,
+        "e_hdr_quantiles": e_hdr_quantiles,
         # --- r10 part 2: the r4-stale cohort (VERDICT r9 ask #1 —
         # all 23 entries whose last driver row is round 4, in
         # scripts/staleness.py order). ---
@@ -15300,6 +15486,8 @@ def oracle_sql() -> dict[str, str]:
         "x_vol_cone": _vol_cone_sql(),
         "d_length_quantiles": _D_LENGTH_QUANTILES_SQL,
         "o_zorder_skipping": _zorder_skipping_sql(),
+        "x_regime_viterbi": _X_REGIME_VITERBI_SQL,
+        "e_hdr_quantiles": _hdr_quantiles_sql(),
         "x_forecast_backtest": _forecast_backtest_sql(),
         "s_stream_sessions": _S_SESSIONS_SQL,
         "s_stream_join": _S_JOIN_SQL,
@@ -15510,6 +15698,8 @@ HEADLINE_QUERIES = [
     "x_vol_cone",
     "d_length_quantiles",
     "o_zorder_skipping",
+    "x_regime_viterbi",
+    "e_hdr_quantiles",
     "x_forecast_backtest",
     "s_stream_sessions",
     "s_stream_join",

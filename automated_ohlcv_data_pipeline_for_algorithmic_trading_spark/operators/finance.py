@@ -4426,3 +4426,75 @@ def holt_linear(
         )
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def regime_viterbi(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    mu_up6: int = 1_000,
+    mu_down6: int = -1_000,
+    stay6: int = 50_000,
+    ret_col: str = "ret6",
+) -> DataFrame:
+    """Two-state bull/bear REGIME detection: the online Viterbi forward
+    pass of a two-state HMM in MAX-PLUS (tropical) integer arithmetic —
+    the FIFTEENTH recurrence family, and the first whose fold combines
+    states with ``max`` instead of arithmetic (every prior family is a
+    sum/product/division shape; max-plus is the dynamic-programming
+    algebra, and this operator is the template for any per-key DP over
+    an ordered series).
+
+        score_s(t) = max_{s'}(score_{s'}(t−1) + trans(s', s)) + emit_s(t)
+        regime(t)  = argmax_s score_s(t)        (tie → up)
+
+    with two states (up: drift ``mu_up6``, down: ``mu_down6``, both in
+    µ-return units), L1 emission score ``emit_s = −|r6 − mu_s|`` (no
+    squares — bounded integers, no overflow for any series length that
+    fits a cluster), and a sticky diagonal ``trans(s, s) = stay6``,
+    ``trans(s, s') = 0`` — the log-odds bonus for staying put, which is
+    what turns pointwise sign-reading into regime SEGMENTATION.
+    ``regime(t)`` is the end state of the highest-scoring path through
+    ``t`` — the standard online regime signal (full Viterbi smoothing
+    would backtrack; the forward argmax is the causal, streamable
+    variant).
+
+    Exactness: scores are BIGINT sums of integer emissions — ``max`` and
+    ``+`` replay bit-identically in any engine, so the oracle is a
+    recursive CTE carrying the two path scores with ``greatest()``.
+    Output: keys + order + ret6 + (regime int, margin double = the
+    score gap in return units — a confidence readout).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, ret_col)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    base_schema = ", ".join(f"{k} {t}" for k, t in src.dtypes)
+    schema = base_schema + ", regime int, margin double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        r = pdf[ret_col].to_numpy(dtype=np.int64)
+        m = len(r)
+        regime = np.empty(m, dtype=np.int32)
+        margin = np.empty(m, dtype=np.int64)
+        s_up = s_dn = 0
+        for i, ri in enumerate(r.tolist()):
+            e_up = -abs(ri - mu_up6)
+            e_dn = -abs(ri - mu_down6)
+            if i == 0:
+                s_up, s_dn = e_up, e_dn
+            else:
+                s_up, s_dn = (
+                    max(s_up + stay6, s_dn) + e_up,
+                    max(s_dn + stay6, s_up) + e_dn,
+                )
+            regime[i] = 0 if s_up >= s_dn else 1
+            margin[i] = s_up - s_dn
+        return pdf.assign(regime=regime, margin=margin / 1e6)
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)

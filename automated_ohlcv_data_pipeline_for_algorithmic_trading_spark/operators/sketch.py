@@ -38,6 +38,8 @@ __all__ = [
     "bloom_sketch",
     "merge_bloom",
     "bloom_might_contain",
+    "hdr_sketch",
+    "hdr_bucket_bounds",
 ]
 
 #: md5 hex chars used for the hash (15 chars = 60 bits, fits BIGINT both
@@ -407,3 +409,88 @@ def bloom_might_contain(
         joined.groupBy(*ids)
         .agg((F.min(hit) == F.lit(1)).alias("in_filter"))
     )
+
+
+def _pow2_chain(e: Column, max_e: int) -> Column:
+    """2^e as a generated when-chain over LITERAL powers — exact BIGINT
+    selection without shift functions (whose PySpark signatures want a
+    Python-int bit count, not a column)."""
+    expr = F.lit(1).cast("long")
+    for k in range(1, max_e + 2):
+        expr = F.when(e == k, F.lit(1 << k).cast("long")).otherwise(expr)
+    return expr
+
+
+def _hdr_exponent(v: Column, max_e: int = 40) -> Column:
+    """Integer base-2 exponent of a positive BIGINT (floor(log2(v)))
+    WITHOUT floating-point log — a generated comparison chain, so the
+    boundary values (exact powers of two) land identically in any
+    engine."""
+    expr = F.lit(0)
+    for e in range(1, max_e + 1):
+        expr = F.when(v >= F.lit(1 << e), F.lit(e)).otherwise(expr)
+    return expr
+
+
+def hdr_sketch(
+    df: DataFrame, value_col: Column | str, max_e: int = 40
+) -> DataFrame:
+    """HDR-histogram quantile sketch — the fourth mergeable sketch next
+    to HLL/CMS/Bloom: values (micro-quantized BIGINTs) land in
+    log-spaced buckets with 16 linear sub-buckets per octave, giving a
+    guaranteed ≤ 1/16 RELATIVE error on any quantile while the sketch
+    itself is AT MOST 16·(max_e+1)+1 rows whatever the data volume.
+
+    bucket(v) = e·16 + (v·16 div 2^e) − 16 for v ≥ 1 in [2^e, 2^(e+1));
+    non-positive values take the reserved bucket −1 (bound 0). The
+    exponent is a generated integer comparison chain (no FP log), so
+    the bucketing — and therefore the whole sketch — replays exactly in
+    SQL. Merge = add counts per bucket (one map-side-combinable
+    groupBy); at 100 TB this is the only quantile structure that
+    aggregates in one pass with bounded state, which is why it is the
+    histogram HdrHistogram/Prometheus/DataSketches deployments use.
+
+    Returns (bucket int, cnt long).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    # materialize the exponent as a projected column FIRST: the power
+    # selector below branches on it 42 times, and inlining the 40-when
+    # exponent tree into every branch would blow the expression to
+    # ~1700 nodes per row
+    staged = df.select(
+        v.alias("_hdr_v"), _hdr_exponent(v, max_e).alias("_hdr_e")
+    )
+    vv, ee = F.col("_hdr_v"), F.col("_hdr_e")
+    # (v · 16) div 2^e — the divisor is selected from literal powers of
+    # two (PySpark's shiftright wants a Python-int bit count, and a
+    # generated when-chain keeps the arithmetic integer-exact anyway)
+    pw = _pow2_chain(ee, max_e)
+    mant = F.floor((vv * 16) / pw).cast("long")
+    bucket = F.when(
+        vv >= 1, (ee.cast("long") * 16) + mant - F.lit(16)
+    ).otherwise(F.lit(-1))
+    return (
+        staged.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hdr_bucket_bounds(bucket: Column) -> tuple[Column, Column]:
+    """Inclusive (lo, hi) value bounds of an HDR bucket id, integer
+    arithmetic only: lo(b) = ceil(2^e·(16+m)/16) with e = b div 16,
+    m = b % 16; hi(b) = lo(b+1) − 1; the reserved bucket −1 bounds 0."""
+
+    def lo_of(b: Column) -> Column:
+        e = F.floor(b / 16).cast("int")
+        m = (b % 16).cast("long")
+        pw = _pow2_chain(e, 41)
+        return F.floor((pw * (F.lit(16) + m) + F.lit(15)) / 16).cast(
+            "long"
+        )
+
+    lo = F.when(bucket < 0, F.lit(0).cast("long")).otherwise(lo_of(bucket))
+    hi = F.when(bucket < 0, F.lit(0).cast("long")).otherwise(
+        lo_of(bucket + 1) - 1
+    )
+    return lo, hi

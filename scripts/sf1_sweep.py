@@ -132,6 +132,8 @@ QUERIES = [
     "d_length_quantiles",
     "o_zorder_skipping",
     "s_stream_emb_dedup",
+    "x_regime_viterbi",
+    "e_hdr_quantiles",
     "x_forecast_backtest",
     "e_cusum_drift",
     "s_stream_cusum",

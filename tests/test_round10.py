@@ -330,3 +330,77 @@ def test_rsi_divergence_replay_on_synthetic_series(spark, tmp_path):
             want.append((str(d), bear, bull))
     assert want, "synthetic series produced no divergence — test vacuous"
     assert got == want
+
+
+def test_regime_viterbi_hand_replay_and_segmentation(spark):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        regime_viterbi,
+    )
+
+    # 30 bars of +0.2%/day then 30 of -0.2%/day: after the sticky
+    # transition is paid off, the regime must segment cleanly
+    rets = [2000] * 30 + [-2000] * 30
+    rows = [(1, i, r) for i, r in enumerate(rets)]
+    df = spark.createDataFrame(rows, "user_id long, rn long, ret6 long")
+    got = regime_viterbi(df, ["user_id"], "rn").orderBy("rn").collect()
+
+    s_up = s_dn = 0
+    for i, r in enumerate(rets):
+        e_up, e_dn = -abs(r - 1000), -abs(r + 1000)
+        if i == 0:
+            s_up, s_dn = e_up, e_dn
+        else:
+            s_up, s_dn = (
+                max(s_up + 50_000, s_dn) + e_up,
+                max(s_dn + 50_000, s_up) + e_dn,
+            )
+        assert got[i]["regime"] == (0 if s_up >= s_dn else 1)
+        assert got[i]["margin"] == (s_up - s_dn) / 1e6
+    # segmentation: up regime through the first leg, down by the end
+    assert got[10]["regime"] == 0 and got[29]["regime"] == 0
+    assert got[59]["regime"] == 1
+    # sticky: the flip happens AFTER the sign change, not before
+    flip = next(i for i in range(30, 60) if got[i]["regime"] == 1)
+    assert flip >= 30
+
+
+def test_hdr_sketch_bounds_bracket_exact_and_merge_law(spark):
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+        hdr_bucket_bounds,
+        hdr_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    vals = [((i * 7919) % 100000) + 1 for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = hdr_sketch(df, "v")
+    rows = sk.collect()
+    assert len(rows) <= 657
+    assert sum(r["cnt"] for r in rows) == len(vals)
+    # every value sits inside its bucket's [lo, hi]
+    lo, hi = hdr_bucket_bounds(F.col("bucket"))
+    bounds = {
+        r["bucket"]: (r["lo"], r["hi"])
+        for r in sk.select("bucket", lo.alias("lo"), hi.alias("hi")).collect()
+    }
+    import math
+
+    for v in set(vals):
+        e = v.bit_length() - 1
+        b = e * 16 + (v * 16 >> e) - 16
+        blo, bhi = bounds[b]
+        assert blo <= v <= bhi
+        # guaranteed relative resolution: bucket width <= lo/16 + 1
+        assert bhi - blo <= blo / 16 + 1
+    # merge law: sketch(A) + sketch(B) == sketch(A ∪ B), bucket-wise
+    a = spark.createDataFrame([(v,) for v in vals[:2500]], "v long")
+    b = spark.createDataFrame([(v,) for v in vals[2500:]], "v long")
+    merged = (
+        hdr_sketch(a, "v")
+        .unionByName(hdr_sketch(b, "v"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rows)
+    )
