@@ -6650,6 +6650,27 @@ def emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _prune_stale_siblings(path: str) -> None:
+    """GC superseded versions of a persisted index: sibling directories
+    whose tag shares this index's kind+sf prefix but carries a
+    different size+mtime suffix are unreachable (their source was
+    regenerated), and without pruning every testdata refresh leaves a
+    full stale copy under spark-warehouse/ (round-9 ADVICE growth note
+    — same rule as sources/bucketed's layout GC)."""
+    import os
+    import shutil
+
+    parent = os.path.dirname(path)
+    name = os.path.basename(path)
+    parts = name.rsplit("-", 2)
+    if len(parts) != 3 or not os.path.isdir(parent):
+        return
+    prefix = parts[0] + "-"
+    for sib in os.listdir(parent):
+        if sib != name and sib.startswith(prefix):
+            shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
+
+
 def _ann_index_dir(sf_dir: str, kind: str) -> str:
     """Deterministic on-disk location for a persisted ANN index over
     ``sf_dir``'s embeddings table, keyed by the SOURCE file's size+mtime
@@ -6703,6 +6724,7 @@ def emb_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with open(marker, "w") as fh:
             fh.write("ok\n")
+        _prune_stale_siblings(idx)
     cdf = spark.read.parquet(os.path.join(idx, "centroids"))
     assignments = spark.read.parquet(os.path.join(idx, "assignments"))
     queries_df = emb.filter(F.col("vec_id") < 10)
@@ -6740,6 +6762,7 @@ def emb_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         vectors.write.mode("overwrite").parquet(os.path.join(idx, "vectors"))
         with open(marker, "w") as fh:
             fh.write("ok\n")
+        _prune_stale_siblings(idx)
     cb = spark.read.parquet(os.path.join(idx, "codebooks"))
     codes = spark.read.parquet(os.path.join(idx, "codes"))
     vectors = spark.read.parquet(os.path.join(idx, "vectors"))
@@ -12487,6 +12510,7 @@ def _dup_components_persisted(
         comp.write.mode("overwrite").parquet(comp_path)
         with open(marker, "w") as fh:
             fh.write("ok\n")
+        _prune_stale_siblings(idx)
     return spark.read.parquet(comp_path)
 
 
@@ -13213,6 +13237,7 @@ def _run_emb_dedup_stream(
             )
             with open(marker, "w") as fh:
                 fh.write("ok\n")
+            _prune_stale_siblings(base)
         shutil.copytree(f"{base}/centroids", f"{root}/index/centroids")
         shutil.copytree(
             f"{base}/assignments", f"{root}/index/assignments"
