@@ -6665,9 +6665,18 @@ def _prune_stale_siblings(path: str) -> None:
     parts = name.rsplit("-", 2)
     if len(parts) != 3 or not os.path.isdir(parent):
         return
-    prefix = parts[0] + "-"
+    # strict tag match (prefix + numeric size + numeric mtime): a bare
+    # startswith would also claim a DIFFERENT index whose tag merely
+    # extends this one's prefix (e.g. sf dirs 'sf1' vs 'sf1-new') and
+    # delete a layout other sessions still read — same rule as
+    # sources/bucketed's layout GC (round-10 ADVICE)
+    import re as _re
+
+    pat = _re.compile(
+        "^" + _re.escape(parts[0]) + r"-\d+-\d+$"
+    )
     for sib in os.listdir(parent):
-        if sib != name and sib.startswith(prefix):
+        if sib != name and pat.match(sib):
             shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
 
 
@@ -8428,9 +8437,12 @@ def e_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # this per-user table: cut the lineage once
         .localCheckpoint()
     )
-    b = quantile_bucket(pu, "recency_days", 5, "r_bucket")
-    b = quantile_bucket(b, "frequency", 5, "f_bucket")
-    b = quantile_bucket(b, "_mon", 5, "m_bucket")
+    # recency is bounded by construction (distinct day-counts <= history
+    # span) -> lazy packed fold; frequency and monetary sums are
+    # row-count-shaped in distinct values -> distributed twopass
+    b = quantile_bucket(pu, "recency_days", 5, "r_bucket", strategy="packed")
+    b = quantile_bucket(b, "frequency", 5, "f_bucket", strategy="twopass")
+    b = quantile_bucket(b, "_mon", 5, "m_bucket", strategy="twopass")
     return b.select(
         "user_id",
         "recency_days",
@@ -13229,14 +13241,25 @@ def _run_emb_dedup_stream(
         # sf0.1 wall before this)
         base = _ann_index_dir(sf_dir, "stream_emb")
         marker = os.path.join(base, "_BUILT")
-        if not os.path.exists(marker):
+        # layout v2: assignments partitionBy(cell) so per-batch probes
+        # prune to touched cells (round-10 VERDICT item 2); the marker
+        # carries the layout version so a v1 (flat) index rebuilds
+        def _marker_ok() -> bool:
+            try:
+                with open(marker) as fh:
+                    return fh.read().strip() == "cellpart-v2"
+            except OSError:
+                return False
+
+        if not _marker_ok():
+            shutil.rmtree(base, ignore_errors=True)
             cdf, assignments = ivf_index(corpus, n_lists=8, n_iter=2)
             cdf.write.mode("overwrite").parquet(f"{base}/centroids")
-            assignments.write.mode("overwrite").parquet(
-                f"{base}/assignments"
-            )
+            assignments.write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(f"{base}/assignments")
             with open(marker, "w") as fh:
-                fh.write("ok\n")
+                fh.write("cellpart-v2\n")
             _prune_stale_siblings(base)
         shutil.copytree(f"{base}/centroids", f"{root}/index/centroids")
         shutil.copytree(

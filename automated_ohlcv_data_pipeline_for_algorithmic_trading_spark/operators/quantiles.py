@@ -33,7 +33,7 @@ def quantile_bucket(
     value_col: str,
     n_buckets: int = 5,
     out_col: str = "bucket",
-    strategy: str = "packed",
+    strategy: str = "twopass",
 ) -> DataFrame:
     """Append an exact discrete-quantile bucket (1..n_buckets, 1 =
     smallest values) for the INTEGER column ``value_col``.
@@ -45,16 +45,19 @@ def quantile_bucket(
 
     ``strategy`` picks how the cuts are found:
 
-    - ``"packed"`` (default): sort the histogram into ONE array and run
-      a single in-array fold that carries (running count, k−1 pending
-      cuts) — entirely LAZY (no job until the result is consumed) and
-      one aggregation total. Right whenever the distinct-value count is
-      bounded (score-like integer metrics — this module's headline
-      case); the whole histogram passes through one aggregation buffer.
-    - ``"twopass"``: the distributed prefix sum from operators/rank.py —
-      scales to unbounded distinct-value counts (histogram sharded
-      across partitions) but runs two eager jobs at call time. Use for
-      metrics whose distinct count is row-count-shaped.
+    - ``"twopass"`` (default): the distributed prefix sum from
+      operators/rank.py — scales to unbounded distinct-value counts
+      (histogram sharded across partitions) but runs two eager jobs at
+      call time. The safe default: correct for metrics whose distinct
+      count is row-count-shaped (per-key sums, quasi-continuous
+      micro-unit amounts).
+    - ``"packed"``: sort the histogram into ONE array and run a single
+      in-array fold that carries (running count, k−1 pending cuts) —
+      entirely LAZY (no job until the result is consumed) and one
+      aggregation total. OPT-IN: the whole histogram passes through one
+      aggregation buffer, so callers must guarantee the distinct-value
+      count is bounded BY CONSTRUCTION (~10^4 — day counts, score
+      grids), not merely small in the test data.
 
     Both produce identical cuts: cut_b = min v with ccum·k ≥ N·b, all
     integer arithmetic.

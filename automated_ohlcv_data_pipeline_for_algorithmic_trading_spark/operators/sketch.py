@@ -463,9 +463,25 @@ def hdr_sketch(
     vv, ee = F.col("_hdr_v"), F.col("_hdr_e")
     # (v · 16) div 2^e — the divisor is selected from literal powers of
     # two (PySpark's shiftright wants a Python-int bit count, and a
-    # generated when-chain keeps the arithmetic integer-exact anyway)
-    pw = _pow2_chain(ee, max_e)
-    mant = F.floor((vv * 16) / pw).cast("long")
+    # generated when-chain keeps the arithmetic integer-exact anyway).
+    # TRUE integer division (`div`), matching the oracle's '>>' on ALL
+    # BIGINTs: the earlier floor((v·16)/2^e) double division was only
+    # exact for v·16 < 2^53 and could silently wrap v·16 near 2^63
+    # (round-10 ADVICE). For e ≥ 4 we divide BEFORE multiplying
+    # (v div 2^(e−4)) so the product never forms; for e < 4, v ≤ 15 and
+    # v·16 ≤ 240 cannot overflow.
+    staged = staged.select(
+        vv,
+        ee,
+        _pow2_chain(ee, max_e).alias("_hdr_pw"),
+        _pow2_chain(
+            F.greatest(ee - F.lit(4), F.lit(0)), max(max_e - 4, 0)
+        ).alias("_hdr_pw4"),
+    )
+    mant = F.expr(
+        "CASE WHEN _hdr_e >= 4 THEN _hdr_v div _hdr_pw4"
+        " ELSE (_hdr_v * 16) div _hdr_pw END"
+    ).cast("long")
     bucket = F.when(
         vv >= 1, (ee.cast("long") * 16) + mant - F.lit(16)
     ).otherwise(F.lit(-1))

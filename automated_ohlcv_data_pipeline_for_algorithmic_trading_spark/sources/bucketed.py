@@ -164,12 +164,17 @@ def ensure_bucketed(
             # (their size+mtime no longer matches) — drop them so
             # regeneration across rounds doesn't accumulate full
             # copies of fact tables under spark-warehouse/bucketed/.
+            # Match siblings STRICTLY as prefix + size + mtime: a bare
+            # startswith would also claim layouts of a DIFFERENT source
+            # whose sanitized prefix merely extends this one (e.g.
+            # 'sf1' vs 'sf1_v2' — likely, since _safe collapses
+            # punctuation to '_') and rmtree a layout another session's
+            # registered table still points at (round-10 ADVICE).
+            sib_pat = re.compile(
+                r"^bkt_" + re.escape(prefix) + r"_\d+_\d+$"
+            )
             for sib in os.listdir(_ROOT):
-                if (
-                    sib.startswith(f"bkt_{prefix}_")
-                    and sib != name
-                    and "__build" not in sib
-                ):
+                if sib_pat.match(sib) and sib != name:
                     shutil.rmtree(
                         os.path.join(_ROOT, sib), ignore_errors=True
                     )

@@ -231,14 +231,16 @@ def main() -> None:
         "queries": dict(sorted(timings.items())),
         "stream_net_of_startup": dict(sorted(stream_net.items())),
     }
-    # Clobber guard (round-9 ADVICE): the round inference
-    # (max CORRECTNESS_r* + 1) is wrong for driver-invoked post-close
-    # re-runs, which would overwrite the builder's committed per-query
-    # map. Only write the repo-root artifact when the round is pinned
-    # explicitly (SPARK_GRAFT_ROUND) or the target does not exist yet;
-    # otherwise divert to a temp name and say so.
+    # Artifact policy (round-9 ADVICE + round-10 VERDICT item 5): the
+    # round inference (max CORRECTNESS_r* + 1) is wrong for
+    # driver-invoked post-close re-runs — r10's guard stopped the
+    # overwrite but the unpinned re-run still MINTED a stray
+    # next-round-named file. Repo-root artifacts are therefore written
+    # ONLY when the round is pinned explicitly via SPARK_GRAFT_ROUND
+    # (the builder's closing sequence does this); every unpinned run
+    # diverts to a temp file and says so.
     target = os.path.join(root, f"BENCH_LOCAL_r{rnd:02d}.json")
-    if os.path.exists(target) and "SPARK_GRAFT_ROUND" not in os.environ:
+    if "SPARK_GRAFT_ROUND" not in os.environ:
         import tempfile
 
         tmp = tempfile.NamedTemporaryFile(
@@ -251,8 +253,8 @@ def main() -> None:
         tmp.write("\n")
         tmp.close()
         print(
-            f"# BENCH_LOCAL_r{rnd:02d}.json exists and SPARK_GRAFT_ROUND"
-            f" is unset — wrote {tmp.name} instead",
+            f"# SPARK_GRAFT_ROUND is unset — not minting repo-root"
+            f" BENCH_LOCAL_r{rnd:02d}.json; wrote {tmp.name} instead",
             file=sys.stderr,
         )
     else:

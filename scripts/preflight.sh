@@ -40,6 +40,18 @@ else:
             )
 EOF
 
+echo "== preflight: bench artifact policy (VERDICT r10 item 5) =="
+# No stray round-named bench artifacts: every BENCH_LOCAL_r*.json at
+# the repo root must be tracked (bench.py only mints one when
+# SPARK_GRAFT_ROUND is pinned; unpinned runs divert to /tmp).
+untracked_bench=$(git status --porcelain -- 'BENCH_LOCAL_r*.json' | grep '^??' || true)
+if [[ -n "$untracked_bench" ]]; then
+  echo "preflight: FAIL — untracked bench artifacts at repo root:" >&2
+  echo "$untracked_bench" >&2
+  echo "Commit the canonical one (pinned SPARK_GRAFT_ROUND run) or delete strays." >&2
+  exit 1
+fi
+
 echo "== preflight: driver smoke (plain session, entry()) =="
 python - <<'EOF'
 import sys
