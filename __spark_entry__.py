@@ -1640,7 +1640,7 @@ WITH ranked AS (
              ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS rl
   FROM events WHERE value > 0
 )
-SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol_clean,
+SELECT 'U' || CAST(sid AS VARCHAR) AS symbol_clean,
        d AS trade_date,
        max(CASE WHEN rf = 1 THEN value END) AS first_value,
        max(CASE WHEN rl = 1 THEN value END) AS last_value,
@@ -13188,19 +13188,46 @@ def s_stream_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule (streaming/pipeline.emb_dedup_ingest_sink; the twelfth
     oracle-checked streaming query). Output: surviving (vec_id, cell),
     ordered."""
+    surv, _ = _run_emb_dedup_stream(spark, sf_dir)
+    return surv
+
+
+def _stream_emb_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once lifecycle for the streaming-ANN base index: seeded IVF
+    (8 lists, 2 Lloyd iterations) fit on the CORPUS 90% of ``sf_dir``'s
+    embeddings (vec_id % 10 != 0), persisted under the size+mtime-keyed
+    ``_ann_index_dir`` with layout v2 — assignments ``partitionBy(cell)``
+    so every probe (the streaming sink's per-batch screen, the drift
+    recall report) prunes to touched cell partitions at the scan
+    (round-10 VERDICT item 2). The marker carries the layout version, so
+    a v1 (flat) index rebuilds once and stale siblings are GC'd."""
     import os
     import shutil
-    import tempfile
 
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
         ivf_index,
     )
-    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
-        emb_dedup_ingest_sink,
-    )
 
-    surv, _ = _run_emb_dedup_stream(spark, sf_dir)
-    return surv
+    base = _ann_index_dir(sf_dir, "stream_emb")
+    marker = os.path.join(base, "_BUILT")
+    try:
+        with open(marker) as fh:
+            if fh.read().strip() == "cellpart-v2":
+                return base
+    except OSError:
+        pass
+    shutil.rmtree(base, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    cdf, assignments = ivf_index(corpus, n_lists=8, n_iter=2)
+    cdf.write.mode("overwrite").parquet(f"{base}/centroids")
+    assignments.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{base}/assignments"
+    )
+    with open(marker, "w") as fh:
+        fh.write("cellpart-v2\n")
+    _prune_stale_siblings(base)
+    return base
 
 
 def _run_emb_dedup_stream(
@@ -13218,16 +13245,12 @@ def _run_emb_dedup_stream(
     import shutil
     import tempfile
 
-    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
-        ivf_index,
-    )
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
         emb_dedup_ingest_sink,
     )
 
     tune(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") % 10 != 0)
     stream_set = emb.select("vec_id", "embedding").filter(
         F.col("vec_id") % 10 == 0
     )
@@ -13239,28 +13262,7 @@ def _run_emb_dedup_stream(
         # batch), so the persisted base must stay immutable while the
         # per-run fit cost amortizes away (measured ~6 s of the 11 s
         # sf0.1 wall before this)
-        base = _ann_index_dir(sf_dir, "stream_emb")
-        marker = os.path.join(base, "_BUILT")
-        # layout v2: assignments partitionBy(cell) so per-batch probes
-        # prune to touched cells (round-10 VERDICT item 2); the marker
-        # carries the layout version so a v1 (flat) index rebuilds
-        def _marker_ok() -> bool:
-            try:
-                with open(marker) as fh:
-                    return fh.read().strip() == "cellpart-v2"
-            except OSError:
-                return False
-
-        if not _marker_ok():
-            shutil.rmtree(base, ignore_errors=True)
-            cdf, assignments = ivf_index(corpus, n_lists=8, n_iter=2)
-            cdf.write.mode("overwrite").parquet(f"{base}/centroids")
-            assignments.write.mode("overwrite").partitionBy(
-                "cell"
-            ).parquet(f"{base}/assignments")
-            with open(marker, "w") as fh:
-                fh.write("cellpart-v2\n")
-            _prune_stale_siblings(base)
+        base = _stream_emb_index(spark, sf_dir)
         shutil.copytree(f"{base}/centroids", f"{root}/index/centroids")
         shutil.copytree(
             f"{base}/assignments", f"{root}/index/assignments"
@@ -13369,6 +13371,430 @@ WITH {with_block}
 SELECT vec_id, CAST(cell AS INT) AS cell
 FROM sn WHERE vec_id NOT IN (SELECT vec_id FROM dup)
 ORDER BY vec_id
+"""
+
+
+def s_emb_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-drift recall report for the STREAMING ANN index — the
+    go/no-go metric for offline-rebuild cadence (round-10 VERDICT item
+    3). ``emb_dedup_ingest_sink`` honestly documents that the stream
+    lives with coarse-quantizer drift until an offline rebuild; this
+    query makes that measurable, the way ``emb_ivf_recall`` did for
+    probe width: near-dup recall of the cell-pruned screen (same cell
+    as the persisted index, n_probe=1 — exactly the sink's screen) vs
+    the EXACT all-pairs ground truth at the sink's threshold (0.35),
+    for two scenarios of the holdout stream (vec_id % 10 == 0):
+
+    - ``baseline``: the raw vectors — distributed like the corpus the
+      quantizer was fit on;
+    - ``shifted``: a deterministic distribution shift (+0.25 on every
+      coordinate — a bias toward the all-ones direction), simulating
+      the drifted traffic a long-lived index actually serves.
+
+    ``pair_recall(shifted) << pair_recall(baseline)`` is the rebuild
+    trigger. Scale shape: the ground truth is a GUARDED verification
+    twin (broadcast holdout × corpus — explicit bounded sample, the
+    d_minhash_recall convention), while the screen side is the same
+    cell-equality the sink computes; both scenarios reuse the persisted
+    cell-partitioned index (streaming/pipeline.py:326,
+    operators/similarity.py ivf_index)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        _as_double,
+        _assign_cells,
+        dot,
+    )
+
+    tune(spark)
+    base = _stream_emb_index(spark, sf_dir)
+    cents = spark.read.parquet(f"{base}/centroids")
+    idx = spark.read.parquet(f"{base}/assignments")
+    corpus_q = idx.select(
+        F.col("cell").alias("_icell"),
+        F.transform(
+            "vec", lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("double")
+        ).alias("_qi"),
+    ).withColumn("_si", dot(F.col("_qi"), F.col("_qi")))
+    hold = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    q0 = hold.select(
+        F.col("vec_id").alias("_vid"),
+        _as_double(F.col("embedding")).alias("_x"),
+    )
+
+    def _scenario(qdf: DataFrame, label: str) -> DataFrame:
+        a = _assign_cells(qdf, cents)
+        aq = a.select(
+            F.col("_cell"),
+            F.transform(
+                "_x",
+                lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("double"),
+            ).alias("_qv"),
+        ).withColumn("_sq", dot(F.col("_qv"), F.col("_qv")))
+        cos = dot(F.col("_qv"), F.col("_qi")) / (
+            F.sqrt(F.col("_sq")) * F.sqrt(F.col("_si"))
+        )
+        # holdout side broadcast (bounded explicit sample); the corpus
+        # scan streams against it — the guarded exact-twin plan
+        pairs = (
+            corpus_q.join(F.broadcast(aq))
+            .filter((F.col("_sq") > 0.0) & (F.col("_si") > 0.0))
+            .filter(cos >= F.lit(0.35))
+        )
+        return pairs.agg(
+            F.lit(label).alias("scenario"),
+            F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+            F.sum(
+                F.when(F.col("_cell") == F.col("_icell"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_caught_pairs"),
+        )
+
+    shifted = q0.select(
+        "_vid",
+        F.transform("_x", lambda x: x + F.lit(0.25)).alias("_x"),
+    )
+    rep = _scenario(q0, "baseline").unionByName(
+        _scenario(shifted, "shifted")
+    )
+    return rep.select(
+        "scenario",
+        "n_true_pairs",
+        "n_caught_pairs",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.col("n_caught_pairs").cast("double")
+            / F.col("n_true_pairs").cast("double"),
+        ).alias("pair_recall"),
+    ).orderBy("scenario")
+
+
+def _s_emb_drift_recall_sql(
+    n_lists: int = 8, n_iter: int = 2, dim: int = 64, threshold: float = 0.35
+) -> str:
+    """Batch replay of the drift recall report: same seeded centroid
+    fit on the corpus subset (the _ivf_assign_ctes chain), same raw-
+    double nearest-centroid assignment for both holdout scenarios, same
+    quantized-cosine ground truth and cell-equality screen."""
+    d2 = (
+        "list_dot_product(s.emb, s.emb) + list_dot_product(c.centroid, c.centroid)"
+        " - 2.0 * list_dot_product(s.emb, c.centroid)"
+    )
+    ctes, cur = _ivf_assign_ctes(
+        n_lists, n_iter, dim, where="WHERE vec_id % 10 <> 0"
+    )
+    ctes.append(
+        "hold AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS emb FROM embeddings WHERE vec_id % 10 = 0)"
+    )
+    ctes.append(
+        "sc AS (SELECT 'baseline' AS scenario, vec_id, emb FROM hold"
+        " UNION ALL SELECT 'shifted', vec_id,"
+        " list_transform(emb, x -> x + 0.25) FROM hold)"
+    )
+    ctes.append(f"""qa AS (
+  SELECT scenario, vec_id, emb, cell FROM (
+    SELECT s.scenario, s.vec_id, s.emb, c.cell,
+           row_number() OVER (PARTITION BY s.scenario, s.vec_id
+                              ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM sc s CROSS JOIN {cur} c)
+  WHERE rn = 1)""")
+    ctes.append(
+        "qq AS (SELECT scenario, cell,"
+        " list_transform(emb, x -> floor(x * 1e6 + 0.5)) AS qv FROM qa)"
+    )
+    ctes.append(
+        "iq AS (SELECT cell,"
+        " list_transform(emb, x -> floor(x * 1e6 + 0.5)) AS qv FROM af)"
+    )
+    ctes.append(f"""pairs AS (
+  SELECT q.scenario,
+         CASE WHEN q.cell = i.cell THEN 1 ELSE 0 END AS caught
+  FROM qq q CROSS JOIN iq i
+  WHERE list_dot_product(q.qv, q.qv) > 0
+    AND list_dot_product(i.qv, i.qv) > 0
+    AND list_dot_product(q.qv, i.qv)
+        / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(i.qv, i.qv)))
+        >= {threshold})""")
+    with_block = ",\n".join(ctes)
+    return f"""
+WITH {with_block}
+SELECT scenario,
+       CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(sum(caught) AS BIGINT) AS n_caught_pairs,
+       CASE WHEN count(*) > 0
+            THEN CAST(sum(caught) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            END AS pair_recall
+FROM pairs GROUP BY scenario ORDER BY scenario
+"""
+
+
+_FRESHNESS_MEMO: dict = {}
+
+
+def _run_freshness_pipeline(
+    spark: SparkSession, sf_dir: str, n_fetches: int = 4
+) -> tuple[DataFrame, dict]:
+    """End-to-end streaming-freshness runner (round-10 VERDICT item 4;
+    the streaming twin of ``etl_bronze_silver_500sym`` and the
+    counterpart of the reference's one latency claim — '<2 min
+    ingest→queryable', examples/README.md:110): raw-envelope files →
+    ``read_raw_stream`` → ``streaming_silver`` → physical
+    ``upsert_silver_sink`` (availableNow, one file per micro-batch) →
+    silver read-back → daily OHLCV rollup refresh.
+
+    The fixture side derives DETERMINISTIC envelopes from the events
+    table (the o_bronze_roundtrip encode): events are collapsed to one
+    candle per (user, second) — min value / min event_id, so the
+    streaming dedup never faces an arbitrary-winner tie — and sliced
+    into ``n_fetches`` CHRONOLOGICAL day-range files with ascending
+    mtimes (the file source processes oldest first, so the 1-day
+    watermark never classifies a later fetch as late). Returns
+    (rollup DataFrame, stats) where stats carries the observed
+    end-to-end wall (stream start → rollup materialized), row counts,
+    and rows/sec — the freshness numbers, which are REAL measurements
+    and therefore live in the un-hashed wall row + BENCH, never in the
+    oracle-hashed rollup."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.streaming.pipeline import (
+        read_raw_stream,
+        streaming_silver,
+        upsert_silver_sink,
+    )
+
+    tune(spark)
+    # one pipeline run serves both registry rows (the hashed rollup and
+    # the measured wall) — a second run would only re-measure the same
+    # deterministic output
+    memo_key = (spark.sparkContext.applicationId, sf_dir, n_fetches)
+    hit = _FRESHNESS_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    # 5 synthetic instruments (user_id % 5): the silver sink
+    # partitions by (symbol_clean, dt), so symbol cardinality must be
+    # poll-set-sized (the reference polls a handful of instruments),
+    # not user-sized — 1500 users x 30 days of partition directories
+    # turns the sink into a small-file explosion, and the measured
+    # per-batch cost is dominated by DIRECTORY COMMITS of the dynamic
+    # overwrite (invariant ~10 ms/dir whatever the row volume), so the
+    # fixture keeps symbols x days at ~150. Collapse to one candle per
+    # (symbol, second) — min value / min event_id — so the streaming
+    # dedup key (symbol, timestamp_unix) never has an arbitrary winner.
+    pc = ev.groupBy(
+        (F.col("user_id") % 5).alias("sid"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+    ).agg(
+        F.min("value").alias("v"),
+        F.min("event_id").alias("eid"),
+        F.min(F.to_date("ts")).alias("d"),
+    ).localCheckpoint()  # consumed twice: day-bounds agg + envelope build
+    lo, hi = (
+        pc.agg(F.min("d"), F.max("d")).collect()[0]
+    )
+    n_days = (hi - lo).days + 1
+    fetch = (
+        F.datediff(F.col("d"), F.lit(lo)) * n_fetches / F.lit(n_days)
+    ).cast("int")
+    sym = F.concat(F.lit("NSE:U"), F.col("sid"), F.lit("-EQ"))
+    per_sym = (
+        pc.withColumn("fetch", fetch)
+        .groupBy("fetch", sym.alias("sym"))
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("sec").alias("o1"),
+                            F.col("eid").alias("o2"),
+                            F.array(
+                                F.col("sec").cast("double"),
+                                "v", "v", "v", "v",
+                                F.col("eid").cast("double"),
+                            ).alias("candle"),
+                        )
+                    )
+                ),
+                lambda s: s["candle"],
+            ).alias("candles")
+        )
+    )
+    # ONE FILE PER (fetch, symbol) — the shape of per-symbol poll
+    # responses, and the parallelism lever: a multiLine JSON document
+    # parses in a single task, so one monolithic envelope per fetch
+    # serializes each micro-batch behind one parser thread (measured
+    # ~0.5-1 s of every batch's addBatch); per-symbol files parse
+    # n-symbols-wide instead
+    envs = per_sym.select(
+        "fetch",
+        F.col("sym").alias("symfile"),
+        F.create_map(
+            F.col("sym"),
+            F.struct(
+                F.col("sym").alias("symbol"),
+                F.lit("5").alias("resolution"),
+                F.col("candles"),
+                F.lit("2024-01-31T00:00:00Z").alias("timestamp"),
+                F.create_map(F.lit("k"), F.lit("v")).alias("metadata"),
+            ),
+        ).alias("data"),
+        F.map_from_entries(
+            F.array(
+                F.struct(F.lit("source"), F.lit("freshness-fixture"))
+            )
+        ).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="freshness_")
+    try:
+        envs.write.partitionBy("fetch", "symfile").json(f"{root}/rawparts")
+        os.makedirs(f"{root}/in", exist_ok=True)
+        n_files = 0
+        for k in range(n_fetches):
+            fdir = f"{root}/rawparts/fetch={k}"
+            if not os.path.isdir(fdir):
+                continue
+            for sdir in sorted(os.listdir(fdir)):
+                pdir = os.path.join(fdir, sdir)
+                if not os.path.isdir(pdir):
+                    continue
+                part = next(
+                    f for f in os.listdir(pdir) if f.endswith(".json")
+                )
+                dst = f"{root}/in/f{k}_{n_files}.json"
+                shutil.move(os.path.join(pdir, part), dst)
+                # all of fetch k's files share one mtime: the file
+                # source's oldest-first order = fetch order, and
+                # maxFilesPerTrigger = n_symbols makes each trigger
+                # exactly one chronological fetch
+                os.utime(
+                    dst, (1_600_000_000 + k * 10, 1_600_000_000 + k * 10)
+                )
+                n_files += 1
+        # ingest -> queryable: the timed section starts when the stream
+        # is handed the landed raw files and ends when the refreshed
+        # rollup is materialized from the PHYSICAL silver table
+        t0 = _time.perf_counter()
+        # 4 state partitions: one-shot availableNow replay at fixture
+        # volume — every stateful micro-batch pays #partitions x
+        # (state-store commit + checkpoint sync) regardless of rows, so
+        # narrow fixed width wins (see session.stateful_partitions)
+        with stateful_partitions(spark, 4), _scratch_ckpt() as ckpt:
+            q = upsert_silver_sink(
+                streaming_silver(
+                    read_raw_stream(
+                        spark,
+                        f"{root}/in",
+                        max_files_per_trigger=max(1, n_files // n_fetches),
+                    )
+                ),
+                f"{root}/silver",
+                ckpt,
+                available_now=True,
+            )
+            q.awaitTermination(300)
+        silver = spark.read.parquet(f"{root}/silver")
+        rollup = (
+            silver.groupBy(
+                "symbol_clean",
+                F.to_date("timestamp_iso").alias("trade_date"),
+            )
+            .agg(
+                F.min_by(
+                    "open", F.struct("timestamp_unix", "volume")
+                ).alias("first_value"),
+                F.max_by(
+                    "close", F.struct("timestamp_unix", "volume")
+                ).alias("last_value"),
+                F.max("high").alias("max_value"),
+                F.min("low").alias("min_value"),
+                F.count(F.lit(1)).alias("num_candles"),
+            )
+            .orderBy("symbol_clean", "trade_date")
+            .localCheckpoint()
+        )
+        local = rollup.collect()
+        n_rollup = len(local)
+        wall = _time.perf_counter() - t0
+        # silver row count = sum of per-group candle counts: free from
+        # the already-collected rollup, no second scan of the sink
+        n_silver = sum(r["num_candles"] for r in local)
+        stats = {
+            "n_raw_files": n_files,
+            "n_silver_rows": n_silver,
+            "n_rollup_rows": n_rollup,
+            "e2e_wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_silver / wall, 1) if wall > 0 else None,
+        }
+        _FRESHNESS_MEMO[memo_key] = (rollup, stats)
+        return rollup, stats
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def s_stream_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest→queryable freshness, correctness half: the rolled-up
+    output of the full streaming pipeline (raw envelope files →
+    read_raw_stream → streaming_silver with watermarked exactly-once
+    dedup → physical upsert_silver_sink via availableNow → silver
+    read-back → daily OHLCV rollup). The oracle computes the same
+    rollup directly from events, proving the whole streamed lifecycle
+    is lossless; the measured wall/rows-per-sec live in the companion
+    ``s_stream_freshness_wall`` row and in BENCH (timings are real
+    measurements — they can never be value-hashed)."""
+    rollup, _ = _run_freshness_pipeline(spark, sf_dir)
+    return rollup
+
+
+def s_stream_freshness_wall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest→queryable freshness, measurement half (rows-only driver
+    check — timings are genuinely non-SQL-expressible): one row with
+    the end-to-end wall (stream start → refreshed rollup materialized),
+    silver row count, and rows/sec — the counterpart of the reference's
+    '<2 min ingest→queryable' claim (examples/README.md:110), measured
+    instead of asserted."""
+    _, stats = _run_freshness_pipeline(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_raw_files"],
+                stats["n_silver_rows"],
+                stats["n_rollup_rows"],
+                float(stats["e2e_wall_sec"]),
+                float(stats["rows_per_sec"]),
+            )
+        ],
+        "n_raw_files int, n_silver_rows bigint, n_rollup_rows bigint,"
+        " e2e_wall_sec double, rows_per_sec double",
+    )
+
+
+_S_STREAM_FRESHNESS_SQL = """
+WITH pc AS (
+  SELECT user_id % 5 AS sid, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         min(value) AS v, min(event_id) AS eid,
+         min(CAST(ts AS DATE)) AS d
+  FROM events WHERE value > 0 GROUP BY 1, 2),
+ranked AS (
+  SELECT sid, d, v,
+         row_number() OVER (PARTITION BY sid, d ORDER BY sec, eid) AS rf,
+         row_number() OVER (PARTITION BY sid, d
+                            ORDER BY sec DESC, eid DESC) AS rl
+  FROM pc)
+SELECT 'U' || CAST(sid AS VARCHAR) AS symbol_clean,
+       d AS trade_date,
+       max(CASE WHEN rf = 1 THEN v END) AS first_value,
+       max(CASE WHEN rl = 1 THEN v END) AS last_value,
+       max(v) AS max_value,
+       min(v) AS min_value,
+       count(*) AS num_candles
+FROM ranked GROUP BY 1, 2
+ORDER BY symbol_clean, trade_date
 """
 
 
@@ -15075,7 +15501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_forecast_backtest": x_forecast_backtest,
         "e_rfm_segments": e_rfm_segments,
         "x_event_study": x_event_study,
-        # --- r10 part 1: NEW this round (insert new queries HERE) ---
+        # --- r11 part 1: NEW this round (insert new queries HERE) ---
+        "s_emb_drift_recall": s_emb_drift_recall,
+        "s_stream_freshness": s_stream_freshness,
+        "s_stream_freshness_wall": s_stream_freshness_wall,
+        # --- r10 newcomers ---
         "x_holt_winters_mul": x_holt_winters_mul,
         "s_stream_emb_dedup": s_stream_emb_dedup,
         "x_amihud_illiquidity": x_amihud_illiquidity,
@@ -15523,6 +15953,10 @@ def oracle_sql() -> dict[str, str]:
         "x_t3": _t3_sql(),
         "s_stream_bloom": _S_STREAM_BLOOM_SQL,
         "s_stream_emb_dedup": _s_stream_emb_dedup_sql(),
+        "s_emb_drift_recall": _s_emb_drift_recall_sql(),
+        "s_stream_freshness": _S_STREAM_FRESHNESS_SQL,
+        # s_stream_freshness_wall: real measured timings -- genuinely
+        # non-SQL-expressible, rows-only driver check by design
         "x_mcginley": _X_MCGINLEY_SQL,
         "x_vwap_bands": _X_VWAP_BANDS_SQL,
         "x_elder_impulse": _elder_impulse_sql(),
@@ -15735,6 +16169,9 @@ HEADLINE_QUERIES = [
     "x_t3",
     "s_stream_bloom",
     "s_stream_emb_dedup",
+    "s_emb_drift_recall",
+    "s_stream_freshness",
+    "s_stream_freshness_wall",
     "x_mcginley",
     "x_vwap_bands",
     "x_elder_impulse",
