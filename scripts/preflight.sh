@@ -52,6 +52,9 @@ if [[ -n "$untracked_bench" ]]; then
   exit 1
 fi
 
+echo "== preflight: BNLJ allowlist audit (VERDICT r10 item 6) =="
+python scripts/explain_report.py audit
+
 echo "== preflight: driver smoke (plain session, entry()) =="
 python - <<'EOF'
 import sys

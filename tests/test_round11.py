@@ -75,3 +75,23 @@ def test_stream_freshness_pipeline(spark, sf_dir):
     assert stats["e2e_wall_sec"] > 0
     assert stats["rows_per_sec"] > 0
     assert stats["n_silver_rows"] == sum(v[4] for v in want.values())
+
+
+def test_bnlj_allowlist_audit_logic():
+    """The machine-readable BNLJ allowlist (round-10 VERDICT item 6):
+    unlisted BNLJ -> violation, stale entry -> violation, allowlisted
+    entry with sites -> clean."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import importlib
+
+    er = importlib.import_module("explain_report")
+    assert er._audit({"e_period_lookback": 2}, strict_missing=False) == []
+    errs = er._audit({"brand_new_query": 2}, strict_missing=False)
+    assert any("UNLISTED" in e for e in errs)
+    errs = er._audit({"e_period_lookback": 0}, strict_missing=False)
+    assert any("STALE" in e for e in errs)
+    # strict mode flags allowlist entries with no plan at all
+    errs = er._audit({"e_period_lookback": 2}, strict_missing=True)
+    assert any("MISSING PLAN" in e for e in errs)
