@@ -13414,7 +13414,14 @@ def s_emb_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec", lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("double")
         ).alias("_qi"),
     ).withColumn("_si", dot(F.col("_qi"), F.col("_qi")))
-    hold = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    # EXPLICIT query sample (the d_minhash_recall convention): recall is
+    # estimated on a deterministic 20% slice of the holdout (vec_id %
+    # 100 < 20), so the exact ground truth stays LINEAR in corpus size —
+    # the unsampled all-pairs twin grew quadratically (19.9 s at sf1 vs
+    # 1.7 s at sf0.1). The sample is identical in both engines.
+    hold = _t(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") % 100 < 20)
+    )
     q0 = hold.select(
         F.col("vec_id").alias("_vid"),
         _as_double(F.col("embedding")).alias("_x"),
@@ -13484,7 +13491,7 @@ def _s_emb_drift_recall_sql(
     )
     ctes.append(
         "hold AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
-        " AS emb FROM embeddings WHERE vec_id % 10 = 0)"
+        " AS emb FROM embeddings WHERE vec_id % 10 = 0 AND vec_id % 100 < 20)"
     )
     ctes.append(
         "sc AS (SELECT 'baseline' AS scenario, vec_id, emb FROM hold"
@@ -13532,7 +13539,10 @@ _FRESHNESS_MEMO: dict = {}
 
 
 def _run_freshness_pipeline(
-    spark: SparkSession, sf_dir: str, n_fetches: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_fetches: int = 4,
+    use_memo: bool = False,
 ) -> tuple[DataFrame, dict]:
     """End-to-end streaming-freshness runner (round-10 VERDICT item 4;
     the streaming twin of ``etl_bronze_silver_500sym`` and the
@@ -13569,13 +13579,16 @@ def _run_freshness_pipeline(
     )
 
     tune(spark)
-    # one pipeline run serves both registry rows (the hashed rollup and
-    # the measured wall) — a second run would only re-measure the same
-    # deterministic output
+    # one pipeline run can serve both registry rows (the hashed rollup
+    # and the measured wall): the run always STORES its result, but only
+    # the wall row READS it (use_memo=True) — if the correctness row
+    # itself consumed the memo, a best-of-2 bench pass would record a
+    # ~0 s second pass instead of the real pipeline wall
     memo_key = (spark.sparkContext.applicationId, sf_dir, n_fetches)
-    hit = _FRESHNESS_MEMO.get(memo_key)
-    if hit is not None:
-        return hit
+    if use_memo:
+        hit = _FRESHNESS_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
     ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
     # 5 synthetic instruments (user_id % 5): the silver sink
     # partitions by (symbol_clean, dt), so symbol cardinality must be
@@ -13758,7 +13771,7 @@ def s_stream_freshness_wall(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver row count, and rows/sec — the counterpart of the reference's
     '<2 min ingest→queryable' claim (examples/README.md:110), measured
     instead of asserted."""
-    _, stats = _run_freshness_pipeline(spark, sf_dir)
+    _, stats = _run_freshness_pipeline(spark, sf_dir, use_memo=True)
     return spark.createDataFrame(
         [
             (
@@ -14680,18 +14693,23 @@ def x_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-model backtest — the evaluation layer for the
     forecasting family, as the recall reports are for ANN/dedup: per
     user, one-step-ahead MAE of the NAIVE (carry-forward), Holt
-    (level+trend), additive Holt-Winters and multiplicative
-    Holt-Winters forecasters over the same daily series, plus the
-    champion label. Errors requantize to
+    (level+trend), additive Holt-Winters, multiplicative Holt-Winters
+    and regime-conditional Holt (the 16th family) forecasters over the
+    same daily series, plus the champion label. The eval set is the
+    COMMON support (bars where every contender has a prior forecast —
+    regime-holt starts on the first return-bearing bar, so evals start
+    one bar later than the 4-contender version). Errors requantize to
     micro-unit BIGINTs BEFORE summing (every |y−ŷ| is a micro multiple,
     but micro multiples are not exact binary doubles — an integer sum
     is order-free where a double sum is not), so the report is
     bit-identical cross-engine; champions tie-break
-    naive > holt > holt_winters > hw_mul (prefer the simpler model)."""
+    naive > holt > holt_winters > hw_mul > regime_holt (prefer the
+    simpler model)."""
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
         holt_linear,
         holt_winters,
         holt_winters_multiplicative,
+        regime_conditional_holt,
     )
 
     daily = _daily_ohlcv(spark, sf_dir).select(
@@ -14706,8 +14724,30 @@ def x_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = holt_winters_multiplicative(
         daily, ["user_id"], "trade_date", period=7
     ).select("user_id", "trade_date", F.col("forecast").alias("_fm"))
-    j = h.join(w, ["user_id", "trade_date"]).join(
-        m, ["user_id", "trade_date"]
+    winp = Window.partitionBy("user_id").orderBy("trade_date")
+    rin = (
+        daily.filter(F.col("close") > 0)
+        .withColumn(
+            "_ret", F.col("close") / F.lag("close").over(winp) - F.lit(1.0)
+        )
+        .filter(F.col("_ret").isNotNull() & (F.abs("_ret") <= 10.0))
+        .select(
+            "user_id",
+            "trade_date",
+            "close",
+            F.floor(F.col("_ret") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("ret6"),
+        )
+        .localCheckpoint()
+    )
+    rh = regime_conditional_holt(rin, ["user_id"], "trade_date").select(
+        "user_id", "trade_date", F.col("forecast").alias("_fr")
+    )
+    j = (
+        h.join(w, ["user_id", "trade_date"])
+        .join(m, ["user_id", "trade_date"])
+        .join(rh, ["user_id", "trade_date"])
     )
     win = Window.partitionBy("user_id").orderBy("trade_date")
 
@@ -14722,6 +14762,7 @@ def x_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         err6(F.lag("_fh").over(win)).alias("_eh"),
         err6(F.lag("_fw").over(win)).alias("_ew"),
         err6(F.lag("_fm").over(win)).alias("_em"),
+        err6(F.lag("_fr").over(win)).alias("_er"),
     ).filter(F.col("_en").isNotNull())
     agg = staged.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_evals"),
@@ -14729,20 +14770,28 @@ def x_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_eh").cast("long").alias("_sh"),
         F.sum("_ew").cast("long").alias("_sw"),
         F.sum("_em").cast("long").alias("_sm"),
+        F.sum("_er").cast("long").alias("_sr"),
     )
     champion = (
         F.when(
             (F.col("_sn") <= F.col("_sh"))
             & (F.col("_sn") <= F.col("_sw"))
-            & (F.col("_sn") <= F.col("_sm")),
+            & (F.col("_sn") <= F.col("_sm"))
+            & (F.col("_sn") <= F.col("_sr")),
             F.lit("naive"),
         )
         .when(
-            (F.col("_sh") <= F.col("_sw")) & (F.col("_sh") <= F.col("_sm")),
+            (F.col("_sh") <= F.col("_sw"))
+            & (F.col("_sh") <= F.col("_sm"))
+            & (F.col("_sh") <= F.col("_sr")),
             F.lit("holt"),
         )
-        .when(F.col("_sw") <= F.col("_sm"), F.lit("holt_winters"))
-        .otherwise(F.lit("hw_mul"))
+        .when(
+            (F.col("_sw") <= F.col("_sm")) & (F.col("_sw") <= F.col("_sr")),
+            F.lit("holt_winters"),
+        )
+        .when(F.col("_sm") <= F.col("_sr"), F.lit("hw_mul"))
+        .otherwise(F.lit("regime_holt"))
     )
     return agg.select(
         "user_id",
@@ -14759,6 +14808,9 @@ def x_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_sm").cast("double") / F.col("n_evals") / 1e6).alias(
             "mae_hw_mul"
         ),
+        (F.col("_sr").cast("double") / F.col("n_evals") / 1e6).alias(
+            "mae_regime_holt"
+        ),
         champion.alias("champion"),
     ).orderBy("user_id")
 
@@ -14767,42 +14819,50 @@ def _forecast_backtest_sql() -> str:
     holt = _holt_sql().strip().rstrip()
     hw = _holt_winters_sql().strip().rstrip()
     hwm = _holt_winters_mul_sql().strip().rstrip()
+    rh = _x_regime_holt_sql().strip().rstrip()
     return f"""
 WITH h AS ({holt}),
 w AS ({hw}),
 x AS ({hwm}),
+g AS ({rh}),
 j AS (
   SELECT h.user_id, h.trade_date, h.close,
          lag(h.close) OVER win AS pn,
          lag(h.forecast) OVER win AS ph,
          lag(w.forecast) OVER win AS pw,
-         lag(x.forecast) OVER win AS pm
+         lag(x.forecast) OVER win AS pm,
+         lag(g.forecast) OVER win AS pr
   FROM h JOIN w ON h.user_id = w.user_id AND h.trade_date = w.trade_date
          JOIN x ON h.user_id = x.user_id AND h.trade_date = x.trade_date
+         JOIN g ON h.user_id = g.user_id AND h.trade_date = g.trade_date
   WINDOW win AS (PARTITION BY h.user_id ORDER BY h.trade_date)),
 e AS (
   SELECT user_id,
          CAST(floor(abs(close - pn) * 1e6 + 0.5) AS BIGINT) AS en,
          CAST(floor(abs(close - ph) * 1e6 + 0.5) AS BIGINT) AS eh,
          CAST(floor(abs(close - pw) * 1e6 + 0.5) AS BIGINT) AS ew,
-         CAST(floor(abs(close - pm) * 1e6 + 0.5) AS BIGINT) AS em
+         CAST(floor(abs(close - pm) * 1e6 + 0.5) AS BIGINT) AS em,
+         CAST(floor(abs(close - pr) * 1e6 + 0.5) AS BIGINT) AS er
   FROM j WHERE pn IS NOT NULL),
 agg AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n_evals,
          CAST(sum(en) AS BIGINT) AS sn,
          CAST(sum(eh) AS BIGINT) AS sh,
          CAST(sum(ew) AS BIGINT) AS sw,
-         CAST(sum(em) AS BIGINT) AS sm
+         CAST(sum(em) AS BIGINT) AS sm,
+         CAST(sum(er) AS BIGINT) AS sr
   FROM e GROUP BY user_id)
 SELECT user_id, n_evals,
        CAST(sn AS DOUBLE) / n_evals / 1e6 AS mae_naive,
        CAST(sh AS DOUBLE) / n_evals / 1e6 AS mae_holt,
        CAST(sw AS DOUBLE) / n_evals / 1e6 AS mae_holt_winters,
        CAST(sm AS DOUBLE) / n_evals / 1e6 AS mae_hw_mul,
-       CASE WHEN sn <= sh AND sn <= sw AND sn <= sm THEN 'naive'
-            WHEN sh <= sw AND sh <= sm THEN 'holt'
-            WHEN sw <= sm THEN 'holt_winters'
-            ELSE 'hw_mul' END AS champion
+       CAST(sr AS DOUBLE) / n_evals / 1e6 AS mae_regime_holt,
+       CASE WHEN sn <= sh AND sn <= sw AND sn <= sm AND sn <= sr THEN 'naive'
+            WHEN sh <= sw AND sh <= sm AND sh <= sr THEN 'holt'
+            WHEN sw <= sm AND sw <= sr THEN 'holt_winters'
+            WHEN sm <= sr THEN 'hw_mul'
+            ELSE 'regime_holt' END AS champion
 FROM agg ORDER BY user_id
 """
 
@@ -15331,6 +15391,117 @@ def x_regime_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_regime_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regime-conditional Holt forecast over per-user daily closes —
+    the SIXTEENTH recurrence family and the first COMPOSITE fold
+    (operators/finance.regime_conditional_holt): each bar advances the
+    max-plus Viterbi scores, decodes the causal bull/bear regime, and
+    runs Holt's level/trend update with (α, γ) selected by that regime
+    (fast-tracking in bulls, hard-smoothing in bears). The combined
+    state (s_up, s_dn, l, b) is irreducible — a state machine consuming
+    a state machine — and the oracle's recursive CTE carries all four
+    BIGINT states with greatest() + a CASE on the score comparison."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        regime_conditional_holt,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir).select(
+        "user_id", "trade_date", "close"
+    ).filter(F.col("close") > 0)
+    win = Window.partitionBy("user_id").orderBy("trade_date")
+    ret = F.col("close") / F.lag("close").over(win) - F.lit(1.0)
+    r = (
+        daily.withColumn("_ret", ret)
+        .filter(F.col("_ret").isNotNull() & (F.abs("_ret") <= 10.0))
+        .select(
+            "user_id",
+            "trade_date",
+            "close",
+            F.floor(F.col("_ret") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("ret6"),
+        )
+        # cut the lineage before the grouped-map fold (the fused
+        # Window->FlatMapGroupsInPandas trap, see x_regime_viterbi)
+        .localCheckpoint()
+    )
+    return regime_conditional_holt(r, ["user_id"], "trade_date").orderBy(
+        "user_id", "trade_date"
+    )
+
+
+def _x_regime_holt_sql(
+    mu_up6: int = 1_000,
+    mu_down6: int = -1_000,
+    stay6: int = 50_000,
+    alpha_up6: int = 400_000,
+    gamma_up6: int = 150_000,
+    alpha_dn6: int = 200_000,
+    gamma_dn6: int = 50_000,
+) -> str:
+    """Recursive-CTE replay of the composite fold: the anchor seeds
+    both state machines from bar 1; every step computes the new scores
+    first (greatest), picks (α, γ) by their comparison (CASE), then the
+    two branch-on-sign Holt divisions — four BIGINT states carried."""
+    ca_up6 = 1_000_000 - alpha_up6
+    cg_up6 = 1_000_000 - gamma_up6
+    ca_dn6 = 1_000_000 - alpha_dn6
+    cg_dn6 = 1_000_000 - gamma_dn6
+
+    def sdiv(num: str) -> str:
+        return (
+            f"(CASE WHEN ({num}) >= 0 THEN ({num}) // 1000000"
+            f" ELSE -((-({num})) // 1000000) END)"
+        )
+
+    l_num = (
+        f"CASE WHEN q.su >= q.sd"
+        f" THEN {alpha_up6} * q.yu + {ca_up6} * (q.l0 + q.b0)"
+        f" ELSE {alpha_dn6} * q.yu + {ca_dn6} * (q.l0 + q.b0) END"
+    )
+    b_num = (
+        f"CASE WHEN q2.su >= q2.sd"
+        f" THEN {gamma_up6} * (q2.l - q2.l0) + {cg_up6} * q2.b0"
+        f" ELSE {gamma_dn6} * (q2.l - q2.l0) + {cg_dn6} * q2.b0 END"
+    )
+    return f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
+rr AS (
+  SELECT user_id, trade_date, close,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY trade_date)
+           - 1.0 AS ret
+  FROM daily WHERE close > 0),
+r AS MATERIALIZED (
+  SELECT user_id, trade_date, close,
+         CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS yu,
+         CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS r6,
+         row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+  FROM rr WHERE ret IS NOT NULL AND abs(ret) <= 10.0),
+st AS (
+  SELECT user_id, rn,
+         -abs(r6 - {mu_up6}) AS su, -abs(r6 - {mu_down6}) AS sd,
+         yu AS l, CAST(0 AS BIGINT) AS b
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT q2.user_id, q2.rn, q2.su, q2.sd, q2.l, {sdiv(b_num)} AS b
+  FROM (
+    SELECT q.user_id, q.rn, q.su, q.sd, q.l0, q.b0, {sdiv(l_num)} AS l
+    FROM (
+      SELECT c.user_id, c.rn, c.yu,
+             greatest(p.su + {stay6}, p.sd) - abs(c.r6 - {mu_up6}) AS su,
+             greatest(p.sd + {stay6}, p.su) - abs(c.r6 - {mu_down6}) AS sd,
+             p.l AS l0, p.b AS b0
+      FROM r c JOIN st p ON c.user_id = p.user_id AND c.rn = p.rn + 1) q) q2)
+SELECT r.user_id, r.trade_date, r.close, r.r6 AS ret6,
+       CASE WHEN st.su >= st.sd THEN 0 ELSE 1 END AS regime,
+       CAST(st.l AS DOUBLE) / 1e6 AS level,
+       CAST(st.b AS DOUBLE) / 1e6 AS trend,
+       CAST(st.l + st.b AS DOUBLE) / 1e6 AS forecast
+FROM r JOIN st ON r.user_id = st.user_id AND r.rn = st.rn
+ORDER BY r.user_id, r.trade_date
+"""
+
+
 _X_REGIME_VITERBI_SQL = f"""
 WITH RECURSIVE daily AS ({_SQL_DAILY_OHLCV}),
 rr AS (
@@ -15505,6 +15676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_emb_drift_recall": s_emb_drift_recall,
         "s_stream_freshness": s_stream_freshness,
         "s_stream_freshness_wall": s_stream_freshness_wall,
+        "x_regime_holt": x_regime_holt,
         # --- r10 newcomers ---
         "x_holt_winters_mul": x_holt_winters_mul,
         "s_stream_emb_dedup": s_stream_emb_dedup,
@@ -15955,6 +16127,7 @@ def oracle_sql() -> dict[str, str]:
         "s_stream_emb_dedup": _s_stream_emb_dedup_sql(),
         "s_emb_drift_recall": _s_emb_drift_recall_sql(),
         "s_stream_freshness": _S_STREAM_FRESHNESS_SQL,
+        "x_regime_holt": _x_regime_holt_sql(),
         # s_stream_freshness_wall: real measured timings -- genuinely
         # non-SQL-expressible, rows-only driver check by design
         "x_mcginley": _X_MCGINLEY_SQL,
@@ -16172,6 +16345,7 @@ HEADLINE_QUERIES = [
     "s_emb_drift_recall",
     "s_stream_freshness",
     "s_stream_freshness_wall",
+    "x_regime_holt",
     "x_mcginley",
     "x_vwap_bands",
     "x_elder_impulse",

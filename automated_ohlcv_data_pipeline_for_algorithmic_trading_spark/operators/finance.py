@@ -4498,3 +4498,122 @@ def regime_viterbi(
         return pdf.assign(regime=regime, margin=margin / 1e6)
 
     return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+
+
+def regime_conditional_holt(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    mu_up6: int = 1_000,
+    mu_down6: int = -1_000,
+    stay6: int = 50_000,
+    alpha_up6: int = 400_000,
+    gamma_up6: int = 150_000,
+    alpha_dn6: int = 200_000,
+    gamma_dn6: int = 50_000,
+    close: str = "close",
+    ret_col: str = "ret6",
+) -> DataFrame:
+    """Regime-CONDITIONAL Holt smoothing — the SIXTEENTH recurrence
+    family, and the first COMPOSITE one: a state machine consuming a
+    state machine. At every bar the fold first advances the two
+    max-plus Viterbi path scores (:func:`regime_viterbi`'s recurrence,
+    same parameters), decodes the causal regime, and then runs Holt's
+    level/trend update with (α, γ) SELECTED BY that regime:
+
+        (s_up, s_dn) ← max-plus step on r6          (family 15)
+        regime       = argmax(s_up, s_dn)           (tie → up)
+        (α, γ)       = (α_up, γ_up) if regime = up else (α_dn, γ_dn)
+        l, b         ← Holt step on y with (α, γ)   (family 2's shape)
+
+    Defaults: bull regimes track fast (α=0.4, γ=0.15 — trends are
+    informative), bear regimes smooth hard (α=0.2, γ=0.05 — drawdown
+    noise shouldn't whip the forecast), the standard regime-switching
+    smoother configuration.
+
+    What is NEW about the fold (none of families 1–15 exercise it):
+    the Holt coefficients are not constants of the fold but functions
+    of ANOTHER fold's current state, so the combined state
+    (s_up, s_dn, l, b) is irreducible — the Holt half cannot be
+    replayed without carrying the Viterbi half. Exactness carries over
+    unchanged: the scores are BIGINT max-plus sums, the Holt states
+    are micro-unit BIGINTs with branch-on-sign division
+    (±(|num| // 1e6)), and the coefficient SELECTION is an integer
+    comparison — so the oracle is a recursive CTE carrying all four
+    states, with greatest() and a CASE on the score comparison.
+
+    Input contract: one row per (keys, order) with ``close`` (price)
+    and ``ret_col`` (µ-return BIGINT) — i.e. the return-bearing bars
+    2..n; Holt seeds l = y, b = 0 on the first input row (same
+    flat-start convention as :func:`holt_linear`).
+
+    Output: keys + order + close + ret6 + (regime int, level, trend,
+    forecast doubles). Cites the reference's single-indicator analytics
+    (api/analytics.py) only as surface; the composite is ours.
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    src = df.select(*key_list, order_col, close, ret_col)
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_list
+    )
+    base_schema = ", ".join(f"{k} {t}" for k, t in src.dtypes)
+    schema = (
+        base_schema + ", regime int, level double, trend double,"
+        " forecast double"
+    )
+    ca_up6 = 1_000_000 - alpha_up6
+    cg_up6 = 1_000_000 - gamma_up6
+    ca_dn6 = 1_000_000 - alpha_dn6
+    cg_dn6 = 1_000_000 - gamma_dn6
+
+    def sdiv(num: int) -> int:
+        if num >= 0:
+            return num // 1_000_000
+        return -((-num) // 1_000_000)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_list, order_col])
+        r = pdf[ret_col].to_numpy(dtype=np.int64)
+        p = np.floor(pdf[close].to_numpy(dtype=float) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        m = len(r)
+        regime = np.empty(m, dtype=np.int32)
+        lv = np.empty(m, dtype=np.int64)
+        tr = np.empty(m, dtype=np.int64)
+        s_up = s_dn = 0
+        l = b = 0
+        for i in range(m):
+            ri = int(r[i])
+            y = int(p[i])
+            e_up = -abs(ri - mu_up6)
+            e_dn = -abs(ri - mu_down6)
+            if i == 0:
+                s_up, s_dn = e_up, e_dn
+                l, b = y, 0
+            else:
+                s_up, s_dn = (
+                    max(s_up + stay6, s_dn) + e_up,
+                    max(s_dn + stay6, s_up) + e_dn,
+                )
+                if s_up >= s_dn:
+                    a6, g6, ca6, cg6 = alpha_up6, gamma_up6, ca_up6, cg_up6
+                else:
+                    a6, g6, ca6, cg6 = alpha_dn6, gamma_dn6, ca_dn6, cg_dn6
+                l_prev = l
+                l = sdiv(a6 * y + ca6 * (l + b))
+                b = sdiv(g6 * (l - l_prev) + cg6 * b)
+            regime[i] = 0 if s_up >= s_dn else 1
+            lv[i] = l
+            tr[i] = b
+        return pdf.assign(
+            regime=regime,
+            level=lv / 1e6,
+            trend=tr / 1e6,
+            forecast=(lv + tr) / 1e6,
+        )
+
+    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)

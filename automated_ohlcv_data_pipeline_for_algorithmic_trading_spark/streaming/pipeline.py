@@ -413,9 +413,14 @@ def emb_dedup_ingest_sink(
         )
         bq = _quant(assigned, "vec")
         # the batch's cell set is bounded by min(batch size, n_lists):
-        # collect it and push it as a PARTITION filter on the
-        # cell-partitioned index, so probe I/O covers only the touched
-        # cell directories rather than the whole index file set
+        # collect it (one tiny job on the checkpointed batch, ~0.1 s)
+        # and push it as a STATIC partition filter, so probe I/O covers
+        # only the touched cell directories rather than the whole index
+        # file set. Spark's dynamic partition pruning does NOT fire on
+        # this shape (the broadcast build side has no selective
+        # predicate, which the DPP planner requires — verified on the
+        # executed plan), so the explicit filter is the only way the
+        # scan prunes.
         touched = [
             r[0] for r in assigned.select("cell").distinct().collect()
         ]

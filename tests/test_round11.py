@@ -22,12 +22,12 @@ def test_emb_drift_recall_shifted_distribution(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r["n_caught_pairs"] <= r["n_true_pairs"]
         assert 0.0 <= r["pair_recall"] <= 1.0
-    # deterministic seeded k-means + quantized cosine: pin the sf0.001
-    # ground truth exactly
-    assert rows["baseline"]["n_true_pairs"] == 40
-    assert rows["baseline"]["n_caught_pairs"] == 17
-    assert rows["shifted"]["n_true_pairs"] == 48
-    assert rows["shifted"]["n_caught_pairs"] == 17
+    # deterministic seeded k-means + quantized cosine on the explicit
+    # 20% query sample: pin the sf0.001 ground truth exactly
+    assert rows["baseline"]["n_true_pairs"] == 5
+    assert rows["baseline"]["n_caught_pairs"] == 2
+    assert rows["shifted"]["n_true_pairs"] == 10
+    assert rows["shifted"]["n_caught_pairs"] == 3
     assert rows["shifted"]["pair_recall"] < rows["baseline"]["pair_recall"]
 
 
@@ -95,3 +95,102 @@ def test_bnlj_allowlist_audit_logic():
     # strict mode flags allowlist entries with no plan at all
     errs = er._audit({"e_period_lookback": 2}, strict_missing=True)
     assert any("MISSING PLAN" in e for e in errs)
+
+
+def test_regime_conditional_holt_fold(spark):
+    """16th family: the composite fold decodes regimes and switches
+    Holt coefficients on them. Replay a small series independently and
+    pin the fold's outputs; also check the bear segment actually uses
+    the slow coefficients (differs from an all-bull run)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
+        holt_linear,
+        regime_conditional_holt,
+    )
+
+    import math
+
+    closes = [100.0, 104.0, 108.2, 112.5, 101.2, 91.0, 81.9, 78.0]
+    rows = []
+    prev = closes[0]
+    for i, c in enumerate(closes[1:], start=2):
+        # the query's exact quantization: floor(x*1e6+0.5)
+        ret6 = math.floor((c / prev - 1.0) * 1e6 + 0.5)
+        rows.append((1, i, float(c), ret6))
+        prev = c
+    df = spark.createDataFrame(
+        rows, "user_id int, bar int, close double, ret6 long"
+    )
+    out = {
+        r["bar"]: r
+        for r in regime_conditional_holt(df, ["user_id"], "bar").collect()
+    }
+    # independent replay
+    import math
+
+    def sdiv(n):
+        return n // 10**6 if n >= 0 else -((-n) // 10**6)
+
+    s_up = s_dn = l = b = 0
+    exp = {}
+    for i, (_, bar, c, r6) in enumerate(rows):
+        y = math.floor(c * 1e6 + 0.5)
+        e_up, e_dn = -abs(r6 - 1000), -abs(r6 + 1000)
+        if i == 0:
+            s_up, s_dn, l, b = e_up, e_dn, y, 0
+        else:
+            s_up, s_dn = (
+                max(s_up + 50_000, s_dn) + e_up,
+                max(s_dn + 50_000, s_up) + e_dn,
+            )
+            if s_up >= s_dn:
+                a6, g6 = 400_000, 150_000
+            else:
+                a6, g6 = 200_000, 50_000
+            lp = l
+            l = sdiv(a6 * y + (10**6 - a6) * (l + b))
+            b = sdiv(g6 * (l - lp) + (10**6 - g6) * b)
+        exp[bar] = (0 if s_up >= s_dn else 1, l / 1e6, b / 1e6)
+    assert set(out) == set(exp)
+    for bar, (reg, lv, tr) in exp.items():
+        assert out[bar]["regime"] == reg, bar
+        assert out[bar]["level"] == lv, bar
+        assert out[bar]["trend"] == tr, bar
+        assert out[bar]["forecast"] == (
+            out[bar]["level"] + out[bar]["trend"]
+        ) or abs(
+            out[bar]["forecast"] - out[bar]["level"] - out[bar]["trend"]
+        ) < 1e-9
+    # the series flips to bear partway: both regimes must appear and the
+    # switching fold must diverge from constant-coefficient Holt
+    regs = {v["regime"] for v in out.values()}
+    assert regs == {0, 1}
+    plain = {
+        r["bar"]: r["level"]
+        for r in holt_linear(
+            df, ["user_id"], "bar", alpha6=400_000, gamma6=150_000
+        ).collect()
+    }
+    assert any(
+        abs(plain[bar] - out[bar]["level"]) > 1e-9 for bar in out
+    )
+
+
+def test_forecast_backtest_has_regime_holt_contender(spark, sf_dir):
+    """Backtest contender #5 (round-10 VERDICT item 8): the report
+    carries mae_regime_holt and champions only come from the 5-label
+    set with the simpler-first tie-break."""
+    df = E.x_forecast_backtest(spark, sf_dir)
+    assert "mae_regime_holt" in df.columns
+    rows = df.collect()
+    assert rows
+    allowed = {"naive", "holt", "holt_winters", "hw_mul", "regime_holt"}
+    assert {r["champion"] for r in rows} <= allowed
+    for r in rows:
+        maes = {
+            "naive": r["mae_naive"],
+            "holt": r["mae_holt"],
+            "holt_winters": r["mae_holt_winters"],
+            "hw_mul": r["mae_hw_mul"],
+            "regime_holt": r["mae_regime_holt"],
+        }
+        assert abs(maes[r["champion"]] - min(maes.values())) < 1e-9
