@@ -15656,40 +15656,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
     # staleness (every query re-earns a driver row every ~2-3 rounds).
-    # r9 window (7 never-driver-checked + 5 changed-path + NEW +
-    # r4-stale fill = 50): VERDICT r8 ask #1 — the seven rows with ZERO
-    # driver correctness rows in the repo's history head the window,
-    # then the changed-path rows, then new queries, then the r4 cohort
-    # in scripts/staleness.py order (the remainder spills to r10).
+    # Window arithmetic for r11: 4 changed-path + 4 newcomers leaves 42
+    # stale slots = the FULL r5 cohort (32) + the oldest 10 of the 43
+    # r6-stale entries (scripts/staleness.py order); the remaining 33
+    # r6-stale rows head r12's fill.
     return {
-        # --- r10 window part 0: CHANGED-PATH rows (schema/impl moved
-        # this round): the two estimator reports gained a sample_frac
-        # column (VERDICT r9 ask #6), the backtest gained the
-        # multiplicative contender (ask #9), and the two A/B'd
-        # regression fixes (asks #3) — hashes re-earn a driver row. ---
-        "d_threshold_curve": d_threshold_curve,
-        "d_source_overlap": d_source_overlap,
-        "x_forecast_backtest": x_forecast_backtest,
+        # --- r11 window (50 = 4 changed-path + 4 newcomers + the FULL
+        # r5-stale cohort (32) + the oldest 10 r6-stale entries, in
+        # scripts/staleness.py order — VERDICT r10 item 1). Changed-path:
+        # e_rfm_segments (quantile strategy split), e_hdr_quantiles
+        # (integer-div mantissa), s_stream_emb_dedup (cell-partitioned
+        # index + self-match guard), x_forecast_backtest (5th contender).
+        # Remaining r6-stale cohort (33) spills to r12. ---
         "e_rfm_segments": e_rfm_segments,
-        "x_event_study": x_event_study,
-        # --- r11 part 1: NEW this round (insert new queries HERE) ---
+        "e_hdr_quantiles": e_hdr_quantiles,
+        "s_stream_emb_dedup": s_stream_emb_dedup,
+        "x_forecast_backtest": x_forecast_backtest,
         "s_emb_drift_recall": s_emb_drift_recall,
         "s_stream_freshness": s_stream_freshness,
         "s_stream_freshness_wall": s_stream_freshness_wall,
         "x_regime_holt": x_regime_holt,
-        # --- r10 newcomers ---
+        # --- full r5-stale cohort ---
+        "x_mass_index": x_mass_index,
+        "x_mc_var": x_mc_var,
+        "x_coppock": x_coppock,
+        "x_kst": x_kst,
+        "d_span_corruption": d_span_corruption,
+        "x_kalman": x_kalman,
+        "x_dema_tema": x_dema_tema,
+        "x_linreg": x_linreg,
+        "x_hist_var": x_hist_var,
+        "emb_covariance": emb_covariance,
+        "emb_hard_negatives": emb_hard_negatives,
+        "d_ccnet_buckets": d_ccnet_buckets,
+        "x_nvi_pvi": x_nvi_pvi,
+        "x_force_index": x_force_index,
+        "x_elder_ray": x_elder_ray,
+        "x_ulcer": x_ulcer,
+        "x_sortino": x_sortino,
+        "x_hull_ma": x_hull_ma,
+        "x_autocorr": x_autocorr,
+        "x_psar": x_psar,
+        "x_trix": x_trix,
+        "x_cci": x_cci,
+        "x_vortex": x_vortex,
+        "d_dsir_weights": d_dsir_weights,
+        "d_bm25_topk": d_bm25_topk,
+        "x_kama": x_kama,
+        "s_stream_join_outer": s_stream_join_outer,
+        "emb_silhouette": emb_silhouette,
+        "emb_pq_ann": emb_pq_ann,
+        "x_heikin_ashi": x_heikin_ashi,
+        "x_supertrend": x_supertrend,
+        "x_adx": x_adx,
+        # --- oldest 10 r6-stale ---
+        "x_chop": x_chop,
+        "x_chandelier": x_chandelier,
+        "x_renko": x_renko,
+        "x_cmf": x_cmf,
+        "x_awesome": x_awesome,
+        "x_dpo": x_dpo,
+        "x_vwma": x_vwma,
+        "x_calmar": x_calmar,
+        "d_gopher_rules": d_gopher_rules,
+        "e_stickiness": e_stickiness,
+        # --- window boundary: rows below are NOT driver-checked this
+        # round (covered by the committed SWEEP_HASHES ledger) ---
+        "d_threshold_curve": d_threshold_curve,
+        "d_source_overlap": d_source_overlap,
+        "x_event_study": x_event_study,
         "x_holt_winters_mul": x_holt_winters_mul,
-        "s_stream_emb_dedup": s_stream_emb_dedup,
         "x_amihud_illiquidity": x_amihud_illiquidity,
         "x_rsi_divergence": x_rsi_divergence,
         "x_vol_cone": x_vol_cone,
         "d_length_quantiles": d_length_quantiles,
         "o_zorder_skipping": o_zorder_skipping,
         "x_regime_viterbi": x_regime_viterbi,
-        "e_hdr_quantiles": e_hdr_quantiles,
-        # --- r10 part 2: the r4-stale cohort (VERDICT r9 ask #1 —
-        # all 23 entries whose last driver row is round 4, in
-        # scripts/staleness.py order). ---
         "x_ichimoku": x_ichimoku,
         "x_volume_profile": x_volume_profile,
         "e_rolling_hll_wau": e_rolling_hll_wau,
@@ -15713,8 +15755,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q10_returned_revenue,
         "q14_promo_share": q14_promo_share,
         "q16_supplier_variety": q16_supplier_variety,
-        # --- r10 part 3: the oldest r5-stale entries, filling the
-        # 50-row window (the remaining r5 cohort heads round 11). ---
         "x_cmo": x_cmo,
         "x_info_ratio": x_info_ratio,
         "x_drawdown_episodes": x_drawdown_episodes,
@@ -15728,9 +15768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_seasonality_dow": x_seasonality_dow,
         "emb_drift": emb_drift,
         "x_stoch_rsi": x_stoch_rsi,
-        "x_mass_index": x_mass_index,
-        "x_mc_var": x_mc_var,
-        # --- beyond the driver's 50-query window: previous order ---
         "x_holt_linear": x_holt_linear,
         "d_dup_cluster_stats": d_dup_cluster_stats,
         "e_cusum_drift": e_cusum_drift,
@@ -15778,46 +15815,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_underwater_streak": x_underwater_streak,
         "m_phash_neardup": m_phash_neardup,
         "d_weighted_sample": d_weighted_sample,
-        "x_coppock": x_coppock,
-        "x_kst": x_kst,
-        "d_span_corruption": d_span_corruption,
-        "x_kalman": x_kalman,
-        "x_dema_tema": x_dema_tema,
-        "x_linreg": x_linreg,
-        "x_hist_var": x_hist_var,
-        "emb_covariance": emb_covariance,
-        "emb_hard_negatives": emb_hard_negatives,
-        "d_ccnet_buckets": d_ccnet_buckets,
-        "x_nvi_pvi": x_nvi_pvi,
-        "x_force_index": x_force_index,
-        "x_elder_ray": x_elder_ray,
-        "x_ulcer": x_ulcer,
-        "x_sortino": x_sortino,
-        "x_hull_ma": x_hull_ma,
-        "x_autocorr": x_autocorr,
-        "x_psar": x_psar,
-        "x_trix": x_trix,
-        "x_cci": x_cci,
-        "x_vortex": x_vortex,
-        "d_dsir_weights": d_dsir_weights,
-        "d_bm25_topk": d_bm25_topk,
-        "x_kama": x_kama,
-        "s_stream_join_outer": s_stream_join_outer,
-        "emb_silhouette": emb_silhouette,
-        "emb_pq_ann": emb_pq_ann,
-        "x_heikin_ashi": x_heikin_ashi,
-        "x_supertrend": x_supertrend,
-        "x_adx": x_adx,
-        "x_chop": x_chop,
-        "x_chandelier": x_chandelier,
-        "x_renko": x_renko,
-        "x_cmf": x_cmf,
-        "x_awesome": x_awesome,
-        "x_dpo": x_dpo,
-        "x_vwma": x_vwma,
-        "x_calmar": x_calmar,
-        "d_gopher_rules": d_gopher_rules,
-        "e_stickiness": e_stickiness,
         "s_stream_topk": s_stream_topk,
         "x_ema_macd": x_ema_macd,
         "x_bollinger_bands": x_bollinger_bands,
