@@ -15652,6 +15652,167 @@ FROM bounds ORDER BY pct
 """
 
 
+_KMV_K = 64
+
+
+def e_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-USER OVERLAP between every pair of event types via KMV
+    (bottom-k / theta) sketches — the FIFTH mergeable sketch
+    (operators/sketch.kmv_group_sketch), and the capability the HLL
+    registers fundamentally lack: set INTERSECTION. Per type the sketch
+    is the 64 smallest md5 hash values of its distinct users (bounded
+    BIGINT array at any volume; merge = union + keep-smallest); per
+    pair the theta rule (θ = min of the two thresholds, count shared
+    hashes below θ, scale by 2^60/θ) estimates the common-user count,
+    the merged sketch estimates the union, and their ratio estimates
+    Jaccard. ``exact_common`` rides along from one distinct self-join
+    so the report SHOWS the sketch error instead of asserting it.
+    Deterministic md5 end-to-end, so even the estimates value-hash
+    against the SQL replay."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_group_sketch,
+        kmv_theta,
+    )
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+        kmv_hash,
+    )
+    from pyspark.sql import Window as W
+
+    k = _KMV_K
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    # ONE scan: the distinct (type, user, hash) reduction feeds both the
+    # sketch build and the exact verification join (each further action
+    # re-reads this ~|users x types|-row checkpoint, not the fact table)
+    du = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type", "user_id", kmv_hash(F.col("user_id")).alias("_h")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    win = W.partitionBy("event_type").orderBy("_h")
+    sk = (
+        du.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("_h")).alias("hs"))
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("hs").alias("ha"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("hs").alias("hb"))
+    # few-row sketch table self-join (n_types^2 pairs) — tiny by design
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    theta = F.least(kmv_theta(F.col("ha"), k), kmv_theta(F.col("hb"), k))
+    below = lambda col: F.filter(col, lambda h: h.cast("double") < F.col("_theta"))  # noqa: E731
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("ha"), F.col("hb"))), 1, k
+    )
+    est = pairs.withColumn("_theta", theta).select(
+        "type_a",
+        "type_b",
+        kmv_estimate(F.col("ha"), k).alias("est_users_a"),
+        kmv_estimate(F.col("hb"), k).alias("est_users_b"),
+        (
+            F.size(
+                F.array_intersect(below(F.col("ha")), below(F.col("hb")))
+            ).cast("double")
+            * F.lit(float(1 << 60))
+            / F.col("_theta")
+        ).alias("est_common"),
+        kmv_estimate(merged, k).alias("est_union"),
+    )
+    exact = (
+        du.select("event_type", "user_id")
+        .alias("x")
+        .join(
+            du.select("event_type", "user_id").alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_common"))
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "est_users_a",
+            "est_users_b",
+            "est_common",
+            "est_union",
+            (F.col("est_common") / F.col("est_union")).alias("est_jaccard"),
+            F.coalesce("exact_common", F.lit(0)).alias("exact_common"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _kmv_overlap_sql(k: int = 256) -> str:
+    """SQL replay of the KMV pair report: same md5 bottom-k per type
+    (row_number over distinct hashes), same theta rule, same 2^60/θ
+    scaling — list ops mirror Spark's array_intersect/array_union by
+    SIZE only, which is order-independent."""
+    space = "1152921504606846976"  # 2^60 exact integer literal
+    est = (
+        lambda l: f"CASE WHEN len({l}) >= {k} THEN"
+        f" CAST({(k - 1) * (1 << 60)} AS DOUBLE) / CAST({l}[{k}] AS DOUBLE)"
+        f" ELSE CAST(len({l}) AS DOUBLE) END"
+    )
+    return f"""
+WITH du AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS h
+  FROM events WHERE user_id IS NOT NULL),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM du),
+sk AS (
+  SELECT event_type, list_sort(list(h)) AS hs
+  FROM rk WHERE rn <= {k} GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.hs AS ha, b.hs AS hb,
+         least(
+           CASE WHEN len(a.hs) >= {k} THEN CAST(a.hs[{k}] AS DOUBLE)
+                ELSE CAST({space} AS DOUBLE) END,
+           CASE WHEN len(b.hs) >= {k} THEN CAST(b.hs[{k}] AS DOUBLE)
+                ELSE CAST({space} AS DOUBLE) END) AS theta
+  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+est AS (
+  SELECT type_a, type_b,
+         {est('ha')} AS est_users_a,
+         {est('hb')} AS est_users_b,
+         CAST(len(list_intersect(
+                list_filter(ha, h -> CAST(h AS DOUBLE) < theta),
+                list_filter(hb, h -> CAST(h AS DOUBLE) < theta)))
+              AS DOUBLE)
+           * CAST({space} AS DOUBLE) / theta AS est_common,
+         {est(f"(list_sort(list_distinct(list_concat(ha, hb)))[1:{k}])")}
+           AS est_union
+  FROM pairs),
+ex AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS exact_common
+  FROM (SELECT DISTINCT event_type, user_id FROM events) x
+  JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2)
+SELECT e.type_a, e.type_b, e.est_users_a, e.est_users_b, e.est_common,
+       e.est_union, e.est_common / e.est_union AS est_jaccard,
+       coalesce(ex.exact_common, 0) AS exact_common
+FROM est e LEFT JOIN ex ON e.type_a = ex.type_a AND e.type_b = ex.type_b
+ORDER BY e.type_a, e.type_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
@@ -15676,6 +15837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_freshness": s_stream_freshness,
         "s_stream_freshness_wall": s_stream_freshness_wall,
         "x_regime_holt": x_regime_holt,
+        "e_kmv_type_overlap": e_kmv_type_overlap,
         # --- full r5-stale cohort ---
         "x_mass_index": x_mass_index,
         "x_mc_var": x_mc_var,
@@ -16125,6 +16287,7 @@ def oracle_sql() -> dict[str, str]:
         "s_emb_drift_recall": _s_emb_drift_recall_sql(),
         "s_stream_freshness": _S_STREAM_FRESHNESS_SQL,
         "x_regime_holt": _x_regime_holt_sql(),
+        "e_kmv_type_overlap": _kmv_overlap_sql(_KMV_K),
         # s_stream_freshness_wall: real measured timings -- genuinely
         # non-SQL-expressible, rows-only driver check by design
         "x_mcginley": _X_MCGINLEY_SQL,
@@ -16343,6 +16506,7 @@ HEADLINE_QUERIES = [
     "s_stream_freshness",
     "s_stream_freshness_wall",
     "x_regime_holt",
+    "e_kmv_type_overlap",
     "x_mcginley",
     "x_vwap_bands",
     "x_elder_impulse",

@@ -40,6 +40,11 @@ __all__ = [
     "bloom_might_contain",
     "hdr_sketch",
     "hdr_bucket_bounds",
+    "kmv_hash",
+    "kmv_group_sketch",
+    "kmv_theta",
+    "kmv_estimate",
+    "KMV_SPACE_REPR",
 ]
 
 #: md5 hex chars used for the hash (15 chars = 60 bits, fits BIGINT both
@@ -510,3 +515,82 @@ def hdr_bucket_bounds(bucket: Column) -> tuple[Column, Column]:
         lo_of(bucket + 1) - 1
     )
     return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / theta) distinct sketch — the FIFTH mergeable sketch.
+# ---------------------------------------------------------------------------
+
+#: exact double literals shared by both engines (inline the SAME repr —
+#: per-engine arithmetic on sub-constants could differ in the ulp).
+KMV_SPACE_REPR = "1.152921504606847e+18"  # 2^60, exactly representable
+_KMV_SPACE_I = 1 << 60
+
+
+def kmv_hash(c: Column) -> Column:
+    """60-bit md5 hash as nonnegative BIGINT — the same cross-engine
+    hash the HLL registers use (DuckDB twin:
+    ``CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15) AS BIGINT)``)."""
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), 1, _HEX_CHARS), 16, 10
+    ).cast("long")
+
+
+def kmv_group_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch: the k SMALLEST distinct hash values of
+    ``col``, packed as an ascending array — ≤ k BIGINTs per group
+    whatever the data volume.
+
+    Why a fifth sketch when HLL already counts distincts: KMV supports
+    set INTERSECTION (and therefore Jaccard/overlap) estimates, which
+    HLL registers fundamentally cannot — the theta-sketch family's
+    reason to exist (Dasgupta et al., DataSketches). Merge law: union
+    the arrays, dedup, keep the k smallest — associative and
+    commutative, so per-day/per-source sketches compose.
+
+    Build shape at scale: distinct (group, hash) is the one big
+    map-side-combinable reduction; the per-group bottom-k is a window
+    row_number over the already-distinct rows (≤ one task per group);
+    the packed array is the bounded artifact. Deterministic md5 →
+    bit-identical in any engine, so even the ESTIMATES replay in SQL.
+    """
+    from pyspark.sql import Window as W
+
+    c = F.col(col)
+    h = kmv_hash(c)
+    dist = (
+        df.filter(c.isNotNull())
+        .select(*group_cols, h.alias("_h"))
+        .distinct()
+    )
+    win = W.partitionBy(*group_cols).orderBy("_h")
+    topk = dist.withColumn("_rn", F.row_number().over(win)).filter(
+        F.col("_rn") <= k
+    )
+    return topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("_h")).alias("hs")
+    )
+
+
+def kmv_theta(hs: Column, k: int) -> Column:
+    """Exclusive counting threshold θ of a sketch array: the kth
+    smallest hash when the sketch is full, else the whole hash space
+    (the sketch is then the exact distinct set)."""
+    return F.when(
+        F.size(hs) >= k, F.element_at(hs, k).cast("double")
+    ).otherwise(F.lit(float(_KMV_SPACE_I)))
+
+
+def kmv_estimate(hs: Column, k: int) -> Column:
+    """Distinct-count estimate: (k−1) · 2^60 / θ for a full sketch
+    (the classic KMV estimator), exact |sketch| otherwise."""
+    num = float((k - 1) * _KMV_SPACE_I)
+    return F.when(
+        F.size(hs) >= k,
+        F.lit(num) / F.element_at(hs, k).cast("double"),
+    ).otherwise(F.size(hs).cast("double"))

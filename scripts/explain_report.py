@@ -77,6 +77,10 @@ BNLJ_ALLOWLIST: dict[str, str] = {
         "the one-row (max_x, max_y) rank-normalization scalar,"
         " cross-joined once per layout branch"
     ),
+    "e_kmv_type_overlap": (
+        "n_types^2 pair join of the tiny per-type sketch table"
+        " (5 rows of 64-hash arrays)"
+    ),
     "s_emb_drift_recall": (
         "guarded exact-twin: broadcast bounded holdout sample x corpus"
         " (the d_minhash_recall convention) + centroid-table assignment"

@@ -446,11 +446,13 @@ def test_forecast_backtest_champion_is_argmin(spark, sf_dir):
     rows = E.x_forecast_backtest(spark, sf_dir).collect()
     assert rows
     for r in rows:
+        # round 11 added the regime-holt contender (5-model table)
         maes = {
             "naive": r["mae_naive"],
             "holt": r["mae_holt"],
             "holt_winters": r["mae_holt_winters"],
             "hw_mul": r["mae_hw_mul"],
+            "regime_holt": r["mae_regime_holt"],
         }
         best = min(maes.values())
         assert abs(maes[r["champion"]] - best) < 1e-12
