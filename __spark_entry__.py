@@ -13383,7 +13383,8 @@ def s_emb_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe width: near-dup recall of the cell-pruned screen (same cell
     as the persisted index, n_probe=1 — exactly the sink's screen) vs
     the EXACT all-pairs ground truth at the sink's threshold (0.35),
-    for two scenarios of the holdout stream (vec_id % 10 == 0):
+    at probe widths 1 (the sink's own screen) AND 2 (the widening
+    knob), for two scenarios of the holdout stream (vec_id % 10 == 0):
 
     - ``baseline``: the raw vectors — distributed like the corpus the
       quantizer was fit on;
@@ -13391,8 +13392,10 @@ def s_emb_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       coordinate — a bias toward the all-ones direction), simulating
       the drifted traffic a long-lived index actually serves.
 
-    ``pair_recall(shifted) << pair_recall(baseline)`` is the rebuild
-    trigger. Scale shape: the ground truth is a GUARDED verification
+    ``recall_probe1(shifted) << recall_probe1(baseline)`` is the
+    rebuild trigger, and ``recall_probe2 - recall_probe1`` prices how
+    much of the loss a wider screen buys back WITHOUT a rebuild (the
+    interim mitigation). Scale shape: the ground truth is a GUARDED verification
     twin (broadcast holdout × corpus — explicit bounded sample, the
     d_minhash_recall convention), while the screen side is the same
     cell-equality the sink computes; both scenarios reuse the persisted
@@ -13428,9 +13431,34 @@ def s_emb_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _scenario(qdf: DataFrame, label: str) -> DataFrame:
-        a = _assign_cells(qdf, cents)
+        # TWO nearest cells per query (same d2 + (d2, cell) tie rule as
+        # _assign_cells, kept as a sorted top-2 slice): the report
+        # prices the n_probe knob, not just the sink's n_probe=1 screen
+        j = qdf.withColumn("_xx", dot(F.col("_x"), F.col("_x"))).join(
+            F.broadcast(
+                cents.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))
+            )
+        )
+        scored = j.withColumn(
+            "_d2",
+            F.col("_xx") + F.col("_cc")
+            - F.lit(2.0) * dot(F.col("_x"), F.col("centroid")),
+        )
+        a = scored.groupBy("_vid").agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_d2"), F.col("cell")))
+                ),
+                1,
+                2,
+            ).alias("_top"),
+            # identical across the 8 candidate rows of a query, so the
+            # "arbitrary" pick is value-deterministic
+            F.first("_x").alias("_x"),
+        )
         aq = a.select(
-            F.col("_cell"),
+            F.col("_top")[0]["cell"].alias("_c1"),
+            F.col("_top")[1]["cell"].alias("_c2"),
             F.transform(
                 "_x",
                 lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("double"),
@@ -13450,10 +13478,19 @@ def s_emb_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(label).alias("scenario"),
             F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
             F.sum(
-                F.when(F.col("_cell") == F.col("_icell"), 1).otherwise(0)
+                F.when(F.col("_icell") == F.col("_c1"), 1).otherwise(0)
             )
             .cast("long")
-            .alias("n_caught_pairs"),
+            .alias("caught_probe1"),
+            F.sum(
+                F.when(
+                    (F.col("_icell") == F.col("_c1"))
+                    | (F.col("_icell") == F.col("_c2")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("caught_probe2"),
         )
 
     shifted = q0.select(
@@ -13463,15 +13500,17 @@ def s_emb_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = _scenario(q0, "baseline").unionByName(
         _scenario(shifted, "shifted")
     )
+    rec = lambda c: F.when(  # noqa: E731
+        F.col("n_true_pairs") > 0,
+        F.col(c).cast("double") / F.col("n_true_pairs").cast("double"),
+    )
     return rep.select(
         "scenario",
         "n_true_pairs",
-        "n_caught_pairs",
-        F.when(
-            F.col("n_true_pairs") > 0,
-            F.col("n_caught_pairs").cast("double")
-            / F.col("n_true_pairs").cast("double"),
-        ).alias("pair_recall"),
+        "caught_probe1",
+        rec("caught_probe1").alias("recall_probe1"),
+        "caught_probe2",
+        rec("caught_probe2").alias("recall_probe2"),
     ).orderBy("scenario")
 
 
@@ -13480,8 +13519,9 @@ def _s_emb_drift_recall_sql(
 ) -> str:
     """Batch replay of the drift recall report: same seeded centroid
     fit on the corpus subset (the _ivf_assign_ctes chain), same raw-
-    double nearest-centroid assignment for both holdout scenarios, same
-    quantized-cosine ground truth and cell-equality screen."""
+    double top-2-nearest-centroid assignment for both holdout
+    scenarios, same quantized-cosine ground truth and cell-membership
+    screens at probe widths 1 and 2."""
     d2 = (
         "list_dot_product(s.emb, s.emb) + list_dot_product(c.centroid, c.centroid)"
         " - 2.0 * list_dot_product(s.emb, c.centroid)"
@@ -13499,14 +13539,18 @@ def _s_emb_drift_recall_sql(
         " list_transform(emb, x -> x + 0.25) FROM hold)"
     )
     ctes.append(f"""qa AS (
-  SELECT scenario, vec_id, emb, cell FROM (
+  SELECT scenario, vec_id,
+         max(CASE WHEN rn = 1 THEN cell END) AS c1,
+         max(CASE WHEN rn = 2 THEN cell END) AS c2,
+         max(CASE WHEN rn = 1 THEN emb END) AS emb
+  FROM (
     SELECT s.scenario, s.vec_id, s.emb, c.cell,
            row_number() OVER (PARTITION BY s.scenario, s.vec_id
                               ORDER BY {d2} ASC, c.cell ASC) AS rn
     FROM sc s CROSS JOIN {cur} c)
-  WHERE rn = 1)""")
+  WHERE rn <= 2 GROUP BY 1, 2)""")
     ctes.append(
-        "qq AS (SELECT scenario, cell,"
+        "qq AS (SELECT scenario, c1, c2,"
         " list_transform(emb, x -> floor(x * 1e6 + 0.5)) AS qv FROM qa)"
     )
     ctes.append(
@@ -13515,7 +13559,8 @@ def _s_emb_drift_recall_sql(
     )
     ctes.append(f"""pairs AS (
   SELECT q.scenario,
-         CASE WHEN q.cell = i.cell THEN 1 ELSE 0 END AS caught
+         CASE WHEN i.cell = q.c1 THEN 1 ELSE 0 END AS caught1,
+         CASE WHEN i.cell = q.c1 OR i.cell = q.c2 THEN 1 ELSE 0 END AS caught2
   FROM qq q CROSS JOIN iq i
   WHERE list_dot_product(q.qv, q.qv) > 0
     AND list_dot_product(i.qv, i.qv) > 0
@@ -13527,10 +13572,14 @@ def _s_emb_drift_recall_sql(
 WITH {with_block}
 SELECT scenario,
        CAST(count(*) AS BIGINT) AS n_true_pairs,
-       CAST(sum(caught) AS BIGINT) AS n_caught_pairs,
+       CAST(sum(caught1) AS BIGINT) AS caught_probe1,
        CASE WHEN count(*) > 0
-            THEN CAST(sum(caught) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-            END AS pair_recall
+            THEN CAST(sum(caught1) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            END AS recall_probe1,
+       CAST(sum(caught2) AS BIGINT) AS caught_probe2,
+       CASE WHEN count(*) > 0
+            THEN CAST(sum(caught2) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            END AS recall_probe2
 FROM pairs GROUP BY scenario ORDER BY scenario
 """
 

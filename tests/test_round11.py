@@ -20,15 +20,23 @@ def test_emb_drift_recall_shifted_distribution(spark, sf_dir):
     }
     assert set(rows) == {"baseline", "shifted"}
     for r in rows.values():
-        assert 0 <= r["n_caught_pairs"] <= r["n_true_pairs"]
-        assert 0.0 <= r["pair_recall"] <= 1.0
+        assert 0 <= r["caught_probe1"] <= r["caught_probe2"] <= r["n_true_pairs"]
+        assert 0.0 <= r["recall_probe1"] <= r["recall_probe2"] <= 1.0
     # deterministic seeded k-means + quantized cosine on the explicit
     # 20% query sample: pin the sf0.001 ground truth exactly
     assert rows["baseline"]["n_true_pairs"] == 5
-    assert rows["baseline"]["n_caught_pairs"] == 2
+    assert rows["baseline"]["caught_probe1"] == 2
     assert rows["shifted"]["n_true_pairs"] == 10
-    assert rows["shifted"]["n_caught_pairs"] == 3
-    assert rows["shifted"]["pair_recall"] < rows["baseline"]["pair_recall"]
+    assert rows["shifted"]["caught_probe1"] == 3
+    assert rows["shifted"]["caught_probe2"] == 5
+    # the drift signal: the n_probe=1 screen loses recall under shift
+    assert (
+        rows["shifted"]["recall_probe1"] < rows["baseline"]["recall_probe1"]
+    )
+    # the knob: widening the probe buys recall back on shifted traffic
+    assert (
+        rows["shifted"]["recall_probe2"] > rows["shifted"]["recall_probe1"]
+    )
 
 
 def test_stream_freshness_pipeline(spark, sf_dir):
