@@ -13584,6 +13584,103 @@ FROM pairs GROUP BY scenario ORDER BY scenario
 """
 
 
+def s_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KMV maintenance on a real stream — the fifth
+    sketch's merge law in motion (the KMV twin of s_stream_hll): the
+    events table replays as 8 micro-batches; each batch's per-type
+    bottom-k sketch merges into the running sketch table in
+    foreachBatch (union, dedup, keep the k smallest — associative and
+    commutative), so the final table is provably independent of how the
+    input was batched and hash-matches the BATCH bottom-k SQL. This is
+    the artifact a 100 TB pipeline stores per day to answer
+    "distinct-user overlap between any two segments over any date
+    range" without rescanning facts (e_kmv_type_overlap is the
+    reader). Output: (event_type, rn, h) — the final sketches exploded
+    in rank order."""
+    import shutil
+    import tempfile
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark import (
+        stateful_partitions,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+        kmv_group_sketch,
+    )
+    from pyspark.sql import Window as W
+
+    k = _KMV_K
+    tune(spark)
+    src_dir = tempfile.mkdtemp(prefix="kmv_stream_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        _t(spark, sf_dir, "events").select(
+            "event_type", "user_id"
+        ).repartition(8).write.mode("overwrite").parquet(src_dir)
+        stream = (
+            spark.readStream.schema("event_type string, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        state: dict[str, DataFrame] = {}
+
+        def _merge_batch(batch_df: DataFrame, _bid: int) -> None:
+            sk = kmv_group_sketch(batch_df, ["event_type"], "user_id", k=k)
+            if "s" in state:
+                both = state["s"].unionByName(sk)
+                exploded = both.select(
+                    "event_type", F.explode("hs").alias("_h")
+                ).distinct()
+                win = W.partitionBy("event_type").orderBy("_h")
+                sk = (
+                    exploded.withColumn("_rn", F.row_number().over(win))
+                    .filter(F.col("_rn") <= k)
+                    .groupBy("event_type")
+                    .agg(F.sort_array(F.collect_list("_h")).alias("hs"))
+                )
+            # the running sketch is <= n_types x k longs: checkpoint it
+            # so lineage never chains across micro-batches
+            state["s"] = sk.localCheckpoint()
+
+        with stateful_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(_merge_batch)
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        return (
+            state["s"]
+            .select("event_type", F.posexplode("hs").alias("_p", "h"))
+            .select(
+                "event_type",
+                (F.col("_p") + 1).cast("int").alias("rn"),
+                "h",
+            )
+            .orderBy("event_type", "rn")
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def _s_stream_kmv_sql(k: int = 64) -> str:
+    return f"""
+WITH du AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS h
+  FROM events WHERE user_id IS NOT NULL),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM du)
+SELECT event_type, CAST(rn AS INTEGER) AS rn, h
+FROM rk WHERE rn <= {k}
+ORDER BY event_type, rn
+"""
+
+
 _FRESHNESS_MEMO: dict = {}
 
 
@@ -15887,6 +15984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_freshness_wall": s_stream_freshness_wall,
         "x_regime_holt": x_regime_holt,
         "e_kmv_type_overlap": e_kmv_type_overlap,
+        "s_stream_kmv": s_stream_kmv,
         # --- full r5-stale cohort ---
         "x_mass_index": x_mass_index,
         "x_mc_var": x_mc_var,
@@ -16337,6 +16435,7 @@ def oracle_sql() -> dict[str, str]:
         "s_stream_freshness": _S_STREAM_FRESHNESS_SQL,
         "x_regime_holt": _x_regime_holt_sql(),
         "e_kmv_type_overlap": _kmv_overlap_sql(_KMV_K),
+        "s_stream_kmv": _s_stream_kmv_sql(_KMV_K),
         # s_stream_freshness_wall: real measured timings -- genuinely
         # non-SQL-expressible, rows-only driver check by design
         "x_mcginley": _X_MCGINLEY_SQL,
@@ -16556,6 +16655,7 @@ HEADLINE_QUERIES = [
     "s_stream_freshness_wall",
     "x_regime_holt",
     "e_kmv_type_overlap",
+    "s_stream_kmv",
     "x_mcginley",
     "x_vwap_bands",
     "x_elder_impulse",

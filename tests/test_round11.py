@@ -253,3 +253,25 @@ def test_kmv_estimator_accuracy_synthetic(spark):
     sk = kmv_group_sketch(df, ["g"], "v", k=k)
     est = sk.select(kmv_estimate(F.col("hs"), k).alias("e")).collect()[0]["e"]
     assert abs(est - n) / n < 4 / (k ** 0.5), est
+
+
+def test_stream_kmv_batching_independence(spark, sf_dir):
+    """The streaming KMV maintenance (13th streaming query) must be
+    batching-independent: the merged final sketches equal the one-shot
+    batch bottom-k exactly (the merge law as a checked property)."""
+    from pyspark.sql import functions as F
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
+        kmv_group_sketch,
+    )
+
+    streamed = {
+        (r["event_type"], r["rn"]): r["h"]
+        for r in E.s_stream_kmv(spark, sf_dir).collect()
+    }
+    ev = E._t(spark, sf_dir, "events").select("event_type", "user_id")
+    batch = {}
+    for r in kmv_group_sketch(ev, ["event_type"], "user_id", k=64).collect():
+        for i, h in enumerate(r["hs"], start=1):
+            batch[(r["event_type"], i)] = h
+    assert streamed == batch and streamed
