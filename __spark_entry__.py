@@ -15963,10 +15963,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate compares the FIRST 50
     # entries against the DuckDB oracle each round, so the window ROTATES on
     # staleness (every query re-earns a driver row every ~2-3 rounds).
-    # Window arithmetic for r11: 4 changed-path + 4 newcomers leaves 42
-    # stale slots = the FULL r5 cohort (32) + the oldest 10 of the 43
-    # r6-stale entries (scripts/staleness.py order); the remaining 33
-    # r6-stale rows head r12's fill.
+    # Window arithmetic for r11: 4 changed-path + 6 newcomers leaves 40
+    # stale slots = the FULL r5 cohort (32) + the oldest 8 of the 43
+    # r6-stale entries (scripts/staleness.py order); the remaining 35
+    # r6-stale rows (from d_gopher_rules onward) head r12's fill.
     return {
         # --- r11 window (50 = 4 changed-path + 4 newcomers + the FULL
         # r5-stale cohort (32) + the oldest 10 r6-stale entries, in
@@ -16018,7 +16018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_heikin_ashi": x_heikin_ashi,
         "x_supertrend": x_supertrend,
         "x_adx": x_adx,
-        # --- oldest 10 r6-stale ---
+        # --- oldest r6-stale fill (window cuts at 50: d_gopher_rules
+        # and e_stickiness spill past the boundary to r12) ---
         "x_chop": x_chop,
         "x_chandelier": x_chandelier,
         "x_renko": x_renko,
