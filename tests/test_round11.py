@@ -275,3 +275,37 @@ def test_stream_kmv_batching_independence(spark, sf_dir):
         for i, h in enumerate(r["hs"], start=1):
             batch[(r["event_type"], i)] = h
     assert streamed == batch and streamed
+
+
+def test_quantile_bucket_strategies_agree(spark):
+    """The round-10 ADVICE fix made 'twopass' the default and 'packed'
+    opt-in — both must produce IDENTICAL buckets (same integer cut
+    rule) on adversarial tie-heavy data."""
+    import random
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.quantiles import (
+        quantile_bucket,
+    )
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        vals = [rnd.choice([1, 2, 3, 5, 8, 13, 21]) for _ in range(200)] + [
+            rnd.randrange(0, 10**6) for _ in range(50)
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id int, v long"
+        )
+        for k in (2, 4, 5):
+            a = {
+                r["id"]: r["b"]
+                for r in quantile_bucket(
+                    df, "v", k, "b", strategy="twopass"
+                ).collect()
+            }
+            b = {
+                r["id"]: r["b"]
+                for r in quantile_bucket(
+                    df, "v", k, "b", strategy="packed"
+                ).collect()
+            }
+            assert a == b, (trial, k)
