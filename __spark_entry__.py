@@ -1640,7 +1640,7 @@ WITH ranked AS (
              ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS rl
   FROM events WHERE value > 0
 )
-SELECT 'U' || CAST(sid AS VARCHAR) AS symbol_clean,
+SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol_clean,
        d AS trade_date,
        max(CASE WHEN rf = 1 THEN value END) AS first_value,
        max(CASE WHEN rl = 1 THEN value END) AS last_value,
