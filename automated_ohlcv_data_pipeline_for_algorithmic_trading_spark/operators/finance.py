@@ -2594,6 +2594,19 @@ def volume_index(
             vals[0] = state = seed
             for k, r in enumerate(ret_v[pos - 1].tolist()):
                 state += math.floor(state * r + 0.5)
+                if not -(2**53) < state < 2**53:
+                    # the documented precondition, enforced with a
+                    # NAMED error instead of numpy's opaque int64
+                    # OverflowError two orders of magnitude later — the
+                    # BIGINT oracle could not carry a larger state
+                    # bit-exactly either
+                    raise ValueError(
+                        "volume_index state exceeded 2^53 micro-units"
+                        " (compounded index beyond ~9e9x): out of the"
+                        " documented exactness domain — cap per-bar"
+                        " returns upstream if the price domain allows"
+                        " extreme ratio jumps"
+                    )
                 vals[k + 1] = state
             # bar i holds the value after the last update at index <= i
             return vals[np.searchsorted(pos, np.arange(m), side="right")]
