@@ -442,20 +442,6 @@ def test_kama_matches_pure_python_replay(rows):
             out[i] = (er6, e)
         return out
 
-    # the operator's documented precondition: |state| < 2^53 micro-units
-    # (finance.volume_index docstring — the fold raises on violation and
-    # the BIGINT oracle could not carry larger states either). Run the
-    # pure replay FIRST and discard out-of-contract examples: the
-    # generator's per-bar price range allows 10^5x ratio jumps whose
-    # compounded index exceeds any engine's integer domain.
-    for bars in series.values():
-        assume(
-            all(
-                abs(n) < 2**53 and abs(p) < 2**53 for n, p in replay(bars)
-            )
-        )
-    got = {(r.sym, r.t): r for r in volume_index(df, ["sym"], "t").collect()}
-
     idx: dict[int, int] = {}
     for i, (sym, *_rest) in enumerate(rows):
         expect = replay(series[sym])
@@ -581,20 +567,6 @@ def test_ema_fold_matches_pure_python_replay(rows):
             e = v if i == 0 else e + math.floor(2.0 * (v - e) / (n + 1.0))
             out.append(e)
         return out
-
-    # the operator's documented precondition: |state| < 2^53 micro-units
-    # (finance.volume_index docstring — the fold raises on violation and
-    # the BIGINT oracle could not carry larger states either). Run the
-    # pure replay FIRST and discard out-of-contract examples: the
-    # generator's per-bar price range allows 10^5x ratio jumps whose
-    # compounded index exceeds any engine's integer domain.
-    for bars in series.values():
-        assume(
-            all(
-                abs(n) < 2**53 and abs(p) < 2**53 for n, p in replay(bars)
-            )
-        )
-    got = {(r.sym, r.t): r for r in volume_index(df, ["sym"], "t").collect()}
 
     idx: dict[int, int] = {}
     for i, (sym, *_rest) in enumerate(rows):
