@@ -8092,8 +8092,9 @@ def x_nvi_pvi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIXTH oracle-checked recurrence family, and the first MULTIPLICATIVE
     one: state compounds the day's return only on falling- (NVI) or
     rising- (PVI) volume days. BIGINT micro-unit states updated with
-    floor(double(state)·ret + 0.5); the recursive-CTE oracle carries
-    both states (operators/finance.volume_index)."""
+    floor(double(state)·ret + 0.5) and SATURATED at ±(2^53−1) — a
+    total fold whose LEAST/GREATEST clamp the recursive-CTE oracle
+    mirrors exactly (operators/finance.volume_index)."""
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import (
         volume_index,
     )
@@ -8119,14 +8120,20 @@ vi AS (
   UNION ALL
   SELECT s.user_id, s.trade_date, s.close, s.volume, s.cu, s.rn,
          CASE WHEN s.volume < e.volume AND e.cu > 0
-              THEN e.nvi + CAST(floor(CAST(e.nvi AS DOUBLE)
+              THEN CAST(LEAST(GREATEST(
+                   CAST(e.nvi AS DOUBLE) + floor(CAST(e.nvi AS DOUBLE)
                    * (CAST(s.cu - e.cu AS DOUBLE) / CAST(e.cu AS DOUBLE))
-                   + 0.5) AS BIGINT)
+                   + 0.5), -CAST(9007199254740991 AS DOUBLE)),
+                   CAST(9007199254740991 AS DOUBLE))
+                   AS BIGINT)
               ELSE e.nvi END,
          CASE WHEN s.volume > e.volume AND e.cu > 0
-              THEN e.pvi + CAST(floor(CAST(e.pvi AS DOUBLE)
+              THEN CAST(LEAST(GREATEST(
+                   CAST(e.pvi AS DOUBLE) + floor(CAST(e.pvi AS DOUBLE)
                    * (CAST(s.cu - e.cu AS DOUBLE) / CAST(e.cu AS DOUBLE))
-                   + 0.5) AS BIGINT)
+                   + 0.5), -CAST(9007199254740991 AS DOUBLE)),
+                   CAST(9007199254740991 AS DOUBLE))
+                   AS BIGINT)
               ELSE e.pvi END
   FROM src s JOIN vi e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
 SELECT user_id, trade_date, close, volume,

@@ -2541,9 +2541,13 @@ def volume_index(
     correctly-rounded in every engine, so a recursive CTE carrying
     (nvi, pvi) replays bit-identically. Equal-volume days and
     non-positive previous closes leave both states unchanged.
-    Precondition: |state| < 2^53 micro-units (index below ~9e9 — a
-    9-billion-fold compounded gain; unreachable before float ret noise
-    dominates anyway).
+    Stability contract (the ``holt_winters_mul`` precedent): the state
+    SATURATES at ±(2^53 − 1) micro-units — an index beyond ~9e9x, far
+    past where float ret noise dominates — so the fold is total on any
+    representable input instead of refusing wild-ratio series; the
+    oracle applies the identical LEAST/GREATEST clamp, and within the
+    unclamped domain the carried double is an exact integer, so
+    exactness is preserved by construction.
 
     Output: keys, order_col, close, volume, nvi, pvi.
     """
@@ -2588,26 +2592,25 @@ def volume_index(
             ret_v = (cu[1:] - pcu) / pcu.astype(np.float64)
         ok = pcu > 0
 
+        cap = float(2**53 - 1)
+
         def folded(update_mask: np.ndarray) -> np.ndarray:
             pos = np.flatnonzero(update_mask) + 1  # bar index of update
             vals = np.empty(len(pos) + 1, dtype=np.int64)
-            vals[0] = state = seed
+            vals[0] = seed
+            # State carried as an integral double (exact while inside
+            # ±(2^53−1)), updated with the same correctly-rounded IEEE
+            # multiply/floor/add the oracle's DOUBLE expressions perform,
+            # then saturated at ±(2^53−1) with the oracle's identical
+            # LEAST/GREATEST clamp — the fold is total, never raises.
+            state = float(seed)
             for k, r in enumerate(ret_v[pos - 1].tolist()):
-                state += math.floor(state * r + 0.5)
-                if not -(2**53) < state < 2**53:
-                    # the documented precondition, enforced with a
-                    # NAMED error instead of numpy's opaque int64
-                    # OverflowError two orders of magnitude later — the
-                    # BIGINT oracle could not carry a larger state
-                    # bit-exactly either
-                    raise ValueError(
-                        "volume_index state exceeded 2^53 micro-units"
-                        " (compounded index beyond ~9e9x): out of the"
-                        " documented exactness domain — cap per-bar"
-                        " returns upstream if the price domain allows"
-                        " extreme ratio jumps"
-                    )
-                vals[k + 1] = state
+                state = state + math.floor(state * r + 0.5)
+                if state > cap:
+                    state = cap
+                elif state < -cap:
+                    state = -cap
+                vals[k + 1] = int(state)
             # bar i holds the value after the last update at index <= i
             return vals[np.searchsorted(pos, np.arange(m), side="right")]
 

@@ -38,12 +38,22 @@ def main() -> None:
     headline = getattr(entry_mod, "HEADLINE_QUERIES", list(qs))
     qs = {name: qs[name] for name in headline}
 
+    # Per-query fault isolation (round-11 verdict item 2a): one raising
+    # query must never zero the whole artifact again — every query call
+    # is wrapped, failures are recorded in an "errors" map, and the
+    # process exits non-zero AT THE END if any query failed, with the
+    # numbers for everything else intact.
+    errors: dict[str, str] = {}
+
     # Warm-up: run EVERY query once at the tiny sf so each plan's codegen
     # compile, file listing, and Python-worker spin-up land outside the
     # timed pass — matching how BASELINE.md's 2-5 s reference numbers
     # exclude Lambda cold start (warm container, code already loaded).
-    for fn in qs.values():
-        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    for name, fn in qs.items():
+        try:
+            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            print(f"# warm-up failed for {name}: {e}"[:500], file=sys.stderr)
 
     import gc
 
@@ -64,8 +74,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name, fn in qs.items():
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                timings.pop(name, None)
+                _release()
+                continue
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             _release()
@@ -74,7 +92,13 @@ def main() -> None:
     # so a single unlucky pause can't set the recorded number
     for name in [n for n, t in timings.items() if t > 5.0]:
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            timings.pop(name, None)
+            _release()
+            continue
         timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
         _release()
 
@@ -230,6 +254,7 @@ def main() -> None:
         "ratio_vs_prev": ratio_info,
         "queries": dict(sorted(timings.items())),
         "stream_net_of_startup": dict(sorted(stream_net.items())),
+        "errors": dict(sorted(errors.items())),
     }
     # Artifact policy (round-9 ADVICE + round-10 VERDICT item 5): the
     # round inference (max CORRECTNESS_r* + 1) is wrong for
@@ -281,9 +306,14 @@ def main() -> None:
                 # number to watch for streaming query-cost regressions
                 "stream_startup_sec": startup,
                 "stream_net_of_startup": stream_net,
+                "errors": errors,
             }
         )
     )
+    if errors:
+        # the numbers above are complete for every healthy query; the
+        # non-zero exit still flags the round as broken for the driver
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -269,6 +269,29 @@ class TestVolumeIndex:
         assert out[("B", 2)].pvi == 500.0  # -50% on rising volume
         assert out[("B", 2)].nvi == 1000.0
 
+    def test_wild_ratio_series_saturates_instead_of_raising(self, spark):
+        # The fold is TOTAL: a series whose compounded index leaves the
+        # 2^53-micro-unit exactness domain (the crash that zeroed the
+        # round-11 bench) saturates at ±(2^53−1) micro-units — the same
+        # LEAST/GREATEST clamp the recursive-CTE oracle applies — and
+        # keeps emitting rows instead of raising.
+        from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.finance import volume_index
+
+        # prices 10^i: every falling-volume bar multiplies NVI by ~10,
+        # so the state passes 2^53 micro-units (9.0e15) around bar 7
+        # and must sit exactly at the cap from then on
+        rows = []
+        for i in range(13):
+            p = 10.0**i
+            rows.append(("A", i, p, p, p, 100 - i))  # volume strictly falls
+        df = _ohlcv(spark, rows)
+        out = {r.t: r for r in volume_index(df, ["sym"], "t").collect()}
+        cap = (2**53 - 1) / 1e6
+        assert out[12].nvi == cap  # saturated exactly at the clamp
+        assert out[12].pvi == 1000.0  # never updated (volume never rose)
+        # never beyond the cap at any bar
+        assert all(out[i].nvi <= cap for i in range(13))
+
 
 class TestDemaTema:
     def test_constant_series(self, spark):

@@ -493,9 +493,16 @@ def test_volume_index_matches_pure_python_replay(rows):
         " volume long",
     )
 
+    # Mirrors the fold's saturation contract: integral-double state,
+    # correctly-rounded multiply/floor/add, then a ±(2^53−1) clamp —
+    # the fold is TOTAL, so the generator's 10^5x ratio jumps are fair
+    # game (they used to be discarded via assume() when the fold raised
+    # on leaving the 2^53 exactness domain).
+    cap = float(2**53 - 1)
+
     def replay(bars):
         out = []
-        nvi = pvi = 1_000_000_000
+        nvi = pvi = float(1_000_000_000)
         prev = None
         for c, v in bars:
             cu = math.floor(c * 1e6 + 0.5)
@@ -504,25 +511,15 @@ def test_volume_index_matches_pure_python_replay(rows):
                 if pcu > 0 and v != pvol:
                     ret = float(cu - pcu) / float(pcu)
                     if v < pvol:
-                        nvi += math.floor(nvi * ret + 0.5)
+                        nvi = min(max(nvi + math.floor(nvi * ret + 0.5),
+                                      -cap), cap)
                     else:
-                        pvi += math.floor(pvi * ret + 0.5)
+                        pvi = min(max(pvi + math.floor(pvi * ret + 0.5),
+                                      -cap), cap)
             prev = (cu, v)
-            out.append((nvi, pvi))
+            out.append((int(nvi), int(pvi)))
         return out
 
-    # the operator's documented precondition: |state| < 2^53 micro-units
-    # (finance.volume_index docstring — the fold raises on violation and
-    # the BIGINT oracle could not carry larger states either). Run the
-    # pure replay FIRST and discard out-of-contract examples: the
-    # generator's per-bar price range allows 10^5x ratio jumps whose
-    # compounded index exceeds any engine's integer domain.
-    for bars in series.values():
-        assume(
-            all(
-                abs(n) < 2**53 and abs(p) < 2**53 for n, p in replay(bars)
-            )
-        )
     got = {(r.sym, r.t): r for r in volume_index(df, ["sym"], "t").collect()}
 
     idx: dict[int, int] = {}
