@@ -143,7 +143,6 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -213,7 +212,6 @@ def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(dsum(revenue, "revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
 
@@ -254,7 +252,6 @@ def q02_min_unit_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             unit_cost.alias("unit_cost"),
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -285,7 +282,6 @@ def q04_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(returned, "o_orderkey", "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -423,12 +419,6 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(blocked), "l_suppkey", "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(
-            F.col("supplier_cnt").desc(),
-            F.col("p_brand").asc(),
-            F.col("p_type").asc(),
-            F.col("p_size").asc(),
-        )
     )
 
 
@@ -517,7 +507,6 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             dsum("c_acctbal", "total_bal"),
         )
-        .orderBy("n_name")
     )
 
 
@@ -565,7 +554,6 @@ def q07_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(dsum(revenue, "revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -626,7 +614,6 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "mkt_share", F.col("national_revenue") / F.col("market_revenue")
         )
-        .orderBy("o_year")
     )
 
 
@@ -672,7 +659,6 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
         .agg(dsum(amount, "profit"))
-        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
     )
 
 
@@ -709,7 +695,6 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.lit(0.002) * F.col("total_value"))
         .select("l_partkey", "part_value")
-        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
     )
 
 
@@ -745,7 +730,6 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
-        .orderBy("l_linestatus")
     )
 
 
@@ -779,7 +763,6 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
 
 
@@ -820,7 +803,6 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(supp), "s_suppkey")
         .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
     )
 
 
@@ -904,7 +886,6 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(heavy, "s_suppkey", "left_semi")
         .select("s_suppkey", "s_name")
-        .orderBy("s_suppkey")
     )
 
 
@@ -946,7 +927,6 @@ def q21_sole_blockers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .join(F.broadcast(supp), "s_suppkey")
         .select("s_name", "numwait")
-        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
     )
 
 
@@ -977,7 +957,7 @@ def e_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — per-key totals: SUM, AVG, COUNT, MAX(ts)
     (sql/athena_parquet_tables.sql:77-88)."""
     ev = _t(spark, sf_dir, "events")
-    return symbol_stats(ev, ["user_id"], "value", "ts").orderBy("user_id")
+    return symbol_stats(ev, ["user_id"], "value", "ts")
 
 
 _E_SYMBOL_STATS_SQL = f"""
@@ -997,7 +977,7 @@ def e_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return daily_rollup(
         ev, ["user_id"], "ts", "value", tiebreak="event_id"
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 #: Composite (ts, event_id) ordering key for arg_min/arg_max: DuckDB 1.0
@@ -1031,7 +1011,7 @@ def e_resample_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "bucket_start", "open", "high", "low", "close",
         "total_value", "num_records",
-    ).orderBy("event_type", "bucket_start")
+    )
 
 
 _E_RESAMPLE_SQL = f"""
@@ -1061,7 +1041,7 @@ def e_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     out = resample_gapfill(ev, 15, ["event_type"], "ts", "value", tiebreak="event_id")
-    return out.orderBy("event_type", "bucket_start")
+    return out
 
 
 _E_GAPFILL_SQL = f"""
@@ -1152,7 +1132,7 @@ def e_dedup_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup_by_key(
         ev, ["user_id", "trade_date", "event_type"], ["ts", "event_id"], keep="last"
     )
-    return out.select("event_id", "user_id", "ts", "event_type", "value").orderBy("event_id")
+    return out.select("event_id", "user_id", "ts", "event_type", "value")
 
 
 def e_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1161,7 +1141,7 @@ def e_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup_by_key(
         ev, ["user_id", "trade_date", "event_type"], ["ts", "event_id"], keep="first"
     )
-    return out.select("event_id", "user_id", "ts", "event_type", "value").orderBy("event_id")
+    return out.select("event_id", "user_id", "ts", "event_type", "value")
 
 
 def _dedup_sql(direction: str) -> str:
@@ -1179,7 +1159,7 @@ def e_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — latest full row per key via single-shuffle max_by(struct)
     (api/api_handler.py:479-514)."""
     ev = _t(spark, sf_dir, "events")
-    return latest_snapshot(ev, ["user_id"], "ts", tiebreak="event_id").orderBy("user_id")
+    return latest_snapshot(ev, ["user_id"], "ts", tiebreak="event_id")
 
 
 _E_LATEST_SQL = """
@@ -1239,7 +1219,6 @@ def e_sma20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("sma_20", sma_col)
         .select("event_id", "user_id", "ts", "value", "sma_20")
-        .orderBy("event_id")
     )
 
 
@@ -1265,7 +1244,7 @@ def e_window_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "trade_date", "day_open", "day_close", "day_volume",
         q6("daily_return_percent", "daily_return_percent"),
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _E_WINDOW_DAILY_SQL = """
@@ -1294,7 +1273,7 @@ def e_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — AVG/STDDEV/MAX/MIN dispersion per event_type
     (sql/athena_parquet_tables.sql:104-114); sample stddev like Presto."""
     ev = _t(spark, sf_dir, "events")
-    return dispersion_stats(ev, ["event_type"], "value").orderBy("event_type")
+    return dispersion_stats(ev, ["event_type"], "value")
 
 
 _E_DISPERSION_SQL = f"""
@@ -1319,7 +1298,6 @@ def e_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("value") > 30.0).alias("high_value_count"),
             F.count_if(F.col("user_id") % 2 == 0).alias("even_user_count"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1343,7 +1321,6 @@ def e_period_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("_cutoff"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("recent_events"), dsum("value", "recent_value"))
-        .orderBy("user_id")
     )
 
 
@@ -1395,7 +1372,7 @@ def j_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value",
         F.col("o_orderkey_asof").alias("order_key_asof"),
         F.col("o_totalprice_asof").alias("order_price_asof"),
-    ).orderBy("event_id")
+    )
 
 
 _J_ASOF_SQL = """
@@ -1437,7 +1414,7 @@ def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value",
         F.col("o_orderkey_asof").alias("order_key_asof"),
         F.col("o_totalprice_asof").alias("order_price_asof"),
-    ).orderBy("event_id")
+    )
 
 
 _J_ASOF_TOL_SQL = """
@@ -1461,7 +1438,6 @@ def j_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(ev, "c_custkey", "left_semi")
         .select("c_custkey", "c_name", "c_acctbal")
-        .orderBy("c_custkey")
     )
 
 
@@ -1483,7 +1459,6 @@ def j_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("inactive_customers"))
-        .orderBy("n_name")
     )
 
 
@@ -1510,7 +1485,6 @@ def u_union_mixed_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "total_value"),
             F.count("value").alias("n_with_value"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1538,7 +1512,7 @@ def e_rsi14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts",
         q6("rsi_14", "rsi_14"),
-    ).orderBy("event_id")
+    )
 
 
 _E_RSI_SQL = """
@@ -1627,7 +1601,6 @@ def o_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("low").alias("min_value"),
             F.count(F.lit(1)).alias("num_candles"),
         )
-        .orderBy("symbol_clean", "trade_date")
     )
 
 
@@ -1666,7 +1639,7 @@ def e_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = approx_percentiles_hist(
         ev, ["event_type"], "value", probs=(0.5, 0.9, 0.99), bins=64
     )
-    return out.orderBy("event_type")
+    return out
 
 
 _E_PCT_HIST_SQL = """
@@ -1773,7 +1746,7 @@ def s_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination(300)
-    return spark.table(name).orderBy("event_type", "bucket_start")
+    return spark.table(name)
 
 
 _S_STREAM_SQL = """
@@ -1831,7 +1804,7 @@ def s_stateful_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination(300)
-    return spark.table(name).orderBy("symbol_clean", "timestamp_unix", "event_id")
+    return spark.table(name)
 
 
 _S_VWAP_SQL = """
@@ -1881,7 +1854,7 @@ def x_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=("user_id",),
         ts_col=("timestamp_unix", "event_id"),
     )
-    return out.orderBy("user_id", "timestamp_unix", "event_id")
+    return out
 
 
 _X_BOLLINGER_SQL = """
@@ -1941,7 +1914,7 @@ def x_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=("user_id",),
         ts_col=("timestamp_unix", "event_id"),
     )
-    return out.orderBy("user_id", "timestamp_unix", "event_id")
+    return out
 
 
 _X_EMA_MACD_SQL = """
@@ -1991,7 +1964,6 @@ def e_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         z.filter(F.abs(F.col("zscore")) > 3.0)
         .select("user_id", "event_id", "timestamp_unix", "value", "zscore")
-        .orderBy("user_id", "timestamp_unix", "event_id")
     )
 
 
@@ -2042,7 +2014,7 @@ def x_rolling_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         roll_sum.alias("roll_sum"),
         roll_n.alias("roll_n"),
         (roll_sum / roll_n).alias("roll_avg"),
-    ).orderBy("user_id", "timestamp_unix", "event_id")
+    )
 
 
 _X_ROLLING_SQL = """
@@ -2077,7 +2049,6 @@ def e_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "k_avg", F.col("k_sum").cast("double") / F.col("n_with_k")
         )
-        .orderBy("event_type")
     )
 
 
@@ -2138,7 +2109,7 @@ def s_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination(300)
-    return spark.table(name).orderBy("user_id", "session_start")
+    return spark.table(name)
 
 
 #: Batch replay of session_window semantics: same >30-min gap split as
@@ -2239,7 +2210,7 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination(300)
-    return spark.table(name).orderBy("user_id", "view_id", "purchase_id")
+    return spark.table(name)
 
 
 _S_JOIN_SQL = """
@@ -2268,7 +2239,7 @@ def x_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pivot emits NULL for absent combos; normalize to 0 for the oracle
     return out.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
-    ).orderBy("user_id")
+    )
 
 
 _X_PIVOT_SQL = """
@@ -2289,10 +2260,6 @@ def x_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.cube("event_type", F.to_date("ts").alias("trade_date"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
-        .orderBy(
-            F.col("event_type").asc_nulls_first(),
-            F.col("trade_date").asc_nulls_first(),
-        )
     )
 
 
@@ -2326,7 +2293,7 @@ def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    return sess.orderBy("user_id", "session_id")
+    return sess
 
 
 _E_SESSION_SQL = """
@@ -2368,7 +2335,6 @@ def e_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             q6(F.percentile("value", F.lit(0.99)), "p99"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -2393,7 +2359,6 @@ def e_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("distinct_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("trade_date")
     )
 
 
@@ -2468,7 +2433,7 @@ def m_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feat0 is md5int / 2^32 — ALWAYS dyadic, so round() half-ties
         # are guaranteed somewhere in a large corpus; q6 is tie-free.
         q6(F.element_at("feat", 1), "feat0"),
-    ).orderBy("media_id")
+    )
 
 
 _M_BINARY_SQL = """
@@ -2507,7 +2472,7 @@ _SQL_TOKSET = rf"list_distinct({_SQL_TOKS})"
 def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting over documents (native array exprs, no UDF)."""
     docs = _t(spark, sf_dir, "documents")
-    return token_stats(docs).orderBy("doc_id")
+    return token_stats(docs)
 
 
 _D_TOKEN_STATS_SQL = rf"""
@@ -2528,7 +2493,7 @@ ORDER BY doc_id
 def d_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword/distinct ratios + composite score."""
     docs = _t(spark, sf_dir, "documents")
-    return quality_score(docs).orderBy("doc_id")
+    return quality_score(docs)
 
 
 _D_QUALITY_SQL = rf"""
@@ -2556,7 +2521,7 @@ FROM r ORDER BY doc_id
 def d_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-profile function-word hits + argmax."""
     docs = _t(spark, sf_dir, "documents")
-    return language_guess(docs).orderBy("doc_id")
+    return language_guess(docs)
 
 
 def _lang_sql() -> str:
@@ -2589,7 +2554,7 @@ FROM h ORDER BY doc_id
 def d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: exact md5 + order-insensitive content md5."""
     docs = _t(spark, sf_dir, "documents")
-    return fingerprint(docs).orderBy("doc_id")
+    return fingerprint(docs)
 
 
 _D_FINGERPRINT_SQL = rf"""
@@ -2603,7 +2568,7 @@ FROM documents ORDER BY doc_id
 def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: hash-groupBy on md5(text)."""
     docs = _t(spark, sf_dir, "documents")
-    return exact_dedup_groups(docs).orderBy("text_hash")
+    return exact_dedup_groups(docs)
 
 
 _D_EXACT_DEDUP_SQL = """
@@ -2616,7 +2581,7 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force token-set Jaccard near-dup pairs (threshold 0.95).
     O(n^2) exact baseline — the LSH variant below is the scale path."""
     docs = _t(spark, sf_dir, "documents")
-    return exact_jaccard_pairs(docs, threshold=0.95).orderBy("doc_a", "doc_b")
+    return exact_jaccard_pairs(docs, threshold=0.95)
 
 
 _D_JACCARD_SQL = rf"""
@@ -2638,7 +2603,7 @@ def d_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-keyed permutations are deterministic across engines, so the oracle
     reproduces the identical candidate set."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, threshold=0.95).orderBy("doc_a", "doc_b")
+    return minhash_near_dup_pairs(docs, threshold=0.95)
 
 
 def _minhash_ctes(threshold: float, where: str = "") -> str:
@@ -2713,9 +2678,7 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bands, verify, membership) and would otherwise recompute the
     # corpus signatures per consumer (measured 7.7 -> 5.8 s at sf0.1)
     index = minhash_index(corpus, threshold=0.9).localCheckpoint()
-    return dedup_against_index(new, index, threshold=0.9).orderBy(
-        "new_id", "index_id"
-    )
+    return dedup_against_index(new, index, threshold=0.9)
 
 
 def _incremental_dedup_sql(threshold: float = 0.9) -> str:
@@ -2777,7 +2740,7 @@ def d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_dup_pairs(docs, threshold=0.95)
     return near_dup_components(
         pairs, rounds=3, extend_until_converged=True
-    ).orderBy("doc_id")
+    )
 
 
 def _reach_ctes(pairs_cte: str = "pairs") -> list[str]:
@@ -2829,7 +2792,7 @@ SELECT doc_id, keeper_id FROM comp ORDER BY doc_id
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash sketch per document (md5-derived bit votes)."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash32(docs).orderBy("doc_id")
+    return simhash32(docs)
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -2860,9 +2823,7 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (19M intermediate join rows at sf0.1); 15-bit chunks keep the
     equi-join output-proportional."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=3, bits=60).orderBy(
-        "doc_a", "doc_b"
-    )
+    return simhash_near_dup_pairs(docs, max_hamming=3, bits=60)
 
 
 def _simhash_pairs_sql() -> str:
@@ -2888,7 +2849,7 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
         emb, threshold=0.5, lsh_planes=8, lsh_tables=8
-    ).orderBy("doc_a", "doc_b")
+    )
 
 
 def _lsh_bucket_ctes(n_planes: int, n_tables: int, dim: int) -> str:
@@ -2943,7 +2904,7 @@ def d_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_bpe_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 _D_BPE_SQL = r"""
@@ -2971,7 +2932,7 @@ def d_kgram_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("fingerprint_sketch").cast("long").alias("sketch_size"),
         "fingerprint",
-    ).orderBy("doc_id")
+    )
 
 
 _D_KGRAM_SQL = """
@@ -3015,7 +2976,7 @@ def d_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
         default_permyriad=2000,
     )
-    return out.select("event_id", "user_id", "event_type", "value").orderBy("event_id")
+    return out.select("event_id", "user_id", "event_type", "value")
 
 
 _D_SAMPLE_SQL = """
@@ -3034,9 +2995,7 @@ def d_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-token overlap) — pure per-row array exprs, no shuffle; the model-
     sized-pieces step of a training-data pipeline."""
     docs = _t(spark, sf_dir, "documents")
-    return chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
-        "doc_id", "chunk_idx"
-    )
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
 
 
 _D_CHUNKS_SQL = rf"""
@@ -3065,7 +3024,7 @@ def d_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return redact_pii(docs).orderBy("doc_id")
+    return redact_pii(docs)
 
 
 _D_REDACT_SQL = r"""
@@ -3089,7 +3048,7 @@ def d_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return hash_split(docs, "doc_id").orderBy("doc_id")
+    return hash_split(docs, "doc_id")
 
 
 _D_SPLIT_SQL = r"""
@@ -3113,7 +3072,7 @@ def d_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return repetition_signals(docs).orderBy("doc_id")
+    return repetition_signals(docs)
 
 
 #: Token bigram list from the shared token fragment (DuckDB
@@ -3181,9 +3140,7 @@ def d_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return tf_idf_topk(docs, k=3).orderBy(
-        "doc_id", F.desc("tf"), "df", "term"
-    )
+    return tf_idf_topk(docs, k=3)
 
 
 _D_TFIDF_SQL = rf"""
@@ -3217,9 +3174,7 @@ def d_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return duplicated_spans(docs, width=8, min_count=2).orderBy(
-        "doc_id", "span_start"
-    )
+    return duplicated_spans(docs, width=8, min_count=2)
 
 
 _D_SPANS_SQL = rf"""
@@ -3264,9 +3219,7 @@ def d_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return line_frequency_filter(docs, max_docs=2, line_tokens=3).orderBy(
-        "doc_id"
-    )
+    return line_frequency_filter(docs, max_docs=2, line_tokens=3)
 
 
 _D_LINE_DEDUP_SQL = rf"""
@@ -3334,7 +3287,6 @@ def e_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("WARNING"))
             .alias("band"),
         )
-        .orderBy("service")
     )
 
 
@@ -3380,9 +3332,7 @@ def d_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", "doc_id", "n_chars"),
         "doc_id", "n_chars", k=20, strata="source",
     )
-    return out.select("source", "doc_id", "n_chars", "ws_rank").orderBy(
-        "source", "ws_rank"
-    )
+    return out.select("source", "doc_id", "n_chars", "ws_rank")
 
 
 _D_WSAMPLE_SQL = """
@@ -3430,7 +3380,7 @@ def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     return hamming_near_dup_pairs(
         ph, id_col="media_id", hash_col="phash", bits=60
-    ).orderBy("doc_a", "doc_b")
+    )
 
 
 _M_PHASH_SQL = """
@@ -3460,7 +3410,7 @@ def d_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return unigram_xent(docs).orderBy("doc_id")
+    return unigram_xent(docs)
 
 
 _D_XENT_SQL = rf"""
@@ -3492,7 +3442,7 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corp = docs.filter(F.col("doc_id") % 50 != 0)
-    return decontaminate(corp, bench, ngram=3).orderBy("doc_id")
+    return decontaminate(corp, bench, ngram=3)
 
 
 _SQL_TRIGRAMS = (
@@ -3531,9 +3481,7 @@ def d_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corp = docs.filter(F.col("doc_id") % 50 != 0)
-    return contamination_report(corp, bench, ngram=3, top=50).orderBy(
-        F.desc("overlap_frac"), F.asc("doc_id")
-    )
+    return contamination_report(corp, bench, ngram=3, top=50)
 
 
 _D_CONTAM_REPORT_SQL = rf"""
@@ -3583,7 +3531,7 @@ def j_interval_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_event_id",
         "user_id",
         (F.unix_micros("ts") - F.unix_micros("win_start")).alias("micros_into_window"),
-    ).orderBy("signup_event_id", "click_event_id")
+    )
 
 
 _J_INTERVAL_SQL = """
@@ -3608,7 +3556,7 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_knn(
         emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=8, n_probe=3
-    ).orderBy("query_id", "rank")
+    )
 
 
 def _ivf_assign_ctes(
@@ -3722,7 +3670,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semdedup(emb, threshold=0.4, n_lists=8, n_iter=2).orderBy("vec_id")
+    return semdedup(emb, threshold=0.4, n_lists=8, n_iter=2)
 
 
 def _semdedup_sql(
@@ -3821,7 +3769,7 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return brute_force_knn(
         emb.filter(F.col("vec_id") < 10), emb, k=5
-    ).orderBy("query_id", "rank")
+    )
 
 
 _EMB_ANN_SQL = """
@@ -3957,7 +3905,6 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("cohort_size").cast("double")
             ).alias("retention"),
         )
-        .orderBy("cohort_date", "day_offset")
     )
 
 
@@ -4076,7 +4023,7 @@ def emb_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return sq8_knn(
         emb, emb, k=5, rerank=20, query_filter=F.col("vec_id") < 10
-    ).orderBy("query_id", "rank")
+    )
 
 
 _EMB_SQ8_SQL = """
@@ -4125,7 +4072,7 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn(
         emb, emb, k=5, n_planes=4, n_tables=8,
         query_filter=F.col("vec_id") < 10,
-    ).orderBy("query_id", "rank")
+    )
 
 
 def _lsh_ann_sql(n_planes: int = 4, n_tables: int = 8, dim: int = 64) -> str:
@@ -4173,7 +4120,7 @@ def x_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_drawdown_chunked(
         ev, ["user_id"], "timestamp_unix", "event_id", "value",
         chunk_width=86_400_000_000,
-    ).orderBy("user_id")
+    )
 
 
 _X_DRAWDOWN_SQL = """
@@ -4221,7 +4168,7 @@ def x_atr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = atr(daily, ["user_id"], "trade_date", n=14)
     return out.select(
         "user_id", "trade_date", q6("tr", "tr"), "atr"
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_ATR_SQL = f"""
@@ -4273,7 +4220,7 @@ def x_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("px") - F.col("_prev")) / F.col("_prev")).alias("ret"),
         )
     )
-    return pairwise_corr(rets, "user_id").orderBy("key_a", "key_b")
+    return pairwise_corr(rets, "user_id")
 
 
 _X_CORR_SQL = f"""
@@ -4320,7 +4267,7 @@ def x_beta_market(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
-    return beta_vs_market(rets, ["user_id"]).orderBy("user_id")
+    return beta_vs_market(rets, ["user_id"])
 
 
 _X_BETA_SQL = f"""
@@ -4390,7 +4337,7 @@ def x_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id", "trade_date", "close", "upper", "lower", "mid", "breakout"
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_DONCHIAN_SQL = f"""
@@ -4458,7 +4405,6 @@ def x_underwater_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_s.streak_start").alias("streak_start"),
             F.col("_s.streak_end").alias("streak_end"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -4534,7 +4480,6 @@ def x_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.withColumn("n_days", n.cast("long"))
         .withColumn("beta_60d", beta)
         .select("user_id", "trade_date", "n_days", "beta_60d")
-        .orderBy("user_id", "trade_date")
     )
 
 
@@ -4605,7 +4550,7 @@ def x_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "trade_date", "close", "tenkan", "kijun",
         "senkou_a", "senkou_b", "chikou",
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_ICHIMOKU_SQL = f"""
@@ -4665,7 +4610,6 @@ def x_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("volume").cast("long").alias("volume"),
             F.count(F.lit(1)).alias("n_bars"),
         )
-        .orderBy("user_id", "bucket")
     )
 
 
@@ -4706,7 +4650,7 @@ def x_sma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sma_crossover_backtest(
         daily, ["user_id"], "trade_date", fast=5, slow=20
-    ).orderBy("user_id")
+    )
 
 
 _X_BACKTEST_SQL = f"""
@@ -4787,7 +4731,7 @@ def x_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "trade_date", "event_id", "timestamp_unix", "close",
         "volume", "vwap", "cum_volume",
-    ).orderBy("user_id", "timestamp_unix", "event_id")
+    )
 
 
 _X_VWAP_SQL = """
@@ -4824,7 +4768,7 @@ def x_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stochastic_oscillator(daily, ["user_id"], "trade_date", n=14, d=3)
     return out.select(
         "user_id", "trade_date", "high", "low", "close", "pct_k", "pct_d"
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_STOCH_SQL = f"""
@@ -4863,7 +4807,7 @@ def x_obv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = on_balance_volume(daily, ["user_id"], "trade_date")
     return out.select(
         "user_id", "trade_date", "close", "volume", "obv"
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_OBV_SQL = f"""
@@ -4896,9 +4840,7 @@ def x_returns_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_ohlcv(spark, sf_dir).select(
         "user_id", "trade_date", "close"
     )
-    return returns_ledger(daily, ["user_id"], "trade_date").orderBy(
-        "user_id", "trade_date"
-    )
+    return returns_ledger(daily, ["user_id"], "trade_date")
 
 
 _X_RETLEDGER_SQL = f"""
@@ -4934,7 +4876,7 @@ def x_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rolling_sharpe(rets, ["user_id"], "trade_date", n=20)
     return out.select(
         "user_id", "trade_date", "ret", "sharpe"
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_SHARPE_SQL = f"""
@@ -4988,7 +4930,7 @@ def x_candle_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("is_shooting_star")
         | F.col("is_bullish_engulfing")
         | F.col("is_bearish_engulfing")
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_CANDLE_SQL = f"""
@@ -5036,7 +4978,7 @@ def d_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    return hll_registers(ev, "user_id", p=8).orderBy("bucket")
+    return hll_registers(ev, "user_id", p=8)
 
 
 #: 2^52: the low 52 bits of the 60-bit md5 hash after the p=8 bucket split.
@@ -5123,7 +5065,6 @@ def e_rolling_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact.join(sketch, "day")
         .select("day", "wau_exact", "wau_hll")
-        .orderBy("day")
     )
 
 
@@ -5202,9 +5143,7 @@ def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int64 silently becomes float64 on the DuckDB side only, which
     # breaks the driver's value hash (same class of issue as the
     # round-1 e_sessionize HUGEINT->float64 fix). Micros < 2^53, exact.
-    return out.withColumn("valid_to", F.col("valid_to").cast("double")).orderBy(
-        "user_id", "version"
-    )
+    return out.withColumn("valid_to", F.col("valid_to").cast("double"))
 
 
 _X_SCD2_SQL = """
@@ -5279,7 +5218,6 @@ def j_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("state_asof").alias("state"),
             F.col("version_asof").alias("state_version"),
         )
-        .orderBy("user_id", "click_ts", "event_id")
     )
 
 
@@ -5391,7 +5329,7 @@ def d_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         reason.alias("drop_reason"),
         F.when(reason.isNull(), F.col("split")).alias("split"),
-    ).orderBy("doc_id")
+    )
 
 
 def _curation_sql(q_thresh: float = 0.15) -> str:
@@ -5476,7 +5414,6 @@ def d_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact.join(est, exact["token"] == est["value"])
         .select("token", "n_exact", "cms_count")
-        .orderBy(F.col("n_exact").desc(), "token")
     )
 
 
@@ -5563,7 +5500,7 @@ def s_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination(300)
-        return state["r"].orderBy("bucket")
+        return state["r"]
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
@@ -5585,7 +5522,7 @@ def d_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     return pack_sequences(
         docs.repartition(par, "doc_id"), "doc_id", "text", budget=512, n_shards=8
-    ).orderBy("id")
+    )
 
 
 _PACK_CTES = rf"""src AS (
@@ -5640,7 +5577,7 @@ def d_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_sequences(
         docs.repartition(par, "doc_id"), "doc_id", "text", budget=512, n_shards=8
     )
-    return packing_efficiency(packed, budget=512).orderBy("shard")
+    return packing_efficiency(packed, budget=512)
 
 
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5664,7 +5601,7 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cents.select(
         "label", "n_vectors", u6.alias("centroid_u6")
-    ).orderBy("label")
+    )
 
 
 _EMB_CENTROIDS_SQL = """
@@ -5716,7 +5653,7 @@ def e_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report = dq_report(ev, rules).unionByName(
         dq_unique_report(ev, ["event_id"])
     )
-    return report.orderBy("rule")
+    return report
 
 
 _E_DQ_SQL = """
@@ -5769,7 +5706,7 @@ def e_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=0.0,
         hi=1000.0,
     )
-    return out.orderBy("event_type")
+    return out
 
 
 _E_DRIFT_SQL = """
@@ -5822,9 +5759,7 @@ def d_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     quotas = {"src0": 12, "src1": 8, "src2": 5, "src3": 2}
     out = mixture_sample(docs.select("doc_id", "source"), "source", "doc_id", quotas)
-    return out.select("doc_id", "source", "pick_rank").orderBy(
-        "source", "pick_rank"
-    )
+    return out.select("doc_id", "source", "pick_rank")
 
 
 _D_MIXTURE_SQL = """
@@ -5865,7 +5800,7 @@ def x_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = keltner_channels(daily, ["user_id"], "trade_date", n=20, m=10, mult=2.0)
     return out.select(
         "user_id", "trade_date", "tp", "tr", "kc_mid", "kc_upper", "kc_lower"
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_KELTNER_SQL = f"""
@@ -5916,7 +5851,7 @@ def x_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "trade_date", "open", "high", "low", "close",
         "ha_open", "ha_high", "ha_low", "ha_close",
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_HEIKIN_SQL = f"""
@@ -5964,7 +5899,7 @@ def d_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return bpe_learn(docs, rounds=6).orderBy("round")
+    return bpe_learn(docs, rounds=6)
 
 
 def _bpe_sql(rounds: int = 6) -> str:
@@ -6052,7 +5987,7 @@ def d_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return bpe_token_counts(docs, rounds=6).orderBy("doc_id")
+    return bpe_token_counts(docs, rounds=6)
 
 
 def d_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6091,7 +6026,6 @@ def d_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_words").cast("double")
             ).alias("fertility"),
         )
-        .orderBy("lang_guess")
     )
 
 
@@ -6152,7 +6086,6 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(name)
         .groupBy("user_id", "day")
         .agg(F.count(F.lit(1)).alias("n_types"))
-        .orderBy("user_id", "day")
     )
 
 
@@ -6185,7 +6118,7 @@ def x_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "trade_date", "high", "low", "close",
         "atr", "st_upper", "st_lower",
         F.col("trend").cast("double").alias("trend"), "supertrend",
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 def _supertrend_sql(n: int = 10, mult: int = 3) -> str:
@@ -6268,7 +6201,6 @@ def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(w_tot).cast("double"),
         )
         .select("prev_type", "next_type", "n", "p")
-        .orderBy("prev_type", "next_type")
     )
 
 
@@ -6298,9 +6230,7 @@ def x_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return williams_r(daily, ["user_id"], "trade_date", n=14).orderBy(
-        "user_id", "trade_date"
-    )
+    return williams_r(daily, ["user_id"], "trade_date", n=14)
 
 
 _X_WILLIAMS_SQL = f"""
@@ -6329,9 +6259,7 @@ def x_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return money_flow_index(daily, ["user_id"], "trade_date", n=14).orderBy(
-        "user_id", "trade_date"
-    )
+    return money_flow_index(daily, ["user_id"], "trade_date", n=14)
 
 
 _X_MFI_SQL = f"""
@@ -6371,9 +6299,7 @@ def x_roc_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return rate_of_change(daily, ["user_id"], "trade_date", n=10).orderBy(
-        "user_id", "trade_date"
-    )
+    return rate_of_change(daily, ["user_id"], "trade_date", n=10)
 
 
 _X_ROC_SQL = f"""
@@ -6398,9 +6324,7 @@ def x_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return pivot_points(daily, ["user_id"], "trade_date").orderBy(
-        "user_id", "trade_date"
-    )
+    return pivot_points(daily, ["user_id"], "trade_date")
 
 
 _X_PIVOTPTS_SQL = f"""
@@ -6430,9 +6354,7 @@ def x_chaikin_ad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return chaikin_ad(daily, ["user_id"], "trade_date", n=20).orderBy(
-        "user_id", "trade_date"
-    )
+    return chaikin_ad(daily, ["user_id"], "trade_date", n=20)
 
 
 _X_CHAIKIN_SQL = f"""
@@ -6470,9 +6392,7 @@ def x_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return aroon(daily, ["user_id"], "trade_date", n=25).orderBy(
-        "user_id", "trade_date"
-    )
+    return aroon(daily, ["user_id"], "trade_date", n=25)
 
 
 _X_AROON_SQL = f"""
@@ -6509,9 +6429,7 @@ def x_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return overnight_gaps(daily, ["user_id"], "trade_date").orderBy(
-        "user_id", "trade_date"
-    )
+    return overnight_gaps(daily, ["user_id"], "trade_date")
 
 
 _X_GAPS_SQL = f"""
@@ -6551,7 +6469,7 @@ def x_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = adx(daily, ["user_id"], "trade_date", n=14)
     return out.select(
         "user_id", "trade_date", "close", "pdi", "mdi", "adx"
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 def _adx_sql(n: int = 14) -> str:
@@ -6647,7 +6565,7 @@ def emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 10)
     return pq_probe(
         queries_df, cb, codes, vectors, k=5, shortlist_mult=16, m=16, dim=64
-    ).orderBy("query_id", "rank")
+    )
 
 
 def _prune_stale_siblings(path: str) -> None:
@@ -6737,9 +6655,7 @@ def emb_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdf = spark.read.parquet(os.path.join(idx, "centroids"))
     assignments = spark.read.parquet(os.path.join(idx, "assignments"))
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return ivf_probe(queries_df, cdf, assignments, k=5, n_probe=3).orderBy(
-        "query_id", "rank"
-    )
+    return ivf_probe(queries_df, cdf, assignments, k=5, n_probe=3)
 
 
 def emb_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6778,7 +6694,7 @@ def emb_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 10)
     return pq_probe(
         queries_df, cb, codes, vectors, k=5, shortlist_mult=16, m=16, dim=64
-    ).orderBy("query_id", "rank")
+    )
 
 
 def _pq_ann_sql(
@@ -6899,7 +6815,7 @@ def x_psar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "trade_date", "high", "low", "close", "psar",
         F.col("trend").cast("double").alias("trend"),
         "ep", F.col("af").cast("double").alias("af"),
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 def _psar_sql(af_step: int = 2, af_max: int = 20) -> str:
@@ -6986,7 +6902,7 @@ def x_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = trix(daily, ["user_id"], "trade_date", n=15)
     return out.select(
         "user_id", "trade_date", "close", "trix_ema", "trix"
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 def _trix_sql(n: int = 15) -> str:
@@ -7030,9 +6946,7 @@ def x_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = _daily_ohlcv(spark, sf_dir)
     out = cci(daily, ["user_id"], ["trade_date"], n=20)
-    return out.select("user_id", "trade_date", "close", "cci").orderBy(
-        "user_id", "trade_date"
-    )
+    return out.select("user_id", "trade_date", "close", "cci")
 
 
 def _cci_sql(n: int = 20) -> str:
@@ -7074,7 +6988,7 @@ def x_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = vortex(daily, ["user_id"], ["trade_date"], n=14)
     return out.select(
         "user_id", "trade_date", "close", "vi_plus", "vi_minus"
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 def _vortex_sql(n: int = 14) -> str:
@@ -7126,7 +7040,7 @@ def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("is_target").cast("int").alias("is_target"),
         "n_grams", "logw", "avg_logw",
-    ).orderBy("doc_id")
+    )
 
 
 _D_DSIR_SQL = rf"""
@@ -7196,7 +7110,7 @@ def d_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     out = bm25_topk(docs, _BM25_QUERIES, k=10)
-    return out.orderBy("query_id", "rank")
+    return out
 
 
 def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
@@ -7255,9 +7169,7 @@ def x_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = _daily_ohlcv(spark, sf_dir).select("user_id", "trade_date", "close")
     out = kama(daily, ["user_id"], "trade_date", n=10, fast=2, slow=30)
-    return out.select("user_id", "trade_date", "close", "er", "kama").orderBy(
-        "user_id", "trade_date"
-    )
+    return out.select("user_id", "trade_date", "close", "er", "kama")
 
 
 def _kama_sql(n: int = 10, fast: int = 2, slow: int = 30) -> str:
@@ -7321,9 +7233,7 @@ def x_vidya(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = _daily_ohlcv(spark, sf_dir).select("user_id", "trade_date", "close")
     out = vidya(daily, ["user_id"], "trade_date", n=9, s=12)
-    return out.select("user_id", "trade_date", "close", "cmo", "vidya").orderBy(
-        "user_id", "trade_date"
-    )
+    return out.select("user_id", "trade_date", "close", "cmo", "vidya")
 
 
 def _vidya_sql(n: int = 9, s: int = 12) -> str:
@@ -7388,9 +7298,7 @@ def x_klinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = _daily_ohlcv(spark, sf_dir)
     out = klinger(daily, ["user_id"], "trade_date")
-    return out.select("user_id", "trade_date", "kvo", "signal").orderBy(
-        "user_id", "trade_date"
-    )
+    return out.select("user_id", "trade_date", "kvo", "signal")
 
 
 def _klinger_sql(fast: int = 34, slow: int = 55, sig: int = 13) -> str:
@@ -7472,7 +7380,6 @@ def x_garch_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.filter(F.col("ret").isNotNull())
         .select("user_id", "trade_date", "ret", "cond_var", "sigma")
-        .orderBy("user_id", "trade_date")
     )
 
 
@@ -7677,9 +7584,7 @@ def s_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination(300)
-    return spark.table(name).orderBy(
-        "user_id", "view_id", F.col("purchase_id").asc_nulls_first()
-    )
+    return spark.table(name)
 
 
 _S_JOIN_OUTER_SQL = """
@@ -7768,9 +7673,7 @@ def x_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return chande_momentum(daily, ["user_id"], "trade_date", n=14).orderBy(
-        "user_id", "trade_date"
-    )
+    return chande_momentum(daily, ["user_id"], "trade_date", n=14)
 
 
 _X_CMO_SQL = f"""
@@ -7807,9 +7710,7 @@ def x_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return ulcer_index(daily, ["user_id"], "trade_date", n=14).orderBy(
-        "user_id", "trade_date"
-    )
+    return ulcer_index(daily, ["user_id"], "trade_date", n=14)
 
 
 _X_ULCER_SQL = f"""
@@ -7858,9 +7759,7 @@ def x_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
     out = sortino(rets, ["user_id"], "trade_date", n=20)
-    return out.select("user_id", "trade_date", "ret", "sortino").orderBy(
-        "user_id", "trade_date"
-    )
+    return out.select("user_id", "trade_date", "ret", "sortino")
 
 
 _X_SORTINO_SQL = f"""
@@ -7906,9 +7805,7 @@ def x_hull_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return hull_ma(daily, ["user_id"], "trade_date", n=16).orderBy(
-        "user_id", "trade_date"
-    )
+    return hull_ma(daily, ["user_id"], "trade_date", n=16)
 
 
 def _hull_sql(n: int = 16) -> str:
@@ -7960,7 +7857,7 @@ def x_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
     return return_autocorr(
         rets, ["user_id"], "trade_date", lag=1, min_pairs=3
-    ).orderBy("user_id")
+    )
 
 
 _X_AUTOCORR_SQL = f"""
@@ -8017,7 +7914,7 @@ def x_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = force_index(daily, ["user_id"], "trade_date", n=13)
     return out.select(
         "user_id", "trade_date", "close", "volume", "fi_1", "fi_n"
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 def _force_index_sql(n: int = 13) -> str:
@@ -8057,9 +7954,7 @@ def x_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return elder_ray(daily, ["user_id"], "trade_date", n=13).orderBy(
-        "user_id", "trade_date"
-    )
+    return elder_ray(daily, ["user_id"], "trade_date", n=13)
 
 
 def _elder_ray_sql(n: int = 13) -> str:
@@ -8100,9 +7995,7 @@ def x_nvi_pvi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return volume_index(daily, ["user_id"], "trade_date").orderBy(
-        "user_id", "trade_date"
-    )
+    return volume_index(daily, ["user_id"], "trade_date")
 
 
 _X_NVI_SQL = f"""
@@ -8155,7 +8048,7 @@ def d_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return ccnet_buckets(docs).orderBy("doc_id")
+    return ccnet_buckets(docs)
 
 
 _D_CCNET_SQL = rf"""
@@ -8240,7 +8133,7 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return hard_negatives(emb, k=5).orderBy("label", "rank")
+    return hard_negatives(emb, k=5)
 
 
 _EMB_HARDNEG_SQL = """
@@ -8289,9 +8182,7 @@ def x_dema_tema(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_ohlcv(spark, sf_dir).select(
         "user_id", "trade_date", "close"
     )
-    return dema_tema(daily, ["user_id"], "trade_date", n=10).orderBy(
-        "user_id", "trade_date"
-    )
+    return dema_tema(daily, ["user_id"], "trade_date", n=10)
 
 
 def _dema_sql(n: int = 10) -> str:
@@ -8331,9 +8222,7 @@ def x_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return linreg_slope(daily, ["user_id"], "trade_date", n=14).orderBy(
-        "user_id", "trade_date"
-    )
+    return linreg_slope(daily, ["user_id"], "trade_date", n=14)
 
 
 def _linreg_sql(n: int = 14) -> str:
@@ -8381,9 +8270,7 @@ def x_hist_var(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
-    return hist_var(rets, ["user_id"], "trade_date", min_obs=10).orderBy(
-        "user_id"
-    )
+    return hist_var(rets, ["user_id"], "trade_date", min_obs=10)
 
 
 _X_HISTVAR_SQL = f"""
@@ -8463,7 +8350,7 @@ def e_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f_bucket").cast("string"),
             F.col("m_bucket").cast("string"),
         ).alias("segment"),
-    ).orderBy("user_id")
+    )
 
 
 def _rfm_cut_block(name: str, col: str) -> str:
@@ -8527,9 +8414,7 @@ def x_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_ohlcv(spark, sf_dir).select(
         "user_id", "trade_date", "close"
     )
-    return kalman_1d(daily, ["user_id"], "trade_date").orderBy(
-        "user_id", "trade_date"
-    )
+    return kalman_1d(daily, ["user_id"], "trade_date")
 
 
 def _kalman_sql(q: float = 1e-5, r: float = 1e-2) -> str:
@@ -8599,7 +8484,6 @@ def s_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("bucket_start", "rank", "user_id", "num_events", "total_value")
-        .orderBy("bucket_start", "rank")
     )
 
 
@@ -8637,7 +8521,7 @@ def d_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return span_corruption(docs).orderBy("doc_id")
+    return span_corruption(docs)
 
 
 _D_SPANCORRUPT_SQL = rf"""
@@ -8697,9 +8581,7 @@ def x_coppock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return coppock_curve(daily, ["user_id"], "trade_date").orderBy(
-        "user_id", "trade_date"
-    )
+    return coppock_curve(daily, ["user_id"], "trade_date")
 
 
 def _coppock_sql(
@@ -8744,9 +8626,7 @@ def x_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return kst(daily, ["user_id"], "trade_date").orderBy(
-        "user_id", "trade_date"
-    )
+    return kst(daily, ["user_id"], "trade_date")
 
 
 def _kst_sql(
@@ -8819,7 +8699,7 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pca_project_scalar(emb, k=8).orderBy("vec_id")
+    return pca_project_scalar(emb, k=8)
 
 
 def _emb_pca_sql(k: int = 8) -> str:
@@ -8877,7 +8757,7 @@ def x_mc_var(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     rets = daily_returns(ev, ["user_id"], "ts", "event_id", "value")
-    return monte_carlo_var(rets, ["user_id"], n_paths=200).orderBy("user_id")
+    return monte_carlo_var(rets, ["user_id"], n_paths=200)
 
 
 def _mc_var_sql(
@@ -8956,9 +8836,7 @@ def x_mass_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return mass_index(daily, ["user_id"], "trade_date").orderBy(
-        "user_id", "trade_date"
-    )
+    return mass_index(daily, ["user_id"], "trade_date")
 
 
 def _mass_index_sql(ema_n: int = 9, sum_n: int = 25) -> str:
@@ -9015,7 +8893,7 @@ def x_stoch_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         q6("rsi_14", "rsi_14"),
         "stoch_rsi",
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_STOCHRSI_SQL = f"""
@@ -9221,7 +9099,7 @@ def x_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean_u / F.lit(1e6)).alias("mean_ret"),
         F.when(var_u > 0, F.sqrt(var_u) / F.lit(1e6)).alias("sd_ret"),
         tstat.alias("t_stat"),
-    ).orderBy("dow")
+    )
 
 
 _X_SEASONALITY_SQL = f"""
@@ -9269,7 +9147,7 @@ def d_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return bigram_xent(docs).orderBy("doc_id")
+    return bigram_xent(docs)
 
 
 def _bigram_xent_sql(lam: float = 0.7) -> str:
@@ -9334,7 +9212,6 @@ def e_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("_q").cast("double") / F.lit(1e6)).alias("bin_min"),
             (F.max("_q").cast("double") / F.lit(1e6)).alias("bin_max"),
         )
-        .orderBy("bin")
     )
 
 
@@ -9419,7 +9296,6 @@ def x_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r95").alias("p95_ret"),
             tail.alias("tail_ratio"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -9511,7 +9387,6 @@ def x_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_loss_streak"
             ),
         )
-        .orderBy("user_id")
     )
 
 
@@ -9603,7 +9478,6 @@ def d_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_grams").cast("double")
             ).alias("novelty"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -9728,7 +9602,6 @@ def d_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_docs").cast("double") / F.col("_t").cast("double")
             ).alias("frac_of_declared"),
         )
-        .orderBy("declared", "lang_guess")
     )
 
 
@@ -9778,7 +9651,6 @@ def e_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1e6)
             ).alias("mean_gap_sec"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -9849,7 +9721,6 @@ def x_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "length_days",
             "depth_pct",
         )
-        .orderBy("user_id", "episode_rank")
     )
 
 
@@ -9943,7 +9814,6 @@ def x_info_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ir.alias("info_ratio"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -10008,9 +9878,7 @@ def x_cmf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return chaikin_money_flow(daily, ["user_id"], "trade_date", n=20).orderBy(
-        "user_id", "trade_date"
-    )
+    return chaikin_money_flow(daily, ["user_id"], "trade_date", n=20)
 
 
 _X_CMF_SQL = f"""
@@ -10046,9 +9914,7 @@ def x_awesome(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return awesome_oscillator(daily, ["user_id"], "trade_date").orderBy(
-        "user_id", "trade_date"
-    )
+    return awesome_oscillator(daily, ["user_id"], "trade_date")
 
 
 _X_AWESOME_SQL = f"""
@@ -10085,9 +9951,7 @@ def x_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return detrended_price_osc(daily, ["user_id"], "trade_date", n=20).orderBy(
-        "user_id", "trade_date"
-    )
+    return detrended_price_osc(daily, ["user_id"], "trade_date", n=20)
 
 
 _X_DPO_SQL = f"""
@@ -10121,9 +9985,7 @@ def x_vwma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return vwma(daily, ["user_id"], "trade_date", n=20).orderBy(
-        "user_id", "trade_date"
-    )
+    return vwma(daily, ["user_id"], "trade_date", n=20)
 
 
 _X_VWMA_SQL = f"""
@@ -10158,9 +10020,7 @@ def x_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    return calmar_ratio(ev, ["user_id"], "ts", "event_id", "value").orderBy(
-        "user_id"
-    )
+    return calmar_ratio(ev, ["user_id"], "ts", "event_id", "value")
 
 
 _X_CALMAR_SQL = f"""
@@ -10211,7 +10071,7 @@ def d_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return gopher_rules(docs).orderBy("doc_id")
+    return gopher_rules(docs)
 
 
 _D_GOPHER_SQL = f"""
@@ -10281,7 +10141,6 @@ def e_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(mau, "month")
         .select("month", "n_days", "total_dau", "mau",
                 stick.alias("stickiness"))
-        .orderBy("month")
     )
 
 
@@ -10533,7 +10392,7 @@ def x_chop(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = choppiness_index(daily, ["user_id"], "trade_date", n=14)
     return out.select(
         "user_id", "trade_date", "close", "chop"
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_CHOP_SQL = f"""
@@ -10589,7 +10448,7 @@ def x_chandelier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "trade_date", "high", "low", "close",
         q6("tr", "tr"), "atr", "long_exit", "short_exit",
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_CHANDELIER_SQL = f"""
@@ -10633,9 +10492,7 @@ def x_renko(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return renko_bricks(daily, ["user_id"], "trade_date").orderBy(
-        "user_id", "trade_date"
-    )
+    return renko_bricks(daily, ["user_id"], "trade_date")
 
 
 _X_RENKO_SQL = f"""
@@ -10698,9 +10555,7 @@ def x_tsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "trade_date", "close"
     )
     out = tsi(daily, ["user_id"], "trade_date", slow=25, fast=13)
-    return out.select("user_id", "trade_date", "close", "mtm", "tsi").orderBy(
-        "user_id", "trade_date"
-    )
+    return out.select("user_id", "trade_date", "close", "mtm", "tsi")
 
 
 _X_TSI_SQL = f"""
@@ -10772,7 +10627,7 @@ def x_ppo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "macd",
         (F.lit(100.0) * F.col("macd") / F.col("ema_slow")).alias("ppo"),
-    ).orderBy("user_id", "timestamp_unix", "event_id")
+    )
 
 
 _X_PPO_SQL = """
@@ -10831,7 +10686,6 @@ def x_qstick(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1e6)
             ).alias("qstick"),
         )
-        .orderBy("user_id", "trade_date")
     )
 
 
@@ -10904,7 +10758,7 @@ def x_rvi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(6.0)
     return with_w.select(
         "user_id", "trade_date", "rvi", signal.alias("signal")
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_RVI_SQL = f"""
@@ -11155,7 +11009,7 @@ def x_crsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streak_rsi2",
         "pct_rank",
         crsi.alias("crsi"),
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_CRSI_SQL = f"""
@@ -11254,7 +11108,7 @@ def d_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return unimax_plan(docs, "lang", "text", epochs_max=2).orderBy("lang")
+    return unimax_plan(docs, "lang", "text", epochs_max=2)
 
 
 _D_UNIMAX_SQL = f"""
@@ -11338,7 +11192,6 @@ def d_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             rate.alias("sampling_rate"),
             (F.lit(1.0) / rate).alias("epochs_needed"),
         )
-        .orderBy("source")
     )
 
 
@@ -11391,7 +11244,6 @@ def e_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("returning_users"),
         )
-        .orderBy("activity_date")
     )
 
 
@@ -11436,7 +11288,6 @@ def d_source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_docs").cast("double") / F.col("_t").cast("double")
             ).alias("share"),
         )
-        .orderBy("source", "lang_guess")
     )
 
 
@@ -11468,9 +11319,7 @@ def x_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return zigzag_pivots(daily, ["user_id"], "trade_date", pct_bp=300).orderBy(
-        "user_id", "pivot_date"
-    )
+    return zigzag_pivots(daily, ["user_id"], "trade_date", pct_bp=300)
 
 
 def _zigzag_sql(pct_bp: int = 300) -> str:
@@ -11564,9 +11413,7 @@ def x_alligator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     daily = _daily_ohlcv(spark, sf_dir)
-    return alligator(daily, ["user_id"], "trade_date").orderBy(
-        "user_id", "trade_date"
-    )
+    return alligator(daily, ["user_id"], "trade_date")
 
 
 _X_ALLIGATOR_SQL = f"""
@@ -11718,7 +11565,7 @@ def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination(300)
-    return spark.table(name).orderBy("mktsegment", "event_type")
+    return spark.table(name)
 
 
 _S_STREAM_ENRICH_SQL = """
@@ -11794,7 +11641,7 @@ def x_ultimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         a("_b14", "_t14").alias("avg14"),
         a("_b28", "_t28").alias("avg28"),
         uo.alias("uo"),
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_ULTIMATE_SQL = f"""
@@ -11884,7 +11731,7 @@ def x_eom(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(wn).cast("double")
             / F.lit(1e6)
         ).alias("eom_sma14"),
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_EOM_SQL = f"""
@@ -11943,7 +11790,7 @@ def d_softdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.alias("weight"),
         n_toks.alias("n_tokens"),
         (n_toks.cast("double") * w).alias("effective_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 _D_SOFTDEDUP_SQL = f"""
@@ -11990,7 +11837,6 @@ def emb_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_5"
             ),
         )
-        .orderBy("query_id")
     )
 
 
@@ -12029,7 +11875,7 @@ def x_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = holt_linear(daily, ["user_id"], "trade_date")
     return out.select(
         "user_id", "trade_date", "close", "level", "trend", "forecast"
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 def _holt_sql(alpha6: int = 300_000, gamma6: int = 100_000) -> str:
@@ -12088,7 +11934,7 @@ def e_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.to_date("ts").alias("trade_date")
     ).agg(davg("value", "px"))
     out = cusum_drift(daily, ["user_id"], "trade_date", "px")
-    return out.orderBy("user_id", "trade_date")
+    return out
 
 
 _E_CUSUM_SQL = f"""
@@ -12203,7 +12049,7 @@ def d_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "covered",
         cov.alias("coverage"),
         (F.lit(1.0) - cov).alias("oov_rate"),
-    ).orderBy("k")
+    )
 
 
 _D_VOCAB_COVERAGE_SQL = rf"""
@@ -12269,7 +12115,6 @@ def e_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             bp.alias("benford_p"),
             F.abs(share - bp).alias("abs_dev"),
         )
-        .orderBy("digit")
     )
 
 
@@ -12315,7 +12160,7 @@ def d_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = docs.select("doc_id", "text")
     return bloom_might_contain(
         sk, probes, "text", id_cols=["doc_id"]
-    ).orderBy("doc_id")
+    )
 
 
 _D_BLOOM_SQL = """
@@ -12428,7 +12273,7 @@ def s_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination(300)
-    return spark.table(name).orderBy("user_id", "timestamp_unix", "event_id")
+    return spark.table(name)
 
 
 _S_CUSUM_SQL = """
@@ -12539,7 +12384,7 @@ def d_dup_components_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared oracle (the recursive-reachability SQL); the bench delta
     between the two rows IS the amortized chain cost, exactly as
     emb_ivf_probe prices the amortized Lloyd fit."""
-    return _dup_components_persisted(spark, sf_dir).orderBy("doc_id")
+    return _dup_components_persisted(spark, sf_dir)
 
 
 def d_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12568,7 +12413,6 @@ def d_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_removable"),
         )
-        .orderBy("cluster_size")
     )
 
 
@@ -12614,7 +12458,6 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_5"
             ),
         )
-        .orderBy("query_id")
     )
 
 
@@ -12669,7 +12512,7 @@ def x_fractals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low",
         fh.alias("fractal_high"),
         fl.alias("fractal_low"),
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_FRACTALS_SQL = f"""
@@ -12707,7 +12550,7 @@ def x_rvol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volume",
         rvol.alias("rvol"),
         F.coalesce(rvol >= F.lit(1.5), F.lit(False)).alias("volume_spike"),
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_RVOL_SQL = f"""
@@ -12774,7 +12617,7 @@ def x_squeeze(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kc_upper",
         "kc_lower",
         "squeeze_on",
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _X_SQUEEZE_SQL = f"""
@@ -12861,7 +12704,7 @@ def e_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_dev6") * F.lit(10000)
             > F.lit(3) * F.lit(14826) * F.col("_mad6")
         ).alias("is_anomaly"),
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _E_MAD_SQL = f"""
@@ -12933,7 +12776,7 @@ def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("p_id_asof").cast("double").alias("next_purchase_id"),
         F.col("p_value_asof").alias("next_purchase_value"),
-    ).orderBy("event_id")
+    )
 
 
 _J_ASOF_FWD_SQL = """
@@ -12983,7 +12826,7 @@ def d_dedup_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chars_removed",
         (F.col("n_remove").cast("double") / F.col("n_docs").cast("double"))
         .alias("removal_rate"),
-    ).orderBy("source")
+    )
 
 
 def _dedup_removal_plan_sql() -> str:
@@ -13023,9 +12866,7 @@ def x_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_ohlcv(spark, sf_dir).select(
         "user_id", "trade_date", "close"
     )
-    return t3_ma(daily, ["user_id"], "trade_date", n=10).orderBy(
-        "user_id", "trade_date"
-    )
+    return t3_ma(daily, ["user_id"], "trade_date", n=10)
 
 
 def _t3_sql(n: int = 10) -> str:
@@ -13140,7 +12981,7 @@ def s_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination(300)
-    return spark.table(name).orderBy("bucket_start", "known_user")
+    return spark.table(name)
 
 
 _S_STREAM_BLOOM_SQL = """
@@ -13518,7 +13359,7 @@ def s_emb_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec("caught_probe1").alias("recall_probe1"),
         "caught_probe2",
         rec("caught_probe2").alias("recall_probe2"),
-    ).orderBy("scenario")
+    )
 
 
 def _s_emb_drift_recall_sql(
@@ -13664,7 +13505,6 @@ def s_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("_p") + 1).cast("int").alias("rn"),
                 "h",
             )
-            .orderBy("event_type", "rn")
         )
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
@@ -13980,9 +13820,7 @@ def x_mcginley(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_ohlcv(spark, sf_dir).select(
         "user_id", "trade_date", "close"
     )
-    return mcginley_dynamic(daily, ["user_id"], "trade_date", n=10).orderBy(
-        "user_id", "trade_date"
-    )
+    return mcginley_dynamic(daily, ["user_id"], "trade_date", n=10)
 
 
 _X_MCGINLEY_SQL = f"""
@@ -14062,7 +13900,6 @@ def x_vwap_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vwap") + F.lit(2.0) * F.col("_sd")).alias("vwap_upper"),
             (F.col("vwap") - F.lit(2.0) * F.col("_sd")).alias("vwap_lower"),
         )
-        .orderBy("user_id", "timestamp_unix", "event_id")
     )
 
 
@@ -14137,7 +13974,7 @@ def x_elder_impulse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "macd",
         "hist",
         impulse.alias("impulse"),
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 def _elder_impulse_sql() -> str:
@@ -14205,7 +14042,7 @@ def e_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (s.cast("double") / c.cast("double")).alias("trailing_avg"),
         burst.alias("is_burst"),
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 _E_BURST_SQL = """
@@ -14343,7 +14180,6 @@ def d_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             # caps. 1/4 = the explicit doc_id % 4 == 0 sample above.
             F.lit(0.25).alias("sample_frac"),
         )
-        .orderBy("threshold")
     )
 
 
@@ -14393,9 +14229,7 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     media = text_as_media(docs)
-    return frame_sample(media, every_ms=1000, fake=True).orderBy(
-        "media_id", "frame_offset_ms"
-    )
+    return frame_sample(media, every_ms=1000, fake=True)
 
 
 _M_FRAME_SQL = """
@@ -14465,7 +14299,7 @@ def j_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         nearest_id.cast("double").alias("nearest_purchase_id"),
         (gap.cast("double") / F.lit(1e6)).alias("gap_seconds"),
-    ).orderBy("event_id")
+    )
 
 
 _J_NEAREST_SQL = """
@@ -14582,7 +14416,6 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # VERDICT r9 ask #6: surface the explicit doc_id % 2 == 0
         # sample in the output itself — no silent caps.
         .withColumn("sample_frac", F.lit(0.5))
-        .orderBy("source_a", "source_b")
     )
 
 
@@ -14657,7 +14490,6 @@ def o_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(revenue, "revenue"),
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -14685,9 +14517,7 @@ def x_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_ohlcv(spark, sf_dir).select(
         "user_id", "trade_date", "close"
     )
-    return holt_winters(daily, ["user_id"], "trade_date", period=7).orderBy(
-        "user_id", "trade_date"
-    )
+    return holt_winters(daily, ["user_id"], "trade_date", period=7)
 
 
 def _holt_winters_sql(
@@ -14772,7 +14602,7 @@ def x_holt_winters_mul(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return holt_winters_multiplicative(
         daily, ["user_id"], "trade_date", period=7
-    ).orderBy("user_id", "trade_date")
+    )
 
 
 def _holt_winters_mul_sql(
@@ -14965,7 +14795,7 @@ def x_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mae_regime_holt"
         ),
         champion.alias("champion"),
-    ).orderBy("user_id")
+    )
 
 
 def _forecast_backtest_sql() -> str:
@@ -15069,7 +14899,6 @@ def x_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1e9)
             ).alias("illiq"),
         )
-        .orderBy("user_id", "month")
     )
 
 
@@ -15146,7 +14975,6 @@ def x_rsi_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bearish_div",
             "bullish_div",
         )
-        .orderBy("user_id", "trade_date")
     )
 
 
@@ -15272,7 +15100,7 @@ def x_vol_cone(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.element_at("_a", F.col("_n")).cast("double") / 1e6).alias(
             "vol_max"
         ),
-    ).orderBy("user_id", "horizon")
+    )
 
 
 def _vol_cone_sql() -> str:
@@ -15350,7 +15178,7 @@ def d_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pos(3, 4).alias("tok_p75"),
         _pos(9, 10).alias("tok_p90"),
         F.element_at("_a", F.col("_n")).alias("tok_max"),
-    ).orderBy("source")
+    )
 
 
 _D_LENGTH_QUANTILES_SQL = rf"""
@@ -15459,7 +15287,7 @@ def o_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_rows").cast("double"),
             )
         )
-    return out[0].unionByName(out[1]).orderBy("layout")
+    return out[0].unionByName(out[1])
 
 
 def _zorder_skipping_sql() -> str:
@@ -15539,9 +15367,7 @@ def x_regime_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumed-once checkpoint rule as e_rfm_segments' pu
         .localCheckpoint()
     )
-    return regime_viterbi(r, ["user_id"], "trade_date").orderBy(
-        "user_id", "trade_date"
-    )
+    return regime_viterbi(r, ["user_id"], "trade_date")
 
 
 def x_regime_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15578,9 +15404,7 @@ def x_regime_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Window->FlatMapGroupsInPandas trap, see x_regime_viterbi)
         .localCheckpoint()
     )
-    return regime_conditional_holt(r, ["user_id"], "trade_date").orderBy(
-        "user_id", "trade_date"
-    )
+    return regime_conditional_holt(r, ["user_id"], "trade_date")
 
 
 def _x_regime_holt_sql(
@@ -15754,7 +15578,7 @@ def e_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lo.cast("double") / 1e6).alias("est_lo"),
         (hi.cast("double") / 1e6).alias("est_hi"),
         F.col("_n").cast("long").alias("n_total"),
-    ).orderBy("pct")
+    )
 
 
 def _hdr_quantiles_sql(max_e: int = 40) -> str:
@@ -15902,7 +15726,6 @@ def e_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_common") / F.col("est_union")).alias("est_jaccard"),
             F.coalesce("exact_common", F.lit(0)).alias("exact_common"),
         )
-        .orderBy("type_a", "type_b")
     )
 
 

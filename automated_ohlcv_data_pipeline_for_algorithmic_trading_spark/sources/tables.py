@@ -39,11 +39,25 @@ NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+#: Per-(dir, table) parquet schema cache — METADATA only, the local
+#: stand-in for a catalog (which is what serves schemas at 100 TB).
+#: Without it every query invocation pays a footer-inference Spark job
+#: before any real work (~0.2 s/query locally, a driver-side listing +
+#: footer read at scale). Never caches rows or results; first access in
+#: a process still reads the footers.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ts_cols = NANOS_TS_COLS.get(name, ())
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cached = _SCHEMA_CACHE.get((sf_dir, name))
+    if cached is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _SCHEMA_CACHE[(sf_dir, name)] = df.schema
+    else:
+        df = spark.read.schema(cached).parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in ts_cols:
         if c not in df.columns:
