@@ -13034,9 +13034,8 @@ def s_stream_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids (the _ivf_assign_ctes chain on the corpus subset),
     assigns both halves, and applies the same cell-local smaller-id
     rule (streaming/pipeline.emb_dedup_ingest_sink; the twelfth
-    oracle-checked streaming query). Output: surviving (vec_id, cell),
-    ordered."""
-    surv, _ = _run_emb_dedup_stream(spark, sf_dir)
+    oracle-checked streaming query). Output: surviving (vec_id, cell)."""
+    surv, _ = _run_emb_dedup_stream(spark, sf_dir, count_index=False)
     return surv
 
 
@@ -13083,6 +13082,7 @@ def _run_emb_dedup_stream(
     sf_dir: str,
     n_batches: int = 4,
     threshold: float = 0.35,
+    count_index: bool = True,
 ) -> tuple[DataFrame, int]:
     """Shared runner for the streaming embedding dedup (query +
     batch-independence / index-growth tests): builds the persisted IVF
@@ -13118,26 +13118,51 @@ def _run_emb_dedup_stream(
         # id-MONOTONE batch files (contiguous id ranges) with strictly
         # increasing mtimes — the file source processes oldest first, so
         # the arrival order is the id order and the greedy smaller-id
-        # rule is batch-boundary-free
+        # rule is batch-boundary-free. All n files come out of ONE
+        # partitionBy("_b") job (the batch tag replays the same
+        # [lo, hi) ranges); the holdout scan is a single input split, so
+        # each range directory holds exactly one part file — previously
+        # this was n_batches separate repartition(1) write jobs.
         mx = stream_set.agg(F.max("vec_id")).collect()[0][0] or 0
         os.makedirs(f"{root}/in", exist_ok=True)
+        bounds = [
+            (mx + 1) * i // n_batches for i in range(n_batches + 1)
+        ]
+        tag = F.lit(n_batches - 1)
+        for i in range(n_batches - 1, 0, -1):
+            tag = F.when(F.col("vec_id") < bounds[i], i - 1).otherwise(tag)
+        tmpd = f"{root}/parts"
+        (
+            stream_set.withColumn("_b", tag.cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(tmpd)
+        )
         for i in range(n_batches):
-            lo = (mx + 1) * i // n_batches
-            hi = (mx + 1) * (i + 1) // n_batches
-            tmpd = f"{root}/part{i}"
-            (
-                stream_set.filter(
-                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-                )
-                .repartition(1)
-                .write.mode("overwrite")
-                .parquet(tmpd)
-            )
-            part = next(
-                f for f in os.listdir(tmpd) if f.endswith(".parquet")
-            )
+            bdir = os.path.join(tmpd, f"_b={i}")
+            parts = [
+                f for f in os.listdir(bdir) if f.endswith(".parquet")
+            ] if os.path.isdir(bdir) else []
             dst = f"{root}/in/b{i}.parquet"
-            shutil.move(os.path.join(tmpd, part), dst)
+            if len(parts) == 1:
+                shutil.move(os.path.join(bdir, parts[0]), dst)
+            else:
+                # multi-split scan (bigger-than-bench inputs): coalesce
+                # this range to one file the slow-but-sure way
+                lo, hi = bounds[i], bounds[i + 1]
+                onep = f"{root}/part{i}"
+                (
+                    stream_set.filter(
+                        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                    )
+                    .repartition(1)
+                    .write.mode("overwrite")
+                    .parquet(onep)
+                )
+                part = next(
+                    f for f in os.listdir(onep) if f.endswith(".parquet")
+                )
+                shutil.move(os.path.join(onep, part), dst)
             os.utime(dst, (1_600_000_000 + i * 10, 1_600_000_000 + i * 10))
         src = (
             spark.readStream.schema(stream_set.schema)
@@ -13158,13 +13183,19 @@ def _run_emb_dedup_stream(
                 available_now=True,
             )
             q.awaitTermination(300)
-        n_index = spark.read.parquet(f"{root}/index/assignments").count()
+        # the index row count is a test-only observable (index-growth
+        # invariants); the registry query discards it, so skip the
+        # read+count job unless asked for
+        n_index = (
+            spark.read.parquet(f"{root}/index/assignments").count()
+            if count_index
+            else -1
+        )
         # pin the result before the scratch dirs go away (bounded: the
         # surviving subset of the 10% holdout)
         surv = (
             spark.read.parquet(f"{root}/survivors")
             .select("vec_id", F.col("cell").cast("int").alias("cell"))
-            .orderBy("vec_id")
             .localCheckpoint()
         )
         return surv, n_index
@@ -13454,7 +13485,6 @@ def s_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sketch import (
         kmv_group_sketch,
     )
-    from pyspark.sql import Window as W
 
     k = _KMV_K
     tune(spark)
@@ -13474,16 +13504,23 @@ def s_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _merge_batch(batch_df: DataFrame, _bid: int) -> None:
             sk = kmv_group_sketch(batch_df, ["event_type"], "user_id", k=k)
             if "s" in state:
+                # bottom-k of the union in ONE aggregation: the input is
+                # ≤ 2k hashes per type by construction (two packed
+                # sketches), so the collect_set buffer is bounded and
+                # slice(array_sort(...), 1, k) is exactly the
+                # distinct→row_number≤k→sort_array chain this replaces —
+                # one shuffle per merge instead of a distinct exchange
+                # plus a window sort (operators keep the window form,
+                # which spills; HERE the 2k bound makes the buffer safe)
                 both = state["s"].unionByName(sk)
-                exploded = both.select(
-                    "event_type", F.explode("hs").alias("_h")
-                ).distinct()
-                win = W.partitionBy("event_type").orderBy("_h")
                 sk = (
-                    exploded.withColumn("_rn", F.row_number().over(win))
-                    .filter(F.col("_rn") <= k)
+                    both.select("event_type", F.explode("hs").alias("_h"))
                     .groupBy("event_type")
-                    .agg(F.sort_array(F.collect_list("_h")).alias("hs"))
+                    .agg(
+                        F.slice(
+                            F.array_sort(F.collect_set("_h")), 1, k
+                        ).alias("hs")
+                    )
                 )
             # the running sketch is <= n_types x k longs: checkpoint it
             # so lineage never chains across micro-batches
@@ -13721,7 +13758,6 @@ def _run_freshness_pipeline(
                 F.min("low").alias("min_value"),
                 F.count(F.lit(1)).alias("num_candles"),
             )
-            .orderBy("symbol_clean", "trade_date")
             .localCheckpoint()
         )
         local = rollup.collect()
@@ -14695,8 +14731,16 @@ def x_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         regime_conditional_holt,
     )
 
-    daily = _daily_ohlcv(spark, sf_dir).select(
-        "user_id", "trade_date", "close"
+    # ONE daily rollup for all five contenders: the four fold operators
+    # each project different columns before their repartition, so
+    # ReuseExchange cannot unify the branches and the plan re-ran the
+    # events scan + two-level rollup once per contender (4 scans + 8
+    # SortAggregates in the r12 before-plan). The checkpointed rollup is
+    # keys x days rows — bounded — and every branch now starts from it.
+    daily = (
+        _daily_ohlcv(spark, sf_dir)
+        .select("user_id", "trade_date", "close")
+        .localCheckpoint()
     )
     h = holt_linear(daily, ["user_id"], "trade_date").select(
         "user_id", "trade_date", "close", F.col("forecast").alias("_fh")

@@ -75,8 +75,15 @@ def distributed_row_number(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     order_by = list(order_by)
 
+    # Materialize the INPUT before the range exchange: the
+    # RangePartitioner's bounds-sampling job executes the child once and
+    # the shuffle map pass executes it again, so an expensive upstream
+    # pipeline ran TWICE per rank. Checkpointing first makes both passes
+    # read the materialized rows; the transient storage is the same
+    # narrow (keys, order-cols) table the checkpoint below already pins.
     stamped = (
-        df.repartitionByRange(num_partitions, *order_by)
+        df.localCheckpoint()
+        .repartitionByRange(num_partitions, *order_by)
         .withColumn(_PID, F.spark_partition_id())
         .localCheckpoint()
     )
@@ -149,8 +156,15 @@ def distributed_running_sum(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     order_by = list(order_by)
 
+    # Materialize the INPUT before the range exchange: the
+    # RangePartitioner's bounds-sampling job executes the child once and
+    # the shuffle map pass executes it again, so an expensive upstream
+    # pipeline ran TWICE per rank. Checkpointing first makes both passes
+    # read the materialized rows; the transient storage is the same
+    # narrow (keys, order-cols) table the checkpoint below already pins.
     stamped = (
-        df.repartitionByRange(num_partitions, *order_by)
+        df.localCheckpoint()
+        .repartitionByRange(num_partitions, *order_by)
         .withColumn(_PID, F.spark_partition_id())
         .localCheckpoint()
     )

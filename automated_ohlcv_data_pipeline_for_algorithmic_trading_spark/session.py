@@ -32,7 +32,15 @@ def _cpus() -> int:
 
 def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply runtime confs to an externally-created session (e.g. the
-    verification driver's). Only touches confs settable post-start."""
+    verification driver's). Only touches confs settable post-start.
+
+    Idempotent per session object: every table load funnels through
+    here, and re-setting ~9 unchanged confs is a py4j round-trip each —
+    a few ms per call that adds up over a 271-query sweep. The sentinel
+    keys on (session, requested width) so an explicit different
+    shuffle_partitions still applies."""
+    if getattr(spark, "_ohlcv_tuned_width", "unset") == shuffle_partitions:
+        return spark
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
@@ -42,6 +50,10 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
     except Exception:  # pragma: no cover
+        pass
+    try:
+        spark._ohlcv_tuned_width = shuffle_partitions
+    except Exception:  # pragma: no cover - frozen session object
         pass
     return spark
 

@@ -384,6 +384,14 @@ def emb_dedup_ingest_sink(
 
     spark = emb_stream.sparkSession
 
+    # Read static metadata ONCE at sink construction, not once per
+    # micro-batch: the centroid table never changes while the stream
+    # runs (the quantizer is fit offline), and the assignments table's
+    # SCHEMA is fixed even though its file set grows — re-inferring both
+    # per batch paid a footer-read job per micro-batch for nothing.
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    assign_schema = spark.read.parquet(f"{index_dir}/assignments").schema
+
     def _quant(df: DataFrame, vcol: str) -> DataFrame:
         return df.withColumn(
             "_qv",
@@ -398,7 +406,6 @@ def emb_dedup_ingest_sink(
     def _process(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        cents = spark.read.parquet(f"{index_dir}/centroids")
         base = batch.select(
             F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
         )
@@ -425,52 +432,52 @@ def emb_dedup_ingest_sink(
             r[0] for r in assigned.select("cell").distinct().collect()
         ]
         iq = _quant(
-            spark.read.parquet(f"{index_dir}/assignments").filter(
-                F.col("cell").isin(touched)
-            ),
+            spark.read.schema(assign_schema)
+            .parquet(f"{index_dir}/assignments")
+            .filter(F.col("cell").isin(touched)),
             "vec",
         ).select(
             F.col("cell"),
-            F.col("vec_id").alias("_idx_id"),
-            F.col("_qv").alias("_qi"),
-            F.col("_sq").alias("_si"),
+            F.col("vec_id").alias("_oid"),
+            F.col("_qv").alias("_qo"),
+            F.col("_sq").alias("_so"),
+            F.lit(True).alias("_isidx"),
         )
-        cos_idx = dot(F.col("_qv"), F.col("_qi")) / (
-            F.sqrt(F.col("_sq")) * F.sqrt(F.col("_si"))
+        # ONE candidate side: index entries (match rule: any other id —
+        # never a vector against ITSELF in the index, or a foreachBatch
+        # retry after a partial failure would self-match every replayed
+        # vector at cosine 1.0 and silently drop the whole batch from
+        # survivors, round-10 ADVICE) unioned with the batch's own
+        # vectors (match rule: smaller id only — the greedy in-batch
+        # order). Tagging the side and filtering with one CASE halves
+        # the per-batch join count: previously this was two broadcast
+        # joins + two distincts + a union + a third distinct.
+        cand = iq.unionByName(
+            bq.select(
+                "cell",
+                F.col("vec_id").alias("_oid"),
+                F.col("_qv").alias("_qo"),
+                F.col("_sq").alias("_so"),
+                F.lit(False).alias("_isidx"),
+            )
+        )
+        cos = dot(F.col("_qo"), F.col("_qv")) / (
+            F.sqrt(F.col("_so")) * F.sqrt(F.col("_sq"))
         )
         # the landing batch is the small side BY DESIGN (one micro-batch
         # vs the whole index): broadcast it so the index side is a scan
         # + broadcast hash join, never a shuffle of the corpus
-        dup_idx = (
-            iq.join(F.broadcast(bq), "cell")
-            # never match a vector against ITSELF in the index: on a
-            # foreachBatch retry after a partial failure (assignments
-            # appended, checkpoint not committed) the replayed batch is
-            # already indexed and every vector would self-match at
-            # cosine 1.0, silently dropping the whole batch from
-            # survivors (round-10 ADVICE)
-            .filter(F.col("_idx_id") != F.col("vec_id"))
-            .filter((F.col("_sq") > 0.0) & (F.col("_si") > 0.0))
-            .filter(cos_idx >= F.lit(threshold))
+        dups = (
+            cand.join(F.broadcast(bq.select("cell", "vec_id", "_qv", "_sq")), "cell")
+            .filter(
+                (F.col("_isidx") & (F.col("_oid") != F.col("vec_id")))
+                | (~F.col("_isidx") & (F.col("_oid") < F.col("vec_id")))
+            )
+            .filter((F.col("_so") > 0.0) & (F.col("_sq") > 0.0))
+            .filter(cos >= F.lit(threshold))
             .select("vec_id")
             .distinct()
         )
-        a = bq.select(
-            "cell", F.col("vec_id").alias("_ida"),
-            F.col("_qv").alias("_qa"), F.col("_sq").alias("_sa"),
-        )
-        cos_ab = dot(F.col("_qa"), F.col("_qv")) / (
-            F.sqrt(F.col("_sa")) * F.sqrt(F.col("_sq"))
-        )
-        dup_in_batch = (
-            a.join(F.broadcast(bq.select("cell", "vec_id", "_qv", "_sq")), "cell")
-            .filter(F.col("_ida") < F.col("vec_id"))
-            .filter((F.col("_sa") > 0.0) & (F.col("_sq") > 0.0))
-            .filter(cos_ab >= F.lit(threshold))
-            .select("vec_id")
-            .distinct()
-        )
-        dups = dup_idx.unionByName(dup_in_batch).distinct()
         (
             assigned.join(dups, "vec_id", "left_anti")
             .select("vec_id", "cell")

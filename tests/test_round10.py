@@ -150,8 +150,11 @@ def test_emb_dedup_stream_batch_independence_and_index_growth(spark, sf_dir):
 
     s1, idx1 = E._run_emb_dedup_stream(spark, sf_dir, n_batches=1)
     s4, idx4 = E._run_emb_dedup_stream(spark, sf_dir, n_batches=4)
-    rows1 = [(r["vec_id"], r["cell"]) for r in s1.collect()]
-    rows4 = [(r["vec_id"], r["cell"]) for r in s4.collect()]
+    # sorted: the survivor SET is the batch-independence claim — the
+    # runner no longer imposes a presentation orderBy, so collect order
+    # follows parquet file layout, which legitimately differs by run
+    rows1 = sorted((r["vec_id"], r["cell"]) for r in s1.collect())
+    rows4 = sorted((r["vec_id"], r["cell"]) for r in s4.collect())
     assert rows1 == rows4, "survivors depend on batch boundaries"
     assert idx1 == n_corpus + n_stream
     assert idx4 == n_corpus + n_stream

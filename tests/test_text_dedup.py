@@ -685,8 +685,11 @@ class TestDupComponentsLifecycle:
 
         import __spark_entry__ as E
 
-        one_shot = E.d_dup_components(spark, sf_dir).collect()
-        probe = E.d_dup_components_probe(spark, sf_dir).collect()
+        # sorted: the contract is the decision SET — the registry rows no
+        # longer impose a presentation orderBy, so collect order follows
+        # partitioning (probe reads parquet, one-shot a fresh chain)
+        one_shot = sorted(E.d_dup_components(spark, sf_dir).collect())
+        probe = sorted(E.d_dup_components_probe(spark, sf_dir).collect())
         assert probe == one_shot
         # the artifact exists and is keyed on the source file
         idx = E._dup_index_dir(sf_dir, 0.95)
