@@ -2733,14 +2733,14 @@ def d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE reachability query (min label over each vertex's
     reachable set) — exact for any component diameter."""
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
-        near_dup_components,
+        minhash_dup_decisions,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs, threshold=0.95)
-    return near_dup_components(
-        pairs, rounds=3, extend_until_converged=True
-    )
+    # rep-level components (exact same fixed point, proven in the
+    # operator docstring + pinned by test): the member-pair expansion —
+    # quadratic in replica count — is never materialized
+    return minhash_dup_decisions(docs, threshold=0.95)
 
 
 def _reach_ctes(pairs_cte: str = "pairs") -> list[str]:
@@ -5269,7 +5269,7 @@ def d_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate,
     )
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
-        near_dup_components,
+        minhash_dup_decisions,
     )
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.sampling import (
         hash_split,
@@ -5297,11 +5297,7 @@ def d_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus_t = base.filter(F.col("doc_id") % 50 != 0)
     bench_t = base.filter(F.col("doc_id") % 50 == 0)
-    comp = near_dup_components(
-        minhash_near_dup_pairs(base, threshold=0.95, tokens_col="_ts"),
-        rounds=3,
-        extend_until_converged=True,
-    )
+    comp = minhash_dup_decisions(base, threshold=0.95, tokens_col="_ts")
     q = quality_score(corpus_t, tokens_col="_ts").select("doc_id", "quality_score")
     cont = decontaminate(corpus_t, bench_t, ngram=3, tokens_col="_ts").select(
         "doc_id", "is_contaminated"
@@ -12359,7 +12355,7 @@ def _dup_components_persisted(
     import os
 
     from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
-        near_dup_components,
+        minhash_dup_decisions,
     )
 
     idx = _dup_index_dir(sf_dir, threshold)
@@ -12367,10 +12363,7 @@ def _dup_components_persisted(
     comp_path = os.path.join(idx, "components")
     if not os.path.exists(marker):
         docs = _t(spark, sf_dir, "documents")
-        pairs = minhash_near_dup_pairs(docs, threshold=threshold)
-        comp = near_dup_components(
-            pairs, rounds=3, extend_until_converged=True
-        )
+        comp = minhash_dup_decisions(docs, threshold=threshold)
         comp.write.mode("overwrite").parquet(comp_path)
         with open(marker, "w") as fh:
             fh.write("ok\n")

@@ -338,10 +338,16 @@ def minhash_near_dup_pairs(
     withg, rep_pairs = minhash_group_rep_pairs(
         df, text_col, id_col, threshold, k, bands, rows, tokens_col
     )
-    # Expansion. Within a set-group every member pair has Jaccard exactly
-    # 1.0 (nonempty sets; empty sets define Jaccard 0 and never emit, just
-    # as they never reach the band join — explode drops them). Across two
-    # groups every member pair inherits the verified rep-pair Jaccard.
+    return _expand_member_pairs(withg, rep_pairs)
+
+
+def _expand_member_pairs(withg: DataFrame, rep_pairs: DataFrame) -> DataFrame:
+    """Member-level expansion of :func:`minhash_group_rep_pairs` output.
+
+    Within a set-group every member pair has Jaccard exactly 1.0
+    (nonempty sets; empty sets define Jaccard 0 and never emit, just as
+    they never reach the band join — explode drops them). Across two
+    groups every member pair inherits the verified rep-pair Jaccard."""
     ma = withg.select("_gid", F.col("_id").alias("doc_a"), "_sz")
     mb = withg.select("_gid", F.col("_id").alias("doc_b"))
     intra = (
@@ -362,6 +368,113 @@ def minhash_near_dup_pairs(
         )
     )
     return intra.unionByName(cross)
+
+
+def minhash_dup_decisions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    k: int | None = None,
+    bands: int | None = None,
+    rows: int | None = None,
+    tokens_col: str | None = None,
+    small_graph_max_edges: int = 1_000_000,
+) -> DataFrame:
+    """Converged dedup decisions ``(doc_id, keeper_id)`` straight from the
+    DISTINCT-SET level — the exact fixed point of
+    ``near_dup_components(minhash_near_dup_pairs(df), extend_until_converged
+    =True)`` without ever materializing the member-level pair expansion.
+
+    Why this is the same answer: every set-group is a clique at the
+    member level (identical token sets, Jaccard 1.0 between any two
+    members), and a verified rep pair (ga, gb) connects EVERY member of
+    ga with every member of gb — so the member-level connected components
+    are exactly the group-level components expanded over membership. The
+    group id ``_gid`` is already the MINIMUM member id of its group
+    (``min(_id) over (partition by set-key)``), so the component-minimum
+    doc id — the keeper — is the minimum ``_gid`` over the group-level
+    component.
+
+    Why it scales better: the member expansion materializes C(m, 2) rows
+    per m-replica group (quadratic in replica count — the exact blow-up
+    the rep-level machinery exists to avoid) only for the components step
+    to collapse them back. Here the components run on the REP graph,
+    whose size tracks distinct-content near-dup density, and membership
+    is attached with one broadcast of the (group -> keeper) map.
+
+    Vertex contract (matches the member-level path exactly): a doc gets a
+    decision row iff it appears in >= 1 member pair, i.e. its group has
+    m >= 2 members with a nonempty token set (intra clique) OR its group
+    touches a verified rep pair (cross edges; rep pairs imply nonempty
+    sets). Everything else is absent from the output, exactly as before.
+
+    Falls back to the member-level path when the rep graph exceeds
+    ``small_graph_max_edges`` (same bounded-collect class and bound as
+    :func:`near_dup_components`'s driver fast path) or carries NULL ids.
+    """
+    withg, rep_pairs = minhash_group_rep_pairs(
+        df, text_col, id_col, threshold, k, bands, rows, tokens_col
+    )
+    rep_rows = (
+        rep_pairs.select("_ga", "_gb").limit(small_graph_max_edges + 1).collect()
+    )
+    if len(rep_rows) > small_graph_max_edges or any(
+        r[0] is None or r[1] is None for r in rep_rows
+    ):
+        return near_dup_components(
+            _expand_member_pairs(withg, rep_pairs),
+            extend_until_converged=True,
+            small_graph_max_edges=small_graph_max_edges,
+        )
+    # driver union-find over the rep graph, union by MIN id so every
+    # root is its component's minimum group id (= minimum member id)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rep_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    spark = df.sparkSession
+    id_type = withg.schema["_gid"].dataType
+    map_schema = StructType(
+        [
+            StructField("_gid", id_type, False),
+            StructField("_rep_keeper", id_type, False),
+        ]
+    )
+    rep_map = spark.createDataFrame(
+        [(g, find(g)) for g in parent], map_schema
+    )
+    # group size via one narrow (id, gid, sz) window — no driver
+    # transfer, no array columns; withg is already checkpointed
+    m = F.count(F.lit(1)).over(Window.partitionBy("_gid"))
+    members = withg.select("_id", "_gid", "_sz").withColumn("_m", m)
+    return (
+        members.join(F.broadcast(rep_map), "_gid", "left")
+        .filter(
+            ((F.col("_m") >= 2) & (F.col("_sz") > 0))
+            | F.col("_rep_keeper").isNotNull()
+        )
+        .select(
+            F.col("_id").alias("doc_id"),
+            F.coalesce(F.col("_rep_keeper"), F.col("_gid")).alias("keeper_id"),
+        )
+    )
 
 
 #: exact_jaccard_pairs is an O(n^2) BASELINE (the oracle twin of the

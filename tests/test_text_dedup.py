@@ -708,3 +708,64 @@ class TestDupComponentsLifecycle:
         a = E._dup_index_dir(sf_dir, 0.95)
         b = E._dup_index_dir(sf_dir, 0.80)
         assert a != b  # threshold is part of the key
+
+
+def test_minhash_dup_decisions_matches_member_level_fixed_point(spark, sf_dir):
+    """The rep-level decision operator must reproduce the EXACT converged
+    fixed point of the member-level path (expansion + components) — same
+    vertex set, same keepers — on a corpus that exercises every vertex
+    class: an exact-dup clique, cross-group near-dups, duplicated EMPTY
+    docs (never vertices), and unique singletons (never vertices)."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        minhash_dup_decisions,
+        minhash_near_dup_pairs,
+        near_dup_components,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources.tables import (
+        load_table,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # group A: three exact copies (one set-group, m=3 clique)
+        (1, base),
+        (2, base),
+        (7, base),
+        # group B: near-dup of A (drops one of ten tokens -> J = 0.9)
+        (3, base.rsplit(" ", 1)[0]),
+        # empty docs: duplicated but never vertices
+        (4, ""),
+        (5, ""),
+        # unique singleton: not a vertex
+        (6, "totally unrelated content nothing shared here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for threshold in (0.8, 0.95):
+        got = sorted(
+            tuple(r)
+            for r in minhash_dup_decisions(docs, threshold=threshold).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in near_dup_components(
+                minhash_near_dup_pairs(docs, threshold=threshold),
+                extend_until_converged=True,
+            ).collect()
+        )
+        assert got == want
+    # at 0.8 the near-dup joins the clique's component; keeper is the min
+    by_id = dict(got)
+    assert 4 not in by_id and 5 not in by_id and 6 not in by_id
+    # and on the real fixture corpus the two paths agree exactly
+    corpus = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        tuple(r) for r in minhash_dup_decisions(corpus, threshold=0.95).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in near_dup_components(
+            minhash_near_dup_pairs(corpus, threshold=0.95),
+            extend_until_converged=True,
+        ).collect()
+    )
+    assert got == want
