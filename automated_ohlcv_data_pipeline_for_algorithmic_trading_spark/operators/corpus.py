@@ -391,6 +391,60 @@ def bpe_token_counts(
     )
 
 
+#: Driver-fit bound for :func:`_bpe_fit` — the fit input is the DISTINCT
+#: word table (vocabulary), which grows sublinearly with corpus size
+#: (Heaps' law; ~10M words at 100 TB). Below this bound the whole fit is
+#: a bounded collect + pure-Python fold (the near_dup_components
+#: union-find precedent: ~100 MB of driver memory worst case); above it
+#: the distributed per-round loop runs unchanged.
+BPE_DRIVER_MAX_WORDS = 200_000
+
+
+def _bpe_fit_driver(
+    rows: list, rounds: int
+) -> tuple[list[tuple[int, str, str, int]], list[tuple[str, int, list[str]]]]:
+    """Pure-Python BPE fit over a collected (word, cnt) table — the exact
+    semantics of the distributed loop: per round, pair frequencies
+    weighted by word count; argmax by (freq DESC, lhs, rhs) (Python str
+    comparison is by code point; Spark/DuckDB binary UTF-8 order is
+    identical because UTF-8 preserves code-point order); greedy
+    left-to-right non-overlapping merge application (the island-parity
+    window algebra collapses to this exact scan)."""
+    seqs: list[list[str]] = [list(w) for w, _ in rows]
+    cnts = [int(c) for _, c in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        freq: dict = {}
+        for syms, cnt in zip(seqs, cnts):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                freq[p] = freq.get(p, 0) + cnt
+        if not freq:
+            break
+        (a, b), f = min(
+            freq.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, a, b, f))
+        ab = a + b
+        for k, syms in enumerate(seqs):
+            n = len(syms)
+            if n < 2:
+                continue
+            out = []
+            i = 0
+            while i < n:
+                if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[k] = out
+    return merges, [
+        (w, c, s) for (w, _), c, s in zip(rows, cnts, seqs)
+    ]
+
+
 def _bpe_fit(
     df: DataFrame, text_col: str, rounds: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -398,11 +452,33 @@ def _bpe_fit(
     from .text import tokens
 
     spark = df.sparkSession
+    # the vocabulary is the ONLY fact-sized reduction; checkpoint it so
+    # both the bounded driver probe and (on fallback) the distributed
+    # loop read materialized rows instead of re-running the corpus scan
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
+    probe = words.limit(BPE_DRIVER_MAX_WORDS + 1).collect()
+    if len(probe) <= BPE_DRIVER_MAX_WORDS:
+        # bounded driver fast path: 6 rounds of window/groupBy/argmax/
+        # checkpoint over a vocabulary-sized table cost ~12 Spark jobs
+        # of pure scheduling; the same fold in-process is microseconds
+        # per thousand words and bit-identical (test-pinned)
+        merges, seq_rows = _bpe_fit_driver(
+            [(r["w"], r["cnt"]) for r in probe], rounds
+        )
+        words.unpersist()
+        return (
+            spark.createDataFrame(
+                merges, "round int, lhs string, rhs string, freq long"
+            ),
+            spark.createDataFrame(
+                seq_rows, "w string, cnt long, syms array<string>"
+            ),
+        )
     seq = words.select(
         "w",
         "cnt",
@@ -410,6 +486,7 @@ def _bpe_fit(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("syms"),
     ).localCheckpoint()
+    words.unpersist()  # seq supersedes the vocab checkpoint
     merges: list[tuple[int, str, str, int]] = []
     # the iteration runs over the vocabulary — far below one shuffle
     # partition of work — so pin its shuffles to a handful of tasks

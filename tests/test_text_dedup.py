@@ -769,3 +769,33 @@ def test_minhash_dup_decisions_matches_member_level_fixed_point(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_bpe_driver_fit_matches_distributed_loop(spark, monkeypatch):
+    """The bounded driver fast path of _bpe_fit must reproduce the
+    distributed per-round loop exactly — merge table AND final word
+    segmentation — including the a==b overlap islands and the
+    (freq DESC, lhs, rhs) tie-break."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators import (
+        corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low aaaa aaaa aaaa ab"),
+            (2, "newer newest new low zz zz yy xy xy"),
+        ],
+        "doc_id long, text string",
+    )
+    m_fast, s_fast = corpus._bpe_fit(docs, "text", rounds=6)
+    fast = (
+        sorted(tuple(r) for r in m_fast.collect()),
+        sorted((r["w"], r["cnt"], tuple(r["syms"])) for r in s_fast.collect()),
+    )
+    monkeypatch.setattr(corpus, "BPE_DRIVER_MAX_WORDS", 0)
+    m_slow, s_slow = corpus._bpe_fit(docs, "text", rounds=6)
+    slow = (
+        sorted(tuple(r) for r in m_slow.collect()),
+        sorted((r["w"], r["cnt"], tuple(r["syms"])) for r in s_slow.collect()),
+    )
+    assert fast == slow
