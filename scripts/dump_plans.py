@@ -16,7 +16,7 @@ from contextlib import redirect_stdout
 sys.path.insert(0, "/root/repo")
 os.chdir("/root/repo")
 
-OUT_DIR = "/root/repo/plans/r12"
+OUT_DIR = os.environ.get("PLANS_DIR", "/root/repo/plans/r13")
 
 
 def main() -> int:
