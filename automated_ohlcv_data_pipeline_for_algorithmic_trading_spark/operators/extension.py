@@ -18,6 +18,67 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def grouped_fold(
+    src: DataFrame,
+    keys: Sequence[str],
+    fold: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Run a per-group pandas ``fold`` via ``mapInPandas`` over
+    key-contiguous partitions — the amortized replacement for
+    ``groupBy(keys).applyInPandas(fold)`` (guide §4: fewer, larger Arrow
+    crossings; the JVM↔Python boundary is paid per partition batch, not
+    per group).
+
+    Same exchange as the grouped-map form (hash on ``keys``), plus a
+    partition-local sort on ``keys`` so each group's rows are contiguous;
+    ``fold`` receives one whole group at a time with a fresh RangeIndex —
+    byte-identical input to what ``applyInPandas`` delivers (within-group
+    row order is unspecified in both forms; every in-repo fold sorts by
+    its order column first). Groups that span Arrow batch boundaries are
+    carried over, so the 10k-row default batch size never splits a group.
+
+    ``fold`` may return any shape matching ``schema`` (fewer/more rows,
+    different columns). Keys must be scalar, comparable values (NULL keys
+    are grouped together, as in grouped-map).
+    """
+    import numpy as np
+
+    key_list = list(keys)
+    n = num_partitions or src.sparkSession.sparkContext.defaultParallelism
+    part = src.repartition(n, *key_list).sortWithinPartitions(*key_list)
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            k = pdf[key_list]
+            ks = k.shift()
+            # NULL-safe group-change marker (NaN != NaN is True in pandas)
+            ne = (k.ne(ks) & ~(k.isna() & ks.isna())).any(axis=1)
+            idx = np.flatnonzero(ne.to_numpy())
+            starts = np.concatenate(([0], idx)) if (len(idx) == 0 or idx[0] != 0) else idx
+            last_start = int(starts[-1])
+            # the trailing group may continue in the next batch — hold it
+            carry = pdf.iloc[last_start:]
+            outs = []
+            head_starts = starts[:-1]
+            for j, s in enumerate(head_starts):
+                e = head_starts[j + 1] if j + 1 < len(head_starts) else last_start
+                outs.append(fold(pdf.iloc[int(s):int(e)].reset_index(drop=True)))
+            if outs:
+                yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+        if carry is not None and len(carry):
+            yield fold(carry.reset_index(drop=True))
+
+    return part.mapInPandas(run, schema=schema)
+
+
 def apply_per_symbol(
     df: DataFrame,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
@@ -41,7 +102,7 @@ def apply_per_symbol(
             pdf = pdf.sort_values(list(keys) + order)
         return fn(pdf)
 
-    return df.groupBy(*keys).applyInPandas(wrapped, schema=output_schema)
+    return grouped_fold(df, keys, wrapped, output_schema)
 
 
 def bollinger_bands(

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import q6, u6
+from .extension import grouped_fold
 
 __all__ = [
     "max_drawdown",
@@ -994,7 +995,7 @@ def heikin_ashi(
             ha_close=ha_c / 1e6,
         )
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def supertrend(
@@ -1113,7 +1114,7 @@ def supertrend(
             supertrend=masked(np.where(trend == 1, flb, fub)),
         )
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def williams_r(
@@ -1543,7 +1544,7 @@ def adx(
             return pd.arrays.FloatingArray(x, np.isnan(x))  # NaN -> NULL
         return pdf.assign(pdi=masked(pdi), mdi=masked(mdi), adx=masked(adxv))
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def parabolic_sar(
@@ -1660,7 +1661,7 @@ def parabolic_sar(
             ep=masked_px(ep_a), af=masked_i(af_a),
         )
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def trix(
@@ -1720,7 +1721,7 @@ def trix(
         txa = pd.arrays.FloatingArray(tx, np.isnan(tx))
         return pdf.assign(trix_ema=e3_a / 1e6, trix=txa)
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def cci(
@@ -1931,7 +1932,7 @@ def kama(
 
         return pdf.assign(er=masked(er_a), kama=masked(ka))
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def vidya(
@@ -2016,7 +2017,7 @@ def vidya(
 
         return pdf.assign(cmo=masked(cmo_a), vidya=masked(va))
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def klinger(
@@ -2114,7 +2115,7 @@ def klinger(
 
         return pdf.assign(kvo=masked(kvo_a), signal=masked(sig_a))
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def chande_momentum(
@@ -2433,7 +2434,7 @@ def ema_fold(
             e_a[i] = e
         return pdf.assign(**{state_col: e_a, out_col: e_a / scale})
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def force_index(
@@ -2618,7 +2619,7 @@ def volume_index(
         pvi_a = folded(ok & (vol[1:] > vol[:-1]))
         return pdf.assign(nvi=nvi_a / 1e6, pvi=pvi_a / 1e6)
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def dema_tema(
@@ -2673,7 +2674,7 @@ def dema_tema(
             tema_a[i] = 3 * e1 - 3 * e2 + e3
         return pdf.assign(dema=dema_a / 1e6, tema=tema_a / 1e6)
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def t3_ma(
@@ -2731,7 +2732,7 @@ def t3_ma(
             t3_a[i] = -343 * e[5] + 2499 * e[4] - 6069 * e[3] + 4913 * e[2]
         return pdf.assign(t3=t3_a / 1e9)
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def holt_winters(
@@ -2817,7 +2818,7 @@ def holt_winters(
             level=lv / 1e6, trend=tr / 1e6, season=se / 1e6, forecast=fc / 1e6
         )
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def holt_winters_multiplicative(
@@ -2926,7 +2927,7 @@ def holt_winters_multiplicative(
             level=lv / 1e6, trend=tr / 1e6, season=se / 1e6, forecast=fc / 1e6
         )
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def elder_impulse_states(
@@ -2987,7 +2988,7 @@ def elder_impulse_states(
             ema13=ema13_a / 1e6, macd=macd_a / 1e6, hist=hist_a / 1e6
         )
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def mcginley_dynamic(
@@ -3056,7 +3057,7 @@ def mcginley_dynamic(
             out[i] = md
         return pdf.assign(mcginley=out)
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def linreg_slope(
@@ -3224,7 +3225,7 @@ def kalman_1d(
             ps[i] = p
         return pdf.assign(kf_x=xs, kf_p=ps)
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def coppock_curve(
@@ -3520,7 +3521,7 @@ def mass_index(
             e2_a[i] = e2
         return pdf.assign(e1=e1_a, e2=e2_a)
 
-    folded = src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    folded = grouped_fold(src, key_list, fold, schema)
     ratio = F.when(
         F.col("e2") > 0,
         F.col("e1").cast("double") / F.col("e2").cast("double"),
@@ -3927,7 +3928,7 @@ def renko_bricks(
             n_bricks=nb, dir=dr, brick_lo=los / 1e6, brick_hi=his / 1e6
         )
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def chandelier_exit(
@@ -4088,7 +4089,7 @@ def tsi(
         out = pdf.assign(mtm=mtm_a, tsi=tsi_a)
         return out[~np.isnan(tsi_a)]
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def zigzag_pivots(
@@ -4178,7 +4179,7 @@ def zigzag_pivots(
             columns=[*key_list, "pivot_date", "pivot_price", "pivot_type"],
         )
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def alligator(
@@ -4266,7 +4267,7 @@ def alligator(
             lips=disp(la, ol),
         )
 
-    out = src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    out = grouped_fold(src, key_list, fold, schema)
     return out.select(*key_list, order_col, "mid", "jaw", "teeth", "lips")
 
 
@@ -4366,7 +4367,7 @@ def garch_vol(
             ret=masked(ret_a), cond_var=masked(var_a), sigma=masked(sig_a)
         )
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def holt_linear(
@@ -4441,7 +4442,7 @@ def holt_linear(
             level=lv / 1e6, trend=tr / 1e6, forecast=(lv + tr) / 1e6
         )
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def regime_viterbi(
@@ -4513,7 +4514,7 @@ def regime_viterbi(
             margin[i] = s_up - s_dn
         return pdf.assign(regime=regime, margin=margin / 1e6)
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)
 
 
 def regime_conditional_holt(
@@ -4632,4 +4633,4 @@ def regime_conditional_holt(
             forecast=(lv + tr) / 1e6,
         )
 
-    return src.groupBy(*key_list).applyInPandas(fold, schema=schema)
+    return grouped_fold(src, key_list, fold, schema)

@@ -99,3 +99,51 @@ def test_ema_macd_exact_tracks_float_recurrence():
     again = ema_macd_exact(fast=12, slow=26)(pdf)
     assert (again["ema_fast"] == out["ema_fast"]).all()
     assert (again["macd"] == out["macd"]).all()
+
+
+def test_grouped_fold_matches_grouped_map_across_batch_boundaries(spark):
+    """grouped_fold (mapInPandas over key-contiguous partitions) must
+    reproduce groupBy().applyInPandas() exactly — including groups that
+    SPAN Arrow batch boundaries (forced with a tiny maxRecordsPerBatch),
+    NULL keys, and single-row groups."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.extension import (
+        grouped_fold,
+    )
+
+    rows = []
+    # group sizes chosen to straddle the 7-row batches set below
+    for g, n in [("a", 20), ("b", 1), ("c", 13), (None, 5), ("d", 8)]:
+        for i in range(n):
+            rows.append((g, i, float(i) * 1.5 + (hash(g) % 7 if g else 0)))
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    schema = "k string, seq int, v double, csum double, n long"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["seq"])
+        return pdf.assign(csum=pdf["v"].cumsum(), n=len(pdf))
+
+    skey = lambda t: (t[0] is not None, t[0] or "", t[1])
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = sorted(
+            (tuple(r) for r in grouped_fold(df, ["k"], fold, schema).collect()),
+            key=skey,
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = sorted(
+        (
+            tuple(r)
+            for r in df.groupBy("k").applyInPandas(fold, schema=schema).collect()
+        ),
+        key=skey,
+    )
+    assert got == want
+    # every group fully folded exactly once: per-group n equals group size
+    sizes = {g: n for g, n in [("a", 20), ("b", 1), ("c", 13), (None, 5), ("d", 8)]}
+    for k, _seq, _v, _c, n in got:
+        assert n == sizes[k]
