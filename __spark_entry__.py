@@ -14125,6 +14125,11 @@ def d_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     withg, rep_pairs = minhash_group_rep_pairs(
         docs.filter(F.col("doc_id") % 4 == 0), threshold=0.70
     )
+    # the verified rep-pair set feeds THREE branches below (the pair-mass
+    # aggregate and both sides of the per-group max union) — materialize
+    # it once so the LSH verify (per-candidate array intersects) does not
+    # re-run per branch (guide §5; withg is checkpointed by the operator)
+    rep_pairs = rep_pairs.localCheckpoint()
     groups = withg.groupBy("_gid").agg(
         F.count(F.lit(1)).cast("long").alias("_m"),
         F.max("_sz").alias("_tok"),
@@ -14381,6 +14386,11 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sample = docs.filter(F.col("doc_id") % 2 == 0)
     withg, rep_pairs = minhash_group_rep_pairs(sample, threshold=0.9)
+    # rep_pairs feeds the cross-pair double join; gs (from the withg
+    # checkpoint) feeds three branches — materialize both once instead
+    # of re-running the LSH verify / the per-group source rollup per
+    # branch (guide §5)
+    rep_pairs = rep_pairs.localCheckpoint()
     gs = (
         withg.join(
             sample.select(F.col("doc_id").alias("_id"), "source"), "_id"
@@ -14390,6 +14400,7 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("_m"),
             F.max("_sz").alias("_tok"),
         )
+        .localCheckpoint()
     )
     # identity pairs inside one group (j = 1.0 by construction; empty
     # token sets never pair, mirroring the member-level expansion)

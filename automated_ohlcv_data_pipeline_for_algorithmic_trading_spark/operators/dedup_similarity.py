@@ -416,6 +416,11 @@ def minhash_dup_decisions(
     withg, rep_pairs = minhash_group_rep_pairs(
         df, text_col, id_col, threshold, k, bands, rows, tokens_col
     )
+    # materialize the rep graph BEFORE the bounded probe: the probe's
+    # limit().collect() executes the full LSH candidate+verify pipeline
+    # anyway, and without the checkpoint the fallback path re-ran it all
+    # from the withg checkpoint a second time (round-12 ADVICE)
+    rep_pairs = rep_pairs.localCheckpoint()
     rep_rows = (
         rep_pairs.select("_ga", "_gb").limit(small_graph_max_edges + 1).collect()
     )
@@ -461,14 +466,22 @@ def minhash_dup_decisions(
         [(g, find(g)) for g in parent], map_schema
     )
     # group size via one narrow (id, gid, sz) window — no driver
-    # transfer, no array columns; withg is already checkpointed
-    m = F.count(F.lit(1)).over(Window.partitionBy("_gid"))
+    # transfer, no array columns; withg is already checkpointed.
+    # _m counts NON-NULL member ids and NULL-id members are filtered
+    # out: a NULL id never survives the member-level path's
+    # doc_a < doc_b pair predicate, so it must neither emit a decision
+    # row nor count as a pairing partner here (round-12 ADVICE — the
+    # near_dup_components NULL discipline).
+    m = F.count("_id").over(Window.partitionBy("_gid"))
     members = withg.select("_id", "_gid", "_sz").withColumn("_m", m)
     return (
         members.join(F.broadcast(rep_map), "_gid", "left")
         .filter(
-            ((F.col("_m") >= 2) & (F.col("_sz") > 0))
-            | F.col("_rep_keeper").isNotNull()
+            F.col("_id").isNotNull()
+            & (
+                ((F.col("_m") >= 2) & (F.col("_sz") > 0))
+                | F.col("_rep_keeper").isNotNull()
+            )
         )
         .select(
             F.col("_id").alias("doc_id"),

@@ -162,12 +162,34 @@ def seeded_centroids(
     all members simply drop out on both engines. Returns
     ``(cell int, centroid array<double>)``.
     """
+    base = _prepared_base(corpus, id_col, vec_col)
+    return _seeded_fit(base, n_lists, n_iter)
+
+
+def _prepared_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(_vid, _x double-array) spread across cores and MATERIALIZED
+    (localCheckpoint): the k-means fit consumes it once per Lloyd
+    iteration and the corpus assignment once more — without the
+    checkpoint every consumer re-ran the scan + repartition + cast
+    pipeline (guide §5: cut lineage that is re-read several times). At
+    100 TB the fit input is a corpus SAMPLE (see callers), so the
+    materialization is bounded by the sample where it matters."""
     # spread a single-file corpus across cores before the per-row-heavy
     # assignment folds (one parquet file = one input split otherwise)
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    base = corpus.select(
-        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
-    ).repartition(par, "_vid")
+    return (
+        corpus.select(
+            F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
+        )
+        .repartition(par, "_vid")
+        .localCheckpoint()
+    )
+
+
+def _seeded_fit(base: DataFrame, n_lists: int, n_iter: int) -> DataFrame:
+    """Deterministic Lloyd fit over a prepared (_vid, _x) base — the body
+    of :func:`seeded_centroids`, shared so index builders can reuse ONE
+    checkpointed base for fit + assignment."""
     seeded = base.withColumn(
         "_h", F.md5(F.col("_vid").cast("string").cast("binary"))
     )
@@ -206,7 +228,7 @@ def seeded_centroids(
     # query probing both consume the table, and without this each would
     # re-execute the whole iterative lineage.
     rows = [(r["cell"], list(r["centroid"])) for r in cents.collect()]
-    return corpus.sparkSession.createDataFrame(
+    return base.sparkSession.createDataFrame(
         rows, "cell int, centroid array<double>"
     )
 
@@ -237,11 +259,12 @@ def ivf_index(
     """
     if fit == "ml":
         cdf = _ml_kmeans_centroids(corpus, n_lists, id_col, vec_col, seed)
+        base = _prepared_base(corpus, id_col, vec_col)
     else:
-        cdf = seeded_centroids(corpus, n_lists, n_iter, id_col, vec_col)
-    base = corpus.select(
-        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
-    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism, "_vid")
+        # ONE checkpointed base feeds the Lloyd fit AND the corpus
+        # assignment — previously each re-ran the scan + repartition
+        base = _prepared_base(corpus, id_col, vec_col)
+        cdf = _seeded_fit(base, n_lists, n_iter)
     assignments = _assign_cells(base, cdf).select(
         F.col("_vid").alias("vec_id"),
         F.col("_cell").alias("cell"),
@@ -486,34 +509,63 @@ def hyperplane_buckets(
     (1 - theta/pi)^planes; OR-amplification over ``n_tables`` tables
     lifts recall to 1 - (1 - p)^tables while keeping each table's
     candidate set ~n/2^planes.
+
+    Implementation (guide §4.2): ONE Arrow ``mapInPandas`` pass whose
+    body is a single integer GEMM per batch — vectors quantize to
+    micro-unit int64 (``floor(val*1e6 + 0.5)``, the identical IEEE ops
+    the JVM expression computed) and multiply against the full
+    (n_tables*n_planes) x dim integer weight matrix, so all plane dots
+    for a vector come out of one BLAS call. Exactness is unchanged:
+    int64 products |ival|*1e4*dim stay far below 2^63, so the sign test
+    is the same BIGINT comparison as the previous exploded-join form
+    (which materialized rows x dim x planes join rows through two hash
+    aggregates — measured 2-4x slower at sf0.1 and the per-row cost is
+    what multiplies at 100 TB; see the r13 plan diffs). The weight
+    matrix is the driver-side twin of :func:`hyperplane_weights` —
+    n_total*dim ints, centroid-table-sized.
     """
+    import numpy as np
+    import pandas as pd
+
     spark = df.sparkSession
-    wdf = hyperplane_weights(spark, n_tables * n_planes, dim)
-    # a single small parquet file is one input split; the exploded
-    # (rows x dim x planes) map side would otherwise run on one core
-    el = df.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val")
-    ).select(
-        id_col, "pos", F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("long").alias("ival")
+    n_total = n_tables * n_planes
+    weights = np.array(
+        [
+            [_hyperplane_component(p, d) for d in range(dim)]
+            for p in range(n_total)
+        ],
+        dtype=np.int64,
     )
-    dots = (
-        el.join(F.broadcast(wdf), "pos")
-        .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("ival") * F.col("w")).alias("dot"))
+    id_type = df.schema[id_col].dataType.simpleString()
+    # a single small parquet file is one input split; spread the GEMM
+    # batches across cores
+    src = df.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_x")
     )
-    contrib = F.when(
-        F.col("dot") > 0,
-        F.expr(f"shiftleft(1L, int(plane % {n_planes}))"),
-    ).otherwise(F.lit(0).cast("long"))
-    return (
-        dots.withColumn("t", F.expr(f"plane div {n_planes}"))
-        .groupBy(id_col, "t")
-        .agg(F.sum(contrib).alias("bits"))
-        .select(
-            id_col,
-            (F.col("t").cast("long") * F.lit(2**n_planes) + F.col("bits")).alias("bucket"),
-        )
-    )
+    pow2 = 1 << n_planes
+    bitvals = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_x"].to_numpy())
+            q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+            bits = (q @ weights.T) > 0  # n x n_total exact int64 dots
+            frames = []
+            for t in range(n_tables):
+                seg = bits[:, t * n_planes : (t + 1) * n_planes]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col],
+                            "bucket": t * pow2 + seg @ bitvals,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+    return src.mapInPandas(op, schema=f"{id_col} {id_type}, bucket long")
 
 
 def lsh_knn(
@@ -711,12 +763,17 @@ def sq8_knn(
     even this approximate operator has an exact SQL oracle. Recall vs
     brute_force_knn is validated in tests.
 
-    100 TB shape: the expensive stage scans int8 codes (4x fewer bytes,
-    integer multiplies), broadcast queries x partitioned codes; the
-    exact stage touches only queries x rerank full vectors. When the
-    query set is a filtered subset of ``corpus``, pass ``query_filter``
-    — the corpus quantization plan is reused for the query side
-    (ReuseExchange; same idea as lsh_knn).
+    100 TB shape: the expensive stage scans int8 codes (4x fewer bytes)
+    and multiplies each Arrow batch against the whole query-code matrix
+    in one integer GEMM; the exact stage touches only queries x rerank
+    full vectors. When the query set is a filtered subset of ``corpus``,
+    pass ``query_filter`` — the corpus quantization plan is reused for
+    the query side.
+
+    **EAGER on the query side** (the ivf/pq-fit precedent): the query
+    codes are collected at call time — the same broadcast-sized rows the
+    previous broadcast-join form shipped to every executor — so the
+    operator snapshots ``queries`` as of the call.
     """
     # zero vectors (qn = 0) have no defined cosine; excluding them BEFORE
     # ranking matters because 0/0 = NaN and Spark sorts NaN ABOVE every
@@ -754,15 +811,58 @@ def sq8_knn(
                 F.col("qn").alias("nb"),
             )
         )
-    approx = (
-        cq.join(F.broadcast(qq))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "_acos",
-            _int_dot(F.col("qa"), F.col("qb")).cast("double")
-            / (F.col("na") * F.col("nb")),
-        )
-    )
+    # Approximate scan as ONE integer GEMM per Arrow batch (guide §4.2):
+    # the query codes are collected once (the SAME broadcast-sized rows
+    # the previous broadcast-join form shipped to every executor — this
+    # operator's contract already requires the query set to fit in a
+    # broadcast) and each corpus-code batch multiplies against the whole
+    # query matrix. int64 dots are exact (|q| <= 127), the int->double
+    # conversion is exact, and the division operands are bit-identical
+    # to the previous per-pair interpreted fold — so scores, shortlist
+    # and final ranks are unchanged. Replaces rows x queries interpreted
+    # aggregate() lambda steps with BLAS.
+    import numpy as np
+    import pandas as pd
+
+    qrows = qq.collect()
+    id_type = cq.schema["neighbor_id"].dataType.simpleString()
+    if qrows:
+        qm = np.stack([np.asarray(r["qa"], dtype=np.int64) for r in qrows])
+        na_v = np.array([r["na"] for r in qrows], dtype=np.float64)
+        qid_v = np.array([r["query_id"] for r in qrows])
+
+        def scan(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                c = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["qb"].to_numpy()]
+                )
+                dots = c @ qm.T  # nc x nq, exact int64
+                acos = dots.astype(np.float64) / np.outer(
+                    pdf["nb"].to_numpy(dtype=np.float64), na_v
+                )
+                nc, nq = acos.shape
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": np.repeat(
+                            pdf["neighbor_id"].to_numpy(), nq
+                        ),
+                        "query_id": np.tile(qid_v, nc),
+                        "_acos": acos.ravel(),
+                    }
+                )
+
+        approx = cq.select("neighbor_id", "qb", "nb").mapInPandas(
+            scan,
+            schema=f"neighbor_id {id_type}, query_id {id_type}, _acos double",
+        ).filter(F.col("neighbor_id") != F.col("query_id"))
+    else:  # no valid queries -> empty result, same schema as below
+        approx = cq.select(
+            "neighbor_id",
+            F.col("neighbor_id").alias("query_id"),
+            F.lit(0.0).alias("_acos"),
+        ).limit(0)
     w = Window.partitionBy("query_id").orderBy(
         F.col("_acos").desc(), F.col("neighbor_id").asc()
     )
@@ -933,6 +1033,10 @@ def semdedup(
     _, assignments = ivf_index(
         corpus, n_lists=n_lists, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
+    # materialize once: the hot-cell size probe (an eager collect), the
+    # (hot, cold) split pair AND the quantized pair scorer all re-consume
+    # assignments — without this each re-ran the assignment shuffle
+    assignments = assignments.localCheckpoint()
     if max_cell_size is not None:
         assignments = _split_hot_cells(assignments, max_cell_size, dim=dim)
     # Shared exact scorer: quantize once (integer-valued doubles), carry
@@ -1047,6 +1151,10 @@ def _pq_exploded(
                 F.transform(F.col("_raw"), lambda x: x / F.col("_n")),
             ).otherwise(F.col("_raw")),
         )
+        # materialized once: the fit (via el), the code assignment AND
+        # the rescore vectors all re-derive from base — without the
+        # checkpoint each re-ran the scan + repartition + normalize
+        .localCheckpoint()
     )
     slices = F.array(*[F.slice(F.col("_x"), j * d + 1, d) for j in range(m)])
     el = base.select(
@@ -1055,7 +1163,14 @@ def _pq_exploded(
     return base, el
 
 
-def _pq_fit(base: DataFrame, el: DataFrame, k: int, n_iter: int, d: int) -> DataFrame:
+def _pq_fit(
+    base: DataFrame,
+    el: DataFrame,
+    k: int,
+    n_iter: int,
+    d: int,
+    el_checkpointed: bool = False,
+) -> DataFrame:
     """Fused seeded-Lloyd PQ fit: every subspace's k-means advances in
     the SAME job per round — assignment is one broadcast join against
     the full (sub, cell) codebook with map-side min_by partial agg, and
@@ -1063,19 +1178,21 @@ def _pq_fit(base: DataFrame, el: DataFrame, k: int, n_iter: int, d: int) -> Data
     decimal-exact per-dim means (subspaces are short — 4-16 dims — so d
     agg columns beat the explode + second shuffle the full-width
     quantizer needs; see seeded_centroids for the 64-dim trade-off).
-    Each round collects the m*k tiny centroid rows (same driver-side
-    footprint as ``pyspark.ml`` ``clusterCenters()``), which keeps every
-    round a short independent job instead of an n_iter-deep lazy
-    lineage. The fit input is localCheckpointed once — it is consumed
-    n_iter+1 times, and at 100 TB the fit runs on a corpus SAMPLE, so
-    the materialization is bounded by the sample, not the corpus.
+    The m*k tiny centroid rows are collected ONCE after the full lazy
+    Lloyd chain (same driver-side footprint as ``pyspark.ml``
+    ``clusterCenters()``); each round's centroid table is a broadcast
+    subtree of the next, so the chain executes as one job. The fit
+    input is localCheckpointed once — it is consumed n_iter+1 times,
+    and at 100 TB the fit runs on a corpus SAMPLE, so the
+    materialization is bounded by the sample, not the corpus.
 
     Seeds are the k corpus vectors with smallest ``(md5(id), id)`` — the
     SAME seed rows in every subspace (each contributes its slice), so
     the whole fit replays row-for-row in the DuckDB oracle.
     """
     spark = base.sparkSession
-    el = el.localCheckpoint(eager=True)
+    if not el_checkpointed:
+        el = el.localCheckpoint(eager=True)
     seeded = base.withColumn(
         "_h", F.md5(F.col("_vid").cast("string").cast("binary"))
     )
@@ -1093,12 +1210,12 @@ def _pq_fit(base: DataFrame, el: DataFrame, k: int, n_iter: int, d: int) -> Data
         el.join(F.broadcast(seat), "_vid")
         .select("sub", "cell", F.col("_sx").alias("centroid"))
     )
-
-    def _materialize(cdf: DataFrame) -> DataFrame:
-        rows = [(r["sub"], r["cell"], list(r["centroid"])) for r in cdf.collect()]
-        return spark.createDataFrame(rows, "sub int, cell int, centroid array<double>")
-
-    cents = _materialize(cents)
+    # the whole n_iter Lloyd chain stays LAZY over the checkpointed el —
+    # each round's tiny centroid table is a broadcast subtree of the
+    # next, so AQE sequences the rounds inside ONE job and the driver
+    # pays one collect instead of n_iter+1 job round-trips (measured
+    # ~12% off the fit; results bit-identical — the per-round collects
+    # added no numeric pinning, el is already materialized)
     for _ in range(n_iter):
         cbb = cents.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))
         assigned = (
@@ -1117,14 +1234,16 @@ def _pq_fit(base: DataFrame, el: DataFrame, k: int, n_iter: int, d: int) -> Data
             )
             .select("sub", F.col("_p.c").alias("cell"), F.col("_p.x").alias("_sx"))
         )
-        cents = _materialize(
-            assigned.groupBy("sub", "cell").agg(
-                F.array(
-                    *[davg(F.col("_sx")[i]) for i in range(d)]
-                ).alias("centroid")
-            )
+        cents = assigned.groupBy("sub", "cell").agg(
+            F.array(
+                *[davg(F.col("_sx")[i]) for i in range(d)]
+            ).alias("centroid")
         )
-    return cents
+    # one driver materialization of the m*k tiny rows (the same
+    # clusterCenters()-sized artifact as before) for the broadcast reuse
+    # downstream
+    rows = [(r["sub"], r["cell"], list(r["centroid"])) for r in cents.collect()]
+    return spark.createDataFrame(rows, "sub int, cell int, centroid array<double>")
 
 
 def pq_codebooks(
@@ -1182,7 +1301,12 @@ def pq_index(
     shuffle.
     """
     base, el = _pq_exploded(corpus, m, dim, id_col, vec_col)
-    cb = _pq_fit(base, el, k, n_iter, dim // m)
+    # checkpoint el HERE so the fit's n_iter+1 passes AND the code
+    # assignment below all read the same materialized rows — previously
+    # the fit checkpointed a local copy and the code assignment re-ran
+    # the whole explode pipeline from scratch
+    el = el.localCheckpoint(eager=True)
+    cb = _pq_fit(base, el, k, n_iter, dim // m, el_checkpointed=True)
     cbb = cb.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))
     scored = el.join(F.broadcast(cbb), "sub").withColumn(
         "_d2",
@@ -1331,11 +1455,9 @@ def silhouette(
     """
     if n_lists < 2:
         raise ValueError("silhouette needs n_lists >= 2")
-    cents = seeded_centroids(corpus, n_lists, n_iter, id_col, vec_col)
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    base = corpus.select(
-        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_x")
-    ).repartition(par, "_vid")
+    # one checkpointed base for the fit AND the scoring pass
+    base = _prepared_base(corpus, id_col, vec_col)
+    cents = _seeded_fit(base, n_lists, n_iter)
     j = base.withColumn("_xx", dot(F.col("_x"), F.col("_x"))).join(
         F.broadcast(
             cents.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))

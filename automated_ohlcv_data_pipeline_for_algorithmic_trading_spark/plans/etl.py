@@ -166,13 +166,33 @@ def write_silver(
     # groups instead of scanning whole symbol-days
     if "timestamp_unix" in df.columns:
         out = out.sortWithinPartitions(*SILVER_PARTITIONING, "timestamp_unix")
-    (
+    writer = (
         out.write.mode(mode)
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*SILVER_PARTITIONING)
         .option("compression", "snappy")
-        .parquet(path)
     )
+    # Dynamic partition overwrite only when the destination already
+    # exists (the idempotent-re-run case it exists for). On a FRESH
+    # destination it buys nothing semantically — the target is empty —
+    # but still routes every task file through the .spark-staging
+    # indirection plus one driver-side rename PER PARTITION DIRECTORY at
+    # job commit (500 serial renames for a 500-symbol day; guide §6
+    # output-commit cost). Fresh writes take the plain committer path.
+    if mode == "overwrite" and _dest_exists(df.sparkSession, path):
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)
+
+
+def _dest_exists(spark, path: str) -> bool:
+    """Hadoop-FS existence probe (works for local paths and any
+    configured remote FS — the same resolution the writer itself uses)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+    except Exception:  # pragma: no cover - conservative: keep dynamic
+        return True
 
 
 def read_silver_csv(spark, path: str) -> DataFrame:

@@ -740,6 +740,7 @@ def test_minhash_dup_decisions_matches_member_level_fixed_point(spark, sf_dir):
         (6, "totally unrelated content nothing shared here at all"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
+    by_threshold = {}
     for threshold in (0.8, 0.95):
         got = sorted(
             tuple(r)
@@ -753,9 +754,16 @@ def test_minhash_dup_decisions_matches_member_level_fixed_point(spark, sf_dir):
             ).collect()
         )
         assert got == want
+        by_threshold[threshold] = dict(got)
     # at 0.8 the near-dup joins the clique's component; keeper is the min
-    by_id = dict(got)
-    assert 4 not in by_id and 5 not in by_id and 6 not in by_id
+    # (pin the cross-group keeper propagation at the threshold that
+    # actually merges the groups — round-12 ADVICE: the old assertion
+    # read the 0.95 result, where doc 3 is not even a vertex)
+    by_id = by_threshold[0.8]
+    assert by_id[3] == by_id[1] == 1
+    for t, m in by_threshold.items():
+        assert 4 not in m and 5 not in m and 6 not in m, t
+    assert 3 not in by_threshold[0.95]
     # and on the real fixture corpus the two paths agree exactly
     corpus = load_table(spark, sf_dir, "documents")
     got = sorted(
@@ -799,3 +807,44 @@ def test_bpe_driver_fit_matches_distributed_loop(spark, monkeypatch):
         sorted((r["w"], r["cnt"], tuple(r["syms"])) for r in s_slow.collect()),
     )
     assert fast == slow
+
+
+def test_minhash_dup_decisions_null_id_matches_member_level(spark):
+    """A NULL doc_id must follow the member-level NULL discipline on the
+    rep-level fast path (round-12 ADVICE): it never emits a decision row
+    (doc_a < doc_b drops NULL pairs) and never counts as a pairing
+    partner — a 2-member group whose second member has a NULL id behaves
+    like a singleton."""
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.dedup_similarity import (
+        minhash_dup_decisions,
+        minhash_near_dup_pairs,
+        near_dup_components,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),          # exact-dup clique with 1
+        (None, base),       # NULL id inside the clique's set-group
+        (3, base.rsplit(" ", 1)[0]),  # near-dup of the clique at 0.8
+        (None, "solitary weird content"),  # NULL-id singleton
+        (8, "pair text shared exactly"),
+        (None, "pair text shared exactly"),  # 2-member group, one NULL
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for threshold in (0.8, 0.95):
+        got = sorted(
+            (r["doc_id"], r["keeper_id"])
+            for r in minhash_dup_decisions(docs, threshold=threshold).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["keeper_id"])
+            for r in near_dup_components(
+                minhash_near_dup_pairs(docs, threshold=threshold),
+                extend_until_converged=True,
+            ).collect()
+        )
+        assert got == want
+        assert all(d is not None for d, _ in got)
+        # doc 8's only co-member has a NULL id -> no decision row
+        assert 8 not in dict(got)
