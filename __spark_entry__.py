@@ -3555,7 +3555,7 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivf_fingerprint.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_knn(
-        emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=8, n_probe=3
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=8, n_probe=3, dim=64
     )
 
 
@@ -6640,7 +6640,7 @@ def emb_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     marker = os.path.join(idx, "_BUILT")
     if not os.path.exists(marker):
-        cdf, assignments = ivf_index(emb, n_lists=8, n_iter=2)
+        cdf, assignments = ivf_index(emb, n_lists=8, n_iter=2, dim=64)
         cdf.write.mode("overwrite").parquet(os.path.join(idx, "centroids"))
         assignments.write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(idx, "assignments")
@@ -7623,7 +7623,7 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return silhouette(emb, n_lists=8, n_iter=2)
+    return silhouette(emb, n_lists=8, n_iter=2, dim=64)
 
 
 def _silhouette_sql(n_lists: int = 8, n_iter: int = 2, dim: int = 64) -> str:
@@ -13059,7 +13059,7 @@ def _stream_emb_index(spark: SparkSession, sf_dir: str) -> str:
     shutil.rmtree(base, ignore_errors=True)
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 10 != 0)
-    cdf, assignments = ivf_index(corpus, n_lists=8, n_iter=2)
+    cdf, assignments = ivf_index(corpus, n_lists=8, n_iter=2, dim=64)
     cdf.write.mode("overwrite").parquet(f"{base}/centroids")
     assignments.write.mode("overwrite").partitionBy("cell").parquet(
         f"{base}/assignments"

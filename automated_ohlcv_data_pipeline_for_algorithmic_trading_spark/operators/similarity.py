@@ -23,8 +23,26 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product (deterministic order)."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential left-fold dot product (deterministic order).
+
+    With a SMALL ``dim`` given, the fold is UNROLLED into the literal
+    expression ``((0.0 + a[0]*b[0]) + a[1]*b[1]) + ...`` — the exact
+    same IEEE op sequence the runtime fold executes (bit-identical
+    results, including signed-zero and NULL propagation), but
+    whole-stage-codegen'd instead of interpreted lambda steps per
+    element. Pass it on per-candidate hot paths where the vector width
+    is statically known (guide §4: higher-order functions are
+    interpreted). Only dims <= 16 unroll: each element access carries
+    its own null/bounds checks, so a 64-dim unroll produces a ~320-node
+    expression that misses whole-stage codegen and evaluates SLOWER than
+    the fold (measured 2.5x worse on the IVF assignment at dim=64,
+    ~25% better on the 4-dim PQ subspaces)."""
+    if dim is not None and dim <= 16:
+        e: Column = F.lit(0.0)
+        for i in range(dim):
+            e = e + a[i] * b[i]
+        return e
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -110,7 +128,9 @@ def _cell_dist2(x: Column, c: Column) -> Column:
     return dot(x, x) + dot(c, c) - F.lit(2.0) * dot(x, c)
 
 
-def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_cells(
+    base: DataFrame, cents: DataFrame, dim: int | None = None
+) -> DataFrame:
     """Nearest-centroid assignment: (_vid, _x) x broadcast(cell, centroid)
     -> (_vid, _x, _cell), ties broken by lowest cell id.
 
@@ -120,13 +140,17 @@ def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
     fit's hot spot. |x|^2 and |c|^2 are folded ONCE per row/centroid
     before the join (identical bits, same fold) instead of per candidate
     pair — the pairwise work drops to the single cross dot."""
-    j = base.withColumn("_xx", dot(F.col("_x"), F.col("_x"))).join(
-        F.broadcast(cents.withColumn("_cc", dot(F.col("centroid"), F.col("centroid"))))
+    j = base.withColumn("_xx", dot(F.col("_x"), F.col("_x"), dim=dim)).join(
+        F.broadcast(
+            cents.withColumn(
+                "_cc", dot(F.col("centroid"), F.col("centroid"), dim=dim)
+            )
+        )
     )
     scored = j.withColumn(
         "_d2",
         F.col("_xx") + F.col("_cc")
-        - F.lit(2.0) * dot(F.col("_x"), F.col("centroid")),
+        - F.lit(2.0) * dot(F.col("_x"), F.col("centroid"), dim=dim),
     )
     pick = F.min_by(
         F.struct(F.col("cell").alias("c"), F.col("_x").alias("x")),
@@ -145,6 +169,7 @@ def seeded_centroids(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means coarse quantizer, DataFrame-only.
 
@@ -163,7 +188,7 @@ def seeded_centroids(
     ``(cell int, centroid array<double>)``.
     """
     base = _prepared_base(corpus, id_col, vec_col)
-    return _seeded_fit(base, n_lists, n_iter)
+    return _seeded_fit(base, n_lists, n_iter, dim=dim)
 
 
 def _prepared_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -186,7 +211,9 @@ def _prepared_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _seeded_fit(base: DataFrame, n_lists: int, n_iter: int) -> DataFrame:
+def _seeded_fit(
+    base: DataFrame, n_lists: int, n_iter: int, dim: int | None = None
+) -> DataFrame:
     """Deterministic Lloyd fit over a prepared (_vid, _x) base — the body
     of :func:`seeded_centroids`, shared so index builders can reuse ONE
     checkpointed base for fit + assignment."""
@@ -209,7 +236,7 @@ def _seeded_fit(base: DataFrame, n_lists: int, n_iter: int) -> DataFrame:
         .select("cell", F.col("_s._x").alias("centroid"))
     )
     for _ in range(n_iter):
-        assigned = _assign_cells(base, cents)
+        assigned = _assign_cells(base, cents, dim=dim)
         # explode + two cheap aggs beats 64 decimal agg columns in one
         # groupBy (measured: wide decimal buffers cost more than the
         # exploded shuffle, which partial-agg compresses to cells x dims)
@@ -241,6 +268,7 @@ def ivf_index(
     vec_col: str = "embedding",
     fit: str = "seeded",
     seed: int = 42,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the persistable IVF index: ``(centroids, assignments)``.
 
@@ -264,8 +292,8 @@ def ivf_index(
         # ONE checkpointed base feeds the Lloyd fit AND the corpus
         # assignment — previously each re-ran the scan + repartition
         base = _prepared_base(corpus, id_col, vec_col)
-        cdf = _seeded_fit(base, n_lists, n_iter)
-    assignments = _assign_cells(base, cdf).select(
+        cdf = _seeded_fit(base, n_lists, n_iter, dim=dim)
+    assignments = _assign_cells(base, cdf, dim=dim).select(
         F.col("_vid").alias("vec_id"),
         F.col("_cell").alias("cell"),
         F.col("_x").alias("vec"),
@@ -282,6 +310,7 @@ def ivf_probe(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Probe a stored IVF index: each query ranks the ``n_probe``
     nearest cells' members by exact cosine. Consumes the tables
@@ -309,7 +338,7 @@ def ivf_probe(
     pairs = corpus_cells.join(F.broadcast(probes), "_cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = dot(F.col("_qvec"), F.col("_cvec")) / (
+    cos = dot(F.col("_qvec"), F.col("_cvec"), dim=dim) / (
         F.col("_qnorm") * F.col("_cnorm")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -334,6 +363,7 @@ def ivf_knn(
     seed: int = 42,
     fit: str = "seeded",
     n_iter: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate kNN: a coarse quantizer over the
     corpus; each query scans only its ``n_probe`` nearest cells.
@@ -346,9 +376,11 @@ def ivf_knn(
     brute_force_knn's shape; recall is validated against it in tests.
     """
     cdf, assignments = ivf_index(
-        corpus, n_lists, n_iter, id_col, vec_col, fit=fit, seed=seed
+        corpus, n_lists, n_iter, id_col, vec_col, fit=fit, seed=seed, dim=dim
     )
-    return ivf_probe(queries, cdf, assignments, k, n_probe, id_col, vec_col)
+    return ivf_probe(
+        queries, cdf, assignments, k, n_probe, id_col, vec_col, dim=dim
+    )
 
 
 def _ml_kmeans_centroids(
@@ -780,18 +812,16 @@ def sq8_knn(
     # real double — unguarded, zero-padding rows would flood the
     # shortlist as rank-1 "neighbors"
     if query_filter is not None:
-        cq_all = sq8_quantize(corpus, id_col, vec_col).filter(F.col("qn") > 0)
-        qq = cq_all.filter(query_filter).select(
-            F.col(id_col).alias("query_id"),
-            F.col("q").alias("qa"),
-            F.col("qn").alias("na"),
+        qq = (
+            sq8_quantize(corpus.filter(query_filter), id_col, vec_col)
+            .filter(F.col("qn") > 0)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col("q").alias("qa"),
+                F.col("qn").alias("na"),
+            )
         )
         queries = corpus.filter(query_filter)
-        cq = cq_all.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("q").alias("qb"),
-            F.col("qn").alias("nb"),
-        )
     else:
         qq = (
             sq8_quantize(queries, id_col, vec_col)
@@ -802,30 +832,28 @@ def sq8_knn(
                 F.col("qn").alias("na"),
             )
         )
-        cq = (
-            sq8_quantize(corpus, id_col, vec_col)
-            .filter(F.col("qn") > 0)
-            .select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col("q").alias("qb"),
-                F.col("qn").alias("nb"),
-            )
-        )
-    # Approximate scan as ONE integer GEMM per Arrow batch (guide §4.2):
-    # the query codes are collected once (the SAME broadcast-sized rows
-    # the previous broadcast-join form shipped to every executor — this
-    # operator's contract already requires the query set to fit in a
-    # broadcast) and each corpus-code batch multiplies against the whole
-    # query matrix. int64 dots are exact (|q| <= 127), the int->double
-    # conversion is exact, and the division operands are bit-identical
-    # to the previous per-pair interpreted fold — so scores, shortlist
-    # and final ranks are unchanged. Replaces rows x queries interpreted
-    # aggregate() lambda steps with BLAS.
+    # Approximate scan: quantization AND all query dots fused into ONE
+    # Arrow mapInPandas pass over the raw corpus vectors (guide §4.2) —
+    # per batch: vectorized SQ8 quantization (the identical IEEE ops
+    # sq8_quantize runs JVM-side: x / max|x| * 127.0 + 0.5, floored;
+    # integer q², exact int->double, IEEE sqrt) followed by one integer
+    # GEMM against the collected query-code matrix (the SAME
+    # broadcast-sized rows the previous broadcast-join form shipped to
+    # every executor — this operator's contract already requires the
+    # query set to fit in a broadcast). int64 dots are exact
+    # (|q| <= 127), so scores, shortlist and final ranks are
+    # bit-identical to the previous per-pair interpreted aggregate()
+    # fold — which, with the per-element interpreted quantize lambdas,
+    # was the stage's whole cost.
     import numpy as np
     import pandas as pd
 
     qrows = qq.collect()
-    id_type = cq.schema["neighbor_id"].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    craw = corpus.repartition(par).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_x")
+    )
     if qrows:
         qm = np.stack([np.asarray(r["qa"], dtype=np.int64) for r in qrows])
         na_v = np.array([r["na"] for r in qrows], dtype=np.float64)
@@ -835,30 +863,33 @@ def sq8_knn(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                c = np.stack(
-                    [np.asarray(v, dtype=np.int64) for v in pdf["qb"].to_numpy()]
-                )
-                dots = c @ qm.T  # nc x nq, exact int64
-                acos = dots.astype(np.float64) / np.outer(
-                    pdf["nb"].to_numpy(dtype=np.float64), na_v
-                )
+                x = np.stack(pdf["_x"].to_numpy())
+                s = np.abs(x).max(axis=1)
+                keep = s > 0  # zero vectors: no defined cosine (see above)
+                if not keep.any():
+                    continue
+                x, s = x[keep], s[keep]
+                q = np.floor(x / s[:, None] * 127.0 + 0.5).astype(np.int64)
+                qn = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+                dots = q @ qm.T  # nc x nq, exact int64
+                acos = dots.astype(np.float64) / np.outer(qn, na_v)
                 nc, nq = acos.shape
                 yield pd.DataFrame(
                     {
                         "neighbor_id": np.repeat(
-                            pdf["neighbor_id"].to_numpy(), nq
+                            pdf["neighbor_id"].to_numpy()[keep], nq
                         ),
                         "query_id": np.tile(qid_v, nc),
                         "_acos": acos.ravel(),
                     }
                 )
 
-        approx = cq.select("neighbor_id", "qb", "nb").mapInPandas(
+        approx = craw.mapInPandas(
             scan,
             schema=f"neighbor_id {id_type}, query_id {id_type}, _acos double",
         ).filter(F.col("neighbor_id") != F.col("query_id"))
     else:  # no valid queries -> empty result, same schema as below
-        approx = cq.select(
+        approx = craw.select(
             "neighbor_id",
             F.col("neighbor_id").alias("query_id"),
             F.lit(0.0).alias("_acos"),
@@ -1031,7 +1062,12 @@ def semdedup(
     from .dedup_similarity import near_dup_components
 
     _, assignments = ivf_index(
-        corpus, n_lists=n_lists, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        corpus,
+        n_lists=n_lists,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
     )
     # materialize once: the hot-cell size probe (an eager collect), the
     # (hot, cold) split pair AND the quantized pair scorer all re-consume
@@ -1159,7 +1195,7 @@ def _pq_exploded(
     slices = F.array(*[F.slice(F.col("_x"), j * d + 1, d) for j in range(m)])
     el = base.select(
         "_vid", F.posexplode(slices).alias("sub", "_sx")
-    ).withColumn("_xx", dot(F.col("_sx"), F.col("_sx")))
+    ).withColumn("_xx", dot(F.col("_sx"), F.col("_sx"), dim=d))
     return base, el
 
 
@@ -1217,13 +1253,15 @@ def _pq_fit(
     # ~12% off the fit; results bit-identical — the per-round collects
     # added no numeric pinning, el is already materialized)
     for _ in range(n_iter):
-        cbb = cents.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))
+        cbb = cents.withColumn(
+            "_cc", dot(F.col("centroid"), F.col("centroid"), dim=d)
+        )
         assigned = (
             el.join(F.broadcast(cbb), "sub")
             .withColumn(
                 "_d2",
                 F.col("_xx") + F.col("_cc")
-                - F.lit(2.0) * dot(F.col("_sx"), F.col("centroid")),
+                - F.lit(2.0) * dot(F.col("_sx"), F.col("centroid"), dim=d),
             )
             .groupBy("_vid", "sub")
             .agg(
@@ -1307,11 +1345,13 @@ def pq_index(
     # the whole explode pipeline from scratch
     el = el.localCheckpoint(eager=True)
     cb = _pq_fit(base, el, k, n_iter, dim // m, el_checkpointed=True)
-    cbb = cb.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))
+    cbb = cb.withColumn(
+        "_cc", dot(F.col("centroid"), F.col("centroid"), dim=dim // m)
+    )
     scored = el.join(F.broadcast(cbb), "sub").withColumn(
         "_d2",
         F.col("_xx") + F.col("_cc")
-        - F.lit(2.0) * dot(F.col("_sx"), F.col("centroid")),
+        - F.lit(2.0) * dot(F.col("_sx"), F.col("centroid"), dim=dim // m),
     )
     codes = (
         scored.groupBy("_vid", "sub")
@@ -1368,8 +1408,10 @@ def pq_probe(
     ])
     qel = queries.select(
         F.col(id_col).alias("query_id"), F.posexplode(qslices).alias("sub", "_qx")
-    ).withColumn("_qq", dot(F.col("_qx"), F.col("_qx")))
-    cbb = codebooks.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))
+    ).withColumn("_qq", dot(F.col("_qx"), F.col("_qx"), dim=d))
+    cbb = codebooks.withColumn(
+        "_cc", dot(F.col("centroid"), F.col("centroid"), dim=d)
+    )
     lut = qel.join(F.broadcast(cbb), "sub").select(
         "query_id",
         "sub",
@@ -1377,7 +1419,7 @@ def pq_probe(
         F.floor(
             (
                 F.col("_qq") + F.col("_cc")
-                - F.lit(2.0) * dot(F.col("_qx"), F.col("centroid"))
+                - F.lit(2.0) * dot(F.col("_qx"), F.col("centroid"), dim=d)
             )
             * F.lit(1e6)
             + F.lit(0.5)
@@ -1411,7 +1453,8 @@ def pq_probe(
         )
         .withColumn(
             "_cos",
-            dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
+            dot(F.col("_qvec"), F.col("_cvec"), dim=dim)
+            / (F.col("_qn") * F.col("_cn")),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(
@@ -1430,6 +1473,7 @@ def silhouette(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Simplified (centroid-based) silhouette per cluster — the
     clustering-quality metric for the seeded-k-means family (IVF cells,
@@ -1457,16 +1501,18 @@ def silhouette(
         raise ValueError("silhouette needs n_lists >= 2")
     # one checkpointed base for the fit AND the scoring pass
     base = _prepared_base(corpus, id_col, vec_col)
-    cents = _seeded_fit(base, n_lists, n_iter)
-    j = base.withColumn("_xx", dot(F.col("_x"), F.col("_x"))).join(
+    cents = _seeded_fit(base, n_lists, n_iter, dim=dim)
+    j = base.withColumn("_xx", dot(F.col("_x"), F.col("_x"), dim=dim)).join(
         F.broadcast(
-            cents.withColumn("_cc", dot(F.col("centroid"), F.col("centroid")))
+            cents.withColumn(
+                "_cc", dot(F.col("centroid"), F.col("centroid"), dim=dim)
+            )
         )
     )
     scored = j.withColumn(
         "_d2",
         F.col("_xx") + F.col("_cc")
-        - F.lit(2.0) * dot(F.col("_x"), F.col("centroid")),
+        - F.lit(2.0) * dot(F.col("_x"), F.col("centroid"), dim=dim),
     )
     per_vec = scored.groupBy("_vid").agg(
         F.min_by(F.col("cell"), F.struct(F.col("_d2"), F.col("cell"))).alias(
