@@ -49,32 +49,55 @@ def grouped_fold(
     n = num_partitions or src.sparkSession.sparkContext.defaultParallelism
     part = src.repartition(n, *key_list).sortWithinPartitions(*key_list)
 
+    def _assemble(frames):
+        out = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        return out.reset_index(drop=True)
+
+    def _key_of(row):
+        # NaN-normalized key tuple so a NULL-keyed group matches itself
+        # across batches (NaN != NaN)
+        return tuple(None if pd.isna(v) else v for v in row)
+
     def run(batches):
-        carry = None
+        # frames of the current (possibly batch-spanning) trailing group —
+        # kept as a LIST and concatenated once per group, so a group far
+        # larger than one Arrow batch costs O(group) assembly, not the
+        # O(group^2 / batch) of re-concatenating the carry every batch
+        carry: list = []
+        carry_key = None
         for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
             if not len(pdf):
                 continue
             k = pdf[key_list]
             ks = k.shift()
             # NULL-safe group-change marker (NaN != NaN is True in pandas)
-            ne = (k.ne(ks) & ~(k.isna() & ks.isna())).any(axis=1)
-            idx = np.flatnonzero(ne.to_numpy())
-            starts = np.concatenate(([0], idx)) if (len(idx) == 0 or idx[0] != 0) else idx
-            last_start = int(starts[-1])
-            # the trailing group may continue in the next batch — hold it
-            carry = pdf.iloc[last_start:]
+            ne = (k.ne(ks) & ~(k.isna() & ks.isna())).any(axis=1).to_numpy()
+            ne[0] = True
+            starts = np.flatnonzero(ne)
+            ends = np.append(starts[1:], len(pdf))
             outs = []
-            head_starts = starts[:-1]
-            for j, s in enumerate(head_starts):
-                e = head_starts[j + 1] if j + 1 < len(head_starts) else last_start
-                outs.append(fold(pdf.iloc[int(s):int(e)].reset_index(drop=True)))
+            n_seg = len(starts)
+            for j, (s, e) in enumerate(zip(starts, ends)):
+                seg = pdf.iloc[int(s):int(e)]
+                seg_key = _key_of(k.iloc[int(s)])
+                last = j == n_seg - 1
+                if carry and seg_key == carry_key:
+                    carry.append(seg)
+                    if not last:
+                        outs.append(fold(_assemble(carry)))
+                        carry, carry_key = [], None
+                    continue
+                if carry:
+                    outs.append(fold(_assemble(carry)))
+                    carry, carry_key = [], None
+                if last:
+                    carry, carry_key = [seg], seg_key
+                else:
+                    outs.append(fold(seg.reset_index(drop=True)))
             if outs:
                 yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
-        if carry is not None and len(carry):
-            yield fold(carry.reset_index(drop=True))
+        if carry:
+            yield fold(_assemble(carry))
 
     return part.mapInPandas(run, schema=schema)
 
