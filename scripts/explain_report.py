@@ -31,8 +31,6 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "emb_ann_topk": "10-row query set",
     "emb_ivf_ann": "centroid table",
     "emb_ivf_probe": "centroid table",
-    "emb_lsh_ann": "plane-id expansion rows",
-    "emb_sq8_ann": "10-row query set + scale constants",
     "d_tfidf_topk": "one-row corpus-total scalar",
     "d_unigram_xent": "one-row corpus-total scalar",
     "d_bigram_xent": "one-row corpus-total scalar",
