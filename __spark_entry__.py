@@ -11457,14 +11457,37 @@ def d_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         distributed_row_number,
     )
 
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.corpus import (
+        unigram_xent,
+    )
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.text import (
+        quality_score as _qscore,
+        repetition_signals,
+        tokens,
+    )
+
+    # ONE tokenize for all three signal pipelines (the d_curation_pipeline
+    # recipe): project (text, token array) behind a repartition exchange
+    # and checkpoint it; each signal operator reads the same materialized
+    # rows via tokens_col instead of re-running the regex tokenize per
+    # signal. Values are byte-identical to the per-signal registry
+    # queries (quality_score/unigram_xent read only the token array;
+    # repetition's line branch reads the same text column).
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        docs.select("doc_id", "text", tokens("text").alias("_ts"))
+        .repartition(par, "doc_id")
+        .localCheckpoint()
+    )
     q6i = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)).cast("long")
-    qs = d_quality_score(spark, sf_dir).select(
+    qs = _qscore(base, tokens_col="_ts").select(
         "doc_id", q6i("quality_score").alias("_k")
     )
-    xe = d_unigram_xent(spark, sf_dir).select(
+    xe = unigram_xent(base, tokens_col="_ts").select(
         "doc_id", q6i("xent").alias("_k")
     )
-    rep = d_repetition(spark, sf_dir).select(
+    rep = repetition_signals(base, tokens_col="_ts").select(
         "doc_id", q6i("top_bigram_frac").alias("_k")
     )
     rankings = [

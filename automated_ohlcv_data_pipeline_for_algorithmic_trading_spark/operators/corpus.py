@@ -223,6 +223,7 @@ def unigram_xent(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document unigram cross-entropy under the corpus's OWN unigram
     LM — the classic perplexity-proxy quality filter (documents whose
@@ -245,9 +246,14 @@ def unigram_xent(
     documents are excluded (cross-entropy undefined).
 
     Output: (id_col, n_tokens, xent).
+
+    ``tokens_col``: pre-tokenized array<string> column (whitespace
+    ``tokens()`` semantics) — composite pipelines share one tokenize
+    exchange/checkpoint across stages (the quality_score convention).
     """
+    toks = F.col(tokens_col) if tokens_col is not None else tokens(text_col)
     dt = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("c"))
         # freq and the scoring join BOTH consume dt: cut the lineage so

@@ -242,7 +242,10 @@ def token_ngrams(toks: Column, n: int = 2, sep: str = " ") -> Column:
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", id_cols=("doc_id",)
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols=("doc_id",),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Gopher-style within-document repetition signals — the quality
     filters large-scale corpus curation applies before training
@@ -279,9 +282,17 @@ def repetition_signals(
         1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
     ).otherwise(F.lit(0.0))
     # a small corpus often arrives as ONE parquet split; spread the
-    # per-row-heavy tokenize/ngram map work (playbook: single-file input)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    src = df.select(*id_cols, text_col).repartition(par, *id_cols)
+    # per-row-heavy tokenize/ngram map work (playbook: single-file input).
+    # With a pre-tokenized column the caller owns partitioning (the
+    # minhash_group_rep_pairs convention) and the bigram branch reads
+    # the shared token array instead of re-tokenizing.
+    if tokens_col is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        src = df.select(*id_cols, text_col).repartition(par, *id_cols)
+        toks = tokens(text_col)
+    else:
+        src = df.select(*id_cols, text_col, tokens_col)
+        toks = F.col(tokens_col)
     base = src.select(
         *id_cols,
         n_lines.cast("long").alias("n_lines"),
@@ -291,7 +302,7 @@ def repetition_signals(
     )
     bi = (
         src.select(
-            *id_cols, F.explode(token_ngrams(tokens(text_col), 2)).alias("gram")
+            *id_cols, F.explode(token_ngrams(toks, 2)).alias("gram")
         )
         .groupBy(*id_cols, "gram")
         .agg(F.count("*").alias("_c"))
