@@ -579,6 +579,9 @@ def hyperplane_buckets(
 
     def op(batches):
         for pdf in batches:
+            # NULL vectors contribute no bucket rows (the exploded-join
+            # form emitted nothing for them: posexplode of NULL is empty)
+            pdf = pdf[pdf["_x"].notna()]
             if not len(pdf):
                 continue
             x = np.stack(pdf["_x"].to_numpy())
@@ -861,6 +864,10 @@ def sq8_knn(
 
         def scan(batches):
             for pdf in batches:
+                # NULL vectors never reach the shortlist (the expression
+                # form quantized them to NULL and the qn > 0 gate dropped
+                # them); mask before the stack
+                pdf = pdf[pdf["_x"].notna()]
                 if not len(pdf):
                     continue
                 x = np.stack(pdf["_x"].to_numpy())

@@ -150,3 +150,30 @@ def test_schema_cache_invalidates_on_source_rewrite(spark, tmp_path):
     s2 = tables.load_table(spark, d, "region").schema.simpleString()
     assert s1 == "struct<region_a:bigint>"
     assert s2 == "struct<region_b:bigint,extra:bigint>"
+
+
+def test_gemm_ann_paths_drop_null_vectors(spark):
+    """The Arrow-GEMM forms of hyperplane_buckets and sq8_knn must treat
+    NULL embedding rows exactly like their expression-form predecessors:
+    no bucket rows (posexplode of NULL was empty) and no shortlist
+    candidates (NULL quantization failed the qn > 0 gate) — never a
+    task-killing np.stack error."""
+    from pyspark.sql import functions as F
+
+    from automated_ohlcv_data_pipeline_for_algorithmic_trading_spark.operators.similarity import (
+        hyperplane_buckets,
+        sq8_knn,
+    )
+
+    rows = [
+        (1, [float(i) for i in range(64)]),
+        (2, None),
+        (3, [float(64 - i) for i in range(64)]),
+        (4, [float(i % 7) for i in range(64)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = hyperplane_buckets(df, n_planes=4, dim=64, n_tables=2).collect()
+    assert sorted({r["vec_id"] for r in b}) == [1, 3, 4]
+    assert len(b) == 6  # 3 vectors x 2 tables
+    knn = sq8_knn(df.filter(F.col("vec_id") == 1), df, k=2, rerank=3).collect()
+    assert sorted((r["query_id"], r["neighbor_id"]) for r in knn) == [(1, 3), (1, 4)]
